@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{moneySum, exprSum, moneyAvg}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.2 "Aggregations").
+  *
+  * All grouped aggregates run as partial (map-side) + final aggregation
+  * — Spark plans HashAggregate(partial) → Exchange(keys) →
+  * HashAggregate(final), so only one pre-aggregated row per (partition,
+  * group) crosses the shuffle. With a handful of groups that is a few
+  * hundred rows of shuffle traffic regardless of input size — the shape
+  * that survives 100 TB. Money sums go through exact decimals (see
+  * [[graft.Tables]]) so the DuckDB oracle matches bit-for-bit.
+  */
+object AggOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped flagship.
+    "agg_group" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          exprSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          exprSum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          moneyAvg(col("l_quantity")).as("avg_qty"),
+          moneyAvg(col("l_extendedprice")).as("avg_price"),
+          moneyAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_global" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+    }),
+
+    "agg_distinct" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Approx sketch — excluded from oracle by determinism rule ③; the
+    // 100 TB answer to COUNT(DISTINCT user) is an HLL, not a shuffle of
+    // every distinct value.
+    "agg_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |       count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "agg_having" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 16)
+        .orderBy(col("o_custkey"))
+    }),
+
+    "agg_stats" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 2).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_collect" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Tables.sql.moneySum("l_quantity")} AS sum_qty,
+         |  ${Tables.sql.moneySum("l_extendedprice")} AS sum_base_price,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${Tables.sql.moneyAvg("l_quantity")} AS avg_qty,
+         |  ${Tables.sql.moneyAvg("l_extendedprice")} AS avg_price,
+         |  ${Tables.sql.moneyAvg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_global" ->
+      s"""SELECT ${Tables.sql.moneySum("l_extendedprice")} AS sum_price,
+         |  ${Tables.sql.moneyAvg("l_quantity")} AS avg_qty,
+         |  min(l_quantity) AS min_qty,
+         |  max(l_quantity) AS max_qty,
+         |  count(*) AS n,
+         |  count(DISTINCT l_suppkey) AS n_supp
+         |FROM lineitem""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT n_name, c_mktsegment, count(*) AS n_cust,
+         |  ${Tables.sql.moneySum("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, c_mktsegment)
+         |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${Tables.sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_having" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${Tables.sql.moneySum("o_totalprice")} AS spend
+         |FROM orders
+         |GROUP BY o_custkey
+         |HAVING count(*) >= 16
+         |ORDER BY o_custkey""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |       round(var_samp(l_quantity), 2) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT o_orderpriority,
+        |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+  )
+}
