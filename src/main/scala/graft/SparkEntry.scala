@@ -13,7 +13,7 @@ import graft.ops._
 object SparkEntry {
 
   private val packs: Seq[OpPack] = Seq(
-    ScanOps, FilterOps, AggOps)
+    ScanOps, FilterOps, AggOps, JoinOps, WindowOps, SortSetOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,273 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{moneySum, exprSum}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY.md §2.2 "Joins").
+  *
+  * Scale notes per strategy:
+  *  - broadcast: dimension tables (part/nation/supplier) stay under the
+  *    broadcast threshold even at 100 TB fact scale — no shuffle of the
+  *    fact side at all.
+  *  - sort-merge / shuffle-hash: both sides shuffle on the key once;
+  *    AQE converts to broadcast at runtime when a side turns out small
+  *    and splits skewed partitions.
+  *  - theta (non-equi): re-expressed as a banded equi-join (explode the
+  *    smaller side into covering bands, hash-join on the band key, then
+  *    apply the exact residual predicate). A raw BNL join is O(n·m) and
+  *    is never acceptable at scale.
+  *  - as-of: union + running-last window, see [[graft.operators.AsOfJoin]].
+  */
+object JoinOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    "join_inner" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "join_broadcast" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part").filter(col("p_size") >= 49)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("p_name"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+    }),
+
+    "join_sortmerge" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          exprSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "join_shuffle_hash" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      li.hint("shuffle_hash").join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_name"))
+    }),
+
+    "join_left" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 490000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    "join_right" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 490000)
+      val c = Tables(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    "join_full" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 480000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_cross" -> ((s, dir) => {
+      val r = Tables(s, dir, "region")
+      val n = Tables(s, dir, "nation")
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("n_nationkey"), col("r_name"),
+          col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // Non-equi range join, re-expressed as banded equi-join: parts are
+    // exploded into the (at most two) $2-wide bands their price-offset
+    // range can touch, hash-joined on the band key, then the exact
+    // range residual is applied. Same result as the BNL theta join the
+    // oracle runs, but shuffle-partitionable at 100 TB.
+    "join_theta" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          floor(col("value") / 2).as("band"))
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          floor((col("p_retailprice") - 900) / 2).as("pb"))
+        .withColumn("band", explode(array(col("pb") - 1, col("pb"))))
+        .drop("pb")
+      e.join(p, "band")
+        .filter(col("p_retailprice") - 900 >= col("value") &&
+          col("p_retailprice") - 900 <= col("value") + 2)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_retailprice")).as("min_price"))
+        .orderBy(col("event_id"))
+    }),
+
+    "join_asof" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin(purchases, clicks, key = "user_id", tsCol = "ts",
+          seqCol = "event_id", carry = Map("event_id" -> "click_id"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    "join_interval" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 49
+        |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin,
+
+    "join_sortmerge" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "join_shuffle_hash" ->
+      s"""SELECT s_name, count(*) AS n,
+         |  ${Tables.sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name
+         |ORDER BY s_name""".stripMargin,
+
+    "join_left" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT OUTER JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 490000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_right" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 490000) o
+        |  RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_full" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'
+        |                    AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "join_theta" ->
+      """SELECT event_id, count(*) AS n_parts, min(p_retailprice) AS min_price
+        |FROM events JOIN part
+        |  ON p_retailprice - 900 >= value AND p_retailprice - 900 <= value + 2
+        |GROUP BY event_id
+        |ORDER BY event_id""".stripMargin,
+
+    // As-of on the (ts, event_id) total order: latest click at-or-before
+    // each purchase per user. Written as the same union + running-last
+    // construction in both engines so tie semantics match exactly.
+    "join_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_id AS click_id,
+        |         CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT user_id, purchase_id,
+        |         last_value(click_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM tagged
+        |)
+        |SELECT purchase_id, user_id, click_id
+        |FROM w WHERE purchase_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
+
+    "join_interval" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${Tables.sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders
+         |  ON l_orderkey = o_orderkey
+         | AND l_shipdate >= o_orderdate
+         | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Sorts / limits / top-k + set operations (SURVEY.md §2.2).
+  *
+  * `topk_limit` must plan as `TakeOrderedAndProject` (per-partition
+  * heap of K, merge K·partitions at the driver) — a global sort for a
+  * LIMIT 10 is the anti-pattern. `topk_per_group` uses the window
+  * row_number + filter shape that Spark 4 rewrites to a group-limit
+  * pushdown. Set operations shuffle once on the full row as key.
+  */
+object SortSetOps extends OpPack {
+
+  private def sliceA(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "orders").filter(col("o_totalprice") > 490000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  private def sliceB(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 485000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  def queries: Map[String, Q] = Map(
+    "sort_multi" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .withColumn("maybe_status",
+          when(col("o_orderstatus") === "O", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        .filter(col("o_totalprice") > 495000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("maybe_status"))
+        .orderBy(asc("o_orderpriority"), desc("o_totalprice"),
+          asc_nulls_last("maybe_status"), asc("o_orderkey"))
+    }),
+
+    "topk_limit" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    "topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      Tables(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+          col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    "set_union_all" -> ((s, dir) => {
+      sliceA(s, dir).unionAll(sliceB(s, dir))
+        .orderBy(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    "set_union_distinct" -> ((s, dir) => {
+      sliceA(s, dir).union(sliceB(s, dir)).distinct()
+        .orderBy(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      val a = Tables(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      val b = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      a.intersect(b).orderBy(col("c_custkey"))
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val a = Tables(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      val b = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      a.except(b).orderBy(col("c_custkey"))
+    })
+  )
+
+  private val sliceASql =
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 490000"
+  private val sliceBSql =
+    "SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 485000"
+
+  def oracle: Map[String, String] = Map(
+    "sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS maybe_status
+        |FROM orders
+        |WHERE o_totalprice > 495000
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC,
+        |  maybe_status ASC NULLS LAST, o_orderkey ASC""".stripMargin,
+
+    "topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "set_union_all" ->
+      s"""SELECT * FROM (($sliceASql) UNION ALL ($sliceBSql))
+         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "set_union_distinct" ->
+      s"""SELECT * FROM (($sliceASql) UNION ($sliceBSql))
+         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.money
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions (SURVEY.md §2.2 "Window functions").
+  *
+  * Every window here is partitioned (by segment / priority / user /
+  * customer) — an unpartitioned window funnels the whole table through
+  * one task and is the classic 100 TB anti-pattern. Running/moving sums
+  * go through decimal casts for oracle bit-parity (see [[graft.Tables]]).
+  */
+object WindowOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    "win_rank" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("o_totalprice"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("rnk"), col("drnk"))
+        .orderBy(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+    }),
+
+    "win_row_number" -> ((s, dir) => {
+      // Top-N per group: window + filter plans as a per-partition top-K
+      // (WindowGroupLimit pushdown in Spark 4) — no global sort.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          money(col("value") - col("prev_value")).as("delta_value"),
+          col("next_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "win_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice").cast(DecimalType(28, 2))).over(w)
+            .cast("double"), 2))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_spend"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "win_range_frame" -> ((s, dir) => {
+      // RANGE frame over a numeric sort key (event_id): all rows whose
+      // key is within 100 of the current row's key.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rangeBetween(-100, 0)
+      Tables(s, dir, "events")
+        .withColumn("n_in_range", count(lit(1)).over(w))
+        .withColumn("sum_in_range",
+          round(sum(col("value").cast(DecimalType(28, 2))).over(w)
+            .cast("double"), 2))
+        .select(col("event_id"), col("user_id"), col("n_in_range"),
+          col("sum_in_range"))
+        .orderBy(col("event_id"))
+    }),
+
+    "win_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("c_custkey"), col("c_mktsegment"), col("quartile"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "win_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .withColumn("first_order", first_value(col("o_orderkey")).over(w))
+        .withColumn("last_order", last_value(col("o_orderkey")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("first_order"),
+          col("last_order"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT c_mktsegment, o_orderkey, rnk, drnk FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |         rank() OVER (PARTITION BY c_mktsegment
+        |                      ORDER BY o_totalprice DESC) AS rnk,
+        |         dense_rank() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC) AS drnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 10
+        |ORDER BY c_mktsegment, rnk, o_orderkey""".stripMargin,
+
+    "win_row_number" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "win_lag_lead" ->
+      s"""SELECT event_id, user_id,
+         |  ${Tables.sql.money("value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)")} AS delta_value,
+         |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event_id
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+        |    AS running_spend
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_in_range,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE), 2)
+        |    AS sum_in_range
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |                 ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
