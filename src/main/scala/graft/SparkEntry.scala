@@ -13,7 +13,8 @@ import graft.ops._
 object SparkEntry {
 
   private val packs: Seq[OpPack] = Seq(
-    ScanOps, FilterOps, AggOps, JoinOps, WindowOps, SortSetOps)
+    ScanOps, FilterOps, AggOps, JoinOps, WindowOps, SortSetOps,
+    FnOps, CdcOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

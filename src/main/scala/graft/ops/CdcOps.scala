@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.money
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC-semantics operators (SURVEY.md §2.2 "CDC-semantics"), run over
+  * the `events` table as the CDC log stand-in. Each derives from a
+  * concrete reference behavior (cited per query).
+  *
+  * Scale notes: snapshot/update-pair windows partition by the row key
+  * (`user_id`) — state per key, one shuffle, no global ordering needed;
+  * resume-from-GTID is a pushed-down range filter on the sequence
+  * column (at rest this is a parquet min/max-pruned scan, on the wire
+  * it is the server-side `WithGTID` skip, `client.go:122-126`).
+  */
+object CdcOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    // R14 `client.go:410-412`: DML ⇔ line starts with {"domain":.
+    // Synthesize a raw JSON line per event (DDL-shaped every 10th) and
+    // classify by prefix, exactly like the reference's isDMLEvent.
+    "cdc_classify" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("raw",
+          when(col("event_id") % 10 === 0,
+            lit("""{"type": "record", "name": "ChangeRecord"}"""))
+            .otherwise(concat(lit("{\"domain\": "),
+              pmod(col("user_id"), lit(4)), lit("}"))))
+        .select(col("event_id"),
+          when(col("raw").startsWith("{\"domain\":"), "dml")
+            .otherwise("ddl").as("kind"))
+        .orderBy(col("event_id"))
+    }),
+
+    // R19 `event.go:216-218`: GTID = "{domain}-{server_id}-{sequence}"
+    // with the synthetic mapping domain≔user_id%4, server≔3000,
+    // seq≔event_id.
+    "cdc_gtid" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          concat_ws("-", pmod(col("user_id"), lit(4)), lit(3000),
+            col("event_id")).as("gtid"))
+        .orderBy(col("event_id"))
+    }),
+
+    // R20 `event.go:220-236`: envelope-strip projection — drop the
+    // metadata columns, keep key + payload.
+    "cdc_tabledata" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .drop("ts", "user_id", "event_type")
+        .select(col("event_id"), money(col("value")).as("value"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // The consumer pattern the channel API exists for
+    // (`client.go:144-162`): materialize current state = latest event
+    // per key. ts is monotone in event_id (TESTDATA), so the (ts desc,
+    // event_id desc) order agrees across engines despite ns→µs.
+    "cdc_snapshot_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("ts"), desc("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          money(col("value")).as("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // `event.go:177-183`: update_before/update_after adjacency — pair
+    // each event with its per-user successor via lead.
+    "cdc_update_pairs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("value_delta",
+          money(lead(col("value"), 1).over(w) - col("value")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("next_event_id"), col("next_type"), col("value_delta"))
+        .orderBy(col("event_id"))
+    }),
+
+    // `WithGTID` resume (`client.go:122-126`, pinned by
+    // `client_test.go:169-267`): everything at-or-after the offset, in
+    // order. The >= filter is pushed to the parquet scan.
+    "cdc_resume_gtid" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("event_id") >= 500)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "cdc_classify" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN 'ddl' ELSE 'dml' END AS kind
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_gtid" ->
+      """SELECT event_id,
+        |  concat_ws('-', user_id % 4, 3000, event_id) AS gtid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_tabledata" ->
+      s"""SELECT event_id, ${Tables.sql.money("value")} AS value,
+         |  CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_snapshot_latest" ->
+      s"""SELECT user_id, event_id, event_type,
+         |  ${Tables.sql.money("value")} AS value
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_update_pairs" ->
+      s"""SELECT event_id, user_id, event_type,
+         |  lead(event_id, 1) OVER w AS next_event_id,
+         |  lead(event_type, 1) OVER w AS next_type,
+         |  ${Tables.sql.money("lead(value, 1) OVER w - value")} AS value_delta
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |ORDER BY event_id""".stripMargin,
+
+    "cdc_resume_gtid" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events WHERE event_id >= 500
+        |ORDER BY event_id""".stripMargin
+  )
+}

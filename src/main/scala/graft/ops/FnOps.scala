@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Scalar functions: string / date / math / case+cast / JSON / array /
+  * map / explode (SURVEY.md §2.2 "Scalar functions").
+  *
+  * All of these are Spark built-ins (codegen'd, no UDFs), so they stay
+  * inside whole-stage codegen and vectorized Parquet scans at any
+  * scale. Cross-engine determinism notes per query:
+  *  - no raw computed doubles escape (ints/strings/dates only, or
+  *    decimal-rounded via [[graft.Tables]] helpers);
+  *  - DuckDB casts double→int by ROUNDING while Spark TRUNCATES, so
+  *    every such cast goes through an explicit floor();
+  *  - DuckDB dayofweek is 0-based (Sun=0), Spark's is 1-based (Sun=1).
+  */
+object FnOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_type"), 1, 6).as("ty6"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          length(trim(col("p_name"))).as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_date" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date"))
+            .as("days_since_2024"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_math" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          abs(col("p_size") - 25).as("abs_off"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod7"),
+          pow(lit(2), col("p_size") % 10).cast("long").as("pow2"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          signum(col("p_size") - 25).cast("int").as("sgn"),
+          greatest(col("p_size"), lit(10)).as("ge10"),
+          least(col("p_size"), lit(40)).as("le40"),
+          Tables.money(col("p_retailprice") / 100).as("price_pct"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_case_cast" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 5000, "low")
+            .when(col("c_acctbal") < 9000, "mid")
+            .otherwise("high").as("bal_bucket"),
+          floor(col("c_acctbal")).cast("long").as("bal_int"),
+          floor(col("c_acctbal")).cast("long").cast("string").as("bal_str"),
+          col("c_custkey").cast("string").cast("long").as("key_roundtrip"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "fn_json" -> ((s, dir) => {
+      // props is a JSON string like {"k": 87}: extract, cast, aggregate.
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod10"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod10"))
+    }),
+
+    "fn_array" -> ((s, dir) => {
+      // Higher-order array fns over embedding: all comparisons are
+      // exact float predicates, so no float leaves the query.
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          (element_at(col("embedding"), 1) > 0).as("first_pos"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          size(filter(col("embedding"), x => x > lit(0.5f))).as("n_big"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "fn_map" -> ((s, dir) => {
+      // Payload-style access: build a map column from entries, look a
+      // key up (the dynamic TableData() pattern, event.go:220-236).
+      Tables(s, dir, "events")
+        .withColumn("payload", map_from_arrays(
+          array(lit("k"), lit("uid")),
+          array(get_json_object(col("props"), "$.k").cast("long"),
+            col("user_id"))))
+        .select(col("event_id"),
+          element_at(col("payload"), "k").as("k_val"),
+          element_at(col("payload"), "uid").as("uid_val"),
+          size(col("payload")).as("n_keys"))
+        .orderBy(col("event_id"))
+    }),
+
+    "fn_explode" -> ((s, dir) => {
+      // Tokenize → explode (Generator) → word count. The explode output
+      // is re-aggregated, so cardinality stays bounded by vocabulary.
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  substring(p_type, 1, 6) AS ty6,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  length(trim(p_name)) AS name_len,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    AS days_since_2024,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      s"""SELECT p_partkey,
+         |  abs(p_size - 25) AS abs_off,
+         |  p_partkey % 7 AS key_mod7,
+         |  CAST(power(2, p_size % 10) AS BIGINT) AS pow2,
+         |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+         |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+         |  CAST(sign(p_size - 25) AS INT) AS sgn,
+         |  greatest(p_size, 10) AS ge10,
+         |  least(p_size, 40) AS le40,
+         |  ${Tables.sql.money("p_retailprice / 100")} AS price_pct
+         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_case_cast" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       WHEN c_acctbal < 9000 THEN 'mid'
+        |       ELSE 'high' END AS bal_bucket,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS bal_int,
+        |  CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR) AS bal_str,
+        |  CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY k_mod10
+        |ORDER BY k_mod10""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] > 0 AS first_pos,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  CAST(len(list_filter(embedding, x -> x > CAST(0.5 AS FLOAT))) AS INT) AS n_big
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  user_id AS uid_val,
+        |  2 AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin
+  )
+}
