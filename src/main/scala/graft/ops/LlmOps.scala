@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.moneyAvg
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.2 "LLM-data-
+  * pipeline"): dedup, similarity, text stats, kNN, multimodal join.
+  *
+  * Scale design per query:
+  *  - exact dedup: one hash-shuffle on a 256-bit digest — never on the
+  *    full text (at 100 TB the shuffle carries 32-byte keys, not docs);
+  *  - near-dup: inverted-index token self-join inside (lang, source)
+  *    blocks + integer Jaccard threshold — the all-pairs crossJoin
+  *    never materializes; the MinHash-LSH variant for unblocked
+  *    corpora is in `graft.operators.MinHashLsh`;
+  *  - cosine/kNN: brute-force is blocked by label (kNN) or probe-
+  *    broadcast (top-k), both rank-only outputs so no float crosses
+  *    the oracle boundary except through ordering.
+  */
+object LlmOps extends OpPack {
+
+  /** Cosine similarity in double precision, left-to-right accumulation
+    * (matches DuckDB's list_cosine_similarity evaluation order). */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w") =!= "")
+
+  def queries: Map[String, Q] = Map(
+    "llm_dedup_exact" -> ((s, dir) => {
+      // Group on the digest of the normalized text; keep the smallest
+      // doc_id per group as the canonical copy.
+      Tables(s, dir, "documents")
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "llm_dedup_near" -> ((s, dir) => {
+      // Inverted-index pair generation: docs sharing a token within
+      // the same (lang, source) block, exact Jaccard over distinct
+      // token sets, integer threshold inter/union >= 0.2.
+      val t = tokens(s, dir)
+      val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"),
+        col("source"), col("w"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("w").as("w_b"))
+      val inter = a.join(b,
+          a("w") === b("w_b") && a("lang") === b("lang_b") &&
+            a("source") === b("source_b") && a("doc_a") < b("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_tok", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_tok", "n_b"), "doc_b")
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .filter(col("n_inter") * 5 >= col("n_union"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "llm_text_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          moneyAvg(col("n_chars")).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    "llm_sim_cosine" -> ((s, dir) => {
+      // Top-10 most similar vectors to probe vec_id=0; the 1-row probe
+      // side is broadcast, similarity orders but never escapes (rank
+      // output only).
+      val e = Tables(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val w = Window.orderBy(desc("sim"), asc("vec_id"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("sim", cosine(col("embedding"), col("probe_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"))
+        .orderBy(col("rank"))
+    }),
+
+    "llm_knn_join" -> ((s, dir) => {
+      // k-NN join blocked by label: candidate pairs only within a
+      // label partition (the exact-within-block pattern; the unblocked
+      // ANN path is graft.operators.AnnIvf).
+      val e = Tables(s, dir, "embeddings")
+      val l = e.select(col("vec_id"), col("label"), col("embedding"))
+      val r = e.select(col("vec_id").as("nbr_id"), col("label").as("label_r"),
+        col("embedding").as("emb_r"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("sim"), asc("nbr_id"))
+      l.join(r, l("label") === r("label_r") && l("vec_id") =!= r("nbr_id"))
+        .withColumn("sim", cosine(col("embedding"), col("emb_r")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("nbr_id"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    "llm_multimodal_join" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "llm_lang_partition" -> ((s, dir) => {
+      // Skew-aware two-stage aggregation: pre-aggregate on a salted
+      // key, then combine — the partial results are tiny regardless of
+      // how skewed the language distribution is.
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy(col("lang"), pmod(col("doc_id"), lit(8)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("n_tokens")).as("pt"),
+          sum(col("n_chars")).as("pc"))
+        .groupBy(col("lang"))
+        .agg(sum(col("pn")).as("n_docs"), sum(col("pt")).as("sum_tokens"),
+          sum(col("pc")).as("sum_chars"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY lower(trim(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_near" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tok2 AS (SELECT * FROM tok WHERE w <> ''),
+        |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM tok2 a JOIN tok2 b
+        |    ON a.w = b.w AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, n_inter,
+        |  sa.n_tok + sb.n_tok - n_inter AS n_union
+        |FROM pair
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE n_inter * 5 >= sa.n_tok + sb.n_tok - n_inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_text_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |  ${Tables.sql.moneyAvg("n_chars")} AS avg_chars
+         |FROM documents
+         |GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
+
+    "llm_sim_cosine" ->
+      """SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)
+        |    AS rank, vec_id
+        |FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding, p.embedding) AS sim
+        |  FROM embeddings e, (SELECT embedding FROM embeddings
+        |                      WHERE vec_id = 0) p
+        |  WHERE e.vec_id <> 0)
+        |QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin,
+
+    "llm_knn_join" ->
+      """SELECT vec_id, rank, nbr_id FROM (
+        |  SELECT l.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY l.vec_id
+        |      ORDER BY list_cosine_similarity(l.embedding, r.embedding) DESC,
+        |               r.vec_id ASC) AS INT) AS rank,
+        |    r.vec_id AS nbr_id
+        |  FROM embeddings l JOIN embeddings r
+        |    ON l.label = r.label AND l.vec_id <> r.vec_id)
+        |WHERE rank <= 3
+        |ORDER BY vec_id, rank""".stripMargin,
+
+    "llm_multimodal_join" ->
+      """SELECT doc_id, lang, label, n_chars,
+        |  CAST(len(embedding) AS INT) AS dim
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_partition" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
+  )
+}

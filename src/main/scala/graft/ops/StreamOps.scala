@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing operators (SURVEY.md §2.2 "Streaming"), in
+  * their batch-equivalent, oracle-checkable forms. The same
+  * `window`/`session_window` expressions run unchanged under
+  * Structured Streaming (see `graft.streaming` tests for the
+  * watermark/stateful variants that have no batch oracle).
+  *
+  * All window starts are emitted as epoch seconds (BIGINT): the
+  * testdata `events.ts` is nanosecond-precision, which Spark reads
+  * truncated to µs while DuckDB keeps ns — epoch-second buckets are
+  * identical in both (SURVEY.md §7 known-hard list).
+  */
+object StreamOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    "stream_sliding" -> ((s, dir) => {
+      // 1 h windows sliding 30 min: every event lands in exactly 2
+      // windows; Spark's window() generator does the expansion.
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("n"))
+        .orderBy(col("win_start"))
+    }),
+
+    "stream_session" -> ((s, dir) => {
+      // Session windows, 30 min gap, per user. Timestamps are floored
+      // to whole seconds first so the gap comparison is integer-exact
+      // in both engines (ns vs µs precision cannot flip a boundary).
+      // Spark session semantics: a gap of exactly 30 min starts a NEW
+      // session (window is [start, last+gap)) — the oracle's
+      // gaps-and-islands break condition is therefore `>= 1800`.
+      Tables(s, dir, "events")
+        .withColumn("tsec", timestamp_seconds(unix_timestamp(col("ts"))))
+        .groupBy(col("user_id"), session_window(col("tsec"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events"), col("first_event"), col("last_event"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "stream_dedup" -> ((s, dir) => {
+      // Exactly-once projection of an at-least-once feed: re-deliver
+      // every 10th event, then dropDuplicates on the event key (the
+      // same operator is stateful under streaming).
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val redelivered = e.filter(col("event_id") % 10 === 0)
+      e.unionAll(redelivered)
+        .dropDuplicates("event_id")
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+        |), x AS (
+        |  SELECT es, es - (es % 1800) AS b FROM e
+        |), u AS (
+        |  SELECT unnest([b, b - 1800]) AS win_start FROM x
+        |)
+        |SELECT win_start, count(*) AS n
+        |FROM u GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN es - lag(es) OVER (
+        |      PARTITION BY user_id ORDER BY es, event_id) >= 1800
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, min(es) AS session_start, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 10 = 0)
+        |ORDER BY event_id""".stripMargin
+  )
+}
