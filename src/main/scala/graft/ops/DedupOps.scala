@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.Tables
+import graft.operators.{MinHashLsh, SimHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalable near-duplicate detection suite over `documents` (the
+  * training-data dedup battery from the task brief, extending
+  * SURVEY.md §2.2 "LLM-data-pipeline").
+  *
+  * Candidate generation is always sub-quadratic (LSH bands, simhash
+  * segment pigeonhole, shingle inverted index); each query then
+  * *exactly verifies* candidates with an integer Jaccard test, so the
+  * output is oracle-checkable against a brute-force DuckDB query:
+  * equality holds because the verified threshold sits where the LSH
+  * miss probability is ≪ 1/dataset-size (minhash: P(miss | J=0.9) =
+  * (1-0.9⁴)³² ≈ 1e-15) or is structurally zero (simhash: identical
+  * token sets hash identically, so J=1 pairs always collide).
+  */
+object DedupOps extends OpPack {
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w") =!= "")
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("arr")) - 3),
+          i => concat_ws(" ", element_at(col("arr"), i + 1),
+            element_at(col("arr"), i + 2), element_at(col("arr"), i + 3)))))
+        .as("sh"))
+
+  def queries: Map[String, Q] = Map(
+    // MinHash(128) + 32-band LSH candidates, exact-verified at token
+    // Jaccard >= 0.9.
+    "llm_dedup_minhash" -> ((s, dir) => {
+      val t = tokens(s, dir)
+      val cand = MinHashLsh.candidatePairs(t, "doc_id", "w",
+        numHashes = 128, bands = 32)
+      MinHashLsh.verifyJaccard(cand, t, "doc_id", "w", num = 9, den = 10)
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash(64-bit) + pigeonhole segment join, verified to exact
+    // token-set equality (n_inter == n_union ⇔ J = 1).
+    "llm_dedup_simhash" -> ((s, dir) => {
+      val t = tokens(s, dir)
+      val fps = SimHash.fingerprints(t, "doc_id", "w")
+      val cand = SimHash.candidatePairs(fps, "doc_id", maxDist = 3)
+      MinHashLsh.verifyJaccard(cand, t, "doc_id", "w", num = 1, den = 1)
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // 3-gram shingle Jaccard >= 0.05 via shingle inverted-index join —
+    // no LSH approximation anywhere, exact by construction.
+    "llm_dedup_ngram" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          "doc_b")
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .filter(col("n_inter") * 20 >= col("n_union"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding-cosine near-dup inside label blocks (cosine >= 0.4;
+    // rank-free integer-pair output, similarity never escapes).
+    "llm_dedup_embed" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val l = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("embedding").as("emb_a"))
+      val r = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+        col("embedding").as("emb_b"))
+      l.join(r, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+        .withColumn("sim", dot(col("emb_a"), col("emb_b")) /
+          sqrt(dot(col("emb_a"), col("emb_a"))) /
+          sqrt(dot(col("emb_b"), col("emb_b"))))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("label"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+  )
+
+  private val tokPairSql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), tok2 AS (SELECT * FROM tok WHERE w <> ''),
+      |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM tok2 a JOIN tok2 b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b, n_inter,
+      |  sa.n_tok + sb.n_tok - n_inter AS n_union
+      |FROM pair
+      |JOIN sz sa ON doc_a = sa.doc_id
+      |JOIN sz sb ON doc_b = sb.doc_id""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_minhash" ->
+      s"""SELECT doc_a, doc_b FROM ($tokPairSql
+         |  WHERE n_inter * 10 >= 9 * (sa.n_tok + sb.n_tok - n_inter))
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_simhash" ->
+      s"""SELECT doc_a, doc_b FROM ($tokPairSql
+         |  WHERE n_inter = sa.n_tok + sb.n_tok - n_inter)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, n_inter,
+        |  sa.n_sh + sb.n_sh - n_inter AS n_union
+        |FROM pair
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_embed" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
