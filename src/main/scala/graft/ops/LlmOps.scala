@@ -119,6 +119,20 @@ object LlmOps extends OpPack {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // IVF ANN: probe scans only nprobe of numCells cells — the 100 TB
+    // path where brute force (llm_sim_cosine) is the small-scale
+    // baseline. Approximate ⇒ no DuckDB oracle (rows-only check);
+    // exact-within-probed-cells is pinned by AnnIvfSpec.
+    "llm_ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val idx = graft.operators.AnnIvf.buildIndex(e, "vec_id", "embedding",
+        numCells = 16)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding"))
+      graft.operators.AnnIvf.query(idx, probe, "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        .orderBy(col("rank"))
+    }),
+
     "llm_multimodal_join" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val e = Tables(s, dir, "embeddings")

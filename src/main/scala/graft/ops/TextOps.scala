@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID, quality
+  * scoring, token counting, document fingerprinting (task-brief
+  * additions, extending SURVEY.md §2.2).
+  *
+  * All arithmetic is integer (counts, ratios via integer division,
+  * modular hashes), so every query is exactly oracle-checkable. Each
+  * is one or two hash-shuffles over (doc, token) pairs — linear in
+  * corpus size, no per-doc driver work, no UDFs.
+  */
+object TextOps extends OpPack {
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
+    * non-alphanumeric glyphs — the classic GPT-2-style split, minus
+    * the byte-level merges (kept regex-only so both engines agree). */
+  private val bpeIsh = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def queries: Map[String, Q] = Map(
+    // Two-pass n-gram/stopword language-ID: pass 1 builds a top-5
+    // token profile per language from the corpus itself; pass 2 scores
+    // each doc by profile hits and takes the argmax (ties → lang asc).
+    "llm_lang_id" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val wp = Window.partitionBy(col("lang"))
+        .orderBy(desc("freq"), asc("w"))
+      val profile = t.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= 5)
+        .select(col("lang").as("cand_lang"), col("w").as("pw"))
+      val hits = t.select(col("doc_id"), col("w"))
+        .join(broadcast(profile), col("w") === col("pw"))
+        .groupBy(col("doc_id"), col("cand_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val wd = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("hits"), asc("cand_lang"))
+      hits.withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+          col("hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length cap + vocabulary-diversity ratio, all
+    // integer arithmetic.
+    "llm_quality_score" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("arr")))
+        .withColumn("n_distinct", size(array_distinct(col("arr"))))
+        .select(col("doc_id"),
+          least(col("n_tokens"), lit(100)).as("q_len"),
+          expr("CAST(n_distinct * 100 DIV n_tokens AS INT)").as("q_div"),
+          (least(col("n_tokens"), lit(100)) +
+            expr("CAST(n_distinct * 100 DIV n_tokens AS INT)")).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens vs BPE-ish regex tokens, plus
+    // integer chars-per-token.
+    "llm_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .withColumn("bpe_tokens", size(expr(s"regexp_extract_all(text, '$bpeIsh', 0)")))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          expr("CAST(n_chars DIV bpe_tokens AS INT)").as("chars_per_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Positional rolling-hash fingerprint: fp = Σ pos·(131·len(w) +
+    // ascii(w)) mod 1e9+7 — order-sensitive, pure integer, identical
+    // across engines.
+    "llm_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"))
+        .agg(((sum((col("pos") + 1) *
+          (length(col("w")) * 131 + ascii(col("w"))))) % 1000000007L)
+          .as("fingerprint"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), t2 AS (SELECT * FROM t WHERE w <> ''),
+        |profile AS (
+        |  SELECT lang AS cand_lang, w AS pw FROM (
+        |    SELECT lang, w, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, w ASC) AS rn
+        |    FROM t2 GROUP BY lang, w)
+        |  WHERE rn <= 5
+        |), hits AS (
+        |  SELECT doc_id, cand_lang, count(*) AS hits
+        |  FROM t2 JOIN profile ON w = pw
+        |  GROUP BY doc_id, cand_lang)
+        |SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hits DESC, cand_lang ASC) AS rn FROM hits)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_score" ->
+      """SELECT doc_id,
+        |  least(len(string_split(text, ' ')), 100) AS q_len,
+        |  CAST(len(list_distinct(string_split(text, ' '))) * 100
+        |    // len(string_split(text, ' ')) AS INT) AS q_div,
+        |  least(len(string_split(text, ' ')), 100) +
+        |  CAST(len(list_distinct(string_split(text, ' '))) * 100
+        |    // len(string_split(text, ' ')) AS INT) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$bpeIsh')) AS INT) AS bpe_tokens,
+         |  CAST(n_chars // len(regexp_extract_all(text, '$bpeIsh')) AS INT)
+         |    AS chars_per_tok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(pos * (131 * length(w) + ascii(w))) % 1000000007
+        |    AS BIGINT) AS fingerprint
+        |FROM t WHERE w <> ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

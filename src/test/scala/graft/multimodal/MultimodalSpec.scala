@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import graft.{LocalSpark, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = LocalSpark.spark
+
+  test("media table: schema, kinds, payload round-trip") {
+    val media = Multimodal.mediaFromDocuments(Tables(spark, sf, "documents"))
+    val schema = media.schema
+    assert(schema("content").dataType.typeName == "binary")
+    assert(media.select("kind").distinct().count() == 3)
+    // payload is the UTF-8 text, byte length == n_chars (ASCII corpus)
+    val bad = Multimodal.mediaFromDocuments(Tables(spark, sf, "documents"))
+      .join(Tables(spark, sf, "documents"),
+        col("media_id") === col("doc_id"))
+      .filter(length(col("content")) =!= col("n_chars"))
+    assert(bad.count() == 0)
+  }
+
+  test("mapPartitions feature extraction is deterministic and exact") {
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val media = Multimodal.mediaDataset(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 50)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    val rows = docs.select("doc_id", "text").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val f = byId(id)
+      assert(f.n_bytes == bytes.length)
+      // histogram mode = most frequent byte, smallest value on ties
+      val counts = bytes.groupBy(b => b & 0xff).view.mapValues(_.length)
+      val expMode = counts.toSeq.maxBy { case (v, c) => (c.toLong, -v) }._1
+      assert(f.histogram_mode == expMode)
+      val (w, h) = Multimodal.decodeStub(bytes)
+      assert(f.width == w && f.height == h)
+      assert(f.byte_entropy_x1000 > 0) // text is never single-byte
+    }
+  }
+}
