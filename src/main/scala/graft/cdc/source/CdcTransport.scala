@@ -1,0 +1,138 @@
+package graft.cdc.source
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.cdc.Protocol
+
+import scala.jdk.CollectionConverters._
+
+/** Line transport for the CDC stream: where raw NDJSON event lines
+  * come from. Two implementations — the real socket protocol and a
+  * file replay for tests/CI (the MaxScale server of the reference's
+  * docker harness is not available here; replay covers the decode
+  * path with identical bytes).
+  */
+trait CdcTransport extends AutoCloseable {
+  /** Perform handshake / open input; begin buffering lines. */
+  def start(): Unit
+  /** Drain lines buffered since the last poll (order-preserving). */
+  def poll(): Seq[String]
+  /** Terminal error from the pump thread, if any. */
+  def error: Option[Throwable]
+}
+
+/** TCP transport speaking the MaxScale CDC protocol: connect →
+  * authenticate → register → request-data, then scan newline-delimited
+  * JSON events off the socket (reference lifecycle `client.go:144-162`,
+  * pump `client.go:253-287`).
+  *
+  * Faithful behaviors: 5 s default handshake timeouts
+  * (`client.go:31-35`); `ERR` replies fail the handshake
+  * (`client.go:393-408`); pre-schema `ERR` lines on the data stream
+  * are logged and skipped — wait-for-schema (`client.go:261-267`,
+  * pinned by `client_test.go:53-66`); the read deadline is cleared for
+  * streaming reads (`client.go:232-234`); closing the socket unblocks
+  * the pump (`client.go:166-181`).
+  */
+final class SocketTransport(
+    host: String, port: Int, user: String, password: String, uuid: String,
+    database: String, table: String, version: Option[Int],
+    gtid: Option[String], connectTimeoutMs: Int = 5000,
+    readTimeoutMs: Int = 5000) extends CdcTransport {
+
+  private val socket = new Socket()
+  private val queue = new ConcurrentLinkedQueue[String]()
+  private val err = new AtomicReference[Throwable](null)
+  @volatile private var pump: Thread = _
+  @volatile private var closed = false
+
+  override def start(): Unit = {
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setSoTimeout(readTimeoutMs)
+    val out = socket.getOutputStream
+    val in = new BufferedReader(new InputStreamReader(socket.getInputStream,
+      UTF_8))
+    def send(msg: String): Unit = {
+      out.write(msg.getBytes(UTF_8)); out.flush()
+    }
+    def expectOk(phase: String): Unit = {
+      val reply = in.readLine()
+      if (reply == null || Protocol.isErrorResponse(reply))
+        throw new java.io.IOException(s"$phase failed: $reply")
+    }
+    send(Protocol.formatAuthCommand(user, password)); expectOk("auth")
+    send(Protocol.formatRegisterCommand(uuid)); expectOk("register")
+    send(Protocol.formatRequestDataCommand(database, table, version, gtid))
+    // Streaming reads block indefinitely (client.go:232-234).
+    socket.setSoTimeout(0)
+    pump = new Thread(() => {
+      try {
+        var readSchema = false
+        var line = in.readLine()
+        while (line != null && !closed) {
+          // Pre-schema ERR ⇒ table not there yet: keep waiting
+          // (client.go:261-267). Post-schema lines are events.
+          if (!readSchema && Protocol.isErrorResponse(line)) {
+            // skipped; server will send the schema when it exists
+          } else {
+            readSchema = true
+            queue.add(line)
+          }
+          line = in.readLine()
+        }
+      } catch {
+        case _: Throwable if closed => // socket closed by stop()
+        case t: Throwable => err.set(t)
+      }
+    }, s"maxscale-cdc-pump-$database.$table")
+    pump.setDaemon(true)
+    pump.start()
+  }
+
+  override def poll(): Seq[String] = {
+    val buf = Seq.newBuilder[String]
+    var l = queue.poll()
+    while (l != null) { buf += l; l = queue.poll() }
+    buf.result()
+  }
+
+  override def error: Option[Throwable] = Option(err.get())
+
+  override def close(): Unit = {
+    closed = true
+    socket.close() // breaks the blocked read, like conn.Close()
+    if (pump != null) pump.join(2000)
+  }
+}
+
+/** File replay transport: NDJSON event dump (DDL first, then DML),
+  * replayed in order — the test/CI stand-in for the socket, carrying
+  * byte-identical lines through the same decode path. */
+final class ReplayTransport(path: String, gtid: Option[String])
+    extends CdcTransport {
+  private var lines: Seq[String] = Nil
+  override def start(): Unit = {
+    val all = Files.readAllLines(Paths.get(path), UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+    // Resume-from-GTID: DDL lines always replay (schema-first);
+    // DML lines replay from the requested sequence onward
+    // (server-side skip semantics of WithGTID, client.go:122-126).
+    lines = gtid.flatMap(Protocol.parseGtid) match {
+      case Some((_, _, seq)) => all.filter { l =>
+        !Protocol.isDmlEvent(l) ||
+          Protocol.decodeDmlEvent(l).sequence >= seq
+      }
+      case None => all
+    }
+  }
+  override def poll(): Seq[String] = {
+    val out = lines; lines = Nil; out
+  }
+  override def error: Option[Throwable] = None
+  override def close(): Unit = ()
+}

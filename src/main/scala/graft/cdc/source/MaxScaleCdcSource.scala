@@ -1,0 +1,189 @@
+package graft.cdc.source
+
+import java.util
+
+import graft.cdc.Protocol
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Spark DSv2 streaming source for MaxScale CDC (`format
+  * ("maxscale-cdc")`).
+  *
+  * One stream = one `database.table` change feed, exactly like the
+  * reference client (one TCP conn per table, `client.go:144-162`).
+  * The source is therefore a SINGLE input partition per micro-batch —
+  * parallelism at 100 TB comes from running one stream per table and
+  * from downstream shuffles, not from splitting a serial socket.
+  *
+  * Options: `host`, `port`, `user`, `password`, `uuid`, `database`,
+  * `table`, optional `version`, `gtid` (resume offset, server-side
+  * skip), `connectTimeoutMs`, `readTimeoutMs` — or `replayFile` for
+  * the NDJSON file replay used in tests.
+  *
+  * Output schema = the DML envelope (SURVEY.md §1.2) + `raw`
+  * (verbatim event JSON, payload projectable with `from_json(raw,
+  * Protocol.inferSchema(ddl))`). DDL events are emitted as rows with
+  * `event_type = "ddl"` and a null envelope — schema-first, exactly
+  * as the reference delivers them on the channel
+  * (`client_test.go:135-137`).
+  */
+class MaxScaleCdcProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "maxscale-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MaxScaleCdcSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MaxScaleCdcTable(properties)
+}
+
+object MaxScaleCdcSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("domain", IntegerType),
+    StructField("server_id", IntegerType),
+    StructField("sequence", LongType),
+    StructField("event_number", IntegerType),
+    StructField("timestamp", TimestampType),
+    StructField("event_type", StringType),
+    StructField("table_name", StringType),
+    StructField("table_schema", StringType),
+    StructField("raw", StringType)))
+
+  def transportFor(opts: Map[String, String]): CdcTransport = {
+    opts.get("replayfile") match {
+      case Some(path) => new ReplayTransport(path, opts.get("gtid"))
+      case None => new SocketTransport(
+        host = opts.getOrElse("host", "localhost"),
+        port = opts.getOrElse("port", "4001").toInt,
+        user = opts.getOrElse("user", ""),
+        password = opts.getOrElse("password", ""),
+        uuid = opts.getOrElse("uuid", java.util.UUID.randomUUID().toString),
+        database = opts.getOrElse("database",
+          throw new IllegalArgumentException("option 'database' required")),
+        table = opts.getOrElse("table",
+          throw new IllegalArgumentException("option 'table' required")),
+        version = opts.get("version").map(_.toInt),
+        gtid = opts.get("gtid"),
+        connectTimeoutMs = opts.getOrElse("connecttimeoutms", "5000").toInt,
+        readTimeoutMs = opts.getOrElse("readtimeoutms", "5000").toInt)
+    }
+  }
+}
+
+final class MaxScaleCdcTable(properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  import scala.jdk.CollectionConverters._
+  private val opts = properties.asScala.map { case (k, v) =>
+    k.toLowerCase -> v
+  }.toMap
+  override def name(): String =
+    s"maxscale-cdc:${opts.getOrElse("database", "?")}." +
+      s"${opts.getOrElse("table", opts.getOrElse("replayfile", "?"))}"
+  override def schema(): StructType = MaxScaleCdcSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = MaxScaleCdcSource.Schema
+        override def toMicroBatchStream(loc: String): MicroBatchStream =
+          new MaxScaleCdcMicroBatchStream(opts)
+      }
+    }
+}
+
+/** Offset = count of event lines delivered since stream start (a
+  * strictly monotone cursor; the durable GTID position is carried in
+  * the rows themselves and re-supplied to the server via the `gtid`
+  * option on restart, mirroring `WithGTID`). */
+final case class CdcOffset(index: Long) extends Offset {
+  override def json(): String = index.toString
+}
+
+final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
+    extends MicroBatchStream {
+
+  private val transport = MaxScaleCdcSource.transportFor(opts)
+  private var started = false
+  // Buffered lines with their absolute index [firstIndex, ...].
+  private val buffer = new ArrayBuffer[String]()
+  private var firstIndex = 0L
+
+  private def ensureStarted(): Unit = synchronized {
+    if (!started) { transport.start(); started = true }
+  }
+
+  private def drain(): Unit = synchronized {
+    transport.error.foreach(t => throw t)
+    buffer ++= transport.poll()
+  }
+
+  override def initialOffset(): Offset = CdcOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    CdcOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    ensureStarted(); drain()
+    synchronized { CdcOffset(firstIndex + buffer.size) }
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[CdcOffset].index
+    val e = end.asInstanceOf[CdcOffset].index
+    val lines = buffer.slice((s - firstIndex).toInt, (e - firstIndex).toInt)
+    Array(CdcInputPartition(lines.toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new CdcPartitionReader(p.asInstanceOf[CdcInputPartition].lines)
+    }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[CdcOffset].index
+    val drop = (e - firstIndex).toInt
+    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)) }
+    firstIndex = math.max(firstIndex, e)
+  }
+
+  override def stop(): Unit = transport.close()
+}
+
+final case class CdcInputPartition(lines: Array[String])
+    extends InputPartition
+
+/** Decodes one micro-batch of event lines into envelope rows
+  * (reference decode dispatch `client.go:289-304`). */
+final class CdcPartitionReader(lines: Array[String])
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < lines.length }
+  override def get(): InternalRow = {
+    val line = lines(i)
+    if (Protocol.isDmlEvent(line)) {
+      val e = Protocol.decodeDmlEvent(line)
+      InternalRow(e.domain, e.serverId, e.sequence, e.eventNumber,
+        e.timestamp * 1000000L, // unix secs → µs TimestampType
+        UTF8String.fromString(e.eventType),
+        UTF8String.fromString(e.tableName),
+        UTF8String.fromString(e.tableSchema),
+        UTF8String.fromString(line))
+    } else {
+      InternalRow(null, null, null, null, null,
+        UTF8String.fromString("ddl"), null, null,
+        UTF8String.fromString(line))
+    }
+  }
+  override def close(): Unit = ()
+}

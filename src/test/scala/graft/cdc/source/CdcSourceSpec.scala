@@ -1,0 +1,144 @@
+package graft.cdc.source
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.LocalSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end tests of the maxscale-cdc DSv2 source: file replay for
+  * the decode path, and a fake in-JVM protocol server for the socket
+  * handshake — the same behaviors the reference pins with its docker
+  * integration harness (`client_test.go`), minus the real MaxScale.
+  */
+class CdcSourceSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  private val ddl =
+    """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record", "name": "ChangeRecord", "table": "tests", "database": "test", "version": 1, "gtid": "0-3000-6", "fields": [{"name": "domain", "type": "int"}, {"name": "server_id", "type": "int"}, {"name": "sequence", "type": "int"}, {"name": "event_number", "type": "int"}, {"name": "timestamp", "type": "int"}, {"name": "event_type", "type": {"type": "enum", "name": "EVENT_TYPES", "symbols": ["insert", "update_before", "update_after", "delete"]}}, {"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}]}"""
+
+  private def dml(seq: Int, id: Int, eventType: String = "insert") =
+    s"""{"domain": 0, "server_id": 3000, "sequence": $seq, "event_number": 1, "timestamp": 170000000$seq, "event_type": "$eventType", "table_name": "tests", "table_schema": "test", "id": $id}"""
+
+  private def runStream(options: Map[String, String],
+      queryName: String): org.apache.spark.sql.DataFrame = {
+    val reader = spark.readStream.format("maxscale-cdc")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load()
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  test("replay: schema-first delivery, envelope decode, raw payload") {
+    val f = Files.createTempFile("cdc", ".ndjson")
+    Files.write(f, (Seq(ddl) ++ Seq(dml(7, 1), dml(8, 2))).mkString("\n")
+      .getBytes(UTF_8))
+    val out = runStream(Map("replayFile" -> f.toString), "cdc_replay")
+    assert(out.count() == 3)
+    // DDL row first, with null envelope
+    val first = out.filter(col("event_type") === "ddl").collect()
+    assert(first.length == 1 && first(0).isNullAt(0))
+    // DML envelopes decoded; payload recoverable from raw
+    val dmls = out.filter(col("event_type") =!= "ddl")
+      .select(col("sequence"),
+        get_json_object(col("raw"), "$.id").cast("int").as("id"))
+      .orderBy("sequence").collect()
+    assert(dmls.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((7L, 1), (8L, 2)))
+    // gtid reconstruction matches the reference format
+    val g = out.filter(col("sequence") === 8)
+      .select(concat_ws("-", col("domain"), col("server_id"),
+        col("sequence"))).head.getString(0)
+    assert(g == "0-3000-8")
+  }
+
+  test("replay: resume from GTID skips earlier sequences, keeps schema") {
+    val f = Files.createTempFile("cdc", ".ndjson")
+    Files.write(f, (Seq(ddl) ++ Seq(dml(7, 1), dml(8, 2))).mkString("\n")
+      .getBytes(UTF_8))
+    // Resume at 0-3000-8 ⇒ schema + row id=2 only (client_test.go:169-267)
+    val out = runStream(Map("replayFile" -> f.toString,
+      "gtid" -> "0-3000-8"), "cdc_resume")
+    assert(out.count() == 2)
+    val ids = out.filter(col("event_type") =!= "ddl")
+      .select(get_json_object(col("raw"), "$.id").cast("int")).collect()
+    assert(ids.map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("socket: full handshake, ERR-wait-for-schema, streamed events") {
+    val server = new ServerSocket(0)
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream,
+        UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      // auth (hex blob, no newline): read the exact expected length
+      val authExpected = graft.cdc.Protocol.formatAuthCommand("maxuser",
+        "maxpwd")
+      val authBuf = new Array[Char](authExpected.length)
+      var read = 0
+      while (read < authBuf.length) {
+        val n = in.read(authBuf, read, authBuf.length - read)
+        if (n > 0) read += n
+      }
+      seen.add(new String(authBuf))
+      out.println("OK")
+      // register + request-data are newline-free too; read by expected size
+      def readN(n: Int): String = {
+        val b = new Array[Char](n); var r = 0
+        while (r < n) { val k = in.read(b, r, n - r); if (k > 0) r += k }
+        new String(b)
+      }
+      seen.add(readN(graft.cdc.Protocol.formatRegisterCommand("uuid-1").length))
+      out.println("OK")
+      seen.add(readN(graft.cdc.Protocol
+        .formatRequestDataCommand("test", "tests").length))
+      // table doesn't exist yet: ERR first (wait-for-schema,
+      // client_test.go:53-66), then schema + rows
+      out.println("ERR NO-SUCH-TABLE")
+      Thread.sleep(50)
+      out.println(ddl)
+      out.println(dml(7, 1))
+      out.println(dml(8, 2))
+      // keep the socket open like a live stream; test stops the query
+      Thread.sleep(5000)
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+
+    val reader = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "maxuser").option("password", "maxpwd")
+      .option("uuid", "uuid-1")
+      .option("database", "test").option("table", "tests")
+    val q = reader.load().writeStream.format("memory")
+      .queryName("cdc_socket").outputMode("append").start()
+    // poll until the 3 post-ERR lines arrive (ERR must NOT appear)
+    val deadline = System.currentTimeMillis() + 15000
+    var n = 0L
+    while (n < 3 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      n = spark.table("cdc_socket").count()
+      if (n < 3) Thread.sleep(100)
+    }
+    q.stop()
+    val out = spark.table("cdc_socket")
+    assert(out.count() == 3)
+    assert(out.filter(col("event_type") === "ddl").count() == 1)
+    assert(out.filter(col("event_type") === "insert").count() == 2)
+    // handshake messages arrived in protocol order with exact bytes
+    assert(seen.get(0) == graft.cdc.Protocol.formatAuthCommand("maxuser",
+      "maxpwd"))
+    assert(seen.get(1) == "REGISTER UUID=uuid-1, TYPE=JSON")
+    assert(seen.get(2) == "REQUEST-DATA test.tests")
+    server.close()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.LocalSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming semantics that have no batch oracle
+  * (SURVEY.md §2.2 `stream_watermark`, `stream_foreach_sink`; §5.2-3):
+  * watermark late-data drop, stateful dedup, and foreachBatch
+  * delivery — the `<-chan Event` consumer analogue.
+  */
+class StreamingSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark drops late events from windowed aggregation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_agg")
+      .outputMode("append").start()
+    // batch 1: events at 10:00-10:09 and 10:12; watermark advances to 10:02
+    input.addData((ts(0), 1L), (ts(5), 2L), (ts(9), 3L), (ts(12), 4L))
+    q.processAllAvailable()
+    // batch 2: push watermark far ahead so the 10:00 window finalizes
+    input.addData((ts(40), 5L))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the already-finalized 10:00 window
+    input.addData((ts(1), 99L))
+    q.processAllAvailable()
+    // batch 4: advance watermark past everything to flush remaining state
+    input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 6L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_agg")
+      .select(col("window.start").cast("string").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 10:00 window counted exactly the 3 on-time events — the
+    // late id=99 event was dropped, not double-counted
+    assert(out("2024-01-01 10:00:00") == 3L)
+    assert(out("2024-01-01 10:10:00") == 1L)
+  }
+
+  test("stateful dropDuplicates emits each key once across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("event_id", "payload")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData((1L, "a"), (2L, "b"), (1L, "a-dup-in-batch"))
+    q.processAllAvailable()
+    input.addData((2L, "b-dup-across-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("foreachBatch delivers every micro-batch exactly once to the sink") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Long]
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = input.toDF().toDF("v")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        delivered.add(batchId -> df.count()); ()
+      }
+      .start()
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    input.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val batches = delivered.asScala.toSeq.filter(_._2 > 0).sortBy(_._1)
+    assert(batches.map(_._2) == Seq(3L, 2L))
+  }
+}
