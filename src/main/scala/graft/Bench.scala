@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (JVM/codegen/parquet-footer costs land
+    // here, not on whichever query happens to run first).
+    Tables.all.foreach { t =>
+      try Tables(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

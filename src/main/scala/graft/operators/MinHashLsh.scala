@@ -28,18 +28,25 @@ object MinHashLsh {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // (doc, i, token) → min over tokens of xxhash64(i, token): the i-th
-    // hash function is the seed-mixed 64-bit hash.
+    // One shuffle of token rows with full map-side combine: numHashes
+    // independent min-aggregates (the i-th hash function is the
+    // seed-mixed xxhash64(i, token)) — no row explosion, the hash-agg
+    // buffer is numHashes longs per doc.
     val sig = tokens
-      .withColumn("h_i", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col(docCol), col("h_i"))
-      .agg(min(xxhash64(col("h_i"), col(tokenCol))).as("mh"))
-    // Band signature: hash of the band's r min-hashes in h_i order.
+      .groupBy(col(docCol))
+      .agg(min(xxhash64(lit(0), col(tokenCol))).as("mh0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col(tokenCol))).as(s"mh$i")): _*)
+    // Band signature: hash of the band's r min-hashes in order.
+    val bandStructs = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        xxhash64((bd * r until (bd + 1) * r).map(i => col(s"mh$i")): _*)
+          .as("band_key"))
+    }
     val bandSig = sig
-      .withColumn("band", (col("h_i") / lit(r)).cast("int"))
-      .groupBy(col(docCol), col("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("h_i"), col("mh")))))
-        .as("band_key"))
+      .select(col(docCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(docCol), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
     val a = bandSig.select(col(docCol).as("doc_a"), col("band"),
       col("band_key"))
     val b = bandSig.select(col(docCol).as("doc_b"),

