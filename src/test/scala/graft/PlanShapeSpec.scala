@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB design relies on —
+  * not just that results are right, but that Catalyst produced the
+  * plan we architected for: pruned scans, pushed filters, broadcast
+  * vs shuffle join selection, top-k without a global sort, and
+  * window-group-limit pushdown (SURVEY.md §4.2).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = LocalSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_pruned reads only the projected columns") {
+    val p = plan("scan_pruned")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"))
+  }
+
+  test("scan_pushdown pushes the filter to the parquet reader") {
+    val p = plan("scan_pushdown")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(l => l.contains("IsNotNull") || l.contains("GreaterThan")
+        || l.contains("LessThan")))
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin with no fact-side shuffle") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge honors the merge hint") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("join_shuffle_hash honors the shuffle_hash hint") {
+    assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("topk_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("win_row_number gets the WindowGroupLimit pushdown") {
+    assert(plan("win_row_number").contains("WindowGroupLimit"))
+  }
+
+  test("join_theta is a hash join on bands, not a nested-loop join") {
+    val p = plan("join_theta")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("agg_group uses two-phase hash aggregation") {
+    val p = plan("agg_group")
+    assert(p.contains("HashAggregate"))
+    // partial + final pair ⇒ at least two HashAggregate nodes
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project hot path") {
+    // Under AQE the codegen explain of a not-yet-executed adaptive plan
+    // reports 0 subtrees; disable AQE for this one plan inspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("project_expr")(spark, sf)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(p.contains("WholeStageCodegen subtrees"))
+      assert(!p.startsWith("Found 0 WholeStageCodegen"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("every declared query has an oracle or a documented exemption") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // approx + ANN are approximate by design ⇒ rows-only checks
+    assert(noOracle == Set("agg_approx_distinct", "llm_ann_ivf"))
+  }
+}
