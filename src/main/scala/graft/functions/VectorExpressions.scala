@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over two `array<float|double>` columns.
+  *
+  * The higher-order-function encoding `aggregate(zip_with(a, b, _*_),
+  * 0.0, _+_)` allocates an intermediate array and interprets two
+  * lambdas per row — per-pair cost that dominates every vector operator
+  * (kNN join, embedding near-dup, IVF ANN) at scale. This expression
+  * compiles to a tight loop over the unsafe array data inside
+  * whole-stage codegen: no allocation, no virtual calls in the hot
+  * path.
+  *
+  * Accumulation is left-to-right in double precision — bit-identical to
+  * the HOF fold it replaces (and to DuckDB's `list_cosine_similarity`
+  * evaluation order), so oracle hashes are unaffected.
+  *
+  * Null semantics: null array on either side ⇒ null result (standard
+  * binary-expression short-circuit). Null *elements* are not expected
+  * (embeddings are dense); their slot value is read as-is, matching the
+  * HOF's behavior on unsafe arrays.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case other           => other
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if Seq(a, b).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elem(left) == FloatType
+    val rf = elem(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val a = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val b = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += a * b
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elem(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elem(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
+
+/** Column-API entry points for the native vector expressions. */
+object VectorFunctions {
+
+  /** `Σ a(i)·b(i)` in double precision (native, codegen'd). */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DotProduct(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** Cosine similarity `a·b / (|a|·|b|)` — same formula shape
+    * (`dot/sqrt(dot)/sqrt(dot)`) as the HOF version it replaces, so
+    * float behavior is unchanged. */
+  def cosineSim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotProduct(a, b) / sqrt(dotProduct(a, a)) / sqrt(dotProduct(b, b))
+  }
+}

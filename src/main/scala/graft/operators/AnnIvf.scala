@@ -21,12 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object AnnIvf {
 
-  private[graft] def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  private[graft] def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Assign every vector to its nearest seed cell.
     * @return (idCol, cell INT, embedding) */

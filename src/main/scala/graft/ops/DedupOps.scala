@@ -88,8 +88,7 @@ object DedupOps extends OpPack {
     // rank-free integer-pair output, similarity never escapes).
     "llm_dedup_embed" -> ((s, dir) => {
       def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0),
-          (acc, v) => acc + v)
+        graft.functions.VectorFunctions.dotProduct(x, y)
       // Unit-normalize once per row (one dot per pair, not three).
       val e = Tables(s, dir, "embeddings")
         .withColumn("__d", transform(col("embedding"), x => x.cast("double")))

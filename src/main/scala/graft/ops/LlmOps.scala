@@ -23,16 +23,13 @@ import org.apache.spark.sql.functions._
 object LlmOps extends OpPack {
 
   /** Cosine similarity in double precision, left-to-right accumulation
-    * (matches DuckDB's list_cosine_similarity evaluation order). */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+    * (matches DuckDB's list_cosine_similarity evaluation order).
+    * Native codegen'd expression — see graft.functions.DotProduct. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
-  private def dotd(x: Column, y: Column): Column = aggregate(
-    zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  private def dotd(x: Column, y: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(x, y)
 
   /** L2-normalize an embedding once per row; pairwise cosine then
     * costs a single dot product instead of three (the norm is a
