@@ -29,14 +29,19 @@ object MinHashLsh {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // One shuffle of token rows with full map-side combine: numHashes
-    // independent min-aggregates (the i-th hash function is the
-    // seed-mixed xxhash64(i, token)) — no row explosion, the hash-agg
-    // buffer is numHashes longs per doc.
+    // independent min-aggregates — no row explosion, the hash-agg
+    // buffer is numHashes longs per doc. The variable-length token
+    // string is hashed exactly once (`h`); the i-th hash function is
+    // the seed-mixed xxhash64(i, h) over that fixed 8-byte value, so
+    // per-row cost is one string hash + numHashes long hashes instead
+    // of numHashes string hashes. (Only candidate recall depends on
+    // the hash family; the output is exact-verified afterwards.)
     val sig = tokens
+      .withColumn("__h", xxhash64(col(tokenCol)))
       .groupBy(col(docCol))
-      .agg(min(xxhash64(lit(0), col(tokenCol))).as("mh0"),
+      .agg(min(xxhash64(lit(0), col("__h"))).as("mh0"),
         (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col(tokenCol))).as(s"mh$i")): _*)
+          min(xxhash64(lit(i), col("__h"))).as(s"mh$i")): _*)
     // Band signature: hash of the band's r min-hashes in order.
     val bandStructs = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
