@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.2-4) over generated CDC
+  * logs and documents — the behaviors that must hold for *any* input,
+  * not just the testdata: snapshot idempotence, dedup invariants, and
+  * resume monotonicity.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** Synthetic CDC log: (user_id, event_id, ts, event_type, value) with
+    * duplicate (user, ts) collisions to exercise the tie-break. */
+  private val logGen: Gen[List[(Int, Long, Long, String, Double)]] =
+    Gen.listOfN(60, for {
+      u <- Gen.chooseNum(0, 5)
+      e <- Gen.chooseNum(0L, 500L)
+      t <- Gen.chooseNum(0L, 20L) // few distinct ts ⇒ forced ties
+      k <- Gen.oneOf("insert", "update_after", "delete")
+      v <- Gen.chooseNum(-100, 100)
+    } yield (u, e, t, k, v.toDouble))
+
+  private def snapshot(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts"), desc("event_id"))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  test("snapshot materialization is idempotent: snap(snap(log)) == snap(log)") {
+    check(Prop.forAll(logGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+          .dropDuplicates("user_id", "event_id") // unique (user, event) ids
+        val once = snapshot(df).as[(Int, Long, Long, String, Double)]
+          .collect().toList
+        val twice = snapshot(snapshot(df)).as[(Int, Long, Long, String, Double)]
+          .collect().toList
+        once.sorted == twice.sorted &&
+          once.map(_._1).distinct.size == once.size
+      }
+    })
+  }
+
+  test("snapshot is a prefix-closed fold: appending events never resurrects older state") {
+    check(Prop.forAll(logGen, logGen) { (a, b) =>
+      (a.isEmpty || b.isEmpty) || {
+        // Give the appended batch strictly larger event ids and ts.
+        val base = a.toDF("user_id", "event_id", "ts", "event_type", "value")
+        val later = b.map { case (u, e, t, k, v) =>
+          (u, e + 1000L, t + 100L, k, v) }
+          .toDF("user_id", "event_id", "ts", "event_type", "value")
+        val snapAll = snapshot(base.unionAll(later))
+        // every user present in `later` must take their row from `later`
+        val fromLater = snapAll.filter(col("event_id") >= 1000L)
+          .select("user_id").distinct()
+        val usersLater = later.select("user_id").distinct()
+        usersLater.exceptAll(fromLater).isEmpty
+      }
+    })
+  }
+
+  test("resume-from-GTID returns exactly the suffix, in order") {
+    check(Prop.forAll(logGen, Gen.chooseNum(0L, 500L)) { (rows, k) =>
+      rows.isEmpty || {
+        val df = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+        val resumed = df.filter(col("event_id") >= k)
+          .orderBy("event_id").select("event_id").as[Long].collect().toList
+        val expected = rows.map(_._2).filter(_ >= k).sorted
+        resumed.sorted == expected
+      }
+    })
+  }
+
+  /** Random documents with planted exact duplicates. */
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    texts <- Gen.listOfN(25, Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "cc", "dd", "e")).map(_.mkString(" ")))
+    dupOf <- Gen.listOfN(10, Gen.chooseNum(0, 24))
+  } yield (texts ++ dupOf.map(texts(_))).zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }
+
+  test("exact dedup: every surviving doc is the min id of its text group; group sizes sum to corpus size") {
+    check(Prop.forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val dedup = df
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      val out = dedup.select("doc_id", "n_copies")
+        .as[(Long, Long)].collect()
+      val byText = docs.groupBy(_._2.trim.toLowerCase).values.toList
+      out.map(_._2).sum == docs.size &&
+        out.length == byText.size &&
+        out.map(_._1).toSet == byText.map(_.map(_._1).min).toSet
+    })
+  }
+
+  test("jaccard verification: n_inter <= min sizes, n_union >= max sizes, symmetric threshold") {
+    check(Prop.forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val tok = df.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
+      val cand = df.select(col("doc_id").as("doc_a")).crossJoin(
+        df.select(col("doc_id").as("doc_b")))
+        .filter(col("doc_a") < col("doc_b"))
+      val verified = graft.operators.MinHashLsh
+        .verifyJaccard(cand, tok, "doc_id", "w", num = 0, den = 1)
+        .as[(Long, Long, Long, Long)].collect()
+      val sizes = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).distinct.length }.toMap
+      verified.forall { case (a, b, inter, union) =>
+        inter <= math.min(sizes(a), sizes(b)) &&
+          union >= math.max(sizes(a), sizes(b)) &&
+          union == sizes(a) + sizes(b) - inter && inter >= 1
+      }
+    })
+  }
+
+  test("minhash LSH candidates: identical token sets always collide (J=1 recall is structural)") {
+    check(Prop.forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val tok = df.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
+      val cand = graft.operators.MinHashLsh
+        .candidatePairs(tok, "doc_id", "w", numHashes = 16, bands = 4)
+        .as[(Long, Long)].collect().toSet
+      // duplicate-text pairs (non-empty token set) must all be candidates
+      val byText = docs.filter(_._2.trim.nonEmpty)
+        .groupBy(_._2.split(" ").filter(_.nonEmpty).distinct.toSet)
+        .values.filter(_.size > 1)
+      byText.forall { grp =>
+        val ids = grp.map(_._1).sorted
+        ids.combinations(2).forall { case Seq(a, b) => cand((a, b)) }
+      }
+    })
+  }
+}
