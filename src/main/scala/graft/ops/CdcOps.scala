@@ -59,14 +59,21 @@ object CdcOps extends OpPack {
     // (`client.go:144-162`): materialize current state = latest event
     // per key. ts is monotone in event_id (TESTDATA), so the (ts desc,
     // event_id desc) order agrees across engines despite ns→µs.
+    // max_by instead of a row_number window: the aggregate gets
+    // map-side partial aggregation, so the shuffle carries one row per
+    // (map partition, key) instead of the entire log — at 100 TB the
+    // window variant shuffles and sorts every event; this shuffles
+    // ~|keys| rows. (ts, event_id) is unique per user, so the argmax
+    // is deterministic.
     "cdc_snapshot_latest" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(desc("ts"), desc("event_id"))
       Tables(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          money(col("value")).as("value"))
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("latest"))
+        .select(col("user_id"), col("latest.event_id").as("event_id"),
+          col("latest.event_type").as("event_type"),
+          money(col("latest.value")).as("value"))
         .orderBy(col("user_id"))
     }),
 

@@ -58,6 +58,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("cdc_snapshot_latest is a partial-aggregating argmax, not a window sort") {
+    val p = plan("cdc_snapshot_latest")
+    // max_by aggregation: map-side combine shuffles one row per key per
+    // partition; a row_number window would shuffle + sort the full log.
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || p.sliding("Aggregate".length).count(_ == "Aggregate") >= 2)
+  }
+
   test("agg_group uses two-phase hash aggregation") {
     val p = plan("agg_group")
     assert(p.contains("HashAggregate"))
