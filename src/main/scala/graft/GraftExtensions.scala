@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers the engine's native
+  * catalyst expressions in the SQL function registry, so
+  * `spark.sql("... dot_product(a, b) ...")` works anywhere the
+  * DataFrame helpers (`graft.functions.VectorFunctions`) do.
+  *
+  * Wire up with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` at
+  * session build time (see Verify/Bench and the test harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"dot_product takes exactly 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -68,6 +68,16 @@ class DotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_product is registered as a SQL function via GraftExtensions") {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql_test")
+    val n = spark.sql(
+      """SELECT vec_id, dot_product(embedding, embedding) AS d
+        |FROM emb_sql_test WHERE dot_product(embedding, embedding) > 0
+        |""".stripMargin).count()
+    assert(n > 0)
+  }
+
   test("cosineSim of a vector with itself is 1.0") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val off = e.withColumn("c",
