@@ -71,6 +71,50 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(ids.map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("replay: mid-stream DDL starts a new schema version; payloads project per version") {
+    val ddlV2 = ddl
+      .replace(""""version": 1""", """"version": 2""")
+      .replace(
+        """{"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}""",
+        """{"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}, {"name": "note", "type": ["null", "varchar"], "real_type": "varchar", "length": 40}""")
+    val dmlV2 =
+      """{"domain": 0, "server_id": 3000, "sequence": 9, "event_number": 1, "timestamp": 1700000009, "event_type": "insert", "table_name": "tests", "table_schema": "test", "id": 3, "note": "altered"}"""
+    val f = Files.createTempFile("cdc", ".ndjson")
+    Files.write(f, (Seq(ddl, dml(7, 1), dml(8, 2), ddlV2, dmlV2))
+      .mkString("\n").getBytes(UTF_8))
+    val out = runStream(Map("replayFile" -> f.toString), "cdc_evolve")
+    assert(out.count() == 5)
+
+    // Two DDL rows, delivered in stream order around the DML rows.
+    val ddlRaw = out.filter(col("event_type") === "ddl")
+      .select("raw").collect().map(_.getString(0))
+    assert(ddlRaw.length == 2)
+
+    // Versioned registry: (database, table, version) → StructType,
+    // exactly the SURVEY §1.2 schema-evolution mapping.
+    val registry = ddlRaw.map(graft.cdc.Protocol.decodeDdlEvent)
+      .map(d => (d.database, d.table, d.version) ->
+        graft.cdc.CdcModel.toStructType(d)).toMap
+    assert(registry.keySet ==
+      Set(("test", "tests", 1), ("test", "tests", 2)))
+    assert(!registry(("test", "tests", 1)).fieldNames.contains("note"))
+    assert(registry(("test", "tests", 2)).fieldNames.contains("note"))
+    val note = registry(("test", "tests", 2))("note")
+    assert(note.nullable && note.metadata.getString("real_type") == "varchar"
+      && note.metadata.getLong("length") == 40L)
+
+    // The v2 payload projects through the v2 schema; v1 rows yield a
+    // null `note` under the evolved schema (additive evolution).
+    val projected = out.filter(col("event_type") =!= "ddl")
+      .withColumn("payload",
+        from_json(col("raw"), registry(("test", "tests", 2))))
+      .select(col("sequence"), col("payload.id"), col("payload.note"))
+      .orderBy("sequence").collect()
+    assert(projected.map(r => (r.getLong(0), r.getInt(1),
+      Option(r.getString(2)))).toSeq ==
+      Seq((7L, 1, None), (8L, 2, None), (9L, 3, Some("altered"))))
+  }
+
   test("socket: full handshake, ERR-wait-for-schema, streamed events") {
     val server = new ServerSocket(0)
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
