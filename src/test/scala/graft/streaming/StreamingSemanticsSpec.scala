@@ -67,6 +67,35 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("session windows merge within the gap and split across it, per key") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int)]
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    // user 1: events at 10:00, 10:03, 10:06 chain into ONE session
+    // (each within 5 min of the previous); 10:20 starts a second.
+    // user 2: single event, its own session.
+    input.addData((ts(0), 1), (ts(3), 1), (ts(6), 1), (ts(20), 1), (ts(0), 2))
+    q.processAllAvailable()
+    // advance the watermark far enough to finalize and emit everything
+    input.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 9))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_stream")
+      .select(col("user_id"), col("session_window.start").cast("string"),
+        col("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out.contains((1, "2024-01-01 10:00:00", 3L))) // merged chain
+    assert(out.contains((1, "2024-01-01 10:20:00", 1L))) // split after gap
+    assert(out.contains((2, "2024-01-01 10:00:00", 1L))) // per-key state
+  }
+
   test("foreachBatch delivers every micro-batch exactly once to the sink") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
