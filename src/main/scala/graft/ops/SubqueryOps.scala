@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.Tables
+
+/** Subqueries (engine addition; SURVEY.md §4.2 names decorrelation as
+  * a Catalyst capability the inventory should consume). All four are
+  * declared through `spark.sql` so the analyzer sees real subquery
+  * constructs and rewrites them itself: a scalar aggregate subquery
+  * (one broadcast row), a correlated scalar subquery (decorrelated to
+  * an aggregate + join), IN / NOT IN (null-aware) subqueries
+  * (rewritten to semi / anti joins — the scale path: one shuffle, not
+  * per-row probes).
+  */
+object SubqueryOps extends OpPack {
+
+  private def reg(s: org.apache.spark.sql.SparkSession, dir: String,
+      names: String*): Unit =
+    names.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+
+  def queries: Map[String, Q] = Map(
+    // Uncorrelated scalar subquery: orders above 1.5x the global
+    // average price.
+    "sub_scalar" -> ((s, dir) => {
+      reg(s, dir, "orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    // Correlated scalar subquery: each order compared to its own
+    // priority class's average — Catalyst decorrelates to an
+    // aggregate-then-join, never a per-row re-scan.
+    "sub_scalar_corr" -> ((s, dir) => {
+      reg(s, dir, "orders")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_orderpriority = o.o_orderpriority)
+        ORDER BY o_orderkey""")
+    }),
+
+    // IN subquery → left-semi join.
+    "sub_in" -> ((s, dir) => {
+      reg(s, dir, "customer", "nation")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 2)
+          AND c_acctbal > 9000
+        ORDER BY c_custkey""")
+    }),
+
+    // NOT IN over a non-null key column → null-aware anti join.
+    "sub_not_in" -> ((s, dir) => {
+      reg(s, dir, "customer", "orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 400000)
+          AND c_acctbal > 9500
+        ORDER BY c_custkey""")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sub_scalar" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sub_scalar_corr" ->
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        |                          FROM orders o2
+        |                          WHERE o2.o_orderpriority = o.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sub_in" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey = 2)
+        |  AND c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sub_not_in" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 400000)
+        |  AND c_acctbal > 9500
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -67,6 +67,19 @@ class PlanShapeSpec extends AnyFunSuite {
       || p.sliding("Aggregate".length).count(_ == "Aggregate") >= 2)
   }
 
+  test("correlated scalar subquery decorrelates to an aggregate + join") {
+    val p = plan("sub_scalar_corr")
+    // no per-row subquery evaluation: Catalyst rewrites to a join
+    // against the pre-aggregated per-group averages
+    assert(!p.contains("ScalarSubquery"))
+    assert(p.contains("Join"))
+  }
+
+  test("IN subquery plans as a semi join, not per-row probes") {
+    val p = plan("sub_in")
+    assert(p.contains("LeftSemi") || p.contains("Semi"))
+  }
+
   test("agg_group uses two-phase hash aggregation") {
     val p = plan("agg_group")
     assert(p.contains("HashAggregate"))
