@@ -115,6 +115,53 @@ class CdcSourceSpec extends AnyFunSuite {
       Seq((7L, 1, None), (8L, 2, None), (9L, 3, Some("altered"))))
   }
 
+  test("socket: unreachable address fails the query (client_test.go:19-27)") {
+    val closed = new ServerSocket(0)
+    val port = closed.getLocalPort
+    closed.close() // nothing listens here anymore
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("user", "u").option("password", "p").option("uuid", "x")
+      .option("database", "test").option("table", "tests")
+      .option("connectTimeoutMs", "500")
+      .load().writeStream.format("memory").queryName("cdc_noaddr")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.toLowerCase.contains("connect") ||
+      Option(e.getCause).exists(_.toString.toLowerCase.contains("connect")))
+  }
+
+  test("socket: rejected credentials fail the query (client_test.go:29-39)") {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val out = new PrintWriter(s.getOutputStream, true)
+      // reject whatever auth blob arrives, like MaxScale does
+      out.println("ERR access denied")
+      Thread.sleep(500)
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "baduser").option("password", "badpwd")
+      .option("uuid", "x")
+      .option("database", "test").option("table", "tests")
+      .load().writeStream.format("memory").queryName("cdc_badauth")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    server.close()
+    val all = e.getMessage + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(all.contains("auth failed") || all.contains("ERR"))
+  }
+
   test("socket: full handshake, ERR-wait-for-schema, streamed events") {
     val server = new ServerSocket(0)
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
