@@ -96,6 +96,66 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(out.contains((2, "2024-01-01 10:00:00", 1L))) // per-key state
   }
 
+  test("stateful CDC snapshot: upsert, out-of-order ignore, delete tombstone") {
+    import graft.streaming.CdcSnapshotStream.{Change, snapshots}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = snapshots(input.toDS())
+      .writeStream.format("memory").queryName("cdc_snap_stream")
+      .outputMode("update").start()
+    // batch 1: two inserts + an update for key 1
+    input.addData(
+      Change(1, 10L, 100L, "insert", 1.0),
+      Change(2, 11L, 101L, "insert", 2.0),
+      Change(1, 12L, 102L, "update_after", 5.0))
+    q.processAllAvailable()
+    // batch 2: a STALE update for key 1 (older ts) — must be ignored;
+    // a delete for key 2; an update_before (no-op) for key 1
+    input.addData(
+      Change(1, 9L, 50L, "update_after", 99.0),
+      Change(1, 13L, 103L, "update_before", 5.0),
+      Change(2, 14L, 104L, "delete", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdc_snap_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    // batch 1 emitted the post-update state of key 1 and insert of key 2
+    assert(out.contains((1, 12L, 5.0, false)))
+    assert(out.contains((2, 11L, 2.0, false)))
+    // batch 2 emitted ONLY the delete tombstone for key 2 — the stale
+    // update and the pre-image changed nothing for key 1
+    assert(out.contains((2, 14L, 2.0, true)))
+    assert(!out.exists { case (u, e, _, _) => u == 1 && (e == 9L || e == 13L) })
+  }
+
+  test("stateful CDC snapshot: delete is not resurrected by stale events; newer insert revives") {
+    import graft.streaming.CdcSnapshotStream.{Change, snapshots}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = snapshots(input.toDS())
+      .writeStream.format("memory").queryName("cdc_snap_revive")
+      .outputMode("update").start()
+    input.addData(Change(7, 20L, 200L, "insert", 1.0),
+      Change(7, 21L, 201L, "delete", 1.0))
+    q.processAllAvailable()
+    // stale insert (older than the tombstone) must NOT revive the key
+    input.addData(Change(7, 19L, 150L, "insert", 9.0))
+    q.processAllAvailable()
+    // genuinely newer insert revives it
+    input.addData(Change(7, 22L, 202L, "insert", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdc_snap_revive")
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+      .toSeq
+    assert(out.contains((21L, 1.0, true)))   // tombstone emitted
+    assert(!out.exists(_._1 == 19L))         // stale insert ignored
+    assert(out.contains((22L, 3.0, false)))  // revival emitted
+  }
+
   test("foreachBatch delivers every micro-batch exactly once to the sink") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
