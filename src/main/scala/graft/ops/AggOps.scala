@@ -120,6 +120,45 @@ object AggOps extends OpPack {
           array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // PIVOT with an explicit value list (no extra distinct-values scan;
+    // the rotation is a single conditional aggregation pass).
+    "agg_pivot" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // FILTER clause: per-predicate conditional aggregates in one pass
+    // over the data (vs one scan per predicate).
+    "agg_filter" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_f")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n,
+          |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+          |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+          |FROM lineitem_f
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Exact interpolating median (both engines: linear interpolation at
+    // the midpoint; quantities are integral doubles so the result is an
+    // exact .0/.5 value).
+    "agg_median" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 1).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 1).as("p90_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -203,6 +242,32 @@ object AggOps extends OpPack {
         |       count(*) AS n
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_filter" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_median" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 1) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 1) AS p90_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
