@@ -28,25 +28,22 @@ object MinHashLsh {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // One shuffle of token rows with full map-side combine: numHashes
-    // independent min-aggregates — no row explosion, the hash-agg
-    // buffer is numHashes longs per doc. The variable-length token
-    // string is hashed exactly once (`h`); the i-th hash function is
-    // the seed-mixed xxhash64(i, h) over that fixed 8-byte value, so
-    // per-row cost is one string hash + numHashes long hashes instead
-    // of numHashes string hashes. (Only candidate recall depends on
-    // the hash family; the output is exact-verified afterwards.)
+    // One shuffle of token rows with full map-side combine, via ONE
+    // imperative aggregate (graft.functions.MinHashSignature): the
+    // variable-length token string is hashed exactly once (`h`); the
+    // aggregate updates a long[numHashes] buffer with numHashes integer
+    // mixes per row in a tight JVM loop — no 128-expression codegen
+    // blowup. (Only candidate recall depends on the hash family; the
+    // output is exact-verified afterwards.)
     val sig = tokens
       .withColumn("__h", xxhash64(col(tokenCol)))
       .groupBy(col(docCol))
-      .agg(min(xxhash64(lit(0), col("__h"))).as("mh0"),
-        (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("__h"))).as(s"mh$i")): _*)
-    // Band signature: hash of the band's r min-hashes in order.
+      .agg(graft.functions.MinHashSignature.of(col("__h"), numHashes)
+        .as("sig"))
+    // Band signature: hash of the band's r-minhash slice.
     val bandStructs = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
-        xxhash64((bd * r until (bd + 1) * r).map(i => col(s"mh$i")): _*)
-          .as("band_key"))
+        xxhash64(slice(col("sig"), bd * r + 1, r)).as("band_key"))
     }
     val bandSig = sig
       .select(col(docCol), explode(array(bandStructs: _*)).as("bk"))
