@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins partition pruning on a date-partitioned layout — at 100 TB the
+  * event log is stored partitioned by day, and a time-range query must
+  * touch only the matching directories (PartitionFilters), not filter
+  * post-scan.
+  */
+class PartitionPruningSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  test("date-partitioned events: time-range scan prunes to matching partitions") {
+    val root = Files.createTempDirectory("graft-part").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(root)
+
+    val days = spark.read.parquet(root).select("day").distinct().count()
+    assert(days > 3, s"need several partitions to prove pruning, got $days")
+
+    val firstDay = spark.read.parquet(root)
+      .agg(min(col("day"))).head().getDate(0).toString
+    val q = spark.read.parquet(root).filter(col("day") === firstDay)
+    val plan = q.queryExecution.executedPlan.toString
+
+    // the day predicate must be a PartitionFilter (directory pruning),
+    // NOT a post-scan data filter
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse(plan)
+    assert(scanLine.contains("day"),
+      s"day predicate not in PartitionFilters:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(day)"),
+      "day should be partition-pruned, not row-filtered")
+
+    // and the pruned scan reads only that day's rows
+    val expected = spark.read.parquet(root)
+      .groupBy("day").count()
+      .filter(col("day") === firstDay).head().getLong(1)
+    assert(q.count() === expected)
+  }
+}
