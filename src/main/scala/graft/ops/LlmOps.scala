@@ -42,11 +42,15 @@ object LlmOps extends OpPack {
       .drop("__d", "__norm")
   }
 
+  // Persisted: the near-dup query reads this token index four times
+  // (pair generation twice, sizes, verification) — see the note in
+  // DedupOps; CacheManager substitutes the cache into equal subplans.
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .filter(col("w") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) => {
