@@ -116,6 +116,28 @@ object FnOps extends OpPack {
         .groupBy(col("word"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("word"))
+    }),
+
+    // explode_outer: rows with an empty generator output survive with
+    // null — exercised on the (possibly empty) JSON props key list.
+    "fn_explode_outer" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("ks",
+          when(col("event_id") % 7 === 0, array())
+            .otherwise(array(get_json_object(col("props"), "$.k"))))
+        .select(col("event_id"), explode_outer(col("ks")).as("k"))
+        .select(col("event_id"), col("k").cast("int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Ordered string aggregation (listagg shape): deterministic via
+    // sort-before-join.
+    "fn_listagg" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -192,6 +214,22 @@ object FnOps extends OpPack {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
-        |GROUP BY word ORDER BY word""".stripMargin
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "fn_explode_outer" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(json_extract_string(props, '$.k') AS INT)
+        |  END AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -137,6 +137,29 @@ object JoinOps extends OpPack {
         .orderBy(col("event_id"))
     }),
 
+    // Self range join: per-user pairs of events within 60 s, banded by
+    // the 60 s time bucket (probe side explodes into its ≤2 covering
+    // buckets, hash-join on (user, bucket), exact residual) — the
+    // interval self-join pattern for sessionization/attribution at
+    // scale; never a BNL.
+    "join_range_self" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("event_id"), col("es"))
+      val b = e.select(col("user_id").as("u_b"), col("event_id").as("id_b"),
+        col("es").as("es_b"), (col("es") / 60).cast("long").as("band"))
+      val a = e
+        .withColumn("band",
+          explode(array((col("es") / 60).cast("long"),
+            (col("es") / 60).cast("long") + 1)))
+      a.join(b, a("user_id") === b("u_b") && a("band") === b("band"))
+        .filter(col("id_b") > col("event_id") &&
+          col("es_b") <= col("es") + 60)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
     "join_asof" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
       val purchases = e.filter(col("event_type") === "purchase")
@@ -237,6 +260,17 @@ object JoinOps extends OpPack {
         |  ON p_retailprice - 900 >= value AND p_retailprice - 900 <= value + 2
         |GROUP BY event_id
         |ORDER BY event_id""".stripMargin,
+
+    "join_range_self" ->
+      """SELECT user_id, count(*) AS n_pairs FROM (
+        |  SELECT a.user_id, a.event_id
+        |  FROM (SELECT user_id, event_id,
+        |          CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events) a
+        |  JOIN (SELECT user_id AS u_b, event_id AS id_b,
+        |          CAST(floor(epoch(ts)) AS BIGINT) AS es_b FROM events) b
+        |    ON a.user_id = b.u_b AND b.id_b > a.event_id
+        |   AND b.es_b <= a.es + 60)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // As-of on the (ts, event_id) total order: latest click at-or-before
     // each purchase per user. Written as the same union + running-last

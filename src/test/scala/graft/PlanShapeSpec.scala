@@ -58,6 +58,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("join_range_self is a banded hash join, not a nested-loop join") {
+    val p = plan("join_range_self")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("cdc_snapshot_latest is a partial-aggregating argmax, not a window sort") {
     val p = plan("cdc_snapshot_latest")
     // max_by aggregation: map-side combine shuffles one row per key per
