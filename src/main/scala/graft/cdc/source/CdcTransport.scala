@@ -43,7 +43,8 @@ final class SocketTransport(
     host: String, port: Int, user: String, password: String, uuid: String,
     database: String, table: String, version: Option[Int],
     gtid: Option[String], connectTimeoutMs: Int = 5000,
-    readTimeoutMs: Int = 5000) extends CdcTransport {
+    readTimeoutMs: Int = 5000,
+    schemaWaitMaxMs: Long = 0L) extends CdcTransport {
 
   private val socket = new Socket()
   private val queue = new ConcurrentLinkedQueue[String]()
@@ -73,12 +74,19 @@ final class SocketTransport(
     pump = new Thread(() => {
       try {
         var readSchema = false
+        val waitStart = System.currentTimeMillis()
         var line = in.readLine()
         while (line != null && !closed) {
           // Pre-schema ERR ⇒ table not there yet: keep waiting
-          // (client.go:261-267). Post-schema lines are events.
+          // (client.go:261-267). The reference waits forever
+          // (client.go:137-140); schemaWaitMaxMs > 0 bounds the wait
+          // for operational use (0 keeps reference behavior).
           if (!readSchema && Protocol.isErrorResponse(line)) {
-            // skipped; server will send the schema when it exists
+            if (schemaWaitMaxMs > 0 &&
+                System.currentTimeMillis() - waitStart > schemaWaitMaxMs)
+              throw new java.io.IOException(
+                s"no schema for $database.$table after ${schemaWaitMaxMs}ms" +
+                  s" (last server reply: $line)")
           } else {
             readSchema = true
             queue.add(line)

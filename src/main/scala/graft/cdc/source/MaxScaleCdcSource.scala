@@ -27,8 +27,10 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Options: `host`, `port`, `user`, `password`, `uuid`, `database`,
   * `table`, optional `version`, `gtid` (resume offset, server-side
-  * skip), `connectTimeoutMs`, `readTimeoutMs` — or `replayFile` for
-  * the NDJSON file replay used in tests.
+  * skip), `connectTimeoutMs`, `readTimeoutMs`, `schemaWaitMaxMs`
+  * (bound the ERR-wait-for-schema loop; 0 = wait forever like the
+  * reference) — or `replayFile` for the NDJSON file replay used in
+  * tests.
   *
   * Output schema = the DML envelope (SURVEY.md §1.2) + `raw`
   * (verbatim event JSON, payload projectable with `from_json(raw,
@@ -74,7 +76,8 @@ object MaxScaleCdcSource {
         version = opts.get("version").map(_.toInt),
         gtid = opts.get("gtid"),
         connectTimeoutMs = opts.getOrElse("connecttimeoutms", "5000").toInt,
-        readTimeoutMs = opts.getOrElse("readtimeoutms", "5000").toInt)
+        readTimeoutMs = opts.getOrElse("readtimeoutms", "5000").toInt,
+        schemaWaitMaxMs = opts.getOrElse("schemawaitmaxms", "0").toLong)
     }
   }
 }

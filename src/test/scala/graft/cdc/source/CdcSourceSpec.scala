@@ -162,6 +162,43 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(all.contains("auth failed") || all.contains("ERR"))
   }
 
+  test("socket: bounded schema wait fails after schemaWaitMaxMs of ERRs") {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream,
+        UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      // accept any handshake
+      val tmp = new Array[Char](4096)
+      in.read(tmp); out.println("OK")
+      in.read(tmp); out.println("OK")
+      in.read(tmp)
+      // never send a schema — only ERR, beyond the 300 ms budget
+      (1 to 20).foreach { _ => out.println("ERR NO-SUCH-TABLE"); Thread.sleep(50) }
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "u").option("password", "p").option("uuid", "x")
+      .option("database", "test").option("table", "tests")
+      .option("schemaWaitMaxMs", "300")
+      .load().writeStream.format("memory").queryName("cdc_schema_timeout")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+    }
+    q.stop()
+    server.close()
+    val all = e.getMessage + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(all.contains("no schema"))
+  }
+
   test("socket: full handshake, ERR-wait-for-schema, streamed events") {
     val server = new ServerSocket(0)
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
