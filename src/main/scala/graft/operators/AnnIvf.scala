@@ -1,61 +1,83 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-style approximate nearest-neighbor search over an embedding
   * column.
   *
-  * Index build: a deterministic coarse quantizer (the first
-  * `numCells` vectors by id act as cell seeds — swap in k-means||
-  * centroids at production scale); every vector is assigned to its
-  * most-similar seed by a broadcast join, giving an inverted file
-  * partitioned by `cell`. At 100 TB the assignment is one broadcast
-  * pass over the corpus and the index is written back bucketed by
-  * cell, so a query touches only `nprobe / numCells` of the data —
-  * that is the entire point vs. the brute-force scan.
+  * Index build: deterministic seeding (the first `numCells` vectors by
+  * id) followed by `refineIters` Lloyd iterations run entirely as
+  * DataFrame ops — assign every vector to its most-similar centroid via
+  * a broadcast join, recompute each centroid as the elementwise mean of
+  * its members (posexplode → per-(cell, pos) avg → re-collect), repeat.
+  * At 100 TB each iteration is one broadcast pass over the corpus plus
+  * one aggregation keyed by (cell, dim); the centroid table is
+  * `numCells × dim` doubles — always broadcastable.
   *
-  * Query: rank cells by probe-to-seed similarity, scan the top
+  * Query: rank cells by probe-to-centroid similarity, scan the top
   * `nprobe` cells, return the exact top-k within them. Results are
-  * exact-within-probed-cells (the property the unit test pins).
+  * exact-within-probed-cells (the property the unit test pins); a
+  * query touches `~nprobe / numCells` of the data — that is the entire
+  * point vs. the brute-force scan.
   */
 object AnnIvf {
 
   private[graft] def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosineSim(a, b)
 
-  /** Assign every vector to its nearest seed cell.
-    * @return (idCol, cell INT, embedding) */
-  def buildIndex(vectors: DataFrame, idCol: String, embCol: String,
-      numCells: Int): DataFrame = {
-    val seeds = vectors.filter(col(idCol) < numCells)
-      .select(col(idCol).cast("int").as("cell"),
-        col(embCol).as("seed_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(desc("cell_sim"), asc("cell"))
-    vectors.crossJoin(broadcast(seeds))
-      .withColumn("cell_sim", cosine(col(embCol), col("seed_emb")))
+  /** Index = per-vector cell assignment + the cell centroids. */
+  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
+
+  private def assign(vectors: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("cell_sim"), asc("cell"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", cosine(col(embCol), col("centroid")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("cell"), col(embCol))
   }
 
+  /** Elementwise mean of each cell's member vectors. */
+  private def recompute(assigned: DataFrame, embCol: String): DataFrame = {
+    assigned
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+  }
+
+  /** Build the inverted file: seed deterministically, refine with
+    * `refineIters` Lloyd iterations, assign with the final centroids. */
+  def buildIndex(vectors: DataFrame, idCol: String, embCol: String,
+      numCells: Int, refineIters: Int = 1): IvfIndex = {
+    var centroids = vectors.filter(col(idCol) < numCells)
+      .select(col(idCol).cast("int").as("cell"),
+        transform(col(embCol), x => x.cast("double")).as("centroid"))
+    (1 to refineIters).foreach { _ =>
+      centroids = recompute(
+        assign(vectors, idCol, embCol, centroids), embCol)
+    }
+    IvfIndex(assign(vectors, idCol, embCol, centroids), centroids)
+  }
+
   /** Exact top-k within the `nprobe` cells nearest to the probe
     * vector. `probe` must be a single-row frame with column `embCol`. */
-  def query(index: DataFrame, probe: DataFrame, idCol: String,
+  def query(index: IvfIndex, probe: DataFrame, idCol: String,
       embCol: String, k: Int, nprobe: Int): DataFrame = {
     val p = probe.select(col(embCol).as("probe_emb"))
-    // Rank cells by probe-to-seed similarity using the seed row of
-    // each cell (id == cell for seed rows).
-    val cells = index.filter(col(idCol) === col("cell").cast("long"))
+    val cells = index.centroids
       .crossJoin(broadcast(p))
-      .withColumn("cell_sim", cosine(col(embCol), col("probe_emb")))
+      .withColumn("cell_sim", cosine(col("centroid"), col("probe_emb")))
       .orderBy(desc("cell_sim"), asc("cell"))
       .limit(nprobe)
       .select(col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("sim"), asc(idCol))
-    index.join(broadcast(cells), "cell")
+    val w = Window.orderBy(desc("sim"), asc(idCol))
+    index.assignments.join(broadcast(cells), "cell")
       .crossJoin(broadcast(p))
       .withColumn("sim", cosine(col(embCol), col("probe_emb")))
       .withColumn("rank", row_number().over(w))

@@ -141,8 +141,15 @@ object LlmOps extends OpPack {
     // exact-within-probed-cells is pinned by AnnIvfSpec.
     "llm_ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val idx = graft.operators.AnnIvf.buildIndex(e, "vec_id", "embedding",
+      val built = graft.operators.AnnIvf.buildIndex(e, "vec_id", "embedding",
         numCells = 16)
+      // the index is built once and served many times — persist both
+      // halves (CacheManager reuses them across equal subplans)
+      val idx = graft.operators.AnnIvf.IvfIndex(
+        built.assignments
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        built.centroids
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val probe = e.filter(col("vec_id") === 0).select(col("embedding"))
       graft.operators.AnnIvf.query(idx, probe, "vec_id", "embedding",
           k = 10, nprobe = 4)

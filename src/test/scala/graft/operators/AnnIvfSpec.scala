@@ -11,30 +11,43 @@ class AnnIvfSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = LocalSpark.spark
 
-  test("index assigns every vector to exactly one cell") {
+  test("index partitions the corpus; assignments reference live centroids") {
     val e = Tables(spark, sf, "embeddings")
     val idx = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
-    assert(idx.count() == e.count())
-    assert(idx.select("vec_id").distinct().count() == e.count())
-    assert(idx.agg(max("cell")).head.getInt(0) < 8)
-    // seed rows stay in their own cell (sim(seed, seed) = 1)
-    assert(idx.filter(col("vec_id") < 8)
-      .filter(col("vec_id") =!= col("cell").cast("long")).count() == 0)
+    assert(idx.assignments.count() == e.count())
+    assert(idx.assignments.select("vec_id").distinct().count() == e.count())
+    assert(idx.assignments.agg(max("cell")).head.getInt(0) < 8)
+    // every assigned cell has a centroid of the full dimension
+    val cents = idx.centroids.collect()
+    assert(cents.forall(_.getSeq[Double](1).length == 64))
+    val live = cents.map(_.getInt(0)).toSet
+    val assigned = idx.assignments.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(assigned.subsetOf(live))
+  }
+
+  test("Lloyd refinement does not lose vectors and keeps centroids broadcast-sized") {
+    val e = Tables(spark, sf, "embeddings")
+    val refined = AnnIvf.buildIndex(e, "vec_id", "embedding",
+      numCells = 8, refineIters = 2)
+    assert(refined.assignments.count() == e.count())
+    assert(refined.centroids.count() <= 8)
   }
 
   test("query returns exact top-k within probed cells") {
     val e = Tables(spark, sf, "embeddings")
     val idx = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
-      .cache()
+    val assignments = idx.assignments.cache()
+    val cached = AnnIvf.IvfIndex(assignments, idx.centroids.cache())
     val probe = e.filter(col("vec_id") === 0).select(col("embedding"))
-    val got = AnnIvf.query(idx, probe, "vec_id", "embedding",
+    val got = AnnIvf.query(cached, probe, "vec_id", "embedding",
       k = 5, nprobe = 3).collect()
     assert(got.length == 5)
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
     // brute-force the same restriction and compare exactly
     val cells = got.map(_.getAs[Int]("cell")).distinct
     val pEmb = probe.withColumnRenamed("embedding", "probe_emb")
-    val brute = idx.filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val brute = assignments.filter(col("cell").isin(cells.toIndexedSeq: _*))
       .crossJoin(broadcast(pEmb))
       .withColumn("sim", AnnIvf.cosine(col("embedding"), col("probe_emb")))
       .orderBy(desc("sim"), asc("vec_id"))
