@@ -105,6 +105,20 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("no query plans an accidental nested-loop join or cartesian product") {
+    // Intentional exceptions: join_cross is a declared cartesian of two
+    // tiny dims; the two ANN probes cross-join a broadcast single row.
+    val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine")
+    val offenders = SparkEntry.queries.keysIterator
+      .filterNot(allowed)
+      .filter { name =>
+        val p = plan(name)
+        p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+      }
+      .toList
+    assert(offenders.isEmpty, s"nested-loop plans: $offenders")
+  }
+
   test("every declared query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // approx + ANN are approximate by design ⇒ rows-only checks
