@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"dot_product takes exactly 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"minhash_signature takes (hash, numHashes), got ${children.size}")
+        require(children(1).foldable, "numHashes must be a literal")
+        MinHashSignature(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
       }))
   }
 }

@@ -41,6 +41,18 @@ class MinHashAggregateSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("minhash_signature is callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    Seq(3L, 4L, 5L).toDF("h").createOrReplaceTempView("mh_sql_test")
+    val sig = spark.sql(
+      "SELECT minhash_signature(h, 8) AS sig FROM mh_sql_test")
+      .head().getSeq[Long](0)
+    assert(sig.length == 8)
+    val want = (0 until 8).map(i =>
+      Seq(3L, 4L, 5L).map(h => mix(h + GOLDEN * (i + 1))).min)
+    assert(sig == want)
+  }
+
   test("grouped signatures: one array per group, independent mins") {
     import spark.implicits._
     val df = Seq((1, 10L), (1, 20L), (2, 10L)).toDF("g", "h")
