@@ -115,6 +115,39 @@ class CdcSourceSpec extends AnyFunSuite {
       Seq((7L, 1, None), (8L, 2, None), (9L, 3, Some("altered"))))
   }
 
+  test("replay: checkpoint restart resumes exactly-once — no replayed rows in the sink") {
+    val f = Files.createTempFile("cdc", ".ndjson")
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    val sink = Files.createTempDirectory("cdc-sink").toString
+    Files.write(f, (Seq(ddl) ++ Seq(dml(7, 1), dml(8, 2))).mkString("\n")
+      .getBytes(UTF_8))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("replayFile", f.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run()
+    assert(spark.read.parquet(sink).count() == 3) // ddl + 2 dml
+
+    // the table keeps growing while the stream is down …
+    Files.write(f, ("\n" + Seq(dml(9, 3), dml(10, 4)).mkString("\n"))
+      .getBytes(UTF_8), java.nio.file.StandardOpenOption.APPEND)
+    // … and the restarted stream picks up ONLY the new lines
+    run()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 5, "restart must not re-emit committed rows")
+    val seqs = out.filter(col("event_type") =!= "ddl")
+      .select("sequence").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(7L, 8L, 9L, 10L))
+  }
+
   test("socket: unreachable address fails the query (client_test.go:19-27)") {
     val closed = new ServerSocket(0)
     val port = closed.getLocalPort
