@@ -20,13 +20,18 @@ object Bench {
     // Best-of-2 per query: a single local[—] run is exposed to one-off
     // JIT/GC/system spikes an order of magnitude above the query's real
     // cost; the min of two runs is the standard steady-state estimate.
+    // A failed run must not win the min (its fast-fail elapsed time is
+    // not a time the query achieved): prefer successful runs, and fall
+    // back to the max observed time when every run failed.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val good = runs.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

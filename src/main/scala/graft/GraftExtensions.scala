@@ -33,10 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           s"minhash_signature takes (hash, numHashes), got ${children.size}")
-        require(children(1).foldable, "numHashes must be a literal")
-        MinHashSignature(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
-          .toAggregateExpression()
+        require(children(1).foldable,
+          "minhash_signature: numHashes must be a literal")
+        val n = children(1).eval() match {
+          case i: java.lang.Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature: numHashes must be an integer literal, got $other")
+        }
+        require(n > 0, s"minhash_signature: numHashes must be positive, got $n")
+        MinHashSignature(children.head, n).toAggregateExpression()
       }))
   }
 }

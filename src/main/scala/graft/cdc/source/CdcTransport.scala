@@ -69,29 +69,49 @@ final class SocketTransport(
     send(Protocol.formatAuthCommand(user, password)); expectOk("auth")
     send(Protocol.formatRegisterCommand(uuid)); expectOk("register")
     send(Protocol.formatRequestDataCommand(database, table, version, gtid))
-    // Streaming reads block indefinitely (client.go:232-234).
-    socket.setSoTimeout(0)
+    // Streaming reads block indefinitely (client.go:232-234) — except
+    // while a bounded schema wait is active, where a short read
+    // timeout keeps the deadline live even if the server goes silent.
+    if (schemaWaitMaxMs > 0)
+      socket.setSoTimeout(math.min(schemaWaitMaxMs, 1000L).toInt)
+    else socket.setSoTimeout(0)
     pump = new Thread(() => {
       try {
         var readSchema = false
         val waitStart = System.currentTimeMillis()
-        var line = in.readLine()
-        while (line != null && !closed) {
-          // Pre-schema ERR ⇒ table not there yet: keep waiting
-          // (client.go:261-267). The reference waits forever
-          // (client.go:137-140); schemaWaitMaxMs > 0 bounds the wait
-          // for operational use (0 keeps reference behavior).
-          if (!readSchema && Protocol.isErrorResponse(line)) {
-            if (schemaWaitMaxMs > 0 &&
-                System.currentTimeMillis() - waitStart > schemaWaitMaxMs)
-              throw new java.io.IOException(
-                s"no schema for $database.$table after ${schemaWaitMaxMs}ms" +
-                  s" (last server reply: $line)")
-          } else {
-            readSchema = true
-            queue.add(line)
+        def schemaDeadlineExceeded(lastReply: String): Boolean =
+          !readSchema && schemaWaitMaxMs > 0 &&
+            System.currentTimeMillis() - waitStart > schemaWaitMaxMs
+        var line: String = null
+        var eof = false
+        while (!eof && !closed) {
+          try {
+            line = in.readLine()
+            eof = line == null
+          } catch {
+            case _: java.net.SocketTimeoutException =>
+              // no bytes during the bounded wait — re-check the deadline
+              if (schemaDeadlineExceeded("<no reply>"))
+                throw new java.io.IOException(
+                  s"no schema for $database.$table after ${schemaWaitMaxMs}ms")
+              line = null
           }
-          line = in.readLine()
+          if (!eof && line != null) {
+            // Pre-schema ERR ⇒ table not there yet: keep waiting
+            // (client.go:261-267). The reference waits forever
+            // (client.go:137-140); schemaWaitMaxMs > 0 bounds the wait
+            // for operational use (0 keeps reference behavior).
+            if (!readSchema && Protocol.isErrorResponse(line)) {
+              if (schemaDeadlineExceeded(line))
+                throw new java.io.IOException(
+                  s"no schema for $database.$table after ${schemaWaitMaxMs}ms" +
+                    s" (last server reply: $line)")
+            } else {
+              if (!readSchema) socket.setSoTimeout(0) // stream mode
+              readSchema = true
+              queue.add(line)
+            }
+          }
         }
       } catch {
         case _: Throwable if closed => // socket closed by stop()

@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   * the HOF fold it replaces (and to DuckDB's `list_cosine_similarity`
   * evaluation order), so oracle hashes are unaffected.
   *
-  * Null semantics: null array on either side ⇒ null result (standard
-  * binary-expression short-circuit). Null *elements* are not expected
-  * (embeddings are dense); their slot value is read as-is, matching the
-  * HOF's behavior on unsafe arrays.
+  * Null semantics: null array on either side ⇒ null, and arrays of
+  * DIFFERENT lengths ⇒ null — matching the HOF fold, where zip_with
+  * pads the shorter side with nulls and the null product poisons the
+  * sum. A silent truncation here would return a plausible partial dot
+  * product for ragged/corrupt rows. Null *elements* are not expected
+  * (embeddings are dense); their slot value is read as-is, matching
+  * the HOF's behavior on unsafe arrays.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,10 +50,13 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.sql} and ${right.dataType.sql}")
     }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elem(left) == FloatType
     val rf = elem(right) == FloatType
     var s = 0.0
@@ -72,12 +78,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("sum")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

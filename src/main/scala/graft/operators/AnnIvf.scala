@@ -30,14 +30,20 @@ object AnnIvf {
   /** Index = per-vector cell assignment + the cell centroids. */
   final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
 
+  // max_by argmax, not a row_number window: the aggregation combines
+  // map-side, so the corpus×numCells candidate frame is reduced before
+  // the shuffle instead of shuffled-and-sorted whole (same reasoning as
+  // cdc_snapshot_latest). Ties break to the LOWEST cell via -cell in
+  // the ordering struct.
   private def assign(vectors: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("cell_sim"), asc("cell"))
     vectors.crossJoin(broadcast(centroids))
       .withColumn("cell_sim", cosine(col(embCol), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cell"), col(embCol))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cell"), col(embCol).as("emb")),
+        struct(col("cell_sim"), (-col("cell")).as("tie"))).as("best"))
+      .select(col(idCol), col("best.cell").as("cell"),
+        col("best.emb").as(embCol))
   }
 
   /** Elementwise mean of each cell's member vectors. */

@@ -152,9 +152,12 @@ object JoinOps extends OpPack {
         .withColumn("band",
           explode(array((col("es") / 60).cast("long"),
             (col("es") / 60).cast("long") + 1)))
+      // The es_b >= es lower bound is explicit (not left to the band
+      // restriction or the testdata's ts-monotone-in-event_id property)
+      // so the predicate is structurally identical to the oracle's.
       a.join(b, a("user_id") === b("u_b") && a("band") === b("band"))
         .filter(col("id_b") > col("event_id") &&
-          col("es_b") <= col("es") + 60)
+          col("es_b") >= col("es") && col("es_b") <= col("es") + 60)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
@@ -269,7 +272,7 @@ object JoinOps extends OpPack {
         |  JOIN (SELECT user_id AS u_b, event_id AS id_b,
         |          CAST(floor(epoch(ts)) AS BIGINT) AS es_b FROM events) b
         |    ON a.user_id = b.u_b AND b.id_b > a.event_id
-        |   AND b.es_b <= a.es + 60)
+        |   AND b.es_b >= a.es AND b.es_b <= a.es + 60)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // As-of on the (ts, event_id) total order: latest click at-or-before

@@ -18,10 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * within a key.
   *
   * Scale: state lives in the executor state stores partitioned by key
-  * (one shuffle of the incoming micro-batch), O(live keys) total state,
-  * independent of stream length. Emitted rows are the *changed*
-  * snapshots of each micro-batch (update-mode delta), so downstream
-  * sinks see a changelog, not a rescan.
+  * (one shuffle of the incoming micro-batch). Live keys are O(table
+  * size); delete tombstones are retained to block stale-event
+  * resurrection and are evicted after `tombstoneTtl` (processing-time
+  * timeout) — so total state is O(live keys + tombstones younger than
+  * the TTL). With `tombstoneTtl = None` tombstones are kept forever
+  * (choose this only when the stream is strictly ordered per key or
+  * key reuse is impossible). Emitted rows are the *changed* snapshots
+  * of each micro-batch (update-mode delta), so downstream sinks see a
+  * changelog, not a rescan.
   */
 object CdcSnapshotStream {
 
@@ -33,8 +38,12 @@ object CdcSnapshotStream {
   final case class Snapshot(
       userId: Int, eventId: Long, ts: Long, value: Double, deleted: Boolean)
 
-  def updateKey(userId: Int, events: Iterator[Change],
+  def updateKey(tombstoneTtl: Option[String])(userId: Int,
+      events: Iterator[Change],
       state: GroupState[Snapshot]): Iterator[Snapshot] = {
+    // Timeouts are armed only on tombstones: a fired timeout means the
+    // tombstone outlived its TTL — evict it.
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     // Apply this batch's events newest-last within the key.
     val sorted = events.toSeq.sortBy(e => (e.ts, e.eventId))
     var cur = state.getOption
@@ -42,7 +51,8 @@ object CdcSnapshotStream {
     sorted.foreach { e =>
       // The tombstone keeps the delete's (ts, eventId), so the same
       // newer-than test governs re-insert after delete: a genuinely
-      // newer insert revives the key, a stale one stays dead.
+      // newer insert revives the key, a stale one stays dead (until
+      // the tombstone's TTL evicts it).
       val newer = cur.forall(s =>
         e.ts > s.ts || (e.ts == s.ts && e.eventId > s.eventId))
       e.eventType match {
@@ -55,18 +65,28 @@ object CdcSnapshotStream {
         case _ => // update_before / stale event: no state change
       }
     }
-    cur.foreach(state.update)
+    cur.foreach { s =>
+      state.update(s)
+      // Spark clears a group's timeout on every invocation; re-arm it
+      // while (and only while) the state is a tombstone.
+      if (s.deleted) tombstoneTtl.foreach(state.setTimeoutDuration)
+    }
     if (changed) cur.iterator else Iterator.empty
   }
 
   /** Wire the stateful snapshot over a stream of changes. Use with
     * `OutputMode.Update` — each micro-batch emits only keys whose
-    * snapshot changed. */
-  def snapshots(changes: Dataset[Change]): Dataset[Snapshot] = {
+    * snapshot changed. `tombstoneTtl` (e.g. `"30 minutes"`) bounds how
+    * long delete tombstones occupy the state store. */
+  def snapshots(changes: Dataset[Change],
+      tombstoneTtl: Option[String] = None): Dataset[Snapshot] = {
     implicit val enc = Encoders.product[Snapshot]
+    val timeoutConf =
+      if (tombstoneTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     changes
       .groupByKey(_.userId)(Encoders.scalaInt)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout)(updateKey)
+        timeoutConf)(updateKey(tombstoneTtl))
   }
 }

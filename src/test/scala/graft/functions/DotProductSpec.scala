@@ -51,6 +51,17 @@ class DotProductSpec extends AnyFunSuite {
     assert(got === (4.0 + 10.0 + 18.0))
   }
 
+  test("ragged arrays yield null, matching the HOF fold (no silent truncation)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val native = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("d")).head()
+    assert(native.isNullAt(0))
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (p, q) => p * q), lit(0.0), (acc, v) => acc + v).as("d")).head()
+    assert(hof.isNullAt(0)) // same semantics as the fold we replaced
+  }
+
   test("null array yields null, not a crash") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))

@@ -156,6 +156,44 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(out.contains((22L, 3.0, false)))  // revival emitted
   }
 
+  test("stateful CDC snapshot: tombstone TTL evicts deleted keys from the store") {
+    import graft.streaming.CdcSnapshotStream.{Change, snapshots}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = snapshots(input.toDS(), tombstoneTtl = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("cdc_snap_ttl")
+      .outputMode("update").start()
+    // NOTE: processAllAvailable() can block forever on a query with
+    // pending processing-time timeouts (the engine keeps scheduling
+    // timeout batches), so this test polls the sink with a deadline —
+    // the micro-batch thread processes input on its own.
+    def awaitRow(want: (Int, Long, Boolean)): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      var found = false
+      while (!found && System.currentTimeMillis() < deadline) {
+        found = spark.table("cdc_snap_ttl")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(4)))
+          .contains(want)
+        if (!found) Thread.sleep(100)
+      }
+      assert(found, s"row $want never reached the sink")
+    }
+    try {
+      input.addData(Change(5, 30L, 300L, "insert", 1.0),
+        Change(5, 31L, 301L, "delete", 1.0))
+      awaitRow((5, 31L, true)) // tombstone emitted
+      Thread.sleep(150) // let the 1 ms tombstone TTL expire in proc time
+      // unrelated batch advances processing time and fires the timeout
+      input.addData(Change(6, 40L, 400L, "insert", 2.0))
+      awaitRow((6, 40L, false))
+      // a STALE insert (older than the delete) now SUCCEEDS — the
+      // tombstone is gone, which is exactly the observable eviction
+      input.addData(Change(5, 29L, 250L, "insert", 7.0))
+      awaitRow((5, 29L, false)) // post-eviction stale revive
+    } finally q.stop()
+  }
+
   test("foreachBatch delivers every micro-batch exactly once to the sink") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
