@@ -71,6 +71,41 @@ object AnnIvf {
     IvfIndex(assign(vectors, idCol, embCol, centroids), centroids)
   }
 
+  /** IVF-accelerated kNN JOIN: every indexed vector is a probe, and
+    * each probe scans only its `nprobe` most-similar cells — the
+    * all-pairs candidate frame is corpus × (nprobe/numCells) instead of
+    * corpus², which is the whole point at 100 TB (the label-blocked
+    * exact variant is `llm_knn_join`; this is the unblocked scale
+    * path). Output: (probe_id, rank, nbr_id), exact within the probed
+    * cells.
+    */
+  def knnJoin(index: IvfIndex, idCol: String, embCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    // top-nprobe cells per probe (WindowGroupLimit keeps ≤nprobe rows
+    // per probe before the shuffle)
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cell_sim"), asc("cell"))
+    val probeCells = index.assignments
+      .select(col(idCol).as("probe_id"), col(embCol).as("probe_emb"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("cell_sim", cosine(col("probe_emb"), col("centroid")))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("cell"))
+    // each neighbor lives in exactly one cell (assignments partition
+    // the corpus), so every (probe, nbr) candidate pair is unique
+    val wk = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("sim"), asc("nbr_id"))
+    probeCells
+      .join(index.assignments.select(col("cell"),
+        col(idCol).as("nbr_id"), col(embCol).as("nbr_emb")), "cell")
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("probe_emb"), col("nbr_emb")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("nbr_id"))
+  }
+
   /** Exact top-k within the `nprobe` cells nearest to the probe
     * vector. `probe` must be a single-row frame with column `embCol`. */
   def query(index: IvfIndex, probe: DataFrame, idCol: String,

@@ -156,6 +156,24 @@ object LlmOps extends OpPack {
         .orderBy(col("rank"))
     }),
 
+    // IVF-accelerated kNN JOIN over the whole corpus (no label
+    // blocking) — the scale path of llm_knn_join. Approximate (cell
+    // recall) ⇒ rows-only check; exactness-within-probed-cells pinned
+    // by AnnIvfSpec.
+    "llm_ann_knn" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val built = graft.operators.AnnIvf.buildIndex(e, "vec_id", "embedding",
+        numCells = 16)
+      val idx = graft.operators.AnnIvf.IvfIndex(
+        built.assignments
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        built.centroids
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.AnnIvf.knnJoin(idx, "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     "llm_multimodal_join" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val e = Tables(s, dir, "embeddings")

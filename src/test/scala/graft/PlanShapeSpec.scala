@@ -107,8 +107,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("no query plans an accidental nested-loop join or cartesian product") {
     // Intentional exceptions: join_cross is a declared cartesian of two
-    // tiny dims; the two ANN probes cross-join a broadcast single row.
-    val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine")
+    // tiny dims; the ANN queries cross-join a broadcast single row or
+    // the broadcast numCells×dim centroid table.
+    val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine",
+      "llm_ann_knn")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
@@ -122,6 +124,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("every declared query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // approx + ANN are approximate by design ⇒ rows-only checks
-    assert(noOracle == Set("agg_approx_distinct", "llm_ann_ivf"))
+    assert(noOracle ==
+      Set("agg_approx_distinct", "llm_ann_ivf", "llm_ann_knn"))
   }
 }

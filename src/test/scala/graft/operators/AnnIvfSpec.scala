@@ -34,6 +34,38 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(refined.centroids.count() <= 8)
   }
 
+  test("knnJoin: k rows per probe, exact within that probe's cells") {
+    val e = Tables(spark, sf, "embeddings")
+    val built = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
+    val idx = AnnIvf.IvfIndex(built.assignments.cache(),
+      built.centroids.cache())
+    val knn = AnnIvf.knnJoin(idx, "vec_id", "embedding", k = 3, nprobe = 2)
+      .cache()
+    // every probe gets exactly k neighbors with ranks 1..k (each cell
+    // holds enough candidates at this corpus size)
+    val badCounts = knn.groupBy("probe_id").count()
+      .filter(col("count") =!= 3).count()
+    assert(badCounts == 0)
+    // spot-check one probe: its neighbors are the exact top-3 within
+    // the cells that contain them
+    val probeId = 42L
+    val got = knn.filter(col("probe_id") === probeId)
+      .orderBy("rank").collect().map(_.getAs[Long]("nbr_id")).toSeq
+    val pEmb = idx.assignments.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"))
+    val cells = idx.assignments.join(broadcast(pEmb.crossJoin(
+        idx.centroids.select(col("cell").as("c2"), col("centroid")))
+        .withColumn("cs", AnnIvf.cosine(col("probe_emb"), col("centroid")))
+        .orderBy(desc("cs"), asc("c2")).limit(2).select(col("c2"))),
+        col("cell") === col("c2"))
+    val brute = cells.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(pEmb))
+      .withColumn("sim", AnnIvf.cosine(col("embedding"), col("probe_emb")))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(3).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == brute)
+  }
+
   test("query returns exact top-k within probed cells") {
     val e = Tables(spark, sf, "embeddings")
     val idx = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
