@@ -80,6 +80,26 @@ object SortSetOps extends OpPack {
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
       a.except(b).orderBy(col("c_custkey"))
+    }),
+
+    // Bag semantics: duplicates participate with multiplicity
+    // (|A∩B| copies = min count, |A−B| copies = count difference).
+    "set_intersect_all" -> ((s, dir) => {
+      val a = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_suppkey"))
+      val b = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 48)
+        .select(col("l_suppkey"))
+      a.intersectAll(b).orderBy(col("l_suppkey"))
+    }),
+
+    "set_except_all" -> ((s, dir) => {
+      val a = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_suppkey"))
+      val b = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 48)
+        .select(col("l_suppkey"))
+      a.exceptAll(b).orderBy(col("l_suppkey"))
     })
   )
 
@@ -131,6 +151,20 @@ object SortSetOps extends OpPack {
       """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 48
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+        |EXCEPT ALL
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 48
+        |ORDER BY l_suppkey""".stripMargin
   )
 }

@@ -89,6 +89,19 @@ object WindowOps extends OpPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Distribution functions: both engines compute the same integer
+    // ratios ((rank-1)/(n-1), rank/n) in double; rounded for rule ②.
+    "win_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select(col("c_custkey"), col("c_mktsegment"), col("pct_rank"),
+          col("cume"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "win_first_last" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -154,6 +167,15 @@ object WindowOps extends OpPack {
         |  ntile(4) OVER (PARTITION BY c_mktsegment
         |                 ORDER BY c_acctbal, c_custkey) AS quartile
         |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "win_distribution" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
     "win_first_last" ->
