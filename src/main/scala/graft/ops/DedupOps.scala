@@ -92,6 +92,27 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Edit-distance near-dup inside (lang, source) blocks: classic
+    // levenshtein verification (integer, identical in both engines),
+    // candidate domain bounded by the block join — the fuzzy-match
+    // complement to the token/shingle set measures above.
+    "llm_dedup_edit" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+        col("lang"), col("source"), col("n_chars").as("len_a"))
+      val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+        col("lang").as("lang_b"), col("source").as("source_b"),
+        col("n_chars").as("len_b"))
+      a.join(b, col("lang") === col("lang_b") &&
+          col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+        .filter(col("lev") * 2 <= greatest(col("len_a"), col("len_b")))
+        .select(col("doc_a"), col("doc_b"), col("lev"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Embedding-cosine near-dup inside label blocks (cosine >= 0.4;
     // rank-free integer-pair output, similarity never escapes).
     "llm_dedup_embed" -> ((s, dir) => {
@@ -183,6 +204,15 @@ object DedupOps extends OpPack {
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_edit" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS lev
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) * 2 <=
+        |      greatest(a.n_chars, b.n_chars)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_embed" ->
