@@ -56,8 +56,10 @@ object CdcModel {
   /** Avro union, e.g. `["null","long"]` — user columns; `"null"`
     * member ⇒ nullable. */
   final case class UnionType(members: Seq[String]) extends TypeSpec
-  /** Enum object `{"type":"enum","name":…,"symbols":[…]}`. */
-  final case class EnumType(name: String, symbols: Seq[String]) extends TypeSpec
+  /** Enum object `{"type":"enum","name":…,"symbols":[…]}`; `nullable`
+    * when it arrived wrapped in a `["null", {enum}]` union. */
+  final case class EnumType(name: String, symbols: Seq[String],
+      nullable: Boolean = false) extends TypeSpec
 
   /** The 8 envelope keys stripped by `TableData()` (`event.go:227-234`). */
   val MetadataKeys: Seq[String] = Seq("domain", "server_id", "sequence",
@@ -116,10 +118,10 @@ object CdcModel {
           val t = members.filterNot(_ == "null").headOption.getOrElse("string")
           StructField(f.name, catalystType(t, f.realType),
             nullable = members.contains("null"), mb.build())
-        case EnumType(name, symbols) =>
+        case EnumType(name, symbols, nullable) =>
           mb.putString("enum_name", name)
           mb.putStringArray("enum_symbols", symbols.toArray)
-          StructField(f.name, StringType, nullable = false, mb.build())
+          StructField(f.name, StringType, nullable, mb.build())
       }
   })
 }

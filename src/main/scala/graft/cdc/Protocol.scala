@@ -95,7 +95,21 @@ object Protocol {
       val ts: CdcModel.TypeSpec = f.path("type") match {
         case t if t.isTextual => CdcModel.PlainType(t.asText())
         case t if t.isArray =>
-          CdcModel.UnionType(t.elements().asScala.map(_.asText()).toSeq)
+          val members = t.elements().asScala.toSeq
+          // A nullable ENUM arrives as ["null", {"type":"enum",...}]:
+          // flattening the object with asText would yield "" and drop
+          // the enum name/symbols — decode it as a nullable enum.
+          members.find(m => m.isObject &&
+              m.path("type").asText() == "enum") match {
+            case Some(enumNode) =>
+              CdcModel.EnumType(enumNode.path("name").asText(),
+                enumNode.path("symbols").elements().asScala
+                  .map(_.asText()).toSeq,
+                nullable = members.exists(m =>
+                  m.isTextual && m.asText() == "null"))
+            case None =>
+              CdcModel.UnionType(members.map(_.asText()))
+          }
         case t if t.isObject =>
           CdcModel.EnumType(t.path("name").asText(),
             t.path("symbols").elements().asScala.map(_.asText()).toSeq)
@@ -105,8 +119,12 @@ object Protocol {
       CdcModel.DdlField(
         name = f.path("name").asText(),
         typeSpec = ts,
-        realType = Option(f.get("real_type")).map(_.asText()),
-        length = Option(f.get("length")).map(_.asInt()).filter(_ != -1),
+        // JSON null must behave like an absent key (a NullNode is a
+        // non-null reference: .asText would yield "null", .asInt 0)
+        realType = Option(f.get("real_type")).filterNot(_.isNull)
+          .map(_.asText()),
+        length = Option(f.get("length")).filterNot(_.isNull)
+          .map(_.asInt()).filter(_ != -1),
         unsigned = f.path("unsigned").asBoolean(false))
     }.toSeq
     CdcModel.DdlEvent(

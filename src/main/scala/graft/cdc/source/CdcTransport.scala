@@ -79,7 +79,11 @@ final class SocketTransport(
       try {
         var readSchema = false
         val waitStart = System.currentTimeMillis()
-        def schemaDeadlineExceeded(lastReply: String): Boolean =
+        def failNoSchema(lastReply: String): Nothing =
+          throw new java.io.IOException(
+            s"no schema for $database.$table after ${schemaWaitMaxMs}ms" +
+              s" (last server reply: $lastReply)")
+        def deadlineExceeded: Boolean =
           !readSchema && schemaWaitMaxMs > 0 &&
             System.currentTimeMillis() - waitStart > schemaWaitMaxMs
         var line: String = null
@@ -91,21 +95,27 @@ final class SocketTransport(
           } catch {
             case _: java.net.SocketTimeoutException =>
               // no bytes during the bounded wait — re-check the deadline
-              if (schemaDeadlineExceeded("<no reply>"))
-                throw new java.io.IOException(
-                  s"no schema for $database.$table after ${schemaWaitMaxMs}ms")
+              if (deadlineExceeded) failNoSchema("<no reply>")
               line = null
           }
-          if (!eof && line != null) {
-            // Pre-schema ERR ⇒ table not there yet: keep waiting
-            // (client.go:261-267). The reference waits forever
-            // (client.go:137-140); schemaWaitMaxMs > 0 bounds the wait
-            // for operational use (0 keeps reference behavior).
-            if (!readSchema && Protocol.isErrorResponse(line)) {
-              if (schemaDeadlineExceeded(line))
-                throw new java.io.IOException(
-                  s"no schema for $database.$table after ${schemaWaitMaxMs}ms" +
-                    s" (last server reply: $line)")
+          if (eof) {
+            // EOF on an unbounded CDC stream is a server disconnect —
+            // surface it, or the query would sit healthy-but-idle
+            // forever. (stop() sets `closed` first, so a requested
+            // shutdown does not error.)
+            if (!closed) throw new java.io.IOException(
+              s"connection to $host:$port closed by server " +
+                s"(stream $database.$table)")
+          } else if (line != null) {
+            if (Protocol.isErrorResponse(line)) {
+              // Pre-schema ERR ⇒ table not there yet: keep waiting
+              // (client.go:261-267; the reference waits forever,
+              // schemaWaitMaxMs > 0 bounds it). Post-schema ERR is a
+              // server-reported stream error — fail, don't enqueue a
+              // garbage row.
+              if (readSchema) throw new java.io.IOException(
+                s"server error on $database.$table stream: $line")
+              if (deadlineExceeded) failNoSchema(line)
             } else {
               if (!readSchema) socket.setSoTimeout(0) // stream mode
               readSchema = true

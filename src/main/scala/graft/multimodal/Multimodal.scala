@@ -37,13 +37,25 @@ object Multimodal {
       byte_entropy_x1000: Long,
       histogram_mode: Int)
 
+  /** Stub dimension formulas, shared by the JVM decode path and the
+    * Column-level queries so they can never drift apart. */
+  final val WidthMod = 577
+  final val HeightMod = 389
+  final val DimBase = 64
+
   /** STUB — stands in for the real image/audio decoder (e.g. a JNI
     * libjpeg/ffmpeg binding). Deterministic fake: derives plausible
     * dimensions from the payload alone so tests are stable. */
   def decodeStub(content: Array[Byte]): (Int, Int) = {
     val n = content.length
-    (64 + n % 577, 64 + n % 389)
+    (DimBase + n % WidthMod, DimBase + n % HeightMod)
   }
+
+  /** Column forms of [[decodeStub]] for declarative queries. */
+  def stubWidth(nBytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(DimBase) + pmod(nBytes, lit(WidthMod))
+  def stubHeight(nBytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(DimBase) + pmod(nBytes, lit(HeightMod))
 
   /** Partition-parallel feature extraction over binary payloads: the
     * batch shape a real decoder needs (iterate a partition's records,

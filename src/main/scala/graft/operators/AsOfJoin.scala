@@ -14,9 +14,17 @@ import org.apache.spark.sql.functions._
   * sort-merge join, and it holds at 100 TB because each key's timeline
   * is processed in one partition in one pass.
   *
+  * ALL carry columns ride in ONE struct through a single
+  * `last(ignoreNulls)`: per-column lasts would mix fields from
+  * different right rows whenever the latest right row holds a null in
+  * one carry column (and would resurrect stale values over legitimate
+  * nulls). The struct is null for left rows and whole for right rows,
+  * so each left row receives exactly one right row's values — nulls
+  * included.
+  *
   * Tie semantics: a right row at exactly the left row's timestamp DOES
   * match (inclusive), because right rows sort before left rows at equal
-  * (ts, seq) via the union order key. `seqCol` must be a unique,
+  * (ts, seq) via the `__side` order key. `seqCol` must be a unique,
   * time-monotone tiebreaker across both sides (e.g. a CDC sequence /
   * GTID sequence, `event.go:195-200` in the reference).
   */
@@ -27,29 +35,38 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, key: String,
             tsCol: String, seqCol: String,
             carry: Map[String, String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val taggedRight = carry.foldLeft(right) { case (df, (src, dst)) =>
-      df.withColumn(dst, col(src))
-    }.select((Seq(col(key), col(tsCol), col(seqCol), lit(0).as("__side")) ++
-      carry.values.map(col _).toSeq): _*)
-    val taggedLeft = left
-      .withColumn("__side", lit(1))
-      .select((Seq(col(key), col(tsCol), col(seqCol), col("__side")) ++
-        carry.values.map(c => lit(null).as(c)).toSeq ++
-        leftCols.filterNot(Set(key, tsCol, seqCol)).map(col _)): _*)
+    val fixed = Set(key, tsCol, seqCol)
+    val leftPayload = left.columns.toSeq.filterNot(fixed)
+    require(carry.values.toSet.intersect(leftPayload.toSet ++ fixed).isEmpty,
+      s"carry destinations ${carry.values} collide with left columns")
+
+    // Right side: the whole carried record as one struct.
+    val taggedRight = right.select(
+      col(key), col(tsCol), col(seqCol), lit(0).as("__side"),
+      struct(carry.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+        .as("__carry"))
+    // Left side: null struct (same type), plus its payload columns.
+    val carrySchema = taggedRight.schema("__carry").dataType
+    val taggedLeft = left.select(
+      (Seq(col(key), col(tsCol), col(seqCol), lit(1).as("__side"),
+        lit(null).cast(carrySchema).as("__carry")) ++
+        leftPayload.map(col _)): _*)
     val unioned = taggedRight
       .select(taggedLeft.columns.map(c =>
         if (taggedRight.columns.contains(c)) col(c)
         else lit(null).as(c)): _*)
       .unionByName(taggedLeft)
+
     // Right rows first at equal (ts, seq) is guaranteed by seq
     // uniqueness; __side is a belt-and-braces tiebreaker.
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol), col(seqCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.values.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = unioned
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    carry.values.foldLeft(carried) { (df, dst) =>
+      df.withColumn(dst, col("__carry").getField(dst))
+    }.drop("__side", "__carry")
   }
 }

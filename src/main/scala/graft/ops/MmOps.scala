@@ -20,8 +20,8 @@ object MmOps extends OpPack {
       val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
       media.select(col("media_id"), col("kind"),
           length(col("content")).as("n_bytes"),
-          (lit(64) + pmod(length(col("content")), lit(577))).as("width"),
-          (lit(64) + pmod(length(col("content")), lit(389))).as("height"),
+          Multimodal.stubWidth(length(col("content"))).as("width"),
+          Multimodal.stubHeight(length(col("content"))).as("height"),
           col("declared_frames"))
         .orderBy(col("media_id"))
     }),

@@ -92,6 +92,25 @@ class ProtocolSpec extends AnyFunSuite {
     assert(ddl.fields(6).length.isEmpty) // -1 ⇒ no length
   }
 
+  test("DDL decode: nullable enum union and JSON-null real_type/length") {
+    val ddl = Protocol.decodeDdlEvent(
+      """{"fields": [
+        |{"name": "status", "type": ["null", {"type": "enum",
+        |  "name": "ST", "symbols": ["a", "b"]}],
+        |  "real_type": null, "length": null}
+        |]}""".stripMargin.replace("\n", " "))
+    val f = ddl.fields.head
+    // nullable enum keeps its name/symbols instead of flattening to ""
+    assert(f.typeSpec ==
+      CdcModel.EnumType("ST", Seq("a", "b"), nullable = true))
+    // JSON null behaves like an absent key, not Some("null")/Some(0)
+    assert(f.realType.isEmpty && f.length.isEmpty)
+    val st = CdcModel.toStructType(ddl)
+    assert(st("status").nullable)
+    assert(st("status").metadata.getStringArray("enum_symbols").toSeq ==
+      Seq("a", "b"))
+  }
+
   test("DDL → StructType translation") {
     val st = Protocol.inferSchema(goldenDdl)
     assert(st.fieldNames.toSeq == Seq("domain", "server_id", "sequence",
