@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,47 +104,137 @@ final class MaxScaleCdcTable(properties: util.Map[String, String])
     }
 }
 
-/** Offset = count of event lines delivered since stream start (a
-  * strictly monotone cursor; the durable GTID position is carried in
-  * the rows themselves and re-supplied to the server via the `gtid`
-  * option on restart, mirroring `WithGTID`). */
-final case class CdcOffset(index: Long) extends Offset {
-  override def json(): String = index.toString
+/** Offset = (count of lines delivered, GTID of the last DML line) —
+  * the count is the monotone cursor Spark compares, the GTID is the
+  * durable resume position. On restart the stream reconnects with
+  * `REQUEST-DATA … <gtid>` (the reference's `WithGTID` server-side
+  * seek, `client.go:122-126`) and drops the inclusive redelivery, so
+  * committed data is never re-emitted and uncommitted data is
+  * recovered from the server, not from a lost in-memory buffer.
+  *
+  * Redelivery semantics on resume: DML events are exactly-once by
+  * sequence (the server replays from the resume GTID inclusive; the
+  * already-delivered head is dropped by sequence comparison); schema
+  * DDL records are at-least-once — every (re)connection sends the
+  * schema first, exactly like the reference stream. Sequence
+  * comparison assumes one (domain, server_id) per stream, which is
+  * what a MaxScale avrorouter per-table feed provides.
+  */
+final case class CdcOffset(index: Long, lastGtid: String) extends Offset {
+  override def json(): String =
+    s"""{"n":$index,"gtid":"$lastGtid"}"""
+}
+
+object CdcOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def parse(json: String): CdcOffset = {
+    val node = mapper.readTree(json)
+    CdcOffset(node.path("n").asLong(), node.path("gtid").asText(""))
+  }
 }
 
 final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
-  private val transport = MaxScaleCdcSource.transportFor(opts)
+  private var transport: CdcTransport = _
   private var started = false
   // Buffered lines with their absolute index [firstIndex, ...].
   private val buffer = new ArrayBuffer[String]()
   private var firstIndex = 0L
+  private var lastGtid = ""
+  // Sequences at or below this were delivered before a restart and
+  // will be redelivered by the server's inclusive GTID replay — drop.
+  private var dedupeThroughSeq = Long.MinValue
+  // Smallest checkpointed offset seen before the transport started =
+  // the committed position to resume from.
+  private var restore: Option[CdcOffset] = None
 
   private def ensureStarted(): Unit = synchronized {
-    if (!started) { transport.start(); started = true }
+    if (!started) {
+      val effectiveOpts = restore match {
+        case Some(o) if o.lastGtid.nonEmpty => opts + ("gtid" -> o.lastGtid)
+        case _ => opts
+      }
+      restore.foreach { o =>
+        firstIndex = o.index
+        lastGtid = o.lastGtid
+        dedupeThroughSeq = Protocol.parseGtid(o.lastGtid)
+          .map(_._3).getOrElse(Long.MinValue)
+      }
+      transport = MaxScaleCdcSource.transportFor(effectiveOpts)
+      transport.start()
+      started = true
+    }
   }
 
   private def drain(): Unit = synchronized {
     transport.error.foreach(t => throw t)
-    buffer ++= transport.poll()
+    transport.poll().foreach { line =>
+      if (Protocol.isDmlEvent(line)) {
+        val e = Protocol.decodeDmlEvent(line)
+        if (e.sequence > dedupeThroughSeq) {
+          buffer += line
+          lastGtid = e.gtid
+        } // else: inclusive redelivery of an already-delivered event
+      } else {
+        buffer += line // schema records: at-least-once, always kept
+      }
+    }
   }
 
-  override def initialOffset(): Offset = CdcOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    CdcOffset(json.toLong)
+  /** Record a checkpointed position as the resume point, if the
+    * transport has not connected yet (smallest index wins — the
+    * committed start of a recovering batch). */
+  private def captureRestore(o: CdcOffset): Unit = synchronized {
+    if (!started && restore.forall(_.index > o.index)) restore = Some(o)
+  }
 
-  override def latestOffset(): Offset = {
+  override def initialOffset(): Offset = CdcOffset(0L, "")
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = CdcOffset.parse(json)
+    captureRestore(o)
+    o
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control variant — the engine passes the checkpointed
+    * start offset here on a clean restart, which is the only hook
+    * where the resume GTID is known before the transport connects. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    captureRestore(start.asInstanceOf[CdcOffset])
     ensureStarted(); drain()
-    synchronized { CdcOffset(firstIndex + buffer.size) }
+    synchronized { CdcOffset(firstIndex + buffer.size, lastGtid) }
   }
+
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = synchronized {
+      end: Offset): Array[InputPartition] = {
+    captureRestore(start.asInstanceOf[CdcOffset])
+    ensureStarted()
     val s = start.asInstanceOf[CdcOffset].index
     val e = end.asInstanceOf[CdcOffset].index
-    val lines = buffer.slice((s - firstIndex).toInt, (e - firstIndex).toInt)
-    Array(CdcInputPartition(lines.toArray))
+    // Recovery of a WAL'd-but-uncommitted batch: the buffer refills
+    // from the server's GTID replay — wait (bounded) until it covers
+    // the requested end offset before slicing.
+    val deadline = System.currentTimeMillis() + 30000
+    while (synchronized { firstIndex + buffer.size } < e &&
+        System.currentTimeMillis() < deadline) {
+      drain()
+      if (synchronized { firstIndex + buffer.size } < e) Thread.sleep(20)
+    }
+    synchronized {
+      if (firstIndex + buffer.size < e)
+        throw new java.io.IOException(
+          s"could not recover batch [$s,$e): server redelivered only " +
+            s"${firstIndex + buffer.size - s} of ${e - s} lines")
+      val lines = buffer.slice((s - firstIndex).toInt, (e - firstIndex).toInt)
+      Array(CdcInputPartition(lines.toArray))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -160,7 +250,7 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
     firstIndex = math.max(firstIndex, e)
   }
 
-  override def stop(): Unit = transport.close()
+  override def stop(): Unit = if (transport != null) transport.close()
 }
 
 final case class CdcInputPartition(lines: Array[String])

