@@ -92,21 +92,38 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Edit-distance near-dup inside (lang, source) blocks: classic
-    // levenshtein verification (integer, identical in both engines),
-    // candidate domain bounded by the block join — the fuzzy-match
-    // complement to the token/shingle set measures above.
+    // Edit-distance near-dup: ORDER-SENSITIVE trigram-shingle Jaccard
+    // (>= 0.3, exact inverted-index join on the persisted shingle
+    // index) gates the expensive levenshtein verification — the
+    // production fuzzy-dedup shape. Token-SET similarity cannot gate
+    // here (same-vocabulary word salads put ~every same-block pair at
+    // token-J >= 0.5), and ungated levenshtein on all pairs is
+    // O(pairs × len²) ≈ 220 s at sf0.1; shingle overlap tracks edit
+    // locality, cutting candidates to the few hundred true near-dups.
+    // Both predicates are part of the declared semantics, mirrored
+    // exactly in the oracle.
     "llm_dedup_edit" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-      val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
-        col("lang"), col("source"), col("n_chars").as("len_a"))
-      val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
-        col("lang").as("lang_b"), col("source").as("source_b"),
-        col("n_chars").as("len_b"))
-      a.join(b, col("lang") === col("lang_b") &&
-          col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val cand = a.join(b, col("sh") === col("sh_b") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          "doc_b")
+        .filter(col("n_inter") * 10 >=
+          (col("n_a") + col("n_b") - col("n_inter")) * 3)
+        .select(col("doc_a"), col("doc_b"))
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+          col("n_chars").as("len_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+          col("n_chars").as("len_b")), "doc_b")
         .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
         .filter(col("lev") * 2 <= greatest(col("len_a"), col("len_b")))
         .select(col("doc_a"), col("doc_b"), col("lev"))
@@ -207,10 +224,32 @@ object DedupOps extends OpPack {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_edit" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |cand AS (
+        |  SELECT doc_a, doc_b FROM pair
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE n_inter * 10 >= (sa.n_sh + sb.n_sh - n_inter) * 3)
+        |SELECT doc_a, doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS lev
-        |FROM documents a JOIN documents b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |FROM cand
+        |JOIN documents a ON doc_a = a.doc_id
+        |JOIN documents b ON doc_b = b.doc_id
         |WHERE levenshtein(a.text, b.text) * 2 <=
         |      greatest(a.n_chars, b.n_chars)
         |ORDER BY doc_a, doc_b""".stripMargin,
