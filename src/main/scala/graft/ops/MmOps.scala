@@ -26,6 +26,27 @@ object MmOps extends OpPack {
         .orderBy(col("media_id"))
     }),
 
+    // Resize planning: fit each image's (stub-decoded) dimensions into
+    // a 224x224 box preserving aspect ratio — all integer arithmetic
+    // (scale in thousandths), so the plan is exactly oracle-checkable.
+    // The actual pixel transform would ride the same mapPartitions
+    // path as feature extraction (Multimodal.extractFeatures); this is
+    // the metadata/planning half every resize pipeline needs.
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      media.filter(col("kind") === "image")
+        .withColumn("width", Multimodal.stubWidth(length(col("content"))))
+        .withColumn("height", Multimodal.stubHeight(length(col("content"))))
+        .withColumn("scale_x1000",
+          least(expr("224000 div width"), expr("224000 div height"),
+            lit(1000)).cast("int"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("scale_x1000"),
+          expr("CAST(width * scale_x1000 div 1000 AS INT)").as("out_w"),
+          expr("CAST(height * scale_x1000 div 1000 AS INT)").as("out_h"))
+        .orderBy(col("media_id"))
+    }),
+
     // Frame sampling: every 3rd frame index of each "video" payload —
     // generator-shaped (explode of a bounded sequence), output size
     // is frames/3 per asset regardless of payload size.
@@ -49,6 +70,22 @@ object MmOps extends OpPack {
         |  CAST(64 + n_chars % 389 AS INT) AS height,
         |  CAST(n_chars // 100 + 1 AS INT) AS declared_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(64 + n_chars % 577 AS INT) AS width,
+        |    CAST(64 + n_chars % 389 AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), s AS (
+        |  SELECT *, CAST(least(224000 // width, 224000 // height, 1000)
+        |    AS INT) AS scale_x1000
+        |  FROM m
+        |)
+        |SELECT media_id, width, height, scale_x1000,
+        |  CAST(width * scale_x1000 // 1000 AS INT) AS out_w,
+        |  CAST(height * scale_x1000 // 1000 AS INT) AS out_h
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
