@@ -130,6 +130,18 @@ object FnOps extends OpPack {
         .orderBy(col("event_id"))
     }),
 
+    // Bitwise scalars + aggregates (mask/flag arithmetic): all
+    // integer, engine-identical.
+    "fn_bitwise" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(p_size & 15)").as("and_low"),
+          expr("bit_or(shiftleft(1, p_size % 8))").as("or_bands"),
+          expr("bit_xor(CAST(p_partkey AS BIGINT))").as("xor_keys"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Ordered string aggregation (listagg shape): deterministic via
     // sort-before-join.
     "fn_listagg" -> ((s, dir) => {
@@ -223,6 +235,15 @@ object FnOps extends OpPack {
         |  END AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(bit_and(p_size & 15) AS INT) AS and_low,
+        |  CAST(bit_or(1 << (p_size % 8)) AS INT) AS or_bands,
+        |  CAST(bit_xor(CAST(p_partkey AS BIGINT)) AS BIGINT) AS xor_keys
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "fn_listagg" ->
       """SELECT o_orderpriority,
