@@ -130,6 +130,18 @@ object FnOps extends OpPack {
         .orderBy(col("event_id"))
     }),
 
+    // Regex suite: extraction, matching predicate, and match counting
+    // (same RE2-compatible patterns in both engines).
+    "fn_regex" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .filter(col("p_name").rlike("^[a-z]+ "))
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_tail"),
+          expr("CAST(regexp_count(p_name, ' ') AS INT)").as("n_spaces"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Bitwise scalars + aggregates (mask/flag arithmetic): all
     // integer, engine-identical.
     "fn_bitwise" -> ((s, dir) => {
@@ -235,6 +247,15 @@ object FnOps extends OpPack {
         |  END AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+        |  CAST(len(regexp_extract_all(p_name, ' ')) AS INT) AS n_spaces
+        |FROM part
+        |WHERE regexp_matches(p_name, '^[a-z]+ ')
+        |ORDER BY p_partkey""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT p_brand, count(*) AS n,

@@ -66,6 +66,35 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("knnJoin recall vs brute force is substantial at nprobe=2/8") {
+    val e = Tables(spark, sf, "embeddings")
+    val built = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
+    val idx = AnnIvf.IvfIndex(built.assignments.cache(),
+      built.centroids.cache())
+    val ann = AnnIvf.knnJoin(idx, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("nbr_id")))
+      .toSet
+    // exact kNN over the full corpus (500 vectors → cheap here)
+    val l = e.select(col("vec_id"), col("embedding"))
+    val r = e.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("emb_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("sim"), asc("nbr_id"))
+    val exact = l.join(r, col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", AnnIvf.cosine(col("embedding"), col("emb_r")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect().map(r2 => (r2.getAs[Long]("vec_id"), r2.getAs[Long]("nbr_id")))
+      .toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // deterministic for this fixed dataset/index: measured 0.487.
+    // The synthetic embeddings are near-random, so cells carry limited
+    // signal — the bound asserts the index is genuinely informative
+    // (probing 2 of 8 cells ≈ 2x the 0.25 random-probe baseline), not
+    // a production recall target.
+    assert(recall > 0.4, s"recall@3 = $recall")
+  }
+
   test("query returns exact top-k within probed cells") {
     val e = Tables(spark, sf, "embeddings")
     val idx = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
