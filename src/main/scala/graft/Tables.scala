@@ -21,13 +21,24 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read natively; this legacy flag reads it as long nanos (truncated
+    * to µs TimestampType below). There is no per-reader option for it,
+    * so it must be a session conf: the graft entry points (Verify,
+    * Bench, TimeOne, PlanPeek, the test session) set it at session
+    * build; for a foreign session this sets it once on first touch of
+    * the events table rather than on every load. */
+  private def ensureNanosConf(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(NanosKey).contains("true"))
+      spark.conf.set(NanosKey, "true")
+  val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-      // read natively; read it as long nanos and truncate to a µs
-      // TimestampType (the DuckDB oracle keeps ns — testdata guarantees
-      // ts is monotone in event_id, so every ordering/trunc agrees).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // See ensureNanosConf: ns parquet → long nanos → µs timestamp
+      // (the DuckDB oracle keeps ns — testdata guarantees ts is
+      // monotone in event_id, so every ordering/trunc agrees).
+      ensureNanosConf(spark)
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

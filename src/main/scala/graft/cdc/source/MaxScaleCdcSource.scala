@@ -104,11 +104,13 @@ final class MaxScaleCdcTable(properties: util.Map[String, String])
     }
 }
 
-/** Offset = (count of lines delivered, GTID of the last DML line) —
-  * the count is the monotone cursor Spark compares, the GTID is the
-  * durable resume position. On restart the stream reconnects with
-  * `REQUEST-DATA … <gtid>` (the reference's `WithGTID` server-side
-  * seek, `client.go:122-126`) and drops the inclusive redelivery, so
+/** Offset = (count of lines delivered, GTID of the last DML line,
+  * count of schema/DDL lines delivered) — the line count is the
+  * monotone cursor Spark compares, the GTID is the durable resume
+  * position, and the DDL count makes recovered batches verifiable
+  * (below). On restart the stream reconnects with `REQUEST-DATA …
+  * <gtid>` (the reference's `WithGTID` server-side seek,
+  * `client.go:122-126`) and drops the inclusive redelivery, so
   * committed data is never re-emitted and uncommitted data is
   * recovered from the server, not from a lost in-memory buffer.
   *
@@ -119,17 +121,34 @@ final class MaxScaleCdcTable(properties: util.Map[String, String])
   * schema first, exactly like the reference stream. Sequence
   * comparison assumes one (domain, server_id) per stream, which is
   * what a MaxScale avrorouter per-table feed provides.
+  *
+  * Recovered-batch stability contract: when a batch [s,e) that was
+  * planned before a restart is replayed, its row CONTENT is stable
+  * for DML rows (same sequences, from the server's GTID replay). For
+  * schema lines the offsets' DDL counts arbitrate: if the original
+  * attempt delivered no schema line inside [s,e), re-sent schema
+  * lines arriving during recovery are suppressed (they are provably
+  * duplicates — a schema precedes every delivered DML, so with a
+  * non-empty resume GTID it was already delivered before s), and the
+  * recovered batch is byte-stable; if the original batch DID contain
+  * schema lines, the recovered slice is verified to contain the same
+  * number, and the source fails loudly instead of silently delivering
+  * displaced rows to a transactional sink keyed on batch id.
   */
-final case class CdcOffset(index: Long, lastGtid: String) extends Offset {
+final case class CdcOffset(index: Long, lastGtid: String, ddl: Long = -1L)
+    extends Offset {
   override def json(): String =
-    s"""{"n":$index,"gtid":"$lastGtid"}"""
+    s"""{"n":$index,"gtid":"$lastGtid","ddl":$ddl}"""
 }
 
 object CdcOffset {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   def parse(json: String): CdcOffset = {
     val node = mapper.readTree(json)
-    CdcOffset(node.path("n").asLong(), node.path("gtid").asText(""))
+    // ddl defaults to -1 ("unknown") for offsets written by older
+    // checkpoints — recovery verification is skipped for those.
+    val ddl = if (node.has("ddl")) node.path("ddl").asLong() else -1L
+    CdcOffset(node.path("n").asLong(), node.path("gtid").asText(""), ddl)
   }
 }
 
@@ -142,12 +161,22 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
   private val buffer = new ArrayBuffer[String]()
   private var firstIndex = 0L
   private var lastGtid = ""
+  // Cumulative count of schema/DDL lines delivered since stream origin
+  // (carried in CdcOffset.ddl — see the offset contract above).
+  private var ddlCount = 0L
   // Sequences at or below this were delivered before a restart and
   // will be redelivered by the server's inclusive GTID replay — drop.
   private var dedupeThroughSeq = Long.MinValue
   // Smallest checkpointed offset seen before the transport started =
   // the committed position to resume from.
   private var restore: Option[CdcOffset] = None
+  // DDL count at the restore point (-1 = unknown / old checkpoint).
+  private var restoreDdl = -1L
+  // End offset of a batch planned before a restart that is being
+  // recovered from server replay; while the buffer is refilling below
+  // this index, re-sent schema lines are suppressed iff the original
+  // attempt delivered none in the range (offset contract above).
+  private var recoveryTarget: Option[CdcOffset] = None
 
   private def ensureStarted(): Unit = synchronized {
     if (!started) {
@@ -158,6 +187,8 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
       restore.foreach { o =>
         firstIndex = o.index
         lastGtid = o.lastGtid
+        restoreDdl = o.ddl
+        if (o.ddl >= 0) ddlCount = o.ddl
         dedupeThroughSeq = Protocol.parseGtid(o.lastGtid)
           .map(_._3).getOrElse(Long.MinValue)
       }
@@ -177,7 +208,20 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
           lastGtid = e.gtid
         } // else: inclusive redelivery of an already-delivered event
       } else {
-        buffer += line // schema records: at-least-once, always kept
+        // Schema records are at-least-once, EXCEPT while recovering a
+        // replayed range whose original attempt contained no schema
+        // line (target.ddl == restoreDdl): there the re-sent schema is
+        // provably a duplicate of one delivered before the range (a
+        // schema precedes every DML), so it is suppressed to keep the
+        // recovered batch byte-stable.
+        val recovering = recoveryTarget.exists(t =>
+          firstIndex + buffer.size < t.index)
+        val provableDup = recovering && restoreDdl >= 0 &&
+          recoveryTarget.get.ddl == restoreDdl && restore.exists(_.lastGtid.nonEmpty)
+        if (!provableDup) {
+          buffer += line
+          ddlCount += 1
+        }
       }
     }
   }
@@ -189,7 +233,7 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
     if (!started && restore.forall(_.index > o.index)) restore = Some(o)
   }
 
-  override def initialOffset(): Offset = CdcOffset(0L, "")
+  override def initialOffset(): Offset = CdcOffset(0L, "", 0L)
 
   override def deserializeOffset(json: String): Offset = {
     val o = CdcOffset.parse(json)
@@ -205,7 +249,7 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     captureRestore(start.asInstanceOf[CdcOffset])
     ensureStarted(); drain()
-    synchronized { CdcOffset(firstIndex + buffer.size, lastGtid) }
+    synchronized { CdcOffset(firstIndex + buffer.size, lastGtid, ddlCount) }
   }
 
   override def latestOffset(): Offset =
@@ -214,10 +258,16 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    captureRestore(start.asInstanceOf[CdcOffset])
+    val startOff = start.asInstanceOf[CdcOffset]
+    val endOff = end.asInstanceOf[CdcOffset]
+    captureRestore(startOff)
+    // If the transport has not connected yet, this call is recovering
+    // a batch planned before a restart — its end offset arbitrates the
+    // schema-line suppression in drain() (offset contract above).
+    synchronized { if (!started) recoveryTarget = Some(endOff) }
     ensureStarted()
-    val s = start.asInstanceOf[CdcOffset].index
-    val e = end.asInstanceOf[CdcOffset].index
+    val s = startOff.index
+    val e = endOff.index
     // Recovery of a WAL'd-but-uncommitted batch: the buffer refills
     // from the server's GTID replay — wait (bounded) until it covers
     // the requested end offset before slicing.
@@ -232,7 +282,28 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
         throw new java.io.IOException(
           s"could not recover batch [$s,$e): server redelivered only " +
             s"${firstIndex + buffer.size - s} of ${e - s} lines")
+      // Undershoot: a range below the committed/dropped prefix must
+      // fail loudly — slice() would silently clamp to wrong rows.
+      if (s < firstIndex)
+        throw new java.io.IOException(
+          s"stale batch request [$s,$e): lines before index $firstIndex " +
+            "were already committed and dropped from the buffer")
       val lines = buffer.slice((s - firstIndex).toInt, (e - firstIndex).toInt)
+      // Recovered-batch stability check: when both offsets carry DDL
+      // counts, the slice must contain exactly the schema lines the
+      // original attempt delivered in [s,e) — otherwise a re-sent
+      // schema line has displaced a DML into the next batch, and a
+      // transactional sink keyed on batch id would see unstable
+      // contents. Fail loudly rather than deliver displaced rows.
+      if (startOff.ddl >= 0 && endOff.ddl >= 0) {
+        val expected = endOff.ddl - startOff.ddl
+        val actual = lines.count(l => !Protocol.isDmlEvent(l)).toLong
+        if (actual != expected)
+          throw new java.io.IOException(
+            s"batch [$s,$e) contains $actual schema lines but the " +
+              s"planning attempt delivered $expected — refusing to " +
+              "deliver displaced rows to a batch-id-keyed sink")
+      }
       Array(CdcInputPartition(lines.toArray))
     }
   }

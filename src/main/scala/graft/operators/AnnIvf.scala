@@ -61,9 +61,22 @@ object AnnIvf {
     * `refineIters` Lloyd iterations, assign with the final centroids. */
   def buildIndex(vectors: DataFrame, idCol: String, embCol: String,
       numCells: Int, refineIters: Int = 1): IvfIndex = {
-    var centroids = vectors.filter(col(idCol) < numCells)
-      .select(col(idCol).cast("int").as("cell"),
+    // Seed with the first numCells vectors by id — via orderBy + limit,
+    // not filter(id < numCells), so sparse/offset id spaces still seed
+    // the full centroid set. Cell ids are dense 0..numCells-1 by
+    // row_number over the (tiny, already-limited) seed frame.
+    val seeds = vectors
+      .select(col(idCol),
         transform(col(embCol), x => x.cast("double")).as("centroid"))
+      .orderBy(col(idCol)).limit(numCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+      .select(col("cell"), col("centroid"))
+    val nSeeds = seeds.count()
+    require(nSeeds == numCells,
+      s"cannot build IVF index: numCells=$numCells but corpus has only " +
+        s"$nSeeds vectors — lower numCells to at most the corpus size")
+    var centroids = seeds
     (1 to refineIters).foreach { _ =>
       centroids = recompute(
         assign(vectors, idCol, embCol, centroids), embCol)

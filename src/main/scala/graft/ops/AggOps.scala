@@ -113,11 +113,16 @@ object AggOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // collect_set + array_sort, serialized with array_join so the
+    // result cell is a flat string: array-valued cells are unhashable
+    // in the driver's pandas-based compare (round-1 CORRECTNESS err),
+    // so the serialized form is what makes this oracle-checkable.
     "agg_collect" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+          array_join(array_sort(collect_set(col("o_orderstatus"))), "|")
+            .as("statuses"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -238,7 +243,8 @@ object AggOps extends OpPack {
 
     "agg_collect" ->
       """SELECT o_orderpriority,
-        |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|')
+        |         AS statuses,
         |       count(*) AS n
         |FROM orders
         |GROUP BY o_orderpriority
