@@ -164,6 +164,33 @@ object AggOps extends OpPack {
         .agg(round(expr("percentile(l_quantity, 0.5)"), 1).as("med_qty"),
           round(expr("percentile(l_quantity, 0.9)"), 1).as("p90_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Boolean aggregates + conditional count: predicate-valued partial
+    // aggregation (map-side combine on 1-bit state — the cheapest
+    // possible shuffle payload at scale).
+    "agg_bool" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count_if(col("l_discount") > 0.05).as("n_disc"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_tax") > 0.07).as("any_hi_tax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Value-at-extremum aggregates: max_by/min_by keyed on the UNIQUE
+    // o_orderkey (deterministic — never arg-max a non-unique ordinate).
+    // One-pass (value, key) partial state; no window, no second join.
+    "agg_arg_max" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_totalprice"), col("o_orderkey"))
+            .as("price_at_max_key"),
+          min_by(col("o_totalprice"), col("o_orderkey"))
+            .as("price_at_min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -274,6 +301,25 @@ object AggOps extends OpPack {
         |  round(quantile_cont(l_quantity, 0.9), 1) AS p90_qty
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_tax > 0.07) AS any_hi_tax,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_arg_max" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_totalprice, o_orderkey) AS price_at_max_key,
+        |  arg_min(o_totalprice, o_orderkey) AS price_at_min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -99,6 +99,21 @@ object CdcOps extends OpPack {
         .filter(col("event_id") >= 500)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id"))
+    }),
+
+    // Per-(domain, server) GTID watermark map — the batch analogue of
+    // the streaming source's per-stream resume state (the multi-domain
+    // generalization of `WithGTID`, client.go:122-126): highest
+    // delivered sequence and event count per replication stream, using
+    // the same synthetic mapping as cdc_gtid.
+    "cdc_watermarks" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("domain", pmod(col("user_id"), lit(4)))
+        .withColumn("server_id", lit(3000))
+        .groupBy(col("domain"), col("server_id"))
+        .agg(max(col("event_id")).as("watermark_seq"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("domain"))
     })
   )
 
@@ -137,6 +152,13 @@ object CdcOps extends OpPack {
     "cdc_resume_gtid" ->
       """SELECT event_id, user_id, event_type
         |FROM events WHERE event_id >= 500
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_watermarks" ->
+      """SELECT user_id % 4 AS domain, 3000 AS server_id,
+        |  max(event_id) AS watermark_seq, count(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY domain""".stripMargin
   )
 }

@@ -149,6 +149,60 @@ object DedupOps extends OpPack {
         .filter(col("sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("label"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Duplicate-cluster assignment: connected components over the
+    // 3-gram-Jaccard >= 0.05 pair graph (the llm_dedup_ngram edges),
+    // every document labeled with the min doc_id of its component —
+    // the "keep one per cluster" step that follows pair generation in
+    // a production dedup pipeline. Distributed min-label propagation:
+    // each round is one shuffle (neighbor-join + min-agg), converging
+    // in O(component diameter) rounds; localCheckpoint truncates the
+    // growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    // Near-dup components are tiny in practice (diameter ≪ 10), and a
+    // 25-round cap bounds the pathological chain case.
+    "llm_dedup_cluster" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val pairs = a.join(b, col("sh") === col("sh_b") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          "doc_b")
+        .filter(col("n_inter") * 20 >= col("n_a") + col("n_b") - col("n_inter"))
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+          .select(col("doc_a").as("doc_id"), col("label"))
+        val next = labels.union(viaNeighbor)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        changed = next
+          .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+          .filter(col("label") < col("prev")).count()
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist()
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -259,6 +313,44 @@ object DedupOps extends OpPack {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Connected components via recursive transitive closure (closure
+    // is tiny: only docs incident to a near-dup edge participate).
+    "llm_dedup_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |cand AS (
+        |  SELECT doc_a, doc_b FROM pair
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter),
+        |edge AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM cand
+        |  UNION
+        |  SELECT doc_b, doc_a FROM cand),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM edge
+        |  UNION
+        |  SELECT e.u, r.v FROM edge e JOIN reach r ON r.u = e.v)
+        |SELECT d.doc_id, coalesce(m.cl, d.doc_id) AS cluster_id
+        |FROM documents d
+        |LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
+        |  ON d.doc_id = m.u
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -162,6 +162,18 @@ object FnOps extends OpPack {
         .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
           .as("statuses"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Cryptographic digests (the reference's only scalar computation is
+    // SHA-1+hex auth encoding, client.go:324-347 — this is the digest
+    // surface generalized): md5 / sha2-256 hex over document text.
+    // Codegen'd built-ins; both engines emit lowercase hex.
+    "fn_hash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"),
+          length(col("text")).as("len"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -272,6 +284,12 @@ object FnOps extends OpPack {
         |    AS statuses
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+        |  CAST(length(text) AS INT) AS len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

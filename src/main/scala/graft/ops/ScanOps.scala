@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Tables.moneySum
 import org.apache.spark.sql.functions._
 
 /** Scans / sources (SURVEY.md §2.2 "Scans / sources / sinks").
@@ -42,6 +43,48 @@ object ScanOps extends OpPack {
         .select(col("l_orderkey"), col("l_linenumber"),
                 col("l_shipdate").cast("date").as("ship_date"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_date"))
+    }),
+
+    // CSV sink + source roundtrip (header + explicit read schema): the
+    // text-format leg of the source/sink surface. The oracle reads the
+    // original parquet, so a pass proves write→read fidelity.
+    "scan_csv_roundtrip" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/csv-nation"
+      Tables(s, dir, "nation").write.mode("overwrite")
+        .option("header", "true").csv(scratch)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(scratch)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // JSON-lines sink + source roundtrip. Doubles survive exactly: the
+    // writer emits shortest-roundtrip decimal text, the reader parses
+    // it back to the identical bits the oracle reads from parquet.
+    "scan_json_roundtrip" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/json-supplier"
+      Tables(s, dir, "supplier").write.mode("overwrite").json(scratch)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(scratch)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Hive-style partitioned parquet sink, read back with a filter on
+    // the partition column: the read plan prunes to ONE directory
+    // (PartitionFilters, no data files of other priorities touched) —
+    // the layout that makes per-partition 100 TB reads cheap.
+    "sink_partitioned" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/part-orders"
+      Tables(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(scratch)
+      s.read.parquet(scratch)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -62,6 +105,22 @@ object ScanOps extends OpPack {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate <  TIMESTAMP '1997-07-01'
-        |ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
+
+    "scan_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "scan_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "sink_partitioned" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${Tables.sql.moneySum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -112,6 +112,18 @@ object WindowOps extends OpPack {
         .select(col("o_orderkey"), col("o_custkey"), col("first_order"),
           col("last_order"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // nth_value over the full partition frame (deterministic: the
+    // window order ends in the unique c_custkey tie-breaker).
+    "win_nth_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          nth_value(col("c_name"), 2).over(w).as("second_name"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -185,6 +197,16 @@ object WindowOps extends OpPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_nth_value" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  nth_value(c_name, 2) OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_name
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
   )
 }
