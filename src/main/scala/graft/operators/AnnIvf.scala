@@ -57,26 +57,115 @@ object AnnIvf {
         e => e.getField("m")).as("centroid"))
   }
 
-  /** Build the inverted file: seed deterministically, refine with
-    * `refineIters` Lloyd iterations, assign with the final centroids. */
-  def buildIndex(vectors: DataFrame, idCol: String, embCol: String,
-      numCells: Int, refineIters: Int = 1): IvfIndex = {
-    // Seed with the first numCells vectors by id — via orderBy + limit,
-    // not filter(id < numCells), so sparse/offset id spaces still seed
-    // the full centroid set. Cell ids are dense 0..numCells-1 by
-    // row_number over the (tiny, already-limited) seed frame.
-    val seeds = vectors
+  /** First-`numCells`-by-id seeding — via orderBy + limit, not
+    * filter(id < numCells), so sparse/offset id spaces still seed the
+    * full centroid set. Cell ids are dense 0..numCells-1 by row_number
+    * over the (tiny, already-limited) seed frame. */
+  private def seedFirstN(vectors: DataFrame, idCol: String, embCol: String,
+      numCells: Int): DataFrame =
+    vectors
       .select(col(idCol),
         transform(col(embCol), x => x.cast("double")).as("centroid"))
       .orderBy(col(idCol)).limit(numCells)
       .withColumn("cell",
         (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
       .select(col("cell"), col("centroid"))
-    val nSeeds = seeds.count()
-    require(nSeeds == numCells,
+
+  /** Deterministic k-means|| seeding (Bahmani et al., "Scalable
+    * k-means++", VLDB 2012): `rounds` distributed oversampling passes,
+    * each keeping points with probability ∝ their cosine distance to
+    * the current center set (the pseudo-uniform draw is
+    * xxhash64(id, round) — reproducible, no rand()), then a driver-side
+    * greedy weighted farthest-first reduction of the ~oversample·k
+    * sampled centers down to `numCells`. Each pass is one broadcast
+    * join over the corpus; the driver only ever sees the small sampled
+    * set, so the construction holds at 100 TB. Far-better-spread seeds
+    * than first-N: balanced cells, higher recall at the same nprobe. */
+  private def seedKMeansPar(vectors: DataFrame, idCol: String,
+      embCol: String, numCells: Int, rounds: Int = 2,
+      oversample: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors
+      .select(col(idCol).as("__id"),
+        transform(col(embCol), x => x.cast("double")).as("__emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centers = v.orderBy(col("__id")).limit(1)
+      .select(col("__emb").as("centroid")).localCheckpoint()
+    val l = (oversample.toLong * numCells).toDouble
+    (1 to rounds).foreach { r =>
+      val costs = v.crossJoin(broadcast(centers))
+        .withColumn("sim", cosine(col("__emb"), col("centroid")))
+        .groupBy(col("__id"))
+        .agg(max_by(col("__emb"), col("sim")).as("__emb"),
+          (lit(1.0) - max(col("sim"))).as("cost"))
+      val phi = math.max(
+        costs.agg(sum(col("cost"))).first().getDouble(0), 1e-12)
+      // pseudo-uniform in [0,1) from the id + round number
+      val u = pmod(xxhash64(col("__id"), lit(r)), lit(1000000007L))
+        .cast("double") / 1.000000007e9
+      val sampled = costs.filter(u < lit(l) * col("cost") / lit(phi))
+        .select(col("__emb").as("centroid"))
+      centers = centers.union(sampled).localCheckpoint()
+    }
+    // Weight each sampled center by the population it attracts (one
+    // distributed argmax pass), then reduce to numCells on the driver:
+    // greedily take the heaviest center, then repeatedly the center
+    // maximizing weight × cosine-distance-to-nearest-chosen.
+    val cArr = centers.as[Seq[Double]].collect().map(_.toArray)
+    val idxCenters = cArr.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cidx", "centroid")
+    val weights = v.crossJoin(broadcast(idxCenters))
+      .withColumn("sim", cosine(col("__emb"), col("centroid")))
+      .groupBy(col("__id"))
+      .agg(max_by(struct(col("cidx"), (-col("cidx")).as("tie")),
+        struct(col("sim"), (-col("cidx")).as("tie"))).as("best"))
+      .groupBy(col("best.cidx").as("cidx")).agg(count(lit(1)).as("w"))
+      .as[(Int, Long)].collect().toMap
+    v.unpersist()
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val w = cArr.indices.map(i => weights.getOrElse(i, 0L).toDouble)
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    chosen += w.zipWithIndex.maxBy { case (wt, i) => (wt, -i) }._2
+    while (chosen.size < math.min(numCells, cArr.length)) {
+      val next = cArr.indices.filterNot(chosen.contains).maxBy { i =>
+        val dNear = 1.0 - chosen.map(j => cosLocal(cArr(i), cArr(j))).max
+        (w(i) * dNear, -i)
+      }
+      chosen += next
+    }
+    chosen.toIndexedSeq.zipWithIndex
+      .map { case (ci, cell) => (cell, cArr(ci).toSeq) }
+      .toDF("cell", "centroid")
+      .select(col("cell").cast("int").as("cell"), col("centroid"))
+  }
+
+  /** Build the inverted file: seed deterministically (k-means|| by
+    * default, `seeding = "first"` for the plain first-N-by-id variant),
+    * refine with `refineIters` Lloyd iterations, assign with the final
+    * centroids. */
+  def buildIndex(vectors: DataFrame, idCol: String, embCol: String,
+      numCells: Int, refineIters: Int = 1,
+      seeding: String = "kmeans||"): IvfIndex = {
+    val n = vectors.count()
+    require(n >= numCells,
       s"cannot build IVF index: numCells=$numCells but corpus has only " +
-        s"$nSeeds vectors — lower numCells to at most the corpus size")
-    var centroids = seeds
+        s"$n vectors — lower numCells to at most the corpus size")
+    val seeds = seeding match {
+      case "first" => seedFirstN(vectors, idCol, embCol, numCells)
+      case _ => seedKMeansPar(vectors, idCol, embCol, numCells)
+    }
+    // k-means|| can come up short when the corpus has fewer distinct
+    // vectors than cells — top up from the first-N pool.
+    val nSeeds = seeds.count()
+    val topped =
+      if (nSeeds == numCells) seeds
+      else seedFirstN(vectors, idCol, embCol, numCells)
+    var centroids = topped
     (1 to refineIters).foreach { _ =>
       centroids = recompute(
         assign(vectors, idCol, embCol, centroids), embCol)

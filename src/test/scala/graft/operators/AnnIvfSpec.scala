@@ -87,7 +87,9 @@ class AnnIvfSpec extends AnyFunSuite {
       .collect().map(r2 => (r2.getAs[Long]("vec_id"), r2.getAs[Long]("nbr_id")))
       .toSet
     val recall = ann.intersect(exact).size.toDouble / exact.size
-    // deterministic for this fixed dataset/index: measured 0.487.
+    info(s"recall@3 nprobe=2/8: $recall")
+    // deterministic for this fixed dataset/index: measured 0.529 with
+    // k-means|| seeding (0.487 with first-N seeding).
     // The synthetic embeddings are near-random, so cells carry limited
     // signal — the bound asserts the index is genuinely informative
     // (probing 2 of 8 cells ≈ 2x the 0.25 random-probe baseline), not
