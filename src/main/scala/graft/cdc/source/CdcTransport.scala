@@ -157,14 +157,25 @@ final class ReplayTransport(path: String, gtid: Option[String])
   override def start(): Unit = {
     val all = Files.readAllLines(Paths.get(path), UTF_8).asScala.toSeq
       .filter(_.nonEmpty)
-    // Resume-from-GTID: DDL lines always replay (schema-first);
-    // DML lines replay from the requested sequence onward
-    // (server-side skip semantics of WithGTID, client.go:122-126).
+    // Resume-from-GTID: DDL lines always replay (schema-first); DML
+    // replays from the BINLOG POSITION of the requested GTID onward,
+    // inclusive (server-side seek semantics of WithGTID,
+    // client.go:122-126) — position-based so multi-domain feeds resume
+    // correctly. If the GTID is not in the file, fall back to the
+    // per-sequence skip.
     lines = gtid.flatMap(Protocol.parseGtid) match {
-      case Some((_, _, seq)) => all.filter { l =>
-        !Protocol.isDmlEvent(l) ||
-          Protocol.decodeDmlEvent(l).sequence >= seq
-      }
+      case Some((d, s, seq)) =>
+        val target = Protocol.formatGtid(d, s, seq)
+        val idx = all.indexWhere(l => Protocol.isDmlEvent(l) &&
+          Protocol.decodeDmlEvent(l).gtid == target)
+        if (idx >= 0)
+          all.zipWithIndex.collect {
+            case (l, i) if !Protocol.isDmlEvent(l) || i >= idx => l
+          }
+        else all.filter { l =>
+          !Protocol.isDmlEvent(l) ||
+            Protocol.decodeDmlEvent(l).sequence >= seq
+        }
       case None => all
     }
   }

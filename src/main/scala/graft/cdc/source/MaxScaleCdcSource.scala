@@ -118,9 +118,16 @@ final class MaxScaleCdcTable(properties: util.Map[String, String])
   * sequence (the server replays from the resume GTID inclusive; the
   * already-delivered head is dropped by sequence comparison); schema
   * DDL records are at-least-once — every (re)connection sends the
-  * schema first, exactly like the reference stream. Sequence
-  * comparison assumes one (domain, server_id) per stream, which is
-  * what a MaxScale avrorouter per-table feed provides.
+  * schema first, exactly like the reference stream.
+  *
+  * Multi-domain feeds: the offset also carries a per-(domain,
+  * server_id) sequence watermark map (`marks`). Sequences are
+  * per-replication-stream counters, so redelivery after a restart is
+  * deduplicated against the watermark of the SAME "domain-server" key
+  * — a single global threshold would misdrop or duplicate events when
+  * several replication domains interleave on one feed. Offsets from
+  * older checkpoints (no marks) fall back to the single-threshold
+  * rule derived from the resume GTID.
   *
   * Recovered-batch stability contract: when a batch [s,e) that was
   * planned before a restart is replayed, its row CONTENT is stable
@@ -135,10 +142,17 @@ final class MaxScaleCdcTable(properties: util.Map[String, String])
   * number, and the source fails loudly instead of silently delivering
   * displaced rows to a transactional sink keyed on batch id.
   */
-final case class CdcOffset(index: Long, lastGtid: String, ddl: Long = -1L)
-    extends Offset {
-  override def json(): String =
-    s"""{"n":$index,"gtid":"$lastGtid","ddl":$ddl}"""
+final case class CdcOffset(index: Long, lastGtid: String, ddl: Long = -1L,
+    marks: Map[String, Long] = Map.empty) extends Offset {
+  override def json(): String = {
+    // sorted keys → byte-stable offset log entries
+    val m =
+      if (marks.isEmpty) ""
+      else marks.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","marks":{""", ",", "}")
+    s"""{"n":$index,"gtid":"$lastGtid","ddl":$ddl$m}"""
+  }
 }
 
 object CdcOffset {
@@ -148,7 +162,15 @@ object CdcOffset {
     // ddl defaults to -1 ("unknown") for offsets written by older
     // checkpoints — recovery verification is skipped for those.
     val ddl = if (node.has("ddl")) node.path("ddl").asLong() else -1L
-    CdcOffset(node.path("n").asLong(), node.path("gtid").asText(""), ddl)
+    val marks =
+      if (!node.has("marks")) Map.empty[String, Long]
+      else {
+        val it = node.path("marks").properties().iterator()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+        b.result()
+      }
+    CdcOffset(node.path("n").asLong(), node.path("gtid").asText(""), ddl, marks)
   }
 }
 
@@ -164,9 +186,12 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
   // Cumulative count of schema/DDL lines delivered since stream origin
   // (carried in CdcOffset.ddl — see the offset contract above).
   private var ddlCount = 0L
-  // Sequences at or below this were delivered before a restart and
-  // will be redelivered by the server's inclusive GTID replay — drop.
-  private var dedupeThroughSeq = Long.MinValue
+  // Per-(domain, server) high-water sequence of delivered DML, carried
+  // in CdcOffset.marks (the multi-domain watermark map).
+  private val marks = scala.collection.mutable.Map[String, Long]()
+  // Dedupe thresholds captured at restore: a redelivered DML at or
+  // below its OWN stream's ("domain-server") threshold is dropped.
+  private var dedupe: Map[String, Long] = Map.empty
   // Smallest checkpointed offset seen before the transport started =
   // the committed position to resume from.
   private var restore: Option[CdcOffset] = None
@@ -189,8 +214,12 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
         lastGtid = o.lastGtid
         restoreDdl = o.ddl
         if (o.ddl >= 0) ddlCount = o.ddl
-        dedupeThroughSeq = Protocol.parseGtid(o.lastGtid)
-          .map(_._3).getOrElse(Long.MinValue)
+        dedupe =
+          if (o.marks.nonEmpty) o.marks
+          else Protocol.parseGtid(o.lastGtid) // pre-marks checkpoint
+            .map { case (d, s, q) => Map(s"$d-$s" -> q) }
+            .getOrElse(Map.empty)
+        marks ++= dedupe
       }
       transport = MaxScaleCdcSource.transportFor(effectiveOpts)
       transport.start()
@@ -203,9 +232,12 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
     transport.poll().foreach { line =>
       if (Protocol.isDmlEvent(line)) {
         val e = Protocol.decodeDmlEvent(line)
-        if (e.sequence > dedupeThroughSeq) {
+        val key = s"${e.domain}-${e.serverId}"
+        if (e.sequence > dedupe.getOrElse(key, Long.MinValue)) {
           buffer += line
           lastGtid = e.gtid
+          marks(key) = math.max(marks.getOrElse(key, Long.MinValue),
+            e.sequence)
         } // else: inclusive redelivery of an already-delivered event
       } else {
         // Schema records are at-least-once, EXCEPT while recovering a
@@ -249,7 +281,9 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     captureRestore(start.asInstanceOf[CdcOffset])
     ensureStarted(); drain()
-    synchronized { CdcOffset(firstIndex + buffer.size, lastGtid, ddlCount) }
+    synchronized {
+      CdcOffset(firstIndex + buffer.size, lastGtid, ddlCount, marks.toMap)
+    }
   }
 
   override def latestOffset(): Offset =

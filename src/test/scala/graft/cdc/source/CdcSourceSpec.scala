@@ -154,6 +154,46 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(out.count() == 6)
   }
 
+  test("replay: multi-domain restart dedupes per (domain, server) watermark") {
+    def dmlD(domain: Int, seq: Int, id: Int) =
+      s"""{"domain": $domain, "server_id": 3000, "sequence": $seq, "event_number": 1, "timestamp": 17000000$seq, "event_type": "insert", "table_name": "tests", "table_schema": "test", "id": $id}"""
+    val f = Files.createTempFile("cdc-md", ".ndjson")
+    val ckpt = Files.createTempDirectory("cdc-md-ckpt").toString
+    val sink = Files.createTempDirectory("cdc-md-sink").toString
+    // Two replication domains interleaved on one feed, each with its
+    // own sequence counter — domain 1 sequences are BELOW domain 0's,
+    // so a single global threshold would misdrop them on restart.
+    Files.write(f, (Seq(ddl) ++ Seq(dmlD(0, 7, 1), dmlD(1, 3, 2),
+      dmlD(0, 8, 3), dmlD(1, 4, 4))).mkString("\n").getBytes(UTF_8))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("replayFile", f.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run()
+    assert(spark.read.parquet(sink).count() == 5) // ddl + 4 dml
+
+    // both domains grow while the stream is down; the replayed head
+    // after the position-seek must be deduped per (domain, server)
+    Files.write(f, ("\n" + Seq(dmlD(1, 5, 5), dmlD(0, 9, 6)).mkString("\n"))
+      .getBytes(UTF_8), java.nio.file.StandardOpenOption.APPEND)
+    run()
+    val out = spark.read.parquet(sink)
+    val got = out.filter(col("event_type") =!= "ddl")
+      .select(col("domain"), col("sequence")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((0, 7L), (0, 8L), (0, 9L), (1, 3L), (1, 4L), (1, 5L)),
+      s"every (domain, sequence) exactly once, got $got")
+    assert(out.filter(col("event_type") === "ddl").count() == 2)
+  }
+
   test("socket: unreachable address fails the query (client_test.go:19-27)") {
     val closed = new ServerSocket(0)
     val port = closed.getLocalPort
