@@ -29,8 +29,9 @@ import scala.collection.mutable.ArrayBuffer
   * `table`, optional `version`, `gtid` (resume offset, server-side
   * skip), `connectTimeoutMs`, `readTimeoutMs`, `schemaWaitMaxMs`
   * (bound the ERR-wait-for-schema loop; 0 = wait forever like the
-  * reference) — or `replayFile` for the NDJSON file replay used in
-  * tests.
+  * reference), `maxLinesPerBatch` (admission control: cap lines per
+  * micro-batch for bounded batch memory behind a backlog) — or
+  * `replayFile` for the NDJSON file replay used in tests.
   *
   * Output schema = the DML envelope (SURVEY.md §1.2) + `raw`
   * (verbatim event JSON, payload projectable with `from_json(raw,
@@ -202,6 +203,12 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
   // this index, re-sent schema lines are suppressed iff the original
   // attempt delivered none in the range (offset contract above).
   private var recoveryTarget: Option[CdcOffset] = None
+  // Offset state AT firstIndex (advanced in commit() as the committed
+  // prefix is dropped) — the baseline for synthesizing mid-buffer
+  // offsets under ReadLimit.maxRows admission control.
+  private var baseGtid = ""
+  private var baseDdl = 0L
+  private val baseMarks = scala.collection.mutable.Map[String, Long]()
 
   private def ensureStarted(): Unit = synchronized {
     if (!started) {
@@ -220,6 +227,9 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
             .map { case (d, s, q) => Map(s"$d-$s" -> q) }
             .getOrElse(Map.empty)
         marks ++= dedupe
+        baseGtid = o.lastGtid
+        baseDdl = math.max(o.ddl, 0L)
+        baseMarks ++= dedupe
       }
       transport = MaxScaleCdcSource.transportFor(effectiveOpts)
       transport.start()
@@ -273,7 +283,32 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
     o
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Backpressure: with `maxLinesPerBatch` set, each micro-batch
+    * admits at most that many lines (ReadLimit.maxRows) — bounded
+    * batch memory and bounded recovery replay regardless of how far
+    * the stream is behind, instead of one unbounded catch-up batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    opts.get("maxlinesperbatch") // keys lowercased by MaxScaleCdcTable
+      .map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Offset fields (gtid / ddl count / watermark map) as of a
+    * mid-buffer index: replay the baseline state at firstIndex through
+    * the buffered lines below `endIdx`. Only used for capped batches. */
+  private def offsetAt(endIdx: Long): CdcOffset = {
+    var g = baseGtid
+    var d = baseDdl
+    val m = scala.collection.mutable.Map[String, Long](baseMarks.toSeq: _*)
+    buffer.take((endIdx - firstIndex).toInt).foreach { line =>
+      if (Protocol.isDmlEvent(line)) {
+        val ev = Protocol.decodeDmlEvent(line)
+        g = ev.gtid
+        val k = s"${ev.domain}-${ev.serverId}"
+        m(k) = math.max(m.getOrElse(k, Long.MinValue), ev.sequence)
+      } else d += 1
+    }
+    CdcOffset(endIdx, g, d, m.toMap)
+  }
 
   /** Admission-control variant — the engine passes the checkpointed
     * start offset here on a clean restart, which is the only hook
@@ -282,7 +317,15 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
     captureRestore(start.asInstanceOf[CdcOffset])
     ensureStarted(); drain()
     synchronized {
-      CdcOffset(firstIndex + buffer.size, lastGtid, ddlCount, marks.toMap)
+      val avail = firstIndex + buffer.size
+      val cap = limit match {
+        case mr: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          math.min(avail,
+            start.asInstanceOf[CdcOffset].index + mr.maxRows())
+        case _ => avail
+      }
+      if (cap >= avail) CdcOffset(avail, lastGtid, ddlCount, marks.toMap)
+      else offsetAt(cap)
     }
   }
 
@@ -350,8 +393,20 @@ final class MaxScaleCdcMicroBatchStream(opts: Map[String, String])
 
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[CdcOffset].index
-    val drop = (e - firstIndex).toInt
-    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)) }
+    val drop = math.min((e - firstIndex).toInt, buffer.size)
+    if (drop > 0) {
+      // advance the firstIndex baseline state over the dropped prefix
+      buffer.take(drop).foreach { line =>
+        if (Protocol.isDmlEvent(line)) {
+          val ev = Protocol.decodeDmlEvent(line)
+          baseGtid = ev.gtid
+          val k = s"${ev.domain}-${ev.serverId}"
+          baseMarks(k) =
+            math.max(baseMarks.getOrElse(k, Long.MinValue), ev.sequence)
+        } else baseDdl += 1
+      }
+      buffer.remove(0, drop)
+    }
     firstIndex = math.max(firstIndex, e)
   }
 

@@ -154,6 +154,31 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(out.count() == 6)
   }
 
+  test("replay: maxLinesPerBatch splits a backlog into bounded micro-batches") {
+    val f = Files.createTempFile("cdc-cap", ".ndjson")
+    Files.write(f, (Seq(ddl) ++ (1 to 10).map(i => dml(6 + i, i)))
+      .mkString("\n").getBytes(UTF_8))
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("replayFile", f.toString)
+      .option("maxLinesPerBatch", "3")
+      .load()
+      .writeStream.format("memory").queryName("cdc_capped")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    val out = spark.table("cdc_capped")
+    // 11 lines / cap 3 → at least 4 non-empty batches, none above cap
+    assert(batches.length >= 4,
+      s"expected a split backlog, got ${batches.length} non-empty batches")
+    assert(batches.forall(_.numInputRows <= 3),
+      s"batch sizes ${batches.map(_.numInputRows).toSeq} exceed the cap")
+    val seqs = out.filter(col("event_type") =!= "ddl")
+      .select("sequence").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (7L to 16L), s"every DML exactly once, got $seqs")
+    assert(out.count() == 11)
+  }
+
   test("replay: multi-domain restart dedupes per (domain, server) watermark") {
     def dmlD(domain: Int, seq: Int, id: Int) =
       s"""{"domain": $domain, "server_id": 3000, "sequence": $seq, "event_number": 1, "timestamp": 17000000$seq, "event_type": "insert", "table_name": "tests", "table_schema": "test", "id": $id}"""
