@@ -191,6 +191,19 @@ object AggOps extends OpPack {
             .as("price_at_min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Wide→long unpivot (melt): per-flag metric columns become
+    // (metric, val) rows — one narrow pass over the already-aggregated
+    // frame, no shuffle beyond the aggregation's.
+    "agg_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "val")
+        .orderBy(col("l_returnflag"), col("metric"))
     })
   )
 
@@ -320,6 +333,18 @@ object AggOps extends OpPack {
         |  max(o_orderkey) AS max_key
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // UNION ALL long-form — dialect-stable equivalent of UNPIVOT
+    "agg_unpivot" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag,
+         |    ${Tables.sql.moneySum("l_quantity")} AS sum_qty,
+         |    ${Tables.sql.moneySum("l_extendedprice")} AS sum_price
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM g
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price', sum_price FROM g
+         |ORDER BY l_returnflag, metric""".stripMargin
   )
 }

@@ -65,6 +65,40 @@ object SubqueryOps extends OpPack {
                                 WHERE o_totalprice > 400000)
           AND c_acctbal > 9500
         ORDER BY c_custkey""")
+    }),
+
+    // EXISTS in a disjunction cannot rewrite to a plain semi join (the
+    // other disjunct must still pass rows through) → Catalyst plans an
+    // ExistenceJoin: a semi-join variant emitting an exists flag
+    // consumed by the filter. Still one hash join, not per-row probes.
+    "join_existence" -> ((s, dir) => {
+      reg(s, dir, "customer", "orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE c_acctbal > 9900
+           OR EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 550000)
+        ORDER BY c_custkey""")
+    }),
+
+    // LATERAL correlated subquery: per-customer top order. Catalyst
+    // decorrelates the LIMIT-bearing lateral into a window top-k join
+    // — never a per-row re-scan of orders.
+    "sub_lateral" -> ((s, dir) => {
+      reg(s, dir, "customer", "orders")
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 1) t
+        WHERE c_acctbal > 9000
+        ORDER BY c_custkey""")
     })
   )
 
@@ -97,6 +131,27 @@ object SubqueryOps extends OpPack {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_totalprice > 400000)
         |  AND c_acctbal > 9500
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_existence" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE c_acctbal > 9900
+        |   OR EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 550000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sub_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 1) t ON true
+        |WHERE c_acctbal > 9000
         |ORDER BY c_custkey""".stripMargin
   )
 }

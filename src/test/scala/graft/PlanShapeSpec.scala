@@ -85,6 +85,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") || p.contains("Semi"))
   }
 
+  test("EXISTS-in-disjunction plans an ExistenceJoin, not per-row probes") {
+    val p = plan("join_existence")
+    assert(p.contains("ExistenceJoin"))
+  }
+
+  test("LATERAL + LIMIT decorrelates to a WindowGroupLimit top-k join") {
+    val p = plan("sub_lateral")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Join"))
+  }
+
   test("agg_group uses two-phase hash aggregation") {
     val p = plan("agg_group")
     assert(p.contains("HashAggregate"))
