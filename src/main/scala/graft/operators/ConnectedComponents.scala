@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation.
+  *
+  * Input: an undirected edge list (any direction, duplicates fine).
+  * Output: one row per vertex appearing in an edge, labeled with the
+  * minimum vertex id of its component (`id`, `component`).
+  *
+  * Each round is one shuffle — join every vertex's current label to
+  * its neighbors, take the per-vertex min of (own ∪ neighbor) labels —
+  * so convergence takes O(component diameter) rounds; near-dup /
+  * similarity graphs have tiny diameters in practice, and `maxRounds`
+  * bounds the adversarial chain case. `localCheckpoint` after every
+  * round truncates lineage, keeping round N's plan from replaying
+  * rounds 1..N-1 (the standard iterative-algorithm hygiene on Spark).
+  * The same shape generalizes to the large-star/small-star
+  * optimization if component diameters grow.
+  */
+object ConnectedComponents {
+
+  def run(edgeList: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val pairs = edgeList
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val edges = pairs
+      .union(pairs.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("__src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "__dst"), "__dst")
+        .select(col("__src").as("id"), col("component"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") < col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

@@ -155,12 +155,10 @@ object DedupOps extends OpPack {
     // 3-gram-Jaccard >= 0.05 pair graph (the llm_dedup_ngram edges),
     // every document labeled with the min doc_id of its component —
     // the "keep one per cluster" step that follows pair generation in
-    // a production dedup pipeline. Distributed min-label propagation:
-    // each round is one shuffle (neighbor-join + min-agg), converging
-    // in O(component diameter) rounds; localCheckpoint truncates the
-    // growing lineage so round N's plan doesn't replay rounds 1..N-1.
-    // Near-dup components are tiny in practice (diameter ≪ 10), and a
-    // 25-round cap bounds the pathological chain case.
+    // a production dedup pipeline. The propagation loop lives in
+    // [[graft.operators.ConnectedComponents]] (property-tested against
+    // a sequential union-find model); docs outside every pair stay
+    // their own singleton cluster.
     "llm_dedup_cluster" -> ((s, dir) => {
       val sh = shingles(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -176,32 +174,13 @@ object DedupOps extends OpPack {
           "doc_b")
         .filter(col("n_inter") * 20 >= col("n_a") + col("n_b") - col("n_inter"))
         .select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val viaNeighbor = edges
-          .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-          .select(col("doc_a").as("doc_id"), col("label"))
-        val next = labels.union(viaNeighbor)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        changed = next
-          .join(labels.withColumnRenamed("label", "prev"), "doc_id")
-          .filter(col("label") < col("prev")).count()
-        labels = next
-        rounds += 1
-      }
-      edges.unpersist()
+      val labels = graft.operators.ConnectedComponents
+        .run(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
       Tables(s, dir, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
         .orderBy(col("doc_id"))
     })
   )

@@ -140,6 +140,45 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("connected components match a sequential union-find on random graphs") {
+    // small vertex range ⇒ dense-ish random graphs with small diameter
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(12, for {
+        a <- Gen.chooseNum(0L, 9L)
+        b <- Gen.chooseNum(0L, 9L) if a != b
+      } yield (a, b))
+    check(Prop.forAll(edgesGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.ConnectedComponents
+          .run(edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        // sequential union-find reference model
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = verts.map { v =>
+          v -> verts.filter(u => find(u) == find(v)).min
+        }.toMap
+        got == expect
+      }
+    })
+  }
+
+  test("connected components converge on a chain (worst-case diameter)") {
+    val chain = (0L until 10L).map(i => (i, i + 1)).toList
+    val got = graft.operators.ConnectedComponents
+      .run(chain.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
   test("jaccard verification: n_inter <= min sizes, n_union >= max sizes, symmetric threshold") {
     check(Prop.forAll(docsGen) { docs =>
       val df = docs.toDF("doc_id", "text")
