@@ -92,6 +92,30 @@ object TextOps extends OpPack {
           (length(col("w")) * 131 + ascii(col("w"))))) % 1000000007L)
           .as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF-style distinctive terms: top-3 terms per doc ranked by
+    // tf/df as the INTEGER score tf·10⁶ div df (N is constant within a
+    // ranking so the idf numerator drops out; integer division keeps
+    // both engines bit-identical). Two hash aggregations over (doc,
+    // token) pairs + a broadcast-sized df join + per-doc top-k with
+    // the WindowGroupLimit pushdown — linear in corpus size.
+    "llm_tfidf" -> ((s, dir) => {
+      val tok = toks(s, dir)
+      val tf = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumnRenamed("w", "term")
+      val dfreq = tok.groupBy(col("w").as("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("term"))
+      tf.join(dfreq, "term")
+        .withColumn("score", expr("(tf * 1000000L) div df"))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), col("term"))
     })
   )
 
@@ -145,6 +169,25 @@ object TextOps extends OpPack {
         |  CAST(sum(pos * (131 * length(w) + ascii(w))) % 1000000007
         |    AS BIGINT) AS fingerprint
         |FROM t WHERE w <> ''
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |tf AS (SELECT doc_id, w AS term, count(*) AS tf
+        |       FROM tok2 GROUP BY doc_id, w),
+        |dfreq AS (SELECT w AS term, count(DISTINCT doc_id) AS df
+        |          FROM tok2 GROUP BY w)
+        |SELECT doc_id, term, tf, df, score FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    (tf.tf * 1000000) // dfreq.df AS score,
+        |    row_number() OVER (
+        |      PARTITION BY tf.doc_id
+        |      ORDER BY (tf.tf * 1000000) // dfreq.df DESC, tf.term) AS rn
+        |  FROM tf JOIN dfreq USING (term))
+        |WHERE rn <= 3
+        |ORDER BY doc_id, term""".stripMargin
   )
 }
