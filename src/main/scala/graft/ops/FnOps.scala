@@ -164,6 +164,23 @@ object FnOps extends OpPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Higher-order lambdas beyond fn_array's filter/size: exists /
+    // forall predicates and a left-fold aggregate. All comparisons and
+    // the fold run in double (float→double casts are exact), and both
+    // engines fold left-to-right over the same element order, so the
+    // computed sum is bit-identical before rounding.
+    "fn_higher_order" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          exists(col("embedding"),
+            x => x.cast("double") > lit(0.9)).as("any_big"),
+          forall(col("embedding"),
+            x => x.cast("double") > lit(-1.0)).as("all_gt_neg1"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 2).as("sum_emb"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Cryptographic digests (the reference's only scalar computation is
     // SHA-1+hex auth encoding, client.go:324-347 — this is the digest
     // surface generalized): md5 / sha2-256 hex over document text.
@@ -290,6 +307,18 @@ object FnOps extends OpPack {
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
         |  CAST(length(text) AS INT) AS len
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "fn_higher_order" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding,
+        |    x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS any_big,
+        |  len(list_filter(embedding,
+        |    x -> NOT (CAST(x AS DOUBLE) > -1.0))) = 0 AS all_gt_neg1,
+        |  round(list_reduce(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    (a, b) -> a + b), 2) AS sum_emb
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -42,4 +42,18 @@ class PartitionPruningSpec extends AnyFunSuite {
       .filter(col("day") === firstDay).head().getLong(1)
     assert(q.count() === expected)
   }
+
+  test("sink_partitioned's read-back prunes on the partition column") {
+    // build the query once so it writes its partitioned scratch dir
+    ops.ScanOps.queries("sink_partitioned")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/part-orders"
+    val q = spark.read.parquet(scratch)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse(plan)
+    assert(scanLine.contains("o_orderpriority"),
+      s"priority predicate not in PartitionFilters:\n$plan")
+  }
 }
