@@ -36,14 +36,20 @@ object ConnectedComponents {
     while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "__dst"), "__dst")
-        .select(col("__src").as("id"), col("component"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .select(col("__src").as("id"), col("component"),
+          lit(null).cast("long").as("own"))
+      // fold the vertex's previous label into the same aggregation
+      // (min ignores the neighbor rows' null `own`), so convergence is
+      // a filter-count over the checkpointed result — no extra join
+      // shuffle per round.
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("own"))
+        .union(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"), min(col("own")).as("own"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("component") < col("own")).count()
+      labels = next.select(col("id"), col("component"))
       rounds += 1
     }
     edges.unpersist()
