@@ -49,6 +49,40 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:10:00") == 1L)
   }
 
+  test("stream-stream join: time-bounded inner join emits matched pairs, watermark bounds state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // clicks joined to purchases of the same user within [0, 10 min]
+    // after the click — both sides watermarked so Spark can bound the
+    // join state instead of buffering each side forever.
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    clicks.addData((ts(0), 1L, 100L), (ts(2), 2L, 101L))
+    purchases.addData((ts(5), 1L, 200L))       // matches click 100
+    q.processAllAvailable()
+    purchases.addData((ts(20), 2L, 201L))      // outside click 101's window
+    purchases.addData((ts(3), 3L, 202L))       // no click for user 3
+    clicks.addData((ts(30), 4L, 102L))
+    purchases.addData((ts(35), 4L, 203L))      // matches click 102
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 200L), (102L, 203L)),
+      s"only in-window same-user pairs join, got $got")
+  }
+
   test("stateful dropDuplicates emits each key once across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
