@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by alternating large-star /
+  * small-star contraction (the two-operation scheme from the public
+  * MapReduce connected-components literature).
+  *
+  * Same contract as [[ConnectedComponents]]: input is an undirected
+  * edge list (any direction, duplicates and self-loops fine), output
+  * is one row per vertex appearing in an edge, labeled with the
+  * minimum vertex id of its component (`id`, `component`).
+  *
+  * Why a second algorithm: min-label propagation needs O(diameter)
+  * rounds — fine for near-dup graphs (tiny diameters), quadratic-ish
+  * wall-clock on chains. Large-star/small-star contracts the graph
+  * toward stars centered at component minima in O(log n) rounds
+  * regardless of diameter, at the cost of two grouped shuffles per
+  * round instead of one join. Use this when cluster diameters are
+  * unbounded (link graphs, co-citation), propagation when they are
+  * known-small (shingle similarity).
+  *
+  *  - large-star: every vertex connects its *larger* neighbors to the
+  *    minimum of its closed neighborhood.
+  *  - small-star: every vertex connects its *smaller-or-equal*
+  *    neighbors (and itself) to that minimum.
+  *
+  * Both steps are per-vertex local (one groupBy + one equi-join each),
+  * preserve connectivity, and strictly shrink a monovariant, so the
+  * alternation converges to per-component stars. `localCheckpoint`
+  * after every round truncates lineage (iterative-algorithm hygiene).
+  */
+object BigStarCC {
+
+  private val U = "__u"
+  private val V = "__v"
+
+  def run(edgeList: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val raw = edgeList
+      .select(col(srcCol).cast("long").as(U), col(dstCol).cast("long").as(V))
+    var edges = raw
+      .filter(col(U) =!= col(V))
+      .select(least(col(U), col(V)).as(U), greatest(col(U), col(V)).as(V))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < maxRounds) {
+      // ---- large-star ----
+      // Symmetrize (every edge seen from both endpoints), compute the
+      // closed-neighborhood min m(u), re-attach strictly-larger
+      // neighbors to it.
+      val sym = edges.union(edges.select(col(V).as(U), col(U).as(V)))
+      val mL = sym.groupBy(col(U)).agg(min(col(V)).as("__minv"))
+        .select(col(U), least(col(U), col("__minv")).as("__m"))
+      val afterL = sym.join(mL, U)
+        .filter(col(V) > col(U))
+        .select(col(V).as(U), col("__m").as(V))
+        .filter(col(U) =!= col(V))
+        .distinct()
+      // ---- small-star ----
+      // Key every edge by its larger endpoint; with all neighbors
+      // ≤ u, m = min(N(u)); re-attach N(u) ∪ {u} (minus m itself).
+      val toLarger = afterL
+        .select(greatest(col(U), col(V)).as(U), least(col(U), col(V)).as(V))
+        .distinct()
+      val mS = toLarger.groupBy(col(U)).agg(min(col(V)).as("__m"))
+      val next = toLarger.join(mS, U)
+        .select(col(V).as(U), col("__m").as(V))
+        .filter(col(U) =!= col(V))
+        .union(mS.select(col(U), col("__m").as(V)))
+        .select(least(col(U), col(V)).as(U), greatest(col(U), col(V)).as(V))
+        .distinct()
+        .localCheckpoint()
+      // Converged when the canonical edge set is unchanged: both are
+      // distinct sets, so equal counts + empty difference ⇒ equality.
+      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // At convergence the graph is a union of stars centered at each
+    // component's minimum, so in the canonical (small, large) edge
+    // orientation the center is always the U side: a leaf's component
+    // is U, the center's is itself. Isolated vertices (self-loop-only
+    // input) keep their own id.
+    val labels = edges.select(col(V).as("id"), col(U).as("component"))
+      .union(edges.select(col(U).as("id"), col(U).as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+    val verts = raw.select(col(U).as("id"))
+      .union(raw.select(col(V).as("id"))).distinct()
+    verts.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -160,22 +160,25 @@ object DedupOps extends OpPack {
     // a sequential union-find model); docs outside every pair stay
     // their own singleton cluster.
     "llm_dedup_cluster" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val pairs = a.join(b, col("sh") === col("sh_b") &&
-          col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-          "doc_b")
-        .filter(col("n_inter") * 20 >= col("n_a") + col("n_b") - col("n_inter"))
-        .select(col("doc_a"), col("doc_b"))
       val labels = graft.operators.ConnectedComponents
-        .run(pairs, "doc_a", "doc_b")
+        .run(nearDupPairs(s, dir), "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Same cluster assignment, computed by large-star/small-star
+    // contraction ([[graft.operators.BigStarCC]]) instead of label
+    // propagation: O(log n) rounds independent of component diameter —
+    // the variant to reach for when duplicate chains can be long
+    // (template families, boilerplate ladders). Identical output, same
+    // oracle closure.
+    "llm_cc_bigstar" -> ((s, dir) => {
+      val labels = graft.operators.BigStarCC
+        .run(nearDupPairs(s, dir), "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
       Tables(s, dir, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left_outer")
@@ -184,6 +187,25 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** The J≥0.05 3-gram-Jaccard near-dup pair graph (doc_a < doc_b),
+    * shared by both connected-components variants. Integer-only
+    * threshold: n_inter·20 ≥ union. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .filter(col("n_inter") * 20 >= col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"))
+  }
 
   private val tokPairSql =
     """WITH tok AS (
@@ -296,7 +318,12 @@ object DedupOps extends OpPack {
 
     // Connected components via recursive transitive closure (closure
     // is tiny: only docs incident to a near-dup edge participate).
-    "llm_dedup_cluster" ->
+    // Both CC variants must produce this same closure.
+    "llm_dedup_cluster" -> clusterClosureSql,
+    "llm_cc_bigstar" -> clusterClosureSql
+  )
+
+  private val clusterClosureSql =
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
@@ -331,5 +358,4 @@ object DedupOps extends OpPack {
         |LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
         |  ON d.doc_id = m.u
         |ORDER BY d.doc_id""".stripMargin
-  )
 }

@@ -191,6 +191,22 @@ object FnOps extends OpPack {
           sha2(col("text"), 256).as("h_sha256"),
           length(col("text")).as("len"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Struct (nested-record) surface: build a named struct, filter and
+    // project through dotted field access. Catalyst collapses the
+    // build-then-extract into plain column references (no struct is
+    // materialized in the scan→filter→project pipeline), so nesting is
+    // free at scale; the oracle builds a real DuckDB STRUCT.
+    "fn_struct" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(struct(col("o_orderkey").as("k"),
+          col("o_totalprice").as("v"),
+          col("o_orderstatus").as("st")).as("rec"))
+        .filter(col("rec.v") > 480000)
+        .select(col("rec.k").as("k"), col("rec.st").as("st"),
+          col("rec").getField("v").as("v"))
+        .orderBy(col("k"))
     })
   )
 
@@ -308,6 +324,14 @@ object FnOps extends OpPack {
         |  CAST(length(text) AS INT) AS len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "fn_struct" ->
+      """SELECT rec.k AS k, rec.st AS st, rec.v AS v
+        |FROM (SELECT {'k': o_orderkey, 'v': o_totalprice,
+        |              'st': o_orderstatus} AS rec
+        |      FROM orders)
+        |WHERE rec.v > 480000
+        |ORDER BY k""".stripMargin,
 
     "fn_higher_order" ->
       """SELECT vec_id,

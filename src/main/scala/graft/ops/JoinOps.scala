@@ -163,6 +163,29 @@ object JoinOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Manually salted skew join: the events fact side concentrates all
+    // rows on 150 user keys (~67× hotter than a uniform custkey), so a
+    // plain hash join puts each hot key in ONE task. Salting splits
+    // every key 8 ways — fact rows get a deterministic salt
+    // (event_id % 8), the dimension is replicated across all 8 salts —
+    // so each hot key's rows spread over 8 tasks. Identical result to
+    // the unsalted join (the oracle runs that), which is the point:
+    // salting is a partitioning rewrite, not a semantic one. This is
+    // the static counterpart of AQE's runtime skew split (SkewJoinSpec)
+    // for the cases AQE can't fix (pre-shuffle aggregation skew, or a
+    // key so hot one ShuffleRead still exceeds a task).
+    "join_skew_salted" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("salt_f", pmod(col("event_id"), lit(8)).cast("int"))
+      val c = Tables(s, dir, "customer")
+        .withColumn("salt_d", explode(sequence(lit(0), lit(7))))
+      e.join(c, e("user_id") === c("c_custkey") &&
+          e("salt_f") === c("salt_d"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("max_event"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "join_asof" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
       val purchases = e.filter(col("event_type") === "purchase")
@@ -274,6 +297,12 @@ object JoinOps extends OpPack {
         |    ON a.user_id = b.u_b AND b.id_b > a.event_id
         |   AND b.es_b >= a.es AND b.es_b <= a.es + 60)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT c_custkey, count(*) AS n_events, max(event_id) AS max_event
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     // As-of on the (ts, event_id) total order: latest click at-or-before
     // each purchase per user. Written as the same union + running-last

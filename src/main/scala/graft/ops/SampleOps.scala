@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.Tables
+import graft.operators.SequencePack
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / sharding / packing (SURVEY.md §2.2 "Training-data
+  * pipeline extensions" — the corpus-assembly half).
+  *
+  * Everything here must be *reproducible across engines and runs*, so
+  * none of it uses `rand()`: the sampling coin is the md5 hex digest of
+  * a stable key, compared lexicographically (fixed-width lowercase hex
+  * ⇒ lexicographic = numeric order), which Spark and DuckDB compute
+  * identically byte-for-byte. That is also the 100 TB story: a
+  * hash-coin sample is a narrow-only plan (filter pushes to the scan,
+  * no shuffle at all), re-runnable on any subset of the data with the
+  * same decisions — unlike `TABLESAMPLE`/`rand()`, which neither
+  * repeats nor distributes deterministically.
+  *
+  *  - sample_hash:        Bernoulli p=1/8 over lineitem (uniform).
+  *  - sample_stratified:  per-language target rates over documents —
+  *                        the mixture-rebalancing step of corpus prep.
+  *  - sample_shard:       deterministic shard assignment (md5 → 24-bit
+  *                        int, mod 16 divides 2^24 ⇒ unbiased) + shard
+  *                        balance stats; one hash-agg, no row shuffle.
+  *  - sample_interleave:  weighted round-robin corpus mixing — each
+  *                        source s gets weight w(s) ∈ {1,2,3}; row n of
+  *                        a source is emitted at integer position
+  *                        n·(6/w), so a weight-3 source appears 3× as
+  *                        often as a weight-1 source in any prefix of
+  *                        the merged stream (the canonical training-mix
+  *                        interleave, computed per-source with one
+  *                        window each, then merged by a sort).
+  *  - sample_pack:        next-fit sequence packing into 128-token
+  *                        context windows, parallel per (lang, shard) —
+  *                        see [[graft.operators.SequencePack]].
+  */
+object SampleOps extends OpPack {
+
+  /** md5 hex of a stable key column (both engines: lowercase hex). */
+  private def coin(c: org.apache.spark.sql.Column) = md5(c.cast("string"))
+
+  def queries: Map[String, Q] = Map(
+    "sample_hash" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      li.filter(substring(md5(key), 1, 4) < "2000") // 0x2000/0x10000 = 1/8
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      // per-language keep-rate thresholds on the 16-bit hash prefix:
+      // en 1/8, fr 1/4, es 1/2, zh 1/4, de 1/8 — downsample the
+      // over-represented languages, keep more of the rare ones.
+      val thr = when(col("lang") === "en", "2000")
+        .when(col("lang") === "fr", "4000")
+        .when(col("lang") === "es", "8000")
+        .when(col("lang") === "zh", "4000")
+        .otherwise("2000")
+      d.filter(substring(coin(col("doc_id")), 1, 4) < thr)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sample_shard" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(
+          (conv(substring(coin(col("doc_id")), 1, 6), 16, 10).cast("long")
+            % 16).as("shard"),
+          size(split(col("text"), " ")).as("tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok").cast("long")).as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
+    "sample_interleave" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val rn = row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id")))
+      d.select(col("doc_id"), col("source"))
+        .withColumn("rn", rn)
+        .withColumn("weight",
+          lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+        .withColumn("pos", (col("rn") * expr("6 div weight")).cast("long"))
+        .select(col("pos"), col("doc_id"), col("source"))
+        .orderBy(col("pos"), col("doc_id"))
+        .limit(200)
+    }),
+
+    // Deterministic 90/5/5 train/val/test split: three ranges of the
+    // same 16-bit hash prefix (0xe666≈90%, 0xf333≈95%). Multi-way
+    // partition of the corpus — every row lands in exactly one split,
+    // assignments survive re-runs/subsets, and downstream writers can
+    // `partitionBy(split)` without any shuffle of the decision itself.
+    "sample_split" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val h = substring(coin(col("doc_id")), 1, 4)
+      d.select(
+          when(h < "e666", "train").when(h < "f333", "val")
+            .otherwise("test").as("split"),
+          size(split(col("text"), " ")).as("tok"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok").cast("long")).as("n_tokens"))
+        .orderBy(col("split"))
+    }),
+
+    "sample_pack" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(4)).cast("long").as("shard"),
+        size(split(col("text"), " ")).as("tok"))
+      SequencePack(d, idCol = "doc_id", tokCol = "tok",
+          grpA = "lang", grpB = "shard", capacity = 128)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pack_id"),
+          col("tok"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |             CAST(l_linenumber AS VARCHAR) || '-' ||
+        |             CAST(l_partkey AS VARCHAR) || '-' ||
+        |             CAST(l_suppkey AS VARCHAR)), 1, 4) < '2000'
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '2000' WHEN 'fr' THEN '4000'
+        |            WHEN 'es' THEN '8000' WHEN 'zh' THEN '4000'
+        |            ELSE '2000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_shard" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |            AS BIGINT) % 16 AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    "sample_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |         1 + (CAST(substr(source, 4) AS INT) % 3) AS weight
+        |  FROM documents)
+        |SELECT CAST(rn * (6 // weight) AS BIGINT) AS pos, doc_id, source
+        |FROM r
+        |ORDER BY pos, doc_id
+        |LIMIT 200""".stripMargin,
+
+    "sample_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |            THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+        |            THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY split
+        |ORDER BY split""".stripMargin,
+
+    "sample_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT lang, doc_id % 4 AS shard, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS tok,
+        |         row_number() OVER (PARTITION BY lang, doc_id % 4
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), walk AS (
+        |  SELECT lang, shard, doc_id, tok, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, CAST(tok AS BIGINT) AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.lang, b.shard, b.doc_id, b.tok, b.rn,
+        |         CASE WHEN w.fill + b.tok > 128 THEN w.pack_id + 1
+        |              ELSE w.pack_id END,
+        |         CASE WHEN w.fill + b.tok > 128 THEN CAST(b.tok AS BIGINT)
+        |              ELSE w.fill + b.tok END
+        |  FROM walk w JOIN base b
+        |    ON b.lang = w.lang AND b.shard = w.shard AND b.rn = w.rn + 1
+        |)
+        |SELECT doc_id, lang, shard, pack_id, tok
+        |FROM walk ORDER BY doc_id""".stripMargin
+  )
+}

@@ -72,6 +72,44 @@ object ScanOps extends OpPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // ORC sink + source roundtrip: the third file format of the
+    // source/sink surface (columnar like parquet — doubles roundtrip
+    // bit-exactly through the binary encoding). Oracle reads the
+    // original parquet, so a pass proves write→read fidelity.
+    "scan_orc_roundtrip" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/orc-customer"
+      Tables(s, dir, "customer").write.mode("overwrite").orc(scratch)
+      s.read.orc(scratch)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Bucketed table sink: orders hashed into 8 buckets on o_custkey
+    // (sorted within buckets). The group-by on the bucket key then
+    // plans with NO Exchange — the bucketed scan already satisfies the
+    // required hash distribution (pinned in BucketingSpec). At 100 TB
+    // this is the layout that amortizes the shuffle of every future
+    // join/agg on the key into the single write.
+    "sink_bucketed" -> ((s, dir) => {
+      // A fresh session's catalog doesn't know tables a previous JVM
+      // left in the warehouse dir, and CREATE refuses a stale
+      // location — clean both before writing.
+      s.sql("DROP TABLE IF EXISTS graft_orders_bucketed")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_orders_bucketed")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Tables(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bucketed")
+      s.table("graft_orders_bucketed")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Hive-style partitioned parquet sink, read back with a filter on
     // the partition column: the read plan prunes to ONE directory
     // (PartitionFilters, no data files of other priorities touched) —
@@ -114,6 +152,17 @@ object ScanOps extends OpPack {
     "scan_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "scan_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "sink_bucketed" ->
+      s"""SELECT o_custkey, count(*) AS n,
+         |  ${Tables.sql.moneySum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY o_custkey
+         |ORDER BY o_custkey""".stripMargin,
 
     "sink_partitioned" ->
       s"""SELECT o_orderstatus, count(*) AS n,

@@ -100,6 +100,20 @@ object SortSetOps extends OpPack {
         .filter(col("l_returnflag") === "R" && col("l_quantity") >= 48)
         .select(col("l_suppkey"))
       a.exceptAll(b).orderBy(col("l_suppkey"))
+    }),
+
+    // Schema-mismatched union: branches with different column sets
+    // merged by NAME (missing columns null-padded), the schema-drift
+    // union a long-lived ingest pipeline needs. Positional unionAll
+    // would mis-align or reject these.
+    "set_union_by_name" -> ((s, dir) => {
+      val a = Tables(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val b = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(asc("o_orderkey"), asc_nulls_first("o_orderpriority"))
     })
   )
 
@@ -165,6 +179,15 @@ object SortSetOps extends OpPack {
         |EXCEPT ALL
         |SELECT l_suppkey FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity >= 48
-        |ORDER BY l_suppkey""".stripMargin
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "set_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_totalprice > 450000
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderpriority
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY o_orderkey ASC, o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }

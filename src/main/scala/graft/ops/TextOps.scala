@@ -82,6 +82,21 @@ object TextOps extends OpPack {
     // Positional rolling-hash fingerprint: fp = Σ pos·(131·len(w) +
     // ascii(w)) mod 1e9+7 — order-sensitive, pure integer, identical
     // across engines.
+    // PII-style payload scrubbing on the CDC event payloads: redact
+    // every digit run, count redactions per event, keep an audit agg
+    // by event_type. Pure regexp_replace/regexp_count — codegen'd,
+    // narrow, no shuffle before the final small agg (the shape that
+    // lets a 100 TB log scrub run at scan speed). The '[0-9]+' class
+    // means the same thing in Java regex (Spark) and RE2 (DuckDB).
+    "llm_pii_scrub" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+          expr("CAST(regexp_count(props, '[0-9]+') AS INT)")
+            .as("n_redacted"))
+        .orderBy(col("event_id"))
+    }),
+
     "llm_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"),
@@ -157,6 +172,16 @@ object TextOps extends OpPack {
          |  CAST(n_chars // len(regexp_extract_all(text, '$bpeIsh')) AS INT)
          |    AS chars_per_tok
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The scrubbed payload keeps its shape ('{"k": <NUM>}'), so the
+    // redaction is verifiable value-by-value, not just by count.
+    "llm_pii_scrub" ->
+      """SELECT event_id, event_type,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
+        |    AS n_redacted
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "llm_fingerprint" ->
       """WITH t AS (

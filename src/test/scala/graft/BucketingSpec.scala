@@ -47,4 +47,27 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("group-by on the bucket key needs no hash Exchange (sink_bucketed layout)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    try {
+      o.write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("o_bucketed_agg")
+      val agg = spark.table("o_bucketed_agg")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed scan should already satisfy the agg distribution:\n$plan")
+      // control: the same agg over the raw parquet must shuffle
+      val control = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+      assert(control.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "control: unbucketed agg is expected to shuffle")
+      assert(agg.count() === control.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS o_bucketed_agg")
+    }
+  }
 }

@@ -140,6 +140,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  /** Sequential union-find reference: vertex → min id of its component. */
+  private def unionFindLabels(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> verts.filter(u => find(u) == find(v)).min).toMap
+  }
+
   test("connected components match a sequential union-find on random graphs") {
     // small vertex range ⇒ dense-ish random graphs with small diameter
     val edgesGen: Gen[List[(Long, Long)]] =
@@ -152,23 +167,35 @@ class PropertySpec extends AnyFunSuite {
         val got = graft.operators.ConnectedComponents
           .run(edges.toDF("src", "dst"), "src", "dst")
           .as[(Long, Long)].collect().toMap
-        // sequential union-find reference model
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        edges.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
-        val expect = verts.map { v =>
-          v -> verts.filter(u => find(u) == find(v)).min
-        }.toMap
-        got == expect
+        got == unionFindLabels(edges)
       }
     })
+  }
+
+  test("big-star CC matches a sequential union-find on random graphs") {
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(12, for {
+        a <- Gen.chooseNum(0L, 9L)
+        b <- Gen.chooseNum(0L, 9L) if a != b
+      } yield (a, b))
+    check(Prop.forAll(edgesGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.BigStarCC
+          .run(edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        got == unionFindLabels(edges)
+      }
+    })
+  }
+
+  test("big-star CC solves a chain in few rounds (O(log n), not O(diameter))") {
+    // A 64-vertex path: diameter 63, so label propagation would need
+    // ~63 rounds; large-star/small-star must finish inside 10.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toList
+    val got = graft.operators.BigStarCC
+      .run(chain.toDF("src", "dst"), "src", "dst", maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
   }
 
   test("connected components converge on a chain (worst-case diameter)") {
