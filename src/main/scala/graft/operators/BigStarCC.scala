@@ -28,8 +28,16 @@ import org.apache.spark.sql.functions._
   *
   * Both steps are per-vertex local (one groupBy + one equi-join each),
   * preserve connectivity, and strictly shrink a monovariant, so the
-  * alternation converges to per-component stars. `localCheckpoint`
-  * after every round truncates lineage (iterative-algorithm hygiene).
+  * alternation converges to per-component stars.
+  *
+  * One Spark JOB per round: the new edge set is lazily
+  * local-checkpointed (plan truncated immediately, materialized on
+  * first action) and convergence is detected by a single digest
+  * aggregate — (count, two independently-seeded xxhash64 XORs) —
+  * whose computation is that materializing action. Equal digests on
+  * canonical distinct sets ⇒ set equality (collision odds ~2⁻¹²⁸,
+  * far below any hardware error rate). This replaces the
+  * count + exceptAll pair (3 jobs/round → 1).
   */
 object BigStarCC {
 
@@ -38,15 +46,27 @@ object BigStarCC {
 
   def run(edgeList: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 20): DataFrame = {
+    // Digest of a canonical distinct edge set: row count + two
+    // independently-seeded hash XORs. One job, order-independent, no
+    // overflow (and no cancellation — the set is distinct).
+    def digest(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr(s"bit_xor(xxhash64($U, $V))"),
+        expr(s"bit_xor(xxhash64($V, $U, 158))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     val raw = edgeList
       .select(col(srcCol).cast("long").as(U), col(dstCol).cast("long").as(V))
     var edges = raw
       .filter(col(U) =!= col(V))
       .select(least(col(U), col(V)).as(U), greatest(col(U), col(V)).as(V))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    var sig = digest(edges)
     var rounds = 0
-    var done = edges.isEmpty
+    var done = sig._1 == 0L
     while (!done && rounds < maxRounds) {
       // ---- large-star ----
       // Symmetrize (every edge seen from both endpoints), compute the
@@ -73,11 +93,13 @@ object BigStarCC {
         .union(mS.select(col(U), col("__m").as(V)))
         .select(least(col(U), col(V)).as(U), greatest(col(U), col(V)).as(V))
         .distinct()
-        .localCheckpoint()
-      // Converged when the canonical edge set is unchanged: both are
-      // distinct sets, so equal counts + empty difference ⇒ equality.
-      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+        .localCheckpoint(eager = false)
+      // Converged when the canonical edge set digest is unchanged; the
+      // digest job also materializes the lazy checkpoint.
+      val nextSig = digest(next)
+      done = nextSig == sig
       edges = next
+      sig = nextSig
       rounds += 1
     }
     // At convergence the graph is a union of stars centered at each

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   * its neighbors, take the per-vertex min of (own ∪ neighbor) labels —
   * so convergence takes O(component diameter) rounds; near-dup /
   * similarity graphs have tiny diameters in practice, and `maxRounds`
-  * bounds the adversarial chain case. `localCheckpoint` after every
-  * round truncates lineage, keeping round N's plan from replaying
-  * rounds 1..N-1 (the standard iterative-algorithm hygiene on Spark).
-  * The same shape generalizes to the large-star/small-star
-  * optimization if component diameters grow.
+  * bounds the adversarial chain case.
+  *
+  * One Spark JOB per round: the new label frame is lazily
+  * local-checkpointed (`localCheckpoint(eager = false)` truncates the
+  * logical plan to a leaf IMMEDIATELY — each round's frame is
+  * referenced twice downstream, so without truncation the plan tree
+  * doubles per round and explainString alone OOMs — but materializes
+  * only when first acted on), and the convergence count is that first
+  * action. For graphs whose diameter is NOT known-small, use
+  * [[BigStarCC]] (O(log n) rounds).
   */
 object ConnectedComponents {
 
@@ -39,15 +44,15 @@ object ConnectedComponents {
         .select(col("__src").as("id"), col("component"),
           lit(null).cast("long").as("own"))
       // fold the vertex's previous label into the same aggregation
-      // (min ignores the neighbor rows' null `own`), so convergence is
-      // a filter-count over the checkpointed result — no extra join
-      // shuffle per round.
+      // (min ignores the neighbor rows' null `own`): the convergence
+      // count below filters on (component < own), and computing it
+      // materializes the lazy checkpoint — ONE job does both.
       val next = labels
         .select(col("id"), col("component"), col("component").as("own"))
         .union(viaNeighbor)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"), min(col("own")).as("own"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("component") < col("own")).count()
       labels = next.select(col("id"), col("component"))
       rounds += 1

@@ -199,6 +199,31 @@ object JoinOps extends OpPack {
         .orderBy(col("purchase_id"))
     }),
 
+    // Composite flagship (TPC-H Q3 shape): segment-filtered customers
+    // ⋈ date-filtered orders ⋈ shipdate-filtered lineitem → revenue
+    // per order → ordered top-10. Exercises the whole optimizer at
+    // once: both filters push below their joins, the customer side
+    // broadcasts, the agg is two-phase, and the top-10 is
+    // TakeOrderedAndProject (no global sort). Revenue goes through the
+    // exact-decimal helper so the DESC order ties out bit-identically.
+    "composite_q3" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15"))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(exprSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
     "join_interval" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -325,6 +350,20 @@ object JoinOps extends OpPack {
         |SELECT purchase_id, user_id, click_id
         |FROM w WHERE purchase_id IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    "composite_q3" ->
+      s"""SELECT l_orderkey,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
 
     "join_interval" ->
       s"""SELECT o_orderpriority, count(*) AS n,

@@ -116,6 +116,35 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("composite_q3 broadcasts the dim side and top-ks without a global sort") {
+    val p = plan("composite_q3")
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered customer side should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT after ORDER BY must plan top-k, not a full sort:\n$p")
+    assert(p.contains("PushedFilters"),
+      s"date/segment filters should reach the scans:\n$p")
+  }
+
+  test("hash-coin sampling is a narrow-only plan: no shuffle before the sort") {
+    // The 100 TB story of sample_hash/sample_stratified: the keep
+    // decision is a scan-stage filter — the only wide stage allowed is
+    // the final presentation ORDER BY (range partitioning).
+    for (name <- Seq("sample_hash", "sample_stratified")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name should not hash-shuffle:\n$p")
+    }
+  }
+
+  test("sequence packing groups with exactly one hash shuffle") {
+    // One exchange to co-locate each (lang, shard) group, sort-based
+    // grouping after it — no second shuffle, no buffering aggregation.
+    val p = plan("sample_pack")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+  }
+
   test("no query plans an accidental nested-loop join or cartesian product") {
     // Intentional exceptions: join_cross is a declared cartesian of two
     // tiny dims; the ANN queries cross-join a broadcast single row or
