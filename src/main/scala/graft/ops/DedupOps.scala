@@ -205,6 +205,9 @@ object DedupOps extends OpPack {
         "doc_b")
       .filter(col("n_inter") * 20 >= col("n_a") + col("n_b") - col("n_inter"))
       .select(col("doc_a"), col("doc_b"))
+      // both CC variants traverse this same graph — persist so the
+      // second one's equal subplan substitutes the cached pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val tokPairSql =
