@@ -75,17 +75,7 @@ object DedupOps extends OpPack {
     // 3-gram shingle Jaccard >= 0.05 via shingle inverted-index join —
     // no LSH approximation anywhere, exact by construction.
     "llm_dedup_ngram" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-          "doc_b")
+      pairCounts(s, dir)
         .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
         .filter(col("n_inter") * 20 >= col("n_union"))
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
@@ -104,18 +94,7 @@ object DedupOps extends OpPack {
     // exactly in the oracle.
     "llm_dedup_edit" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val cand = a.join(b, col("sh") === col("sh_b") &&
-          col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-          "doc_b")
+      val cand = pairCounts(s, dir)
         .filter(col("n_inter") * 10 >=
           (col("n_a") + col("n_b") - col("n_inter")) * 3)
         .select(col("doc_a"), col("doc_b"))
@@ -188,10 +167,15 @@ object DedupOps extends OpPack {
     })
   )
 
-  /** The J≥0.05 3-gram-Jaccard near-dup pair graph (doc_a < doc_b),
-    * shared by both connected-components variants. Integer-only
-    * threshold: n_inter·20 ≥ union. */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared pair statistics for the whole shingle-dedup family:
+    * inverted-index self-join on the (persisted) shingle index,
+    * aggregated to one row per candidate pair (doc_a < doc_b) with the
+    * intersection count and both set sizes. ngram/edit/cluster/bigstar
+    * all apply their own threshold to this ONE persisted frame
+    * (CacheManager substitutes the cached plan into every equal
+    * subplan) — the index and its posting-list join are paid once per
+    * session, not once per query. */
+  private def pairCounts(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
@@ -203,12 +187,16 @@ object DedupOps extends OpPack {
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
         "doc_b")
-      .filter(col("n_inter") * 20 >= col("n_a") + col("n_b") - col("n_inter"))
-      .select(col("doc_a"), col("doc_b"))
-      // both CC variants traverse this same graph — persist so the
-      // second one's equal subplan substitutes the cached pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** The J≥0.05 3-gram-Jaccard near-dup pair graph (doc_a < doc_b),
+    * shared by both connected-components variants. Integer-only
+    * threshold: n_inter·20 ≥ union. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(s, dir)
+      .filter(col("n_inter") * 20 >= col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"))
 
   private val tokPairSql =
     """WITH tok AS (

@@ -94,6 +94,21 @@ object SampleOps extends OpPack {
         .limit(200)
     }),
 
+    // Seeded deterministic corpus shuffle: global permutation by
+    // hash-of-(seed, id) sort — same order on every run and engine,
+    // reshufflable by changing the seed string. The plan is a range
+    // sort (here top-100 presentation via TakeOrderedAndProject); at
+    // scale the full permutation is the range-partitioned write order
+    // every ordered sink already pays.
+    "sample_shuffle" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+          substring(md5(concat(lit("s42-"), col("doc_id").cast("string"))),
+            1, 8).as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .limit(100)
+    }),
+
     // Deterministic 90/5/5 train/val/test split: three ranges of the
     // same 16-bit hash prefix (0xe666≈90%, 0xf333≈95%). Multi-way
     // partition of the corpus — every row lands in exactly one split,
@@ -163,6 +178,13 @@ object SampleOps extends OpPack {
         |FROM r
         |ORDER BY pos, doc_id
         |LIMIT 200""".stripMargin,
+
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        |  substr(md5('s42-' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id
+        |LIMIT 100""".stripMargin,
 
     "sample_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
