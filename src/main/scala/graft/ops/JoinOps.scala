@@ -224,6 +224,33 @@ object JoinOps extends OpPack {
         .limit(10)
     }),
 
+    // Composite (TPC-H Q5 shape): six-table join through the whole
+    // star — customer ⋈ orders ⋈ lineitem ⋈ supplier (with the
+    // local-supplier constraint c_nationkey = s_nationkey) ⋈ nation ⋈
+    // region — region + date filtered, revenue per nation. The deep
+    // multi-join is the point: Catalyst orders it, the three dim
+    // tables broadcast, only the two fact-fact edges shuffle.
+    "composite_q5" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(exprSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
     "join_interval" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -364,6 +391,22 @@ object JoinOps extends OpPack {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey ASC
          |LIMIT 10""".stripMargin,
+
+    "composite_q5" ->
+      s"""SELECT n_name,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "join_interval" ->
       s"""SELECT o_orderpriority, count(*) AS n,
