@@ -114,6 +114,25 @@ object CdcOps extends OpPack {
         .agg(max(col("event_id")).as("watermark_seq"),
           count(lit(1)).as("n_events"))
         .orderBy(col("domain"))
+    }),
+
+    // SCD-type-2 history build: every change event opens a new version
+    // of its key and closes the previous one (valid range expressed in
+    // event_ids — ts is monotone in event_id per TESTDATA, and raw ns
+    // timestamps must never be output). This is the standard warehouse
+    // materialization of a CDC feed (the reference's update_before/
+    // update_after pairing, event.go:177-183, generalized to full
+    // history). One window per key partition — a single shuffle on
+    // user_id, no global sort, state O(1) per row at 100 TB.
+    "cdc_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          money(col("value")).as("value"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to_event", lead(col("event_id"), 1).over(w))
+        .withColumn("is_current", col("valid_to_event").isNull)
+        .orderBy(col("user_id"), col("version"))
     })
   )
 
@@ -159,6 +178,16 @@ object CdcOps extends OpPack {
         |  max(event_id) AS watermark_seq, count(*) AS n_events
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY domain""".stripMargin
+        |ORDER BY domain""".stripMargin,
+
+    "cdc_scd2" ->
+      s"""SELECT user_id, event_id, event_type,
+         |  ${Tables.sql.money("value")} AS value,
+         |  row_number() OVER w AS version,
+         |  lead(event_id, 1) OVER w AS valid_to_event,
+         |  lead(event_id, 1) OVER w IS NULL AS is_current
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |ORDER BY user_id, version""".stripMargin
   )
 }

@@ -207,6 +207,26 @@ object FnOps extends OpPack {
         .select(col("rec.k").as("k"), col("rec.st").as("st"),
           col("rec").getField("v").as("v"))
         .orderBy(col("k"))
+    }),
+
+    // URL surface — the curation primitive of web-scale corpus prep
+    // (domain allow/deny lists, per-host dedup, query-param stripping).
+    // A URL is synthesized per document from its own columns, then torn
+    // back apart with Spark's codegen'd parse_url; the oracle
+    // reconstructs the same parts directly, so a pass proves the
+    // parser extracts exactly what was embedded.
+    "fn_url" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/"), col("lang"), lit("/doc-"), col("doc_id"),
+          lit("?ref=r"), pmod(col("doc_id"), lit(7))))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"),
+          split(parse_url(col("url"), lit("HOST")), lit("\\."))
+            .getItem(1).as("sld"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -343,6 +363,15 @@ object FnOps extends OpPack {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |    (a, b) -> a + b), 2) AS sum_emb
         |FROM embeddings
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "fn_url" ->
+      """SELECT doc_id,
+        |  source || '.example.org' AS host,
+        |  '/' || lang || '/doc-' || doc_id AS path,
+        |  'r' || CAST(doc_id % 7 AS VARCHAR) AS ref,
+        |  'example' AS sld
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

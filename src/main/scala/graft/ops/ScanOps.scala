@@ -123,6 +123,27 @@ object ScanOps extends OpPack {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Schema evolution on read: two parquet batches land in the same
+    // dataset with different schemas (batch 1 adds c_acctbal), read
+    // back with mergeSchema — old files surface the new column as
+    // null. This is the append-only data-lake reality at 100 TB: a
+    // century of files never gets rewritten when a column is added;
+    // the merged read costs one footer pass, no data rewrite. Oracle
+    // reconstructs the same union from the original parquet.
+    "scan_schema_evolution" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/evolve-customer"
+      val c = Tables(s, dir, "customer")
+      c.select(lit(0).as("batch"), col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(scratch)
+      c.select(lit(1).as("batch"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"))
+        .write.mode("append").parquet(scratch)
+      s.read.option("mergeSchema", "true").parquet(scratch)
+        .select(col("batch"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"))
+        .orderBy(col("batch"), col("c_custkey"))
     })
   )
 
@@ -170,6 +191,14 @@ object ScanOps extends OpPack {
          |FROM orders
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus""".stripMargin
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "scan_schema_evolution" ->
+      """SELECT 0 AS batch, c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT 1 AS batch, c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY batch, c_custkey""".stripMargin
   )
 }

@@ -131,6 +131,61 @@ object TextOps extends OpPack {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"))
         .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // Gopher-style repetition filters: fraction of the doc covered by
+    // its most frequent 2-gram and fraction of 3-gram occurrences that
+    // are within-doc repeats (both as integer permille). The two gram
+    // aggregations are (doc, gram) hash-shuffles — linear in corpus
+    // size, map-side partial aggregation, no per-doc driver work; the
+    // per-doc joins are on doc_id so at 100 TB they co-partition with
+    // the aggregations (one shuffle each, AQE-coalesced).
+    "llm_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")))
+      val top2 = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+          .as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+      val dup3 = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"))
+      docs.select(col("doc_id"), col("n_tokens"))
+        .join(top2, "doc_id").join(dup3, "doc_id")
+        .withColumn("top2_permille", expr("top2 * 2 * 1000 div n_tokens"))
+        .withColumn("dup3_permille", expr("dup3 * 1000 div (n_tokens - 2)"))
+        .withColumn("keep",
+          col("top2_permille") < 200 && col("dup3_permille") < 300)
+        .select(col("doc_id"), col("n_tokens"), col("top2"),
+          col("top2_permille"), col("dup3_permille"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: flag training docs sharing any 4-gram
+    // with the benchmark set (doc_id % 50 == 0 as the held-out suite).
+    // The benchmark gram set is tiny relative to the corpus — exactly
+    // the real-world shape — so it broadcasts and the contamination
+    // scan is a single map-side hash probe over the 100 TB train side,
+    // no shuffle of the corpus.
+    "llm_decontaminate" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))")))
+          .as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .withColumnRenamed("doc_id", "bench_id")
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -213,6 +268,48 @@ object TextOps extends OpPack {
         |      ORDER BY (tf.tf * 1000000) // dfreq.df DESC, tf.term) AS rn
         |  FROM tf JOIN dfreq USING (term))
         |WHERE rn <= 3
-        |ORDER BY doc_id, term""".stripMargin
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "llm_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t),
+        |bc AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t)
+        |  GROUP BY doc_id, gram),
+        |b2 AS (SELECT doc_id, max(c) AS top2 FROM bc GROUP BY doc_id),
+        |tc AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |    FROM t)
+        |  GROUP BY doc_id, gram),
+        |t3 AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS dup3
+        |       FROM tc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b2.top2,
+        |  (b2.top2 * 2 * 1000) // b.n_tokens AS top2_permille,
+        |  (t3.dup3 * 1000) // (b.n_tokens - 2) AS dup3_permille,
+        |  ((b2.top2 * 2 * 1000) // b.n_tokens < 200 AND
+        |   (t3.dup3 * 1000) // (b.n_tokens - 2) < 300) AS keep
+        |FROM base b JOIN b2 USING (doc_id) JOIN t3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |             || ' ' || toks[i+3]))) AS gram FROM t)
+        |SELECT tr.doc_id,
+        |  count(DISTINCT tr.gram) AS n_shared_grams,
+        |  count(DISTINCT be.doc_id) AS n_bench_docs
+        |FROM g tr JOIN g be
+        |  ON tr.gram = be.gram AND be.doc_id % 50 = 0
+        |WHERE tr.doc_id % 50 <> 0
+        |GROUP BY tr.doc_id
+        |ORDER BY tr.doc_id""".stripMargin
   )
 }
