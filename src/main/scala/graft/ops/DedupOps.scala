@@ -164,6 +164,36 @@ object DedupOps extends OpPack {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph-level (sub-document) dedup — the RefinedWeb/CCNet
+    // pattern: chunk each doc into fixed 10-word "paragraphs", keep
+    // only the corpus-wide FIRST occurrence of each chunk (min
+    // (doc_id, chunk_idx)), reassemble the surviving text. The dedup
+    // key is md5(chunk) so the shuffle carries a 16-byte key instead
+    // of the chunk text — at 100 TB the window is a single hash
+    // shuffle on the digest, and per-doc reassembly is one more
+    // shuffle on doc_id.
+    "llm_dedup_paragraph" -> ((s, dir) => {
+      val W = 10
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(toks) + $W - 1) div $W - 1), " +
+            s"i -> array_join(slice(toks, i * $W + 1, $W), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1,
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -311,7 +341,23 @@ object DedupOps extends OpPack {
     // is tiny: only docs incident to a near-dup edge participate).
     // Both CC variants must produce this same closure.
     "llm_dedup_cluster" -> clusterClosureSql,
-    "llm_cc_bigstar" -> clusterClosureSql
+    "llm_cc_bigstar" -> clusterClosureSql,
+
+    "llm_dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |        array_to_string(toks[(i*10+1):((i+1)*10)], ' ') AS chunk
+        |      FROM t, unnest(range(0, (len(toks)+9)//10)) AS u(i)),
+        |k AS (SELECT *, row_number() OVER (
+        |        PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM c)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+        |    FILTER (WHERE rn = 1), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   private val clusterClosureSql =

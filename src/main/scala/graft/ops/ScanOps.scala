@@ -144,6 +144,27 @@ object ScanOps extends OpPack {
         .select(col("batch"), col("c_custkey"), col("c_name"),
           col("c_acctbal"))
         .orderBy(col("batch"), col("c_custkey"))
+    }),
+
+    // Z-order (Morton-curve) layout: interleave 12 bits of customer
+    // key and 12 bits of floor(price) into one sort key, then report
+    // per-file-bucket (z >> 12) min/max of BOTH dimensions — the
+    // two-dimensional clustering that lets parquet min/max stats prune
+    // files for predicates on EITHER column after a single
+    // repartitionByRange(z) write. The z expression is a constant-
+    // folded codegen'd `aggregate`, no UDF (graft.functions.ZOrder;
+    // bit-equality with the Scala reference pinned in PropertySpec).
+    "layout_zorder" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .withColumn("x", pmod(col("o_custkey"), lit(4096)))
+        .withColumn("y",
+          pmod(floor(col("o_totalprice")).cast("long"), lit(4096)))
+        .withColumn("z", graft.functions.ZOrder.zvalue("x", "y", 12))
+        .groupBy(shiftright(col("z"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))
     })
   )
 
@@ -199,6 +220,22 @@ object ScanOps extends OpPack {
         |UNION ALL
         |SELECT 1 AS batch, c_custkey, c_name, c_acctbal
         |FROM customer
-        |ORDER BY batch, c_custkey""".stripMargin
+        |ORDER BY batch, c_custkey""".stripMargin,
+
+    "layout_zorder" ->
+      """WITH d AS (
+        |  SELECT o_custkey % 4096 AS x,
+        |         CAST(floor(o_totalprice) AS BIGINT) % 4096 AS y
+        |  FROM orders),
+        |zz AS (
+        |  SELECT x, y,
+        |    CAST(list_sum(list_transform(range(0, 12), i ->
+        |      (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))))
+        |      AS BIGINT) AS z
+        |  FROM d)
+        |SELECT (z >> 12) AS zbucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM zz GROUP BY 1 ORDER BY zbucket""".stripMargin
   )
 }

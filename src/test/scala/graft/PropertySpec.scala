@@ -247,4 +247,34 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("z-order key: SQL expression matches the reference bit-interleave") {
+    check(Prop.forAll(
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 4095L),
+        Gen.chooseNum(0L, 4095L)))) { pts =>
+      pts.isEmpty || {
+        val got = pts.toDF("x", "y")
+          .withColumn("z", graft.functions.ZOrder.zvalue("x", "y", 12))
+          .as[(Long, Long, Long)].collect()
+        got.forall { case (x, y, z) =>
+          z == graft.functions.ZOrder.zvalueRef(x, y, 12)
+        }
+      }
+    })
+  }
+
+  test("z-order locality: points in the same 2^12 z-bucket span <=64 in each dimension") {
+    // The Morton curve guarantee the layout_zorder query relies on:
+    // fixing the high 2k interleaved bits confines BOTH coordinates to
+    // aligned 2^(12-k)-wide tiles (here k=6 -> 64x64 tiles).
+    val pts = for (x <- 0L until 4096L by 37; y <- 0L until 4096L by 41)
+      yield (x, y)
+    val spans = pts.groupBy { case (x, y) =>
+      graft.functions.ZOrder.zvalueRef(x, y, 12) >> 12
+    }.values.map { grp =>
+      val xs = grp.map(_._1); val ys = grp.map(_._2)
+      math.max(xs.max - xs.min, ys.max - ys.min)
+    }
+    assert(spans.nonEmpty && spans.forall(_ <= 63L))
+  }
 }
