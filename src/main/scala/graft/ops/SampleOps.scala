@@ -137,6 +137,31 @@ object SampleOps extends OpPack {
         .select(col("doc_id"), col("lang"), col("shard"), col("pack_id"),
           col("tok"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled mixture reweighting (T=2): per-source target
+    // share ∝ sqrt(n_docs) — the standard up-weighting of small
+    // domains in training mixtures. Integer isqrt keeps it exact:
+    // sqrt is IEEE-correctly-rounded in both engines, floor makes it
+    // an integer, and everything downstream is integer arithmetic.
+    // The per-source count table is tiny (one row per domain), so the
+    // global-sum window over it is free even at 100 TB of input.
+    "sample_temperature" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      Tables(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+        .withColumn("sum_w", sum(col("weight")).over(w))
+        .withColumn("total_docs", sum(col("n_docs")).over(w))
+        .withColumn("target_permille", expr("weight * 1000 div sum_w"))
+        .withColumn("natural_permille",
+          expr("n_docs * 1000 div total_docs"))
+        .withColumn("boosted",
+          col("target_permille") > col("natural_permille"))
+        .select(col("source"), col("n_docs"), col("weight"),
+          col("target_permille"), col("natural_permille"), col("boosted"))
+        .orderBy(col("source"))
     })
   )
 
@@ -219,6 +244,20 @@ object SampleOps extends OpPack {
         |    ON b.lang = w.lang AND b.shard = w.shard AND b.rn = w.rn + 1
         |)
         |SELECT doc_id, lang, shard, pack_id, tok
-        |FROM walk ORDER BY doc_id""".stripMargin
+        |FROM walk ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT *, sum(weight) OVER () AS sum_w,
+        |        sum(n_docs) OVER () AS total_docs FROM c)
+        |SELECT source, n_docs, weight,
+        |  CAST((weight * 1000) // sum_w AS BIGINT) AS target_permille,
+        |  CAST((n_docs * 1000) // total_docs AS BIGINT) AS natural_permille,
+        |  (weight * 1000) // sum_w > (n_docs * 1000) // total_docs
+        |    AS boosted
+        |FROM t ORDER BY source""".stripMargin
   )
 }

@@ -130,6 +130,36 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(out.contains((2, "2024-01-01 10:00:00", 1L))) // per-key state
   }
 
+  test("dropDuplicatesWithinWatermark: dedups inside the horizon, evicts state past it") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The 100 TB-scale form of streaming dedup: plain dropDuplicates
+    // keeps every key forever (state grows with the stream);
+    // WithinWatermark bounds state to the watermark horizon — a key
+    // seen again after its state was evicted is emitted AGAIN, which
+    // is the accepted trade for bounded memory on an infinite CDC log.
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    // in-horizon duplicate: suppressed
+    input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+    q.processAllAvailable()
+    // jump the watermark to ~10:25 — id=1/2 dedup state is evicted
+    input.addData((ts(30), 3L))
+    q.processAllAvailable()
+    // id=1 reappears after eviction: emitted a second time
+    input.addData((ts(31), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 1L) == 2, s"expected id=1 twice, got $ids")
+    assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1, s"got $ids")
+  }
+
   test("stateful CDC snapshot: upsert, out-of-order ignore, delete tombstone") {
     import graft.streaming.CdcSnapshotStream.{Change, snapshots}
     import spark.implicits._
