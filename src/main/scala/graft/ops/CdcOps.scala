@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.Tables.money
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,6 +134,68 @@ object CdcOps extends OpPack {
         .withColumn("valid_to_event", lead(col("event_id"), 1).over(w))
         .withColumn("is_current", col("valid_to_event").isNull)
         .orderBy(col("user_id"), col("version"))
+    }),
+
+    // MERGE-INTO semantics over the log: the base snapshot (latest
+    // state per key at event_id < 800) has a delta batch (event_id >=
+    // 800) applied — delta 'error' finals delete the key, other keys
+    // upsert, untouched keys survive. This is the warehouse MERGE a
+    // lakehouse engine runs per micro-batch; both snapshots are one
+    // keyed window each and the merge is a single full-outer join on
+    // the key — two shuffles total regardless of table size, and the
+    // delta side is typically small enough to broadcast at 100 TB.
+    "cdc_merge_upsert" -> ((s, dir) => {
+      def latest(df: DataFrame) = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(desc("event_id"))
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          money(col("value")).as("value"))
+      val base = latest(ev.filter(col("event_id") < 800))
+        .select(col("user_id"), col("event_id").as("b_event"),
+          col("value").as("b_value"))
+      val delta = latest(ev.filter(col("event_id") >= 800))
+        .select(col("user_id"), col("event_id").as("d_event"),
+          col("event_type").as("d_type"), col("value").as("d_value"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .filter(col("d_type").isNull || col("d_type") =!= "error")
+        .select(col("user_id"),
+          coalesce(col("d_event"), col("b_event")).as("event_id"),
+          coalesce(col("d_value"), col("b_value")).as("value"),
+          when(col("d_event").isNull, "kept")
+            .when(col("b_event").isNull, "inserted")
+            .otherwise("updated").as("op"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Incremental aggregate maintenance: per-key partial aggregates of
+    // the base log merged with the delta batch's partials — count adds,
+    // sum adds — and the merged result must equal a full recompute
+    // (which is exactly what the oracle runs). The partial-merge shape
+    // is why 100 TB aggregation streams: each micro-batch shuffles only
+    // ITS rows; history is never re-read.
+    "cdc_incremental_agg" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      // Partials carry the same exact decimal(28,2) as Tables.moneySum,
+      // so partial-merge and full recompute agree bit-for-bit.
+      def partial(df: DataFrame, tag: String) =
+        df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as(s"n_$tag"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+              .as(s"s_$tag"))
+      val base = partial(ev.filter(col("event_id") < 800), "b")
+      val delta = partial(ev.filter(col("event_id") >= 800), "d")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_events"),
+          round((coalesce(col("s_b"), lit(0)) + coalesce(col("s_d"), lit(0)))
+            .cast("double"), 2).as("sum_value"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -188,6 +251,36 @@ object CdcOps extends OpPack {
          |  lead(event_id, 1) OVER w IS NULL AS is_current
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-         |ORDER BY user_id, version""".stripMargin
+         |ORDER BY user_id, version""".stripMargin,
+
+    "cdc_merge_upsert" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+         |              ${Tables.sql.money("value")} AS value FROM events),
+         |base AS (SELECT user_id, event_id AS b_event, value AS b_value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |        FROM ev WHERE event_id < 800) WHERE rn = 1),
+         |delta AS (SELECT user_id, event_id AS d_event,
+         |    event_type AS d_type, value AS d_value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |        FROM ev WHERE event_id >= 800) WHERE rn = 1)
+         |SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+         |  coalesce(d_event, b_event) AS event_id,
+         |  coalesce(d_value, b_value) AS value,
+         |  CASE WHEN d_event IS NULL THEN 'kept'
+         |       WHEN b_event IS NULL THEN 'inserted'
+         |       ELSE 'updated' END AS op
+         |FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+         |WHERE d_type IS NULL OR d_type <> 'error'
+         |ORDER BY user_id""".stripMargin,
+
+    "cdc_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }
