@@ -162,6 +162,42 @@ object SampleOps extends OpPack {
         .select(col("source"), col("n_docs"), col("weight"),
           col("target_permille"), col("natural_permille"), col("boosted"))
         .orderBy(col("source"))
+    }),
+
+    // The full curation funnel in ONE declarative plan — quality gate
+    // → corpus-wide exact dedup → benchmark decontamination →
+    // deterministic hash sample → per-lang corpus stats. Every stage
+    // is a shape proven individually above (integer quality rules,
+    // digest-shuffle dedup window, broadcast benchmark probe, md5
+    // coin); composing them keeps Catalyst free to pipeline the narrow
+    // stages into the scans, so at 100 TB the funnel costs its two
+    // real shuffles (dedup window, final agg), not five passes.
+    "composite_curate" -> ((s, dir) => {
+      val gram4 = "transform(sequence(0, size(toks)-4), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+      val d = Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+      // quality: >=20 tokens, avg word length (spaces excluded) in [3,10]
+      val quality = d.filter(col("n_tok") >= 20 &&
+        (col("n_chars") - col("n_tok") + 1) >= col("n_tok") * 3 &&
+        (col("n_chars") - col("n_tok") + 1) <= col("n_tok") * 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+      val exact = quality.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("doc_id") % 50 =!= 0)
+      val benchGrams = d.filter(col("doc_id") % 50 === 0)
+        .select(explode(array_distinct(expr(gram4))).as("gram")).distinct()
+      val contaminated = exact
+        .select(col("doc_id"), explode(array_distinct(expr(gram4))).as("gram"))
+        .join(broadcast(benchGrams), "gram")
+        .select(col("doc_id")).distinct()
+      exact.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(substring(coin(col("doc_id")), 1, 4) < "8000")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -258,6 +294,36 @@ object SampleOps extends OpPack {
         |  CAST((n_docs * 1000) // total_docs AS BIGINT) AS natural_permille,
         |  (weight * 1000) // sum_w > (n_docs * 1000) // total_docs
         |    AS boosted
-        |FROM t ORDER BY source""".stripMargin
+        |FROM t ORDER BY source""".stripMargin,
+
+    "composite_curate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+        |  FROM documents),
+        |q AS (SELECT * FROM d WHERE n_tok >= 20
+        |        AND n_chars - n_tok + 1 >= 3 * n_tok
+        |        AND n_chars - n_tok + 1 <= 10 * n_tok),
+        |x AS (SELECT *, row_number() OVER (
+        |        PARTITION BY md5(lower(trim(text)))
+        |        ORDER BY doc_id) AS rn FROM q),
+        |e AS (SELECT * FROM x WHERE rn = 1 AND doc_id % 50 <> 0),
+        |bg AS (SELECT DISTINCT unnest(list_transform(
+        |         range(1, len(toks) - 2),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |              || ' ' || toks[i+3])) AS gram
+        |       FROM d WHERE doc_id % 50 = 0),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(toks) - 2),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |              || ' ' || toks[i+3]))) AS gram FROM e),
+        |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+        |s AS (SELECT * FROM e
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |        AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
