@@ -145,30 +145,11 @@ object CdcOps extends OpPack {
     // the key — two shuffles total regardless of table size, and the
     // delta side is typically small enough to broadcast at 100 TB.
     "cdc_merge_upsert" -> ((s, dir) => {
-      def latest(df: DataFrame) = {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(desc("event_id"))
-        df.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-      }
-      val ev = Tables(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          money(col("value")).as("value"))
-      val base = latest(ev.filter(col("event_id") < 800))
-        .select(col("user_id"), col("event_id").as("b_event"),
-          col("value").as("b_value"))
-      val delta = latest(ev.filter(col("event_id") >= 800))
-        .select(col("user_id"), col("event_id").as("d_event"),
-          col("event_type").as("d_type"), col("value").as("d_value"))
-      base.join(delta, Seq("user_id"), "full_outer")
-        .filter(col("d_type").isNull || col("d_type") =!= "error")
-        .select(col("user_id"),
-          coalesce(col("d_event"), col("b_event")).as("event_id"),
-          coalesce(col("d_value"), col("b_value")).as("value"),
-          when(col("d_event").isNull, "kept")
-            .when(col("b_event").isNull, "inserted")
-            .otherwise("updated").as("op"))
-        .orderBy(col("user_id"))
+      mergeUpsert(
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            money(col("value")).as("value")),
+        splitAt = 800)
     }),
 
     // Incremental aggregate maintenance: per-key partial aggregates of
@@ -198,6 +179,38 @@ object CdcOps extends OpPack {
         .orderBy(col("user_id"))
     })
   )
+
+  /** MERGE-INTO over a keyed change log `(user_id, event_id,
+    * event_type, value)`: base snapshot = latest state per key at
+    * event_id < splitAt; the delta batch (event_id >= splitAt) is
+    * applied in one full-outer join — a delta whose final event is
+    * 'error' deletes the key, other delta keys upsert, untouched keys
+    * survive. Property-tested in PropertySpec: the merged state equals
+    * the full-log snapshot with the delta-tombstone rule, for ANY
+    * split point. */
+  private[graft] def mergeUpsert(ev: DataFrame, splitAt: Long): DataFrame = {
+    def latest(df: DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val base = latest(ev.filter(col("event_id") < splitAt))
+      .select(col("user_id"), col("event_id").as("b_event"),
+        col("value").as("b_value"))
+    val delta = latest(ev.filter(col("event_id") >= splitAt))
+      .select(col("user_id"), col("event_id").as("d_event"),
+        col("event_type").as("d_type"), col("value").as("d_value"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .filter(col("d_type").isNull || col("d_type") =!= "error")
+      .select(col("user_id"),
+        coalesce(col("d_event"), col("b_event")).as("event_id"),
+        coalesce(col("d_value"), col("b_value")).as("value"),
+        when(col("d_event").isNull, "kept")
+          .when(col("b_event").isNull, "inserted")
+          .otherwise("updated").as("op"))
+      .orderBy(col("user_id"))
+  }
 
   def oracle: Map[String, String] = Map(
     "cdc_classify" ->

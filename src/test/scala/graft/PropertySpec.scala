@@ -248,6 +248,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("merge-upsert at ANY split point equals the full-log snapshot with delta tombstones") {
+    val gen = for {
+      rows <- Gen.listOfN(50, for {
+        u <- Gen.chooseNum(0, 6)
+        e <- Gen.chooseNum(0L, 200L)
+        k <- Gen.oneOf("insert", "update_after", "error")
+        v <- Gen.chooseNum(-50, 50)
+      } yield (u, e, k, v.toDouble))
+      split <- Gen.chooseNum(0L, 200L)
+    } yield (rows, split)
+    check(Prop.forAll(gen) { case (rows, split) =>
+      val distinctRows = rows.distinctBy(r => (r._1, r._2))
+      distinctRows.isEmpty || {
+        val ev = distinctRows
+          .toDF("user_id", "event_id", "event_type", "value")
+        val merged = graft.ops.CdcOps.mergeUpsert(ev, split)
+          .as[(Int, Long, Double, String)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        // reference: latest event per user over the WHOLE log; a user
+        // with delta events whose final event is 'error' is deleted
+        val expected = distinctRows.groupBy(_._1).flatMap {
+          case (u, evs) =>
+            val latest = evs.maxBy(_._2)
+            val hasDelta = evs.exists(_._2 >= split)
+            if (hasDelta && latest._3 == "error") None
+            else Some(u -> (latest._2, latest._4))
+        }
+        merged == expected
+      }
+    })
+  }
+
   test("z-order key: SQL expression matches the reference bit-interleave") {
     check(Prop.forAll(
       Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 4095L),
