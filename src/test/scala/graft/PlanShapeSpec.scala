@@ -145,6 +145,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
   }
 
+  test("decontamination probes a broadcast benchmark set — no corpus shuffle for the join") {
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set should broadcast:\n$p")
+  }
+
+  test("composite_curate broadcasts the contamination probe; quality gate reaches the scan") {
+    val p = plan("composite_curate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram probe should broadcast:\n$p")
+    // the integer quality rules are DataFilters at the file scan —
+    // evaluated during the scan stage, before any shuffle
+    assert(p.linesIterator.exists(l =>
+      l.contains("DataFilters") && l.contains(">= 20")),
+      s"quality gate should be a scan-stage filter:\n$p")
+  }
+
   test("no query plans an accidental nested-loop join or cartesian product") {
     // Intentional exceptions: join_cross is a declared cartesian of two
     // tiny dims; the ANN queries cross-join a broadcast single row or
