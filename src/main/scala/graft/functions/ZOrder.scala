@@ -8,26 +8,43 @@ import org.apache.spark.sql.functions.expr
   * range-partitioning a table by this key clusters BOTH dimensions at
   * once, so parquet footer min/max stats prune files for predicates on
   * either column — the multi-dimensional data-layout trick behind
-  * Delta/Iceberg Z-ordering, expressed here as a pure codegen'd
-  * Catalyst expression (`aggregate` over a constant-folded `sequence`,
-  * no UDF, stays inside whole-stage codegen).
+  * Delta/Iceberg Z-ordering.
   *
-  * Cross-engine note: built only from shiftleft/shiftright/&, which
-  * DuckDB expresses identically (`<<`/`>>`/`&` over BIGINT), so
+  * The interleave is the classic magic-mask bit spread
+  * (v|v<<8 & 0x00FF00FF, …, v|v<<1 & 0x55555555) — pure bitwise
+  * arithmetic over BIGINT, so it stays inside whole-stage codegen
+  * (a higher-order `aggregate` fold would be CodegenFallback), and
+  * DuckDB evaluates the identical expression with `<<`/`|`/`&`, so
   * Z-values are oracle-checkable bit-for-bit.
   */
 object ZOrder {
 
-  /** Morton key over two SQL fragments (cast to BIGINT internally).
-    * `bits` per dimension, so the result occupies `2*bits` bits. */
-  def zvalue(x: String, y: String, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    expr(
-      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-         |  acc + shiftleft(shiftright(CAST(($x) AS BIGINT), i) & 1, 2*i)
-         |      + shiftleft(shiftright(CAST(($y) AS BIGINT), i) & 1, 2*i+1))
-         |""".stripMargin)
+  private val steps =
+    Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  /** Spread the low 16 bits of `v` to even bit positions, as SQL text;
+    * `shl` renders a left shift in the target dialect. */
+  private def spread(v: String, shl: (String, Int) => String): String =
+    steps.foldLeft(v) { case (acc, (s, mask)) =>
+      s"((($acc) | ${shl(acc, s)}) & $mask)"
+    }
+
+  private def zSql(x: String, y: String, bits: Int,
+      shl: (String, Int) => String): String = {
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    val mask = (1L << bits) - 1
+    val xs = spread(s"(CAST(($x) AS BIGINT) & $mask)", shl)
+    val ys = spread(s"(CAST(($y) AS BIGINT) & $mask)", shl)
+    s"($xs + 2 * $ys)"
   }
+
+  /** Morton key over two Spark SQL fragments. */
+  def zvalue(x: String, y: String, bits: Int): Column =
+    expr(zSql(x, y, bits, (e, s) => s"shiftleft($e, $s)"))
+
+  /** The identical expression in DuckDB dialect, for oracle SQL. */
+  def duckdbZ(x: String, y: String, bits: Int): String =
+    zSql(x, y, bits, (e, s) => s"(($e) << $s)")
 
   /** Reference implementation for property tests. */
   def zvalueRef(x: Long, y: Long, bits: Int): Long = {

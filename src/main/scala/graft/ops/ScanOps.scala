@@ -223,19 +223,17 @@ object ScanOps extends OpPack {
         |ORDER BY batch, c_custkey""".stripMargin,
 
     "layout_zorder" ->
-      """WITH d AS (
-        |  SELECT o_custkey % 4096 AS x,
-        |         CAST(floor(o_totalprice) AS BIGINT) % 4096 AS y
-        |  FROM orders),
-        |zz AS (
-        |  SELECT x, y,
-        |    CAST(list_sum(list_transform(range(0, 12), i ->
-        |      (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))))
-        |      AS BIGINT) AS z
-        |  FROM d)
-        |SELECT (z >> 12) AS zbucket, count(*) AS n,
-        |  min(x) AS min_x, max(x) AS max_x,
-        |  min(y) AS min_y, max(y) AS max_y
-        |FROM zz GROUP BY 1 ORDER BY zbucket""".stripMargin
+      s"""WITH d AS (
+         |  SELECT o_custkey % 4096 AS x,
+         |         CAST(floor(o_totalprice) AS BIGINT) % 4096 AS y
+         |  FROM orders),
+         |zz AS (
+         |  SELECT x, y,
+         |    ${graft.functions.ZOrder.duckdbZ("x", "y", 12)} AS z
+         |  FROM d)
+         |SELECT (z >> 12) AS zbucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM zz GROUP BY 1 ORDER BY zbucket""".stripMargin
   )
 }
