@@ -31,10 +31,16 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param carry right-side columns to attach to each left row
-    *        (renamed as given); null when no right row precedes. */
+    *        (renamed as given); null when no right row precedes
+    *        (backward) / follows (forward).
+    * @param forward false (default): latest right row at-or-before
+    *        each left row; true: EARLIEST right row at-or-after — the
+    *        same one-shuffle construction over the reversed timeline
+    *        (ties stay inclusive in both directions). */
   def apply(left: DataFrame, right: DataFrame, key: String,
             tsCol: String, seqCol: String,
-            carry: Map[String, String]): DataFrame = {
+            carry: Map[String, String],
+            forward: Boolean = false): DataFrame = {
     val fixed = Set(key, tsCol, seqCol)
     val leftPayload = left.columns.toSeq.filterNot(fixed)
     require(carry.values.toSet.intersect(leftPayload.toSet ++ fixed).isEmpty,
@@ -58,9 +64,13 @@ object AsOfJoin {
       .unionByName(taggedLeft)
 
     // Right rows first at equal (ts, seq) is guaranteed by seq
-    // uniqueness; __side is a belt-and-braces tiebreaker.
+    // uniqueness; __side is a belt-and-braces tiebreaker. Forward
+    // direction = the same running-last over the reversed timeline.
+    val ord =
+      if (forward) Seq(col(tsCol).desc, col(seqCol).desc, col("__side"))
+      else Seq(col(tsCol), col(seqCol), col("__side"))
     val w = Window.partitionBy(key)
-      .orderBy(col(tsCol), col(seqCol), col("__side"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))

@@ -199,6 +199,23 @@ object JoinOps extends OpPack {
         .orderBy(col("purchase_id"))
     }),
 
+    // Forward as-of: each click matched to the EARLIEST purchase
+    // at-or-after it per user (click→conversion attribution). Same
+    // one-shuffle union/running-last construction, reversed timeline.
+    "join_asof_fwd" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin(clicks, purchases, key = "user_id", tsCol = "ts",
+          seqCol = "event_id",
+          carry = Map("event_id" -> "next_purchase_id"), forward = true)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("next_purchase_id"))
+        .orderBy(col("click_id"))
+    }),
+
     // Composite flagship (TPC-H Q3 shape): segment-filtered customers
     // ⋈ date-filtered orders ⋈ shipdate-filtered lineitem → revenue
     // per order → ordered top-10. Exercises the whole optimizer at
@@ -377,6 +394,26 @@ object JoinOps extends OpPack {
         |SELECT purchase_id, user_id, click_id
         |FROM w WHERE purchase_id IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    "join_asof_fwd" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_id AS next_purchase_id,
+        |         CAST(NULL AS BIGINT) AS click_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT user_id, click_id,
+        |         last_value(next_purchase_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS next_purchase_id
+        |  FROM tagged
+        |)
+        |SELECT click_id, user_id, next_purchase_id
+        |FROM w WHERE click_id IS NOT NULL
+        |ORDER BY click_id""".stripMargin,
 
     "composite_q3" ->
       s"""SELECT l_orderkey,

@@ -117,6 +117,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("forward as-of join matches the sequential reference model") {
+    val sideGen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0, 3)
+      t <- Gen.chooseNum(0L, 15L) // few ts values ⇒ forced ties
+      v <- Gen.chooseNum(0, 999)
+    } yield (k, t, v))
+    check(Prop.forAll(sideGen, sideGen) { (ls, rs) =>
+      (ls.isEmpty || rs.isEmpty) || {
+        val left = ls.zipWithIndex.map { case ((k, t, v), i) =>
+          (k, t, 1000L + i, v) }
+        val right = rs.zipWithIndex.map { case ((k, t, v), i) =>
+          (k, t, i.toLong, v) }
+        val out = graft.operators.AsOfJoin(
+            left.toDF("k", "ts", "seq", "lv"),
+            right.toDF("k", "ts", "seq", "rv"),
+            key = "k", tsCol = "ts", seqCol = "seq",
+            carry = Map("rv" -> "rv_asof"), forward = true)
+          .select("k", "seq", "rv_asof")
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+        // model: EARLIEST right strictly after the left on the
+        // (ts, seq) total order
+        val model = left.map { case (k, t, s, _) =>
+          val best = right.filter(r => r._1 == k &&
+            (r._2 > t || (r._2 == t && r._3 > s)))
+            .sortBy(r => (r._2, r._3)).headOption
+          (k, s, best.map(_._4))
+        }.toSet
+        out == model
+      }
+    })
+  }
+
   /** Random documents with planted exact duplicates. */
   private val docsGen: Gen[List[(Long, String)]] = for {
     texts <- Gen.listOfN(25, Gen.nonEmptyListOf(
