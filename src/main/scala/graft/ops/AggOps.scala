@@ -204,6 +204,24 @@ object AggOps extends OpPack {
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price")), "metric", "val")
         .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // Deterministic mode: most frequent order priority per status,
+    // ties broken lexicographically (the built-in `mode()` leaves tie
+    // order engine-defined, so it is composed from count + top-1 here
+    // — same two-phase agg + WindowGroupLimit shape as topk_per_group).
+    "agg_mode" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(desc("n"), asc("o_orderpriority"))
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -345,6 +363,15 @@ object AggOps extends OpPack {
          |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM g
          |UNION ALL
          |SELECT l_returnflag, 'sum_price', sum_price FROM g
-         |ORDER BY l_returnflag, metric""".stripMargin
+         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -166,6 +166,31 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The "so what" of the dedup family: materialize the deduplicated
+    // corpus stats — one representative (min doc_id) per near-dup
+    // cluster survives, unclustered docs survive — per language. Rides
+    // the same persisted pair graph + CC labels as the cluster
+    // queries, so the marginal cost is one groupBy.
+    "llm_dedup_keep" -> ((s, dir) => {
+      val labels = graft.operators.ConnectedComponents
+        .run(nearDupPairs(s, dir), "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("cluster_id") === col("doc_id"),
+            col("n_tok").cast("long")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Paragraph-level (sub-document) dedup — the RefinedWeb/CCNet
     // pattern: chunk each doc into fixed 10-word "paragraphs", keep
     // only the corpus-wide FIRST occurrence of each chunk (min
@@ -342,6 +367,7 @@ object DedupOps extends OpPack {
     // Both CC variants must produce this same closure.
     "llm_dedup_cluster" -> clusterClosureSql,
     "llm_cc_bigstar" -> clusterClosureSql,
+    "llm_dedup_keep" -> dedupKeepSql,
 
     "llm_dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -360,7 +386,10 @@ object DedupOps extends OpPack {
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
-  private val clusterClosureSql =
+  /** The recursive-closure CTE chain shared by the cluster-labeling
+    * oracles: 3-gram shingles → J≥0.05 candidate pairs → symmetric
+    * edges → transitive reachability. */
+  private val closureCtes =
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
@@ -389,10 +418,29 @@ object DedupOps extends OpPack {
         |reach(u, v) AS (
         |  SELECT u, u FROM edge
         |  UNION
-        |  SELECT e.u, r.v FROM edge e JOIN reach r ON r.u = e.v)
-        |SELECT d.doc_id, coalesce(m.cl, d.doc_id) AS cluster_id
+        |  SELECT e.u, r.v FROM edge e JOIN reach r ON r.u = e.v)""".stripMargin
+
+  private val clusterClosureSql = closureCtes + "\n" +
+      """SELECT d.doc_id, coalesce(m.cl, d.doc_id) AS cluster_id
         |FROM documents d
         |LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
         |  ON d.doc_id = m.u
         |ORDER BY d.doc_id""".stripMargin
+
+  private val dedupKeepSql = closureCtes + ",\n" +
+      """labels AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok,
+        |    coalesce(m.cl, d.doc_id) AS cluster_id
+        |  FROM documents d
+        |  LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
+        |    ON d.doc_id = m.u)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN cluster_id = doc_id THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens
+        |FROM labels GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -227,6 +227,19 @@ object FnOps extends OpPack {
           split(parse_url(col("url"), lit("HOST")), lit("\\."))
             .getItem(1).as("sld"))
         .orderBy(col("doc_id"))
+    }),
+
+    // printf-style formatting (integer/string conversions only — %f
+    // rounding is locale/impl-defined and would break oracle parity;
+    // id-padding, hex render, literal %% all covered).
+    "fn_format" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          format_string("P%07d/%s", col("p_partkey"), col("p_brand"))
+            .as("tag"),
+          format_string("%x", col("p_partkey")).as("hex_key"),
+          format_string("%d%%", col("p_size")).as("size_pct"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -372,6 +385,13 @@ object FnOps extends OpPack {
         |  'r' || CAST(doc_id % 7 AS VARCHAR) AS ref,
         |  'example' AS sld
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "fn_format" ->
+      """SELECT p_partkey,
+        |  printf('P%07d/%s', p_partkey, p_brand) AS tag,
+        |  printf('%x', p_partkey) AS hex_key,
+        |  printf('%d%%', p_size) AS size_pct
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

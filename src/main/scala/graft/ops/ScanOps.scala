@@ -146,6 +146,25 @@ object ScanOps extends OpPack {
         .orderBy(col("batch"), col("c_custkey"))
     }),
 
+    // Raw-text (line-oriented) sink + source roundtrip: the ingest
+    // format of every log/NDJSON feed (and of the CDC replay
+    // transport). Fields ride a ctrl-A (U+0001) delimited line out and are
+    // split back on read; the oracle reads the original parquet, so a
+    // pass proves line encode→decode fidelity.
+    "scan_text_roundtrip" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/text-docs"
+      Tables(s, dir, "documents")
+        .select(concat_ws("\u0001", col("doc_id"), col("lang"),
+          col("n_chars")).as("value"))
+        .write.mode("overwrite").text(scratch)
+      s.read.text(scratch)
+        .select(split(col("value"), "\u0001").as("f"))
+        .select(col("f").getItem(0).cast("long").as("doc_id"),
+          col("f").getItem(1).as("lang"),
+          col("f").getItem(2).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-order (Morton-curve) layout: interleave 12 bits of customer
     // key and 12 bits of floor(price) into one sort key, then report
     // per-file-bucket (z >> 12) min/max of BOTH dimensions — the
@@ -221,6 +240,10 @@ object ScanOps extends OpPack {
         |SELECT 1 AS batch, c_custkey, c_name, c_acctbal
         |FROM customer
         |ORDER BY batch, c_custkey""".stripMargin,
+
+    "scan_text_roundtrip" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "layout_zorder" ->
       s"""WITH d AS (
