@@ -80,6 +80,22 @@ object WindowOps extends OpPack {
         .orderBy(col("event_id"))
     }),
 
+    // Time-based RANGE frame: per-user rolling event count over the
+    // trailing 10 minutes of EVENT TIME (epoch seconds as the range
+    // key — a sliding window anchored at every row, the per-row form
+    // of stream_sliding's fixed grid). Same single keyed shuffle as
+    // any window; the frame is evaluated by cursor over the sorted
+    // partition, O(1) amortized per row.
+    "win_time_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-600, 0)
+      Tables(s, dir, "events")
+        .withColumn("es", floor(unix_timestamp(col("ts"))).cast("long"))
+        .withColumn("n_10min", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("n_10min"))
+        .orderBy(col("event_id"))
+    }),
+
     "win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -172,6 +188,14 @@ object WindowOps extends OpPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_time_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min
+        |FROM events
         |ORDER BY event_id""".stripMargin,
 
     "win_ntile" ->
