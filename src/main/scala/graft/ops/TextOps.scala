@@ -166,6 +166,34 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus bigram LM statistics: for the 10 most frequent head
+    // words, the top-3 continuations with integer-permille conditional
+    // probability — the n-gram table a statistical LM / contamination
+    // scorer is built from. Two hash aggs over (w1, w2) pairs + a
+    // broadcast-sized head list + per-head WindowGroupLimit top-k;
+    // linear in corpus token count.
+    "llm_ngram_stats" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      val heads = pairs.groupBy(col("w1"))
+        .agg(sum(col("n_pair")).as("n_head"))
+        .orderBy(desc("n_head"), asc("w1")).limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1")).orderBy(desc("n_pair"), asc("w2"))
+      pairs.join(broadcast(heads), "w1")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_head"),
+          expr("n_pair * 1000 div n_head").as("cond_permille"),
+          col("rnk"))
+        .orderBy(col("w1"), col("rnk"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing any 4-gram
     // with the benchmark set (doc_id % 50 == 0 as the held-out suite).
     // The benchmark gram set is tiny relative to the corpus — exactly
@@ -295,6 +323,25 @@ object TextOps extends OpPack {
         |   (t3.dup3 * 1000) // (b.n_tokens - 2) < 300) AS keep
         |FROM base b JOIN b2 USING (doc_id) JOIN t3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_ngram_stats" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+        |      FROM t),
+        |pairs AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |          FROM b GROUP BY 1, 2),
+        |heads AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_head
+        |          FROM pairs GROUP BY w1
+        |          ORDER BY n_head DESC, w1 LIMIT 10),
+        |r AS (SELECT pairs.w1, w2, n_pair, n_head,
+        |        row_number() OVER (PARTITION BY pairs.w1
+        |          ORDER BY n_pair DESC, w2) AS rnk
+        |      FROM pairs JOIN heads ON pairs.w1 = heads.w1)
+        |SELECT w1, w2, n_pair, n_head,
+        |  (n_pair * 1000) // n_head AS cond_permille, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY w1, rnk""".stripMargin,
 
     "llm_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
