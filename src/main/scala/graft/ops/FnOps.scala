@@ -229,6 +229,19 @@ object FnOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Binary encode/decode surface: base64 + hex over utf-8 bytes with
+    // a decode roundtrip proven in the output — the envelope-payload
+    // encoding leg (CDC payloads and media blobs ride as binary).
+    "fn_binary" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          base64(col("lang").cast("binary")).as("lang_b64"),
+          hex(col("lang").cast("binary")).as("lang_hex"),
+          (unbase64(base64(col("text").cast("binary"))).cast("string")
+            === col("text")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // printf-style formatting (integer/string conversions only — %f
     // rounding is locale/impl-defined and would break oracle parity;
     // id-padding, hex render, literal %% all covered).
@@ -386,6 +399,13 @@ object FnOps extends OpPack {
         |  'example' AS sld
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "fn_binary" ->
+      """SELECT doc_id,
+        |  to_base64(CAST(lang AS BLOB)) AS lang_b64,
+        |  hex(CAST(lang AS BLOB)) AS lang_hex,
+        |  text = text AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "fn_format" ->
       """SELECT p_partkey,

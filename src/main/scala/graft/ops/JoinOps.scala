@@ -199,6 +199,27 @@ object JoinOps extends OpPack {
         .orderBy(col("purchase_id"))
     }),
 
+    // Null-safe equi join (<=>): both sides derive a NULLABLE bucket
+    // (null for low-value events), and null keys MATCH each other —
+    // the semantics `=` can't express (null = null is null ⇒ dropped).
+    // Catalyst plans <=> as a hash join on a null-tolerant key, same
+    // shuffle shape as a plain equi join.
+    "join_null_safe" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") >= 100, pmod(col("event_id"), lit(5)))
+            .as("bucket"))
+      val a = e.filter(col("event_id") < 100)
+        .select(col("event_id").as("id_a"), col("bucket").as("bucket_a"))
+      val b = e.filter(col("event_id") >= 100 && col("event_id") < 200)
+        .select(col("event_id").as("id_b"), col("bucket").as("bucket_b"))
+      a.join(b, col("bucket_a") <=> col("bucket_b"))
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("id_b")).as("min_match"))
+        .orderBy(col("id_a"))
+    }),
+
     // Forward as-of: each click matched to the EARLIEST purchase
     // at-or-after it per user (click→conversion attribution). Same
     // one-shuffle union/running-last construction, reversed timeline.
@@ -394,6 +415,19 @@ object JoinOps extends OpPack {
         |SELECT purchase_id, user_id, click_id
         |FROM w WHERE purchase_id IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN value >= 100 THEN event_id % 5 END AS bucket
+        |  FROM events),
+        |a AS (SELECT event_id AS id_a, bucket AS bucket_a
+        |      FROM e WHERE event_id < 100),
+        |b AS (SELECT event_id AS id_b, bucket AS bucket_b
+        |      FROM e WHERE event_id >= 100 AND event_id < 200)
+        |SELECT id_a, count(*) AS n_matches, min(id_b) AS min_match
+        |FROM a JOIN b ON bucket_a IS NOT DISTINCT FROM bucket_b
+        |GROUP BY id_a ORDER BY id_a""".stripMargin,
 
     "join_asof_fwd" ->
       """WITH tagged AS (
