@@ -237,6 +237,36 @@ object JoinOps extends OpPack {
         .orderBy(col("click_id"))
     }),
 
+    // Composite flagship #3: the event-log side of the engine end to
+    // end — forward as-of attribution (click → next purchase) feeding
+    // a dimensional rollup (customer → nation) into a conversion-rate
+    // aggregate. One keyed as-of shuffle + one fact-dim join (customer
+    // side AQE-broadcastable at test scale, shuffled at 100 TB) + a
+    // broadcast nation dim + two-phase agg.
+    "composite_funnel" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val attributed = AsOfJoin(clicks, purchases, key = "user_id",
+        tsCol = "ts", seqCol = "event_id",
+        carry = Map("event_id" -> "next_purchase_id"), forward = true)
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      attributed.join(cust, col("user_id") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("next_purchase_id").isNotNull, 1L).otherwise(0L))
+            .as("n_converted"))
+        .withColumn("conv_permille",
+          expr("n_converted * 1000 div n_clicks"))
+        .orderBy(col("n_name"))
+    }),
+
     // Composite flagship (TPC-H Q3 shape): segment-filtered customers
     // ⋈ date-filtered orders ⋈ shipdate-filtered lineitem → revenue
     // per order → ordered top-10. Exercises the whole optimizer at
@@ -448,6 +478,34 @@ object JoinOps extends OpPack {
         |SELECT click_id, user_id, next_purchase_id
         |FROM w WHERE click_id IS NOT NULL
         |ORDER BY click_id""".stripMargin,
+
+    "composite_funnel" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_id AS next_purchase_id,
+        |         CAST(NULL AS BIGINT) AS click_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT user_id, click_id,
+        |         last_value(next_purchase_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS next_purchase_id
+        |  FROM tagged
+        |), attributed AS (
+        |  SELECT user_id, next_purchase_id FROM w WHERE click_id IS NOT NULL)
+        |SELECT n_name, count(*) AS n_clicks,
+        |  CAST(sum(CASE WHEN next_purchase_id IS NOT NULL
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST((sum(CASE WHEN next_purchase_id IS NOT NULL
+        |             THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
+        |    AS conv_permille
+        |FROM attributed
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "composite_q3" ->
       s"""SELECT l_orderkey,
