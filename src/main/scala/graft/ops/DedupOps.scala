@@ -166,6 +166,34 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Integer PageRank (3 fixed iterations, damping 0.85, scores
+    // scaled ×10⁶, every step integer division ⇒ bit-identical in
+    // both engines) over the symmetric near-dup graph — centrality of
+    // a document inside its duplicate family (the "pick the canonical
+    // page of a template cluster" signal). Each iteration is one
+    // edge-side join + one aggregation — O(edges) per round, the
+    // standard distributed PR shape; dangling mass is deliberately
+    // not redistributed (documented determinism trade).
+    "llm_pagerank" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val nodes = Tables(s, dir, "documents").select(col("doc_id"))
+      var pr = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(deg, "u")
+          .join(pr.withColumnRenamed("doc_id", "u"), "u")
+          .select(col("v"), expr("pr div d").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("csum"))
+        pr = nodes.join(contrib, col("doc_id") === col("v"), "left_outer")
+          .select(col("doc_id"),
+            expr("CAST(150000 + (850 * coalesce(csum, 0L)) div 1000 AS BIGINT)")
+              .as("pr"))
+      }
+      pr.orderBy(col("doc_id"))
+    }),
+
     // The "so what" of the dedup family: materialize the deduplicated
     // corpus stats — one representative (min doc_id) per near-dup
     // cluster survives, unclustered docs survive — per language. Rides
@@ -368,6 +396,7 @@ object DedupOps extends OpPack {
     "llm_dedup_cluster" -> clusterClosureSql,
     "llm_cc_bigstar" -> clusterClosureSql,
     "llm_dedup_keep" -> dedupKeepSql,
+    "llm_pagerank" -> pagerankSql,
 
     "llm_dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -426,6 +455,31 @@ object DedupOps extends OpPack {
         |LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
         |  ON d.doc_id = m.u
         |ORDER BY d.doc_id""".stripMargin
+
+  /** Unrolled 3-iteration integer PageRank over the `edge` CTE —
+    * mirrors llm_pagerank's integer arithmetic step for step. */
+  private val pagerankSql: String = {
+    val iters = (1 to 3).foldLeft("p0" -> Seq(
+      "deg AS (SELECT u, count(*) AS d FROM edge GROUP BY u)",
+      "n AS (SELECT doc_id FROM documents)",
+      "p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n)")) {
+      case ((prev, ctes), i) =>
+        val cte =
+          s"""p$i AS (
+             |  SELECT n.doc_id,
+             |    CAST(150000 + (850 * coalesce(s.c, 0)) // 1000 AS BIGINT)
+             |      AS pr
+             |  FROM n LEFT JOIN (
+             |    SELECT e.v AS doc_id, sum(p.pr // deg.d) AS c
+             |    FROM edge e
+             |    JOIN $prev p ON e.u = p.doc_id
+             |    JOIN deg ON deg.u = e.u
+             |    GROUP BY e.v) s ON n.doc_id = s.doc_id)""".stripMargin
+        s"p$i" -> (ctes :+ cte)
+    }
+    closureCtes + ",\n" + iters._2.mkString(",\n") + "\n" +
+      s"SELECT doc_id, pr FROM ${iters._1} ORDER BY doc_id"
+  }
 
   private val dedupKeepSql = closureCtes + ",\n" +
       """labels AS (
