@@ -194,6 +194,30 @@ object DedupOps extends OpPack {
       pr.orderBy(col("doc_id"))
     }),
 
+    // Triangle census of the near-dup graph: triangles vs open wedges
+    // measure how clique-like duplicate families are (template
+    // clusters close their triangles; chain-shaped boilerplate does
+    // not). Canonical-ordered edges (a<b<c) make each triangle count
+    // exactly once; two hash joins on the (persisted) pair list —
+    // the standard distributed triangle enumeration.
+    "llm_triangles" -> ((s, dir) => {
+      val e = nearDupPairs(s, dir) // doc_a < doc_b, persisted upstream
+      val ab = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val bc = e.select(col("doc_a").as("b"), col("doc_b").as("c"))
+      val ac = e.select(col("doc_a").as("a2"), col("doc_b").as("c2"))
+      val tri = ab.join(bc, "b")
+        .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(col("doc_a").as("id"))
+        .union(e.select(col("doc_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      tri.crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges"),
+          expr("CAST(CASE WHEN n_wedges > 0 THEN n_triangles * 3000 div n_wedges ELSE 0 END AS BIGINT)")
+            .as("closure_permille"))
+    }),
+
     // The "so what" of the dedup family: materialize the deduplicated
     // corpus stats — one representative (min doc_id) per near-dup
     // cluster survives, unclustered docs survive — per language. Rides
@@ -397,6 +421,24 @@ object DedupOps extends OpPack {
     "llm_cc_bigstar" -> clusterClosureSql,
     "llm_dedup_keep" -> dedupKeepSql,
     "llm_pagerank" -> pagerankSql,
+
+    "llm_triangles" -> (closureCtes + ",\n" +
+      """ce AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+        |tcount AS (SELECT count(*) AS n_triangles
+        |        FROM ce ab
+        |        JOIN ce bc ON ab.b = bc.a
+        |        JOIN ce ac ON ac.a = ab.a AND ac.b = bc.b),
+        |wed AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+        |          AS n_wedges
+        |        FROM (SELECT id, count(*) AS deg FROM (
+        |                SELECT doc_a AS id FROM cand
+        |                UNION ALL SELECT doc_b FROM cand)
+        |              GROUP BY id))
+        |SELECT n_triangles, n_wedges,
+        |  CAST(CASE WHEN n_wedges > 0
+        |       THEN (n_triangles * 3000) // n_wedges ELSE 0 END AS BIGINT)
+        |    AS closure_permille
+        |FROM tcount, wed""".stripMargin),
 
     "llm_dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

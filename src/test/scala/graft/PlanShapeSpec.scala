@@ -166,8 +166,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // Intentional exceptions: join_cross is a declared cartesian of two
     // tiny dims; the ANN queries cross-join a broadcast single row or
     // the broadcast numCells×dim centroid table.
+    // llm_triangles crosses two single-row aggregates (census totals).
     val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine",
-      "llm_ann_knn")
+      "llm_ann_knn", "llm_triangles")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
