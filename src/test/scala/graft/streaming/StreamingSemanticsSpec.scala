@@ -160,6 +160,31 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1, s"got $ids")
   }
 
+  test("hash-coin sampling makes identical decisions in streaming and batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The corpus samplers (sample_hash/stratified/split/shard) are
+    // pure functions of the row key — no state, no rand() — so the
+    // SAME operator runs unchanged over an unbounded stream and keeps
+    // exactly the batch sample: micro-batch boundaries cannot change
+    // any keep decision.
+    val coin = substring(md5(col("id").cast("string")), 1, 4) < "2000"
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("id").filter(coin)
+      .writeStream.format("memory").queryName("coin_stream")
+      .outputMode("append").start()
+    input.addData(0L until 100L: _*)
+    q.processAllAvailable()
+    input.addData(100L until 200L: _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("coin_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batch = (0L until 200L).toDF("id").filter(coin)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stateful CDC snapshot: upsert, out-of-order ignore, delete tombstone") {
     import graft.streaming.CdcSnapshotStream.{Change, snapshots}
     import spark.implicits._
