@@ -206,6 +206,19 @@ object AggOps extends OpPack {
         .orderBy(col("l_returnflag"), col("metric"))
     }),
 
+    // Discrete (exact, non-interpolating) percentiles: the value IS a
+    // row's value, so doubles pass through verbatim — no rounding
+    // policy needed, unlike percentile_cont. Two-phase sort-based agg.
+    "agg_percentile_disc" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Deterministic mode: most frequent order priority per status,
     // ties broken lexicographically (the built-in `mode()` leaves tie
     // order engine-defined, so it is composed from count + top-1 here
@@ -364,6 +377,13 @@ object AggOps extends OpPack {
          |UNION ALL
          |SELECT l_returnflag, 'sum_price', sum_price FROM g
          |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "agg_percentile_disc" ->
+      """SELECT o_orderstatus,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (
