@@ -166,6 +166,33 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer seed-vocabulary build: global token counts → top-100
+    // vocab ranked by frequency (lexicographic tie-break) → cumulative
+    // corpus-coverage permille via a running sum. The count table is
+    // one map-side-combined agg over the corpus; the ranking/running
+    // sum run on the tiny vocab table (the WordPiece/BPE seed-vocab
+    // step, where coverage curves decide vocab size).
+    "llm_vocab" -> ((s, dir) => {
+      val counts = toks(s, dir).groupBy(col("w"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      // top-k via TakeOrderedAndProject (no global sort of the vocab);
+      // rank + running sum then run on the 100-row result, and the
+      // 1-row total broadcasts (the scalar-broadcast cross is in
+      // PlanShapeSpec's allowed set).
+      val top = counts.orderBy(desc("n"), asc("w")).limit(100)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("n"), asc("w"))
+      top
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("w").as("token"), col("n"),
+          expr("cum * 1000 div total").as("cum_permille"))
+        .orderBy(col("rank"))
+    }),
+
     // Corpus bigram LM statistics: for the 10 most frequent head
     // words, the top-3 continuations with integer-permille conditional
     // probability — the n-gram table a statistical LM / contamination
@@ -323,6 +350,21 @@ object TextOps extends OpPack {
         |   (t3.dup3 * 1000) // (b.n_tokens - 2) < 300) AS keep
         |FROM base b JOIN b2 USING (doc_id) JOIN t3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, count(*) AS n FROM tok
+        |           WHERE w <> '' GROUP BY w),
+        |total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+        |top AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w)
+        |          AS rank
+        |        FROM counts ORDER BY n DESC, w LIMIT 100)
+        |SELECT rank, w AS token, n,
+        |  CAST((sum(n) OVER (ORDER BY rank) * 1000) // total AS BIGINT)
+        |    AS cum_permille
+        |FROM top, total
+        |ORDER BY rank""".stripMargin,
 
     "llm_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),

@@ -166,9 +166,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // Intentional exceptions: join_cross is a declared cartesian of two
     // tiny dims; the ANN queries cross-join a broadcast single row or
     // the broadcast numCells×dim centroid table.
-    // llm_triangles crosses two single-row aggregates (census totals).
+    // llm_triangles crosses two single-row aggregates (census totals);
+    // llm_vocab broadcasts a single-row corpus total.
     val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine",
-      "llm_ann_knn", "llm_triangles")
+      "llm_ann_knn", "llm_triangles", "llm_vocab")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
