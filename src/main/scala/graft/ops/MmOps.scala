@@ -47,6 +47,25 @@ object MmOps extends OpPack {
         .orderBy(col("media_id"))
     }),
 
+    // Inference batch packing: group media assets into GPU batches
+    // under a 600-kilopixel budget, per (kind, shard) — the SAME
+    // next-fit operator that packs token sequences (SequencePack),
+    // re-costed in kilopixels. One operator, two training-pipeline
+    // stages; parallelism unit is the (kind, shard) group.
+    "mm_pack_batches" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      val assets = media
+        .withColumn("width", Multimodal.stubWidth(length(col("content"))))
+        .withColumn("height", Multimodal.stubHeight(length(col("content"))))
+        .withColumn("kpx", expr("CAST(width * height div 1000 AS INT)"))
+        .withColumn("shard", pmod(col("media_id"), lit(2)))
+      graft.operators.SequencePack(assets, idCol = "media_id",
+          tokCol = "kpx", grpA = "kind", grpB = "shard", capacity = 600)
+        .select(col("media_id"), col("kind"), col("shard"),
+          col("pack_id"), col("tok").as("kpx"))
+        .orderBy(col("media_id"))
+    }),
+
     // Frame sampling: every 3rd frame index of each "video" payload —
     // generator-shaped (explode of a bounded sequence), output size
     // is frames/3 per asset regardless of payload size.
@@ -92,6 +111,31 @@ object MmOps extends OpPack {
         |FROM documents,
         |  unnest(range(0, CAST(n_chars // 100 + 1 AS INT), 3)) t(f)
         |WHERE doc_id % 3 = 2
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "mm_pack_batches" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+        |         doc_id % 2 AS shard, doc_id AS media_id,
+        |         CAST(((64 + n_chars % 577) * (64 + n_chars % 389)) // 1000
+        |           AS INT) AS kpx,
+        |         row_number() OVER (PARTITION BY doc_id % 3, doc_id % 2
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), walk AS (
+        |  SELECT kind, shard, media_id, kpx, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, CAST(kpx AS BIGINT) AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.kind, b.shard, b.media_id, b.kpx, b.rn,
+        |         CASE WHEN w.fill + b.kpx > 600 THEN w.pack_id + 1
+        |              ELSE w.pack_id END,
+        |         CASE WHEN w.fill + b.kpx > 600 THEN CAST(b.kpx AS BIGINT)
+        |              ELSE w.fill + b.kpx END
+        |  FROM walk w JOIN base b
+        |    ON b.kind = w.kind AND b.shard = w.shard AND b.rn = w.rn + 1
+        |)
+        |SELECT media_id, kind, shard, pack_id, kpx
+        |FROM walk ORDER BY media_id""".stripMargin
   )
 }
