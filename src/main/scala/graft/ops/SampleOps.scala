@@ -173,8 +173,7 @@ object SampleOps extends OpPack {
     // stages into the scans, so at 100 TB the funnel costs its two
     // real shuffles (dedup window, final agg), not five passes.
     "composite_curate" -> ((s, dir) => {
-      val gram4 = "transform(sequence(0, size(toks)-4), " +
-        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+      val gram4 = Grams.spark(4)
       val d = Tables(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")))

@@ -144,13 +144,11 @@ object TextOps extends OpPack {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("n_tokens", size(col("toks")))
-      val top2 = docs.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+      val top2 = docs.select(col("doc_id"), explode(expr(Grams.spark(2)))
           .as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
-      val dup3 = docs.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      val dup3 = docs.select(col("doc_id"), explode(expr(Grams.spark(3)))
           .as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -230,8 +228,7 @@ object TextOps extends OpPack {
     "llm_decontaminate" -> ((s, dir) => {
       val grams = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, size(toks)-4), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))")))
+        .select(col("doc_id"), explode(array_distinct(expr(Grams.spark(4))))
           .as("gram"))
       val bench = grams.filter(col("doc_id") % 50 === 0)
         .withColumnRenamed("doc_id", "bench_id")
