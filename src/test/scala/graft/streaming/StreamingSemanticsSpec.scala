@@ -160,6 +160,27 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1, s"got $ids")
   }
 
+  test("complete output mode: running totals are re-emitted whole each batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // Complete mode = the dashboard-materialization contract: every
+    // micro-batch replaces the whole (small) result table, so the sink
+    // always holds totals over EVERYTHING seen so far.
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("kind", "v")
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .writeStream.format("memory").queryName("complete_agg")
+      .outputMode("complete").start()
+    input.addData(("a", 1L), ("b", 2L), ("a", 3L))
+    q.processAllAvailable()
+    input.addData(("a", 10L), ("c", 5L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("complete_agg").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> (3L, 14L), "b" -> (1L, 2L), "c" -> (1L, 5L)))
+  }
+
   test("hash-coin sampling makes identical decisions in streaming and batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
