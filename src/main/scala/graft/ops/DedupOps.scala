@@ -139,11 +139,8 @@ object DedupOps extends OpPack {
     // a sequential union-find model); docs outside every pair stay
     // their own singleton cluster.
     "llm_dedup_cluster" -> ((s, dir) => {
-      val labels = graft.operators.ConnectedComponents
-        .run(nearDupPairs(s, dir), "doc_a", "doc_b")
-        .withColumnRenamed("id", "doc_id")
       Tables(s, dir, "documents").select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left_outer")
+        .join(ccLabels(s, dir), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"))
         .orderBy(col("doc_id"))
@@ -224,13 +221,10 @@ object DedupOps extends OpPack {
     // the same persisted pair graph + CC labels as the cluster
     // queries, so the marginal cost is one groupBy.
     "llm_dedup_keep" -> ((s, dir) => {
-      val labels = graft.operators.ConnectedComponents
-        .run(nearDupPairs(s, dir), "doc_a", "doc_b")
-        .withColumnRenamed("id", "doc_id")
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).as("n_tok"))
-        .join(labels, Seq("doc_id"), "left_outer")
+        .join(ccLabels(s, dir), Seq("doc_id"), "left_outer")
         .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -296,6 +290,22 @@ object DedupOps extends OpPack {
         "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Min-label CC assignments over the near-dup graph, memoized per
+    * (session, dir) and persisted — the propagation loop runs Spark
+    * actions driver-side, so CacheManager plan substitution alone
+    * cannot dedupe repeat calls (same pattern as LlmOps.ivfIndex).
+    * cluster/keep share this; llm_cc_bigstar deliberately keeps its
+    * own BigStarCC run — being a second, independent algorithm is the
+    * point of that query. */
+  private val ccCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      graft.operators.ConnectedComponents
+        .run(nearDupPairs(s, dir), "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The J≥0.05 3-gram-Jaccard near-dup pair graph (doc_a < doc_b),
     * shared by both connected-components variants. Integer-only
