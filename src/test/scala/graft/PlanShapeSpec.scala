@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the physical-plan properties the 100 TB design relies on —
@@ -160,6 +161,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l =>
       l.contains("DataFilters") && l.contains(">= 20")),
       s"quality gate should be a scan-stage filter:\n$p")
+  }
+
+  test("runtime bloom-filter join reduction injects might_contain on the probe side") {
+    // The optimizer feature that replaces manual semi-join reduction
+    // at 100 TB: a selective filter on one join side materializes a
+    // bloom filter that pre-filters the other side's scan. Local
+    // thresholds are tuned for big data — lower them to see the
+    // rewrite on the test tables.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 500000) // selective build side
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a bloom-filter probe in the optimized plan:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("no query plans an accidental nested-loop join or cartesian product") {
