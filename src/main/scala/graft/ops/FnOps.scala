@@ -229,6 +229,20 @@ object FnOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Second string batch: positional/segment functions shared by both
+    // engines (split_part/strpos/reverse/repeat/left/right).
+    "fn_string_extra" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+          instr(col("p_type"), " ").cast("int").as("first_space"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(lit("*"), col("p_size") % 5).as("stars"),
+          substring(col("p_name"), 1, 4).as("name4"),
+          expr("right(p_name, 3)").as("name_tail"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Binary encode/decode surface: base64 + hex over utf-8 bytes with
     // a decode roundtrip proven in the output — the envelope-payload
     // encoding leg (CDC payloads and media blobs ride as binary).
@@ -399,6 +413,16 @@ object FnOps extends OpPack {
         |  'example' AS sld
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "fn_string_extra" ->
+      """SELECT p_partkey,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  CAST(strpos(p_type, ' ') AS INT) AS first_space,
+        |  reverse(p_brand) AS brand_rev,
+        |  repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+        |  substring(p_name, 1, 4) AS name4,
+        |  right(p_name, 3) AS name_tail
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_binary" ->
       """SELECT doc_id,

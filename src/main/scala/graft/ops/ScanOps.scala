@@ -146,6 +146,27 @@ object ScanOps extends OpPack {
         .orderBy(col("batch"), col("c_custkey"))
     }),
 
+    // Dirty-data ingest: an NDJSON feed where every 20th line is
+    // corrupted (deterministically, at write) read back in PERMISSIVE
+    // mode — malformed lines survive as rows with null fields instead
+    // of killing the 100 TB job, and the per-lang/corrupt census is
+    // exactly checkable. (FAILFAST is the other documented choice;
+    // PERMISSIVE + audit counts is what a pipeline actually runs.)
+    "scan_json_corrupt" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/json-corrupt"
+      Tables(s, dir, "documents")
+        .select(when(col("doc_id") % 20 === 0,
+            concat(lit("{broken"), col("doc_id")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+          .as("value"))
+        .write.mode("overwrite").text(scratch)
+      s.read.schema("doc_id BIGINT, lang STRING")
+        .option("mode", "PERMISSIVE").json(scratch)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
+
     // Raw-text (line-oriented) sink + source roundtrip: the ingest
     // format of every log/NDJSON feed (and of the CDC replay
     // transport). Fields ride a ctrl-A (U+0001) delimited line out and are
@@ -244,6 +265,13 @@ object ScanOps extends OpPack {
     "scan_text_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scan_json_corrupt" ->
+      """SELECT CASE WHEN doc_id % 20 = 0 THEN NULL ELSE lang END AS lang,
+        |  count(*) AS n
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
 
     "layout_zorder" ->
       s"""WITH d AS (
