@@ -43,5 +43,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(n > 0, s"minhash_signature: numHashes must be positive, got $n")
         MinHashSignature(children.head, n).toAggregateExpression()
       }))
+
+    // zorder_key(x, y[, bits=12]): Morton layout key — a COMPOSED tree
+    // of existing codegen primitives (graft.functions.ZOrder), so SQL
+    // users get the data-layout function with zero new runtime code.
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(graft.functions.ZOrder.getClass.getName,
+        "zorder_key"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          s"zorder_key takes (x, y[, bits]), got ${children.size}")
+        val bits = if (children.size == 2) 12 else {
+          require(children(2).foldable,
+            "zorder_key: bits must be a literal")
+          children(2).eval() match {
+            case i: java.lang.Number => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"zorder_key: bits must be an integer literal, got $other")
+          }
+        }
+        graft.functions.ZOrder.zExprTree(children.head, children(1), bits)
+      }))
   }
 }

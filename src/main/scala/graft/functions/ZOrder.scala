@@ -46,6 +46,28 @@ object ZOrder {
   def duckdbZ(x: String, y: String, bits: Int): String =
     zSql(x, y, bits, (e, s) => s"(($e) << $s)")
 
+  /** The same computation as a composed Catalyst expression tree —
+    * used by [[graft.GraftExtensions]] to register the SQL function
+    * `zorder_key(x, y[, bits])`. Built entirely from existing codegen
+    * primitives (shift/and/or/add), so no new Expression class and no
+    * codegen fallback. */
+  def zExprTree(x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression,
+      bits: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    def spread(v: Expression): Expression =
+      steps.foldLeft(v) { case (acc, (s, mask)) =>
+        BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(s))),
+          Literal(mask))
+      }
+    val m = Literal((1L << bits) - 1)
+    val xs = spread(BitwiseAnd(Cast(x, LongType), m))
+    val ys = spread(BitwiseAnd(Cast(y, LongType), m))
+    Add(xs, Multiply(Literal(2L), ys))
+  }
+
   /** Reference implementation for property tests. */
   def zvalueRef(x: Long, y: Long, bits: Int): Long = {
     var acc = 0L

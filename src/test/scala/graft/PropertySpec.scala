@@ -329,6 +329,19 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("zorder_key SQL function (registered via GraftExtensions) matches the reference") {
+    val pts = Seq((0L, 0L), (1L, 2L), (4095L, 4095L), (123L, 3210L))
+    pts.toDF("x", "y").createOrReplaceTempView("zpts")
+    val got = spark.sql(
+      "SELECT x, y, zorder_key(x, y, 12) AS z, zorder_key(x, y) AS z12 FROM zpts")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (x, y, z, z12) =>
+      assert(z == graft.functions.ZOrder.zvalueRef(x, y, 12))
+      assert(z12 == z, "default bits should be 12")
+    }
+  }
+
   test("z-order locality: points in the same 2^12 z-bucket span <=64 in each dimension") {
     // The Morton curve guarantee the layout_zorder query relies on:
     // fixing the high 2k interleaved bits confines BOTH coordinates to
