@@ -146,6 +146,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
   }
 
+  test("cdc_scd2 history build is ONE keyed hash shuffle") {
+    // Both window functions (version, valid_to) share the user_id
+    // partitioning — Catalyst collapses them into one Window over one
+    // Exchange; the presentation sort is a range partitioning, not a
+    // second hash shuffle.
+    val p = plan("cdc_scd2")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+  }
+
   test("decontamination probes a broadcast benchmark set — no corpus shuffle for the join") {
     val p = plan("llm_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
