@@ -177,6 +177,28 @@ object CdcOps extends OpPack {
           round((coalesce(col("s_b"), lit(0)) + coalesce(col("s_d"), lit(0)))
             .cast("double"), 2).as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+
+    // Composite: the CDC warehouse path end to end — current state
+    // (latest per key), deletes dropped, joined to the customer
+    // dimension and rolled up per market segment. One snapshot window
+    // + one fact-dim join + two-phase agg; exactly the nightly "state
+    // of the world by segment" readout a CDC consumer materializes.
+    "composite_cdc" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("ts"), desc("event_id"))
+      val snapshot = Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), money(col("value")).as("value"))
+      snapshot
+        .join(Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_live"),
+          Tables.moneySum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -287,6 +309,18 @@ object CdcOps extends OpPack {
          |FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
          |WHERE d_type IS NULL OR d_type <> 'error'
          |ORDER BY user_id""".stripMargin,
+
+    "composite_cdc" ->
+      s"""WITH snap AS (
+         |  SELECT user_id, ${Tables.sql.money("value")} AS value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         |  WHERE rn = 1 AND event_type <> 'error')
+         |SELECT c_mktsegment, count(*) AS n_live,
+         |  ${Tables.sql.moneySum("value")} AS sum_value
+         |FROM snap JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
 
     "cdc_incremental_agg" ->
       """SELECT user_id, count(*) AS n_events,
