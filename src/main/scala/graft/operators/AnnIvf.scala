@@ -219,12 +219,19 @@ object AnnIvf {
       .orderBy(desc("cell_sim"), asc("cell"))
       .limit(nprobe)
       .select(col("cell"))
-    val w = Window.orderBy(desc("sim"), asc(idCol))
-    index.assignments.join(broadcast(cells), "cell")
+    // orderBy+limit(k) plans TakeOrderedAndProject: each partition of
+    // the probed cells keeps its own k candidates and the driver merges
+    // k×partitions rows — a global row_number window here would pull
+    // every candidate (~nprobe/numCells of the corpus) into ONE
+    // partition. Only the ≤k survivors see the ranking window.
+    val top = index.assignments.join(broadcast(cells), "cell")
       .crossJoin(broadcast(p))
       .withColumn("sim", cosine(col(embCol), col("probe_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .orderBy(desc("sim"), asc(idCol))
+      .limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("sim"), asc(idCol))))
       .select(col("rank"), col(idCol), col("cell"))
   }
 }

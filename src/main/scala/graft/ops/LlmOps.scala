@@ -125,16 +125,22 @@ object LlmOps extends OpPack {
     "llm_sim_cosine" -> ((s, dir) => {
       // Top-10 most similar vectors to probe vec_id=0; the 1-row probe
       // side is broadcast, similarity orders but never escapes (rank
-      // output only).
+      // output only). The top-k is orderBy+limit — Spark plans
+      // TakeOrderedAndProject (each partition keeps its own 10, the
+      // driver merges 10×partitions rows); a global row_number window
+      // here would instead sort the WHOLE corpus in one partition.
+      // Only the ≤10 survivors see the ranking window.
       val e = Tables(s, dir, "embeddings")
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"))
-      val w = Window.orderBy(desc("sim"), asc("vec_id"))
-      e.filter(col("vec_id") =!= 0)
+      val top = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .withColumn("sim", cosine(col("embedding"), col("probe_emb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
         .select(col("rank"), col("vec_id"))
         .orderBy(col("rank"))
     }),

@@ -201,6 +201,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("brute-force and IVF top-k are TakeOrderedAndProject, not a global window sort") {
+    // The scale property: the corpus-sized candidate frame is reduced
+    // per-partition (each partition keeps its own k, the driver merges
+    // k×partitions rows); the ranking row_number window only ever sees
+    // the ≤k survivors. A Window directly over the candidates would
+    // sort the whole corpus in ONE partition.
+    for (name <- Seq("llm_sim_cosine", "llm_ann_ivf")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name top-k must plan TakeOrderedAndProject:\n$p")
+      // top-down plan print: the (tiny) ranking Window must be the
+      // PARENT of the TakeOrderedAndProject, i.e. appear above it —
+      // proof its input is the k-bounded frame, not the corpus.
+      val wi = p.indexOf("Window")
+      val ti = p.indexOf("TakeOrderedAndProject")
+      assert(wi >= 0 && wi < ti,
+        s"$name ranking window must consume the limited frame:\n$p")
+    }
+  }
+
   test("no query plans an accidental nested-loop join or cartesian product") {
     // Intentional exceptions: join_cross is a declared cartesian of two
     // tiny dims; the ANN queries cross-join a broadcast single row or
