@@ -37,7 +37,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only the LAST 2000 chars of stdout; a 159-query
+    // JSON line (~6 KB) always gets cut mid-object and parses as null.
+    // Persist the full per-query JSON to files and end stdout with a
+    // short, always-parseable summary line.
+    for (p <- Seq("target/bench.json", "bench_full.json")) {
+      val path = java.nio.file.Paths.get(p)
+      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(path,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"bench_full.json"}""")
     spark.stop()
   }
 }

