@@ -51,20 +51,6 @@ object LlmOps extends OpPack {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosineSim(a, b)
 
-  private def dotd(x: Column, y: Column): Column =
-    graft.functions.VectorFunctions.dotProduct(x, y)
-
-  /** L2-normalize an embedding once per row; pairwise cosine then
-    * costs a single dot product instead of three (the norm is a
-    * per-row column, computed once, reused across every pair). */
-  private def withUnit(df: DataFrame, embCol: String): DataFrame = {
-    val asD = transform(col(embCol), x => x.cast("double"))
-    df.withColumn("__d", asD)
-      .withColumn("__norm", sqrt(dotd(col("__d"), col("__d"))))
-      .withColumn("unit", transform(col("__d"), x => x / col("__norm")))
-      .drop("__d", "__norm")
-  }
-
   // Persisted: the near-dup query reads this token index four times
   // (pair generation twice, sizes, verification) — see the note in
   // DedupOps; CacheManager substitutes the cache into equal subplans.
@@ -171,21 +157,16 @@ object LlmOps extends OpPack {
     }),
 
     "llm_knn_join" -> ((s, dir) => {
-      // k-NN join blocked by label: candidate pairs only within a
-      // label partition (the exact-within-block pattern; the unblocked
-      // ANN path is graft.operators.AnnIvf). Embeddings are unit-
-      // normalized once per row, so each pair is one dot product.
-      val e = withUnit(Tables(s, dir, "embeddings"), "embedding")
-      val l = e.select(col("vec_id"), col("label"), col("unit"))
-      val r = e.select(col("vec_id").as("nbr_id"), col("label").as("label_r"),
-        col("unit").as("unit_r"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("sim"), asc("nbr_id"))
-      l.join(r, l("label") === r("label_r") && l("vec_id") =!= r("nbr_id"))
-        .withColumn("sim", dotd(col("unit"), col("unit_r")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("vec_id"), col("rank"), col("nbr_id"))
+      // Exact k-NN join within BOUNDED label blocks — the declared
+      // contract of this query: candidate pairs only inside a label
+      // partition, and the operator FAILS FAST (before scheduling the
+      // quadratic join) if any block exceeds its cardinality bound,
+      // pointing at the IVF path (llm_ann_knn) for unbounded corpora.
+      // Guard + join live in graft.operators.KnnJoin (KnnJoinSpec pins
+      // both the bound and brute-force equality).
+      graft.operators.KnnJoin.exactWithinBlocks(
+          Tables(s, dir, "embeddings"), "vec_id", "label", "embedding",
+          k = 3)
         .orderBy(col("vec_id"), col("rank"))
     }),
 
@@ -251,7 +232,7 @@ object LlmOps extends OpPack {
         |    unnest(string_split(text, ' ')) AS w
         |  FROM documents
         |), tok2 AS (SELECT * FROM tok WHERE w <> ''),
-        |dfc AS (SELECT lang, source, w, count(*) AS df
+        |dfc AS (SELECT lang, source, w, count(DISTINCT doc_id) AS df
         |        FROM tok2 GROUP BY lang, source, w),
         |tokf AS (
         |  SELECT tok2.doc_id, tok2.lang, tok2.source, tok2.w
