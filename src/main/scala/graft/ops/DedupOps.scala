@@ -44,17 +44,31 @@ object DedupOps extends OpPack {
         .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Document-frequency cap on inverted-index posting lists (declared
-    * semantics of the shingle-Jaccard family, mirrored in every
-    * oracle): a shingle appearing in more than [[DfCap]] documents is
-    * dropped from the index BEFORE sizes and intersections are
-    * computed, so similarity is measured over discriminative grams
-    * only. This is what bounds the posting-list self-join at 100 TB —
-    * without it one boilerplate trigram ("all rights reserved")
-    * yields ~n² candidate pairs; with it no gram contributes more than
-    * K(K-1)/2 ≈ 8k pairs. K = 128 sits far above the observed max df
-    * at both test scales (7 at sf0.01, 25 at sf0.1), so test results
-    * are byte-identical with or without the cap. */
+  /** Document-frequency cap on inverted-index posting lists — the
+    * declared semantics of the ENTIRE shingle-Jaccard family
+    * (minhash, ngram, edit, cluster, bigstar, pagerank, triangles,
+    * keep — everything that derives from the shingle index), mirrored
+    * in every oracle: a shingle appearing in more than [[DfCap]]
+    * distinct documents is dropped from the index BEFORE signatures,
+    * sizes and intersections are computed, so similarity is measured
+    * over discriminative grams only. This is what bounds the
+    * posting-list self-join at 100 TB — without it one boilerplate
+    * trigram ("all rights reserved") yields ~n² candidate pairs; with
+    * it no gram contributes more than K(K-1)/2 ≈ 8k pairs.
+    *
+    * The cap is applied UNIFORMLY across the family (including the
+    * MinHash-LSH variant, whose signatures are computed over the
+    * capped shingle sets) so every member sees the same similarity
+    * space — a pair is either visible to all of them or to none.
+    * Declared corollary (pinned by DfCapFamilySpec): a document whose
+    * every shingle is boilerplate (df > K) has an empty capped set
+    * and participates in no near-dup pair; such documents are covered
+    * by `llm_dedup_exact` (identical copies) and
+    * `llm_dedup_paragraph` (chunk-level repeats), and remain
+    * singleton clusters in the CC labelings. K = 128 sits far above
+    * the observed max df at both test scales (7 at sf0.01, 25 at
+    * sf0.1), so test results are byte-identical with or without the
+    * cap. */
   private[graft] val DfCap = 128
 
   /** The df-capped shingle index every pairCounts consumer rides.
@@ -70,15 +84,19 @@ object DedupOps extends OpPack {
   }
 
   def queries: Map[String, Q] = Map(
-    // MinHash(128) + 32-band LSH over 3-gram shingles, exact-verified
-    // at shingle Jaccard >= 0.5. Shingles (not tokens) make candidate
-    // generation genuinely sparse: unrelated docs share few trigrams,
-    // so band collisions — and therefore shuffle volume — track the
-    // true near-dup rate instead of the vocabulary overlap. Recall at
-    // the verified threshold: observed near-dup pairs sit at J≈0.95+,
-    // where P(miss) = (1-J⁴)³² < 1e-15.
+    // MinHash(128) + 32-band LSH over df-capped 3-gram shingles,
+    // exact-verified at shingle Jaccard >= 0.5. Shingles (not tokens)
+    // make candidate generation genuinely sparse: unrelated docs share
+    // few trigrams, so band collisions — and therefore shuffle volume —
+    // track the true near-dup rate instead of the vocabulary overlap.
+    // Rides the SAME capped index as the rest of the family ([[DfCap]]:
+    // signatures, sizes and verification all over grams with df <= K),
+    // so minhash and the exact inverted-index variants agree on which
+    // similarity space they measure. Recall at the verified threshold:
+    // observed near-dup pairs sit at J≈0.95+, where
+    // P(miss) = (1-J⁴)³² < 1e-15.
     "llm_dedup_minhash" -> ((s, dir) => {
-      val sh = shingles(s, dir)
+      val sh = shinglesCapped(s, dir)
       val cand = MinHashLsh.candidatePairs(sh, "doc_id", "sh",
         numHashes = 128, bands = 32)
       MinHashLsh.verifyJaccard(cand, sh, "doc_id", "sh", num = 1, den = 2)
@@ -361,7 +379,7 @@ object DedupOps extends OpPack {
 
   def oracle: Map[String, String] = Map(
     "llm_dedup_minhash" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
         |    unnest(string_split(text, ' ')) AS w
@@ -372,10 +390,15 @@ object DedupOps extends OpPack {
         |  FROM t a
         |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
         |pair AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b
         |FROM pair
@@ -401,7 +424,8 @@ object DedupOps extends OpPack {
         |  FROM t a
         |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |), dfc AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
         |trif AS (
         |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
         |  WHERE df <= $DfCap
@@ -430,7 +454,8 @@ object DedupOps extends OpPack {
         |  FROM t a
         |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |), dfc AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
         |trif AS (
         |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
         |  WHERE df <= $DfCap
@@ -518,7 +543,8 @@ object DedupOps extends OpPack {
         |  FROM t a
         |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |), dfc AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
         |trif AS (
         |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
         |  WHERE df <= $DfCap
