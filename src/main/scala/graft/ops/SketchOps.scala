@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Sketch aggregates (SURVEY.md §2.2 "Sketches"): Bloom filter and
+  * Count-Min Sketch over the driver testdata, the two probabilistic
+  * summaries a 100 TB pipeline leans on when exact state is too big.
+  *
+  * Scale shape: both sketches build in ONE distributed pass
+  * (`DataFrameStatFunctions` runs a treeAggregate — per-partition
+  * sketches merged pairwise; bloom merge is bitwise OR, CMS merge is
+  * elementwise addition, both commutative and associative, so the
+  * result is independent of partition order and count: deterministic
+  * run to run). The finished sketch is KBs on the driver regardless of
+  * input size, and the probe side never shuffles: the Bloom probe is
+  * the same codegen'd [[BloomFilterMightContain]] expression Spark's
+  * runtime filter injection uses (the sketch rides into executors as a
+  * literal), evaluated row-local inside WholeStageCodegen.
+  *
+  * Both queries are approximate-by-design ⇒ no DuckDB oracle (rule ③,
+  * same as `agg_approx_distinct`): rows-only driver check, sketch
+  * properties pinned by SketchSpec (bloom: zero false negatives, FP
+  * rate within fpp; CMS: never underestimates, overshoot ≤ eps·N).
+  * Their row-level OUTPUT is still deterministic: fixed sketch
+  * parameters + fixed seed + order-independent merges.
+  */
+object SketchOps extends OpPack {
+
+  /** Codegen'd Bloom-filter membership probe: the driver-built sketch
+    * is embedded as a binary literal (Spark's own runtime-filter wire
+    * format), so executors evaluate membership without any lookup
+    * table join. */
+  private def mightContain(bf: BloomFilter, value: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    GraftExpressionBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftExpressionBridge.expression(value.cast("long"))))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // Bloom semi-join pre-filter, the classic use: summarize the keys
+    // on one side of a join (customers that placed orders) in a few
+    // KB, probe the other side without shuffling it. Output compares
+    // the sketch's answer against the exact semi-join per segment, so
+    // the false-positive behavior is visible (and deterministic).
+    "agg_sketch_bloom" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val bf = orders.stat.bloomFilter("o_custkey",
+        expectedNumItems = 20000L, fpp = 0.03)
+      val withOrders = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      Tables(s, dir, "customer")
+        .join(withOrders.withColumn("has_orders", lit(1)),
+          Seq("c_custkey"), "left_outer")
+        .withColumn("probe", mightContain(bf, col("c_custkey")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("probe"), 1L).otherwise(0L)).as("n_probe_pass"),
+          sum(when(col("has_orders") === 1, 1L).otherwise(0L))
+            .as("n_with_orders"),
+          sum(when(col("probe") && col("has_orders").isNull, 1L)
+            .otherwise(0L)).as("n_false_positive"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Count-Min heavy-hitter estimation: one pass over lineitem
+    // builds a fixed-size frequency summary of l_suppkey; the probe
+    // reports estimated vs exact counts for a fixed key set. CMS never
+    // undercounts (collisions only ADD), which the output exposes.
+    "agg_sketch_cms" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val cms = li.stat.countMinSketch(col("l_suppkey"),
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val probes = (1L to 25L).map(k => (k, cms.estimateCount(k)))
+      val est = s.createDataFrame(probes).toDF("l_suppkey", "est_count")
+      val exact = li.filter(col("l_suppkey").between(1, 25))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("true_count"))
+      est.join(exact, Seq("l_suppkey"), "left_outer")
+        .select(col("l_suppkey"), col("est_count"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"),
+          (col("est_count") - coalesce(col("true_count"), lit(0L)))
+            .as("overshoot"))
+        .orderBy(col("l_suppkey"))
+    })
+  )
+
+  // Approximate by design — rows-only checks (rule ③); properties
+  // pinned in SketchSpec instead.
+  def oracle: Map[String, String] = Map.empty
+}

@@ -241,8 +241,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("every declared query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // approx + ANN are approximate by design ⇒ rows-only checks
+    // approx + ANN + sketches are approximate by design ⇒ rows-only
+    // checks (sketch properties pinned in SketchSpec instead)
     assert(noOracle ==
-      Set("agg_approx_distinct", "llm_ann_ivf", "llm_ann_knn"))
+      Set("agg_approx_distinct", "llm_ann_ivf", "llm_ann_knn",
+        "agg_sketch_bloom", "agg_sketch_cms"))
   }
 }

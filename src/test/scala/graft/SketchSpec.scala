@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the sketch-aggregate properties that stand in for a DuckDB
+  * oracle (agg_sketch_bloom / agg_sketch_cms are approximate by
+  * design, rule ③):
+  *
+  *  - Bloom: ZERO false negatives (every customer with orders passes
+  *    the probe) and a false-positive rate consistent with fpp;
+  *  - CMS: never underestimates (overshoot >= 0 for every key) and
+  *    overshoot is bounded by eps·N;
+  *  - both outputs are deterministic across independent runs (order-
+  *    independent sketch merges + fixed seeds).
+  */
+class SketchSpec extends AnyFunSuite {
+
+  private lazy val spark = LocalSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("bloom probe has zero false negatives and bounded FP rate") {
+    val rows = SparkEntry.queries("agg_sketch_bloom")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var totalNo = 0L
+    var totalFp = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_customers")
+      val pass = r.getAs[Long]("n_probe_pass")
+      val withO = r.getAs[Long]("n_with_orders")
+      val fp = r.getAs[Long]("n_false_positive")
+      // no false negatives: everything with orders passes the probe
+      assert(pass >= withO, s"false negatives in segment ${r.get(0)}")
+      assert(pass === withO + fp)
+      totalNo += n - withO
+      totalFp += fp
+    }
+    // fpp = 0.03 at 20k capacity, far undersubscribed at sf0.01 —
+    // allow generous slack (5x) over the nominal rate
+    assert(totalFp.toDouble <= math.max(1.0, 0.15 * totalNo),
+      s"FP rate too high: $totalFp of $totalNo non-members")
+  }
+
+  test("CMS never underestimates and overshoot is within eps*N") {
+    val rows = SparkEntry.queries("agg_sketch_cms")(spark, dir).collect()
+    assert(rows.length === 25)
+    val n = Tables(spark, dir, "lineitem").count()
+    rows.foreach { r =>
+      val over = r.getAs[Long]("overshoot")
+      assert(over >= 0L, s"CMS underestimated key ${r.get(0)}")
+      assert(over <= (0.001 * n).toLong + 1,
+        s"overshoot $over exceeds eps*N for key ${r.get(0)}")
+    }
+  }
+
+  test("sketch outputs are deterministic across runs") {
+    for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms")) {
+      val a = SparkEntry.queries(q)(spark, dir).collect().toSeq
+      val b = SparkEntry.queries(q)(spark, dir).collect().toSeq
+      assert(a === b, s"$q not deterministic")
+    }
+  }
+}
