@@ -97,6 +97,45 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall@3 = $recall")
   }
 
+  test("knnJoin recall@3 is monotone in nprobe and exact at nprobe=numCells") {
+    // Guards the cell-ranking logic: probing MORE cells can only grow
+    // every probe's candidate set, and with the strict (sim desc, id
+    // asc) total order a true top-k neighbor that survives a small
+    // candidate set survives every superset — so recall must be
+    // non-decreasing in nprobe, reaching exactly 1.0 when every cell
+    // is probed (candidate set = full corpus = brute force).
+    val e = Tables(spark, sf, "embeddings")
+    val built = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
+    val idx = AnnIvf.IvfIndex(built.assignments.cache(),
+      built.centroids.cache())
+    val l = e.select(col("vec_id"), col("embedding"))
+    val r = e.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("emb_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("sim"), asc("nbr_id"))
+    val exact = l.join(r, col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", AnnIvf.cosine(col("embedding"), col("emb_r")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect().map(r2 => (r2.getAs[Long]("vec_id"), r2.getAs[Long]("nbr_id")))
+      .toSet
+    val recalls = Seq(1, 2, 4, 8).map { nprobe =>
+      val ann = AnnIvf.knnJoin(idx, "vec_id", "embedding",
+          k = 3, nprobe = nprobe)
+        .collect()
+        .map(r2 => (r2.getAs[Long]("probe_id"), r2.getAs[Long]("nbr_id")))
+        .toSet
+      nprobe -> ann.intersect(exact).size.toDouble / exact.size
+    }
+    info(recalls.map { case (np, rc) => f"nprobe=$np: $rc%.3f" }
+      .mkString(", "))
+    recalls.sliding(2).foreach { case Seq((npA, a), (npB, b)) =>
+      assert(a <= b, s"recall fell from $a (nprobe=$npA) to $b (nprobe=$npB)")
+    }
+    assert(recalls.last._2 == 1.0,
+      s"nprobe=numCells must equal brute force, got ${recalls.last._2}")
+  }
+
   test("query returns exact top-k within probed cells") {
     val e = Tables(spark, sf, "embeddings")
     val idx = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
