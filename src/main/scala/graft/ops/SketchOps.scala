@@ -70,6 +70,33 @@ object SketchOps extends OpPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // The sketch composed into an EXACT operator — the production use
+    // of agg_sketch_bloom's machinery: summarize the filtered build
+    // side's join keys in a few KB, drop probe-side rows at the SCAN
+    // stage (before the join shuffle) via the codegen'd might_contain
+    // literal, then run the normal join, which eliminates the sketch's
+    // false positives. Output is bit-identical to the plain join — the
+    // oracle is the plain join — but at 100 TB the shuffle carries
+    // only ~|match| + fpp·|orders| rows instead of every order.
+    // (Spark's runtime bloom-filter injection does this automatically
+    // for qualifying shapes — PlanShapeSpec:176 pins that path; this
+    // query is the explicit, always-on form with the sketch built
+    // where the pipeline author chooses.)
+    "join_bloom_prefilter" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val bf = cust.stat.bloomFilter("c_custkey",
+        expectedNumItems = 20000L, fpp = 0.03)
+      Tables(s, dir, "orders")
+        .filter(mightContain(bf, col("o_custkey")))
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Tables.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Count-Min heavy-hitter estimation: one pass over lineitem
     // builds a fixed-size frequency summary of l_suppkey; the probe
     // reports estimated vs exact counts for a fixed key set. CMS never
@@ -92,7 +119,17 @@ object SketchOps extends OpPack {
     })
   )
 
-  // Approximate by design — rows-only checks (rule ③); properties
-  // pinned in SketchSpec instead.
-  def oracle: Map[String, String] = Map.empty
+  // agg_sketch_bloom / agg_sketch_cms are approximate by design —
+  // rows-only checks (rule ③); properties pinned in SketchSpec.
+  // join_bloom_prefilter is EXACT (the join verifies the sketch), so
+  // its oracle is the plain join.
+  def oracle: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  ${Tables.sql.moneySum("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+  )
 }

@@ -201,6 +201,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bloom_prefilter probes the sketch below the join, at the scan stage") {
+    // The explicit form of the runtime bloom reduction above: the
+    // driver-built sketch rides as a literal inside a Filter that sits
+    // BELOW the join on the orders side — probe rows drop during the
+    // scan stage, before any Exchange. Top-down plan print: the join
+    // appears above, the might_contain Filter after it (deeper), and
+    // the orders scan deeper still with no Exchange between filter
+    // and scan.
+    val p = plan("join_bloom_prefilter")
+    val ji = p.indexOf("Join")
+    val fi = p.indexOf("might_contain")
+    assert(ji >= 0 && fi > ji,
+      s"bloom probe must be below the join (scan side):\n$p")
+    val below = p.substring(fi)
+    val scanI = below.indexOf("orders.parquet")
+    assert(scanI >= 0, s"bloom filter must sit over the orders scan:\n$p")
+    val ex = below.indexOf("Exchange")
+    assert(ex < 0 || ex > scanI,
+      s"no shuffle between the bloom probe and the orders scan:\n$p")
+  }
+
   test("brute-force and IVF top-k are TakeOrderedAndProject, not a global window sort") {
     // The scale property: the corpus-sized candidate frame is reduced
     // per-partition (each partition keeps its own k, the driver merges
