@@ -139,6 +139,28 @@ object SampleOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Weight-proportional (importance) Bernoulli sampling with an
+    // integer-exact md5 coin: keep a document iff
+    // u12 · 2000 < min(n_chars, 2000) · 409, where u12 is the first
+    // 12 bits of md5(doc_id) — keep probability ≈ (w/2000) · 10%,
+    // linear in the document's weight (its capped length), exactly the
+    // quality/length-weighted downsampling step of a training-data
+    // mixture. All-integer comparison ⇒ bit-identical in both engines
+    // and trivially re-run/subset-stable (the coin is a pure function
+    // of the row key, same argument as sample_hash); the filter is a
+    // scan-stage predicate, narrow plan, no shuffle before the tiny
+    // per-lang rollup.
+    "sample_importance" -> ((s, dir) => {
+      val u12 = conv(substring(coin(col("doc_id")), 1, 3), 16, 10)
+        .cast("long")
+      Tables(s, dir, "documents")
+        .filter(u12 * 2000 < least(col("n_chars"), lit(2000)) * 409)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Temperature-scaled mixture reweighting (T=2): per-source target
     // share ∝ sqrt(n_docs) — the standard up-weighting of small
     // domains in training mixtures. Integer isqrt keeps it exact:
@@ -201,6 +223,15 @@ object SampleOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_importance" ->
+      """SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+        |        AS BIGINT) * 2000 < least(n_chars, 2000) * 409
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
     "sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
         |FROM lineitem

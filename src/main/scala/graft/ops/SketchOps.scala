@@ -97,6 +97,32 @@ object SketchOps extends OpPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Mergeable sketch COLUMNS — the pre-aggregation pattern that
+    // makes 100 TB dashboards possible: materialize a small HLL
+    // sketch per (event_type, day) segment once, then answer distinct
+    // counts over ANY segment combination by unioning sketches (KBs)
+    // instead of rescanning events. HLL register state is a pure
+    // elementwise max ⇒ insertion- and merge-order insensitive, so
+    // the union of daily partials has exactly the same registers as a
+    // direct whole-column sketch (SketchSpec pins estimate equality
+    // and the error vs exact distinct). Built-in datasketches
+    // functions — hll_sketch_agg / hll_union_agg — both two-phase
+    // hash aggregates with map-side partials.
+    "agg_sketch_hll" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("est_users"), count(lit(1)).as("n_partials"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_partials"), col("est_users"),
+          col("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Count-Min heavy-hitter estimation: one pass over lineitem
     // builds a fixed-size frequency summary of l_suppkey; the probe
     // reports estimated vs exact counts for a fixed key set. CMS never

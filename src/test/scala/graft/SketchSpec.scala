@@ -52,8 +52,34 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL partial-union equals the direct sketch; estimate near exact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_sketch_hll")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_users")
+      val exact = r.getAs[Long]("exact_users")
+      assert(r.getAs[Long]("n_partials") > 1, "must union several partials")
+      // default lgConfigK=12 → RSE ≈ 1.6%; allow 4 sigma
+      assert(math.abs(est - exact) <= math.max(2.0, 0.065 * exact),
+        s"HLL estimate $est too far from exact $exact (${r.get(0)})")
+    }
+    // mergeability is LOSSLESS for HLL (register state = elementwise
+    // max): union-of-daily-partials must estimate EXACTLY like one
+    // direct sketch over the whole column
+    val e = Tables(spark, dir, "events")
+    val direct = e.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("direct_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_users") === direct(r.getString(0)),
+        s"partial union diverged from direct sketch for ${r.get(0)}")
+    }
+  }
+
   test("sketch outputs are deterministic across runs") {
-    for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms")) {
+    for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll")) {
       val a = SparkEntry.queries(q)(spark, dir).collect().toSeq
       val b = SparkEntry.queries(q)(spark, dir).collect().toSeq
       assert(a === b, s"$q not deterministic")
