@@ -70,6 +70,38 @@ object SketchOps extends OpPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Theta sketches add what HLL cannot: set INTERSECTION between
+    // segment summaries. One KB-sized sketch per day of active users
+    // (native TypedImperativeAggregate, map-side combined), then
+    // day-over-day retention = |sketch(d) ∩ sketch(d+1)| computed on
+    // the driver over the ~30 collected sketches — the fact table is
+    // scanned ONCE regardless of how many segment pairs are probed.
+    // Below the sketch's 4096-hash capacity (both test scales: ≤1500
+    // distinct users) theta is EXACT, so this query carries a real
+    // DuckDB oracle; above capacity the declared semantics degrade to
+    // an estimate (the 100 TB trade this sketch exists for).
+    "agg_sketch_theta" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.ThetaSketch.agg(col("user_id")).as("sk"))
+        .orderBy(col("day"))
+        .collect()
+      val rows = daily.indices.map { i =>
+        val day = daily(i).getAs[java.sql.Date]("day")
+        val sk = daily(i).getAs[Array[Byte]]("sk")
+        val retained =
+          if (i + 1 < daily.length &&
+              daily(i + 1).getAs[java.sql.Date]("day").toLocalDate ==
+                day.toLocalDate.plusDays(1))
+            graft.functions.ThetaSketch.intersect(sk,
+              daily(i + 1).getAs[Array[Byte]]("sk"))
+          else 0L
+        (day, graft.functions.ThetaSketch.estimate(sk), retained)
+      }
+      s.createDataFrame(rows).toDF("day", "n_active", "n_retained")
+        .orderBy(col("day"))
+    }),
+
     // The sketch composed into an EXACT operator — the production use
     // of agg_sketch_bloom's machinery: summarize the filtered build
     // side's join keys in a few KB, drop probe-side rows at the SCAN
@@ -150,6 +182,23 @@ object SketchOps extends OpPack {
   // join_bloom_prefilter is EXACT (the join verifies the sketch), so
   // its oracle is the plain join.
   def oracle: Map[String, String] = Map(
+    // exact below sketch capacity (≤1500 distinct users vs 4096
+    // retained hashes at both test scales) — see ThetaSketchAgg doc
+    "agg_sketch_theta" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), act AS (
+        |  SELECT day, count(*) AS n_active FROM du GROUP BY day
+        |), ret AS (
+        |  SELECT a.day, count(*) AS n_retained
+        |  FROM du a JOIN du b
+        |    ON b.day = a.day + INTERVAL 1 DAY AND a.user_id = b.user_id
+        |  GROUP BY a.day)
+        |SELECT act.day, n_active,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained
+        |FROM act LEFT JOIN ret ON act.day = ret.day
+        |ORDER BY act.day""".stripMargin,
+
     "join_bloom_prefilter" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  ${Tables.sql.moneySum("o_totalprice")} AS total_price

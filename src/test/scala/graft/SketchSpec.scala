@@ -78,8 +78,28 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("theta sketch: exact below capacity, intersection counts shared keys") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ThetaSketch
+    def sketchOf(range: Range): Array[Byte] = {
+      val df = spark.createDataFrame(range.map(i => Tuple1(i.toLong)))
+        .toDF("k")
+        .repartition(4) // force partial sketches + a merge
+      df.agg(ThetaSketch.agg(col("k")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+    }
+    val a = sketchOf(0 until 100)
+    val b = sketchOf(50 until 150)
+    assert(ThetaSketch.estimate(a) === 100L) // exact mode
+    assert(ThetaSketch.estimate(b) === 100L)
+    assert(ThetaSketch.intersect(a, b) === 50L) // the op HLL can't do
+    assert(ThetaSketch.intersect(a, a) === 100L)
+    assert(ThetaSketch.intersect(a, sketchOf(500 until 600)) === 0L)
+  }
+
   test("sketch outputs are deterministic across runs") {
-    for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll")) {
+    for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll",
+        "agg_sketch_theta")) {
       val a = SparkEntry.queries(q)(spark, dir).collect().toSeq
       val b = SparkEntry.queries(q)(spark, dir).collect().toSeq
       assert(a === b, s"$q not deterministic")
