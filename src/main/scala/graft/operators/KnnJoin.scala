@@ -45,7 +45,10 @@ object KnnJoin {
   def exactWithinBlocks(vectors: DataFrame, idCol: String,
       labelCol: String, embCol: String, k: Int,
       maxBlockSize: Long = DefaultMaxBlockSize): DataFrame = {
-    val oversized = vectors.groupBy(col(labelCol))
+    // NULL labels never satisfy the equi-join below (no candidate
+    // pairs), so they cost nothing and are exempt from the bound.
+    val oversized = vectors.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlockSize)
       .orderBy(desc("n"))

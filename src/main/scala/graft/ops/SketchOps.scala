@@ -54,7 +54,7 @@ object SketchOps extends OpPack {
       val orders = Tables(s, dir, "orders")
       val bf = orders.stat.bloomFilter("o_custkey",
         expectedNumItems = 20000L, fpp = 0.03)
-      val withOrders = Tables(s, dir, "orders")
+      val withOrders = orders
         .select(col("o_custkey").as("c_custkey")).distinct()
       Tables(s, dir, "customer")
         .join(withOrders.withColumn("has_orders", lit(1)),

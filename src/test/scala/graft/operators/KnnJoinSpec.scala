@@ -39,6 +39,18 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxBlockSize=10"))
   }
 
+  test("NULL labels are exempt from the guard (they join to nothing)") {
+    val rows = (0 until 12).map(i =>
+      (i.toLong, if (i < 4) "a" else null, vec(i)))
+    val df = spark.createDataFrame(rows)
+      .toDF("vec_id", "label", "embedding")
+    // 8 null-label rows exceed maxBlockSize=5 but cost zero pairs —
+    // the guard must not trip; output covers only the real block
+    val out = KnnJoin.exactWithinBlocks(df, "vec_id", "label", "embedding",
+      k = 2, maxBlockSize = 5L)
+    assert(out.count() === 8L) // 4 labeled probes x 2 neighbors
+  }
+
   test("block exactly at maxBlockSize passes the guard") {
     val df = corpus(10, _ => "hot")
     val out = KnnJoin.exactWithinBlocks(df, "vec_id", "label", "embedding",
