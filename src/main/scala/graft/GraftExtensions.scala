@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature}
+import graft.functions.{DotProduct, MinHashSignature, ThetaSketchAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(n > 0, s"minhash_signature: numHashes must be positive, got $n")
         MinHashSignature(children.head, n).toAggregateExpression()
+      }))
+
+    // theta_sketch_agg(longKey): mergeable theta sketch bytes — the
+    // SQL surface of graft.functions.ThetaSketchAgg, so segment
+    // summary tables can be materialized from plain SQL pipelines.
+    ext.injectFunction((
+      new FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName,
+        "theta_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"theta_sketch_agg takes exactly 1 argument, got ${children.size}")
+        ThetaSketchAgg(children.head).toAggregateExpression()
       }))
 
     // zorder_key(x, y[, bits=12]): Morton layout key — a COMPOSED tree

@@ -97,6 +97,14 @@ class SketchSpec extends AnyFunSuite {
     assert(ThetaSketch.intersect(a, sketchOf(500 until 600)) === 0L)
   }
 
+  test("theta_sketch_agg is registered as a SQL function") {
+    import graft.functions.ThetaSketch
+    val sk = spark.sql(
+      "SELECT theta_sketch_agg(id) AS sk FROM range(0, 1000)")
+      .head.getAs[Array[Byte]]("sk")
+    assert(ThetaSketch.estimate(sk) === 1000L)
+  }
+
   test("sketch outputs are deterministic across runs") {
     for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll",
         "agg_sketch_theta")) {
