@@ -59,4 +59,52 @@ object SequencePack {
       .toDF("id", grpA, grpB, "pack_id", "tok")
       .withColumnRenamed("id", idCol)
   }
+
+  /** First-fit-decreasing packing — same contract as [[apply]] but
+    * with the classic FFD placement: within each group, documents are
+    * taken in DESCENDING token order (ties: ascending id) and each is
+    * placed into the lowest-numbered open pack that still has room,
+    * opening a new pack only when none fits. FFD's waste is bounded
+    * (≤ 11/9·OPT + 6/9 bins) where next-fit can waste up to half of
+    * every pack on unlucky orderings — the trade is that packs no
+    * longer preserve document order, which is why BOTH variants exist
+    * (next-fit when curriculum/order matters, FFD when utilization
+    * does).
+    *
+    * Determinism: the (tok desc, id asc) order is total, and placement
+    * is a pure fold over it — same packs every run, independent of
+    * partitioning (the group is still the parallelism unit;
+    * `flatMapSortedGroups` delivers the iterator pre-sorted, and the
+    * open-bin state is O(bins) per group, bins ≈ Σtok/capacity for a
+    * shard-sized group). The first-fit scan is O(bins) per doc — the
+    * textbook FFD cost; shard groups keep it task-local.
+    *
+    * A document larger than `capacity` still gets a pack of its own
+    * (placement can't fit it anywhere, so it opens a new pack).
+    */
+  def firstFitDecreasing(docs: DataFrame, idCol: String, tokCol: String,
+      grpA: String, grpB: String, capacity: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val typed = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(grpA).cast("string").as("grp_a"),
+      col(grpB).cast("long").as("grp_b"),
+      col(tokCol).cast("int").as("tok")).as[DocTok]
+    typed
+      .groupByKey(d => (d.grp_a, d.grp_b))
+      .flatMapSortedGroups($"tok".desc, $"id") { case ((a, b), it) =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { d =>
+          var i = 0
+          while (i < fills.length && fills(i) + d.tok > capacity) i += 1
+          if (i == fills.length) fills += 0L
+          fills(i) += d.tok
+          Packed(d.id, a, b, i.toLong, d.tok)
+        }
+      }
+      .toDF("id", grpA, grpB, "pack_id", "tok")
+      .withColumnRenamed("id", idCol)
+  }
 }
