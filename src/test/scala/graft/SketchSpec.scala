@@ -97,6 +97,19 @@ class SketchSpec extends AnyFunSuite {
     assert(ThetaSketch.intersect(a, sketchOf(500 until 600)) === 0L)
   }
 
+  test("theta above capacity degrades to a bounded estimate (declared)") {
+    import graft.functions.ThetaSketch
+    // 100k distinct keys >> 4096 retained hashes: the declared
+    // above-capacity semantics are an estimate with RSE ≈ 1/√4096 ≈
+    // 1.56%; assert 4σ. (Below capacity the oracle asserts exactness.)
+    val sk = spark.sql(
+      "SELECT theta_sketch_agg(id) AS sk FROM range(0, 100000)")
+      .head.getAs[Array[Byte]]("sk")
+    val est = ThetaSketch.estimate(sk)
+    assert(math.abs(est - 100000L) <= (4 * 0.0156 * 100000).toLong,
+      s"theta estimate $est outside 4-sigma of 100000")
+  }
+
   test("theta_sketch_agg is registered as a SQL function") {
     import graft.functions.ThetaSketch
     val sk = spark.sql(
