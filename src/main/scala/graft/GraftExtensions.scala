@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, ThetaSketchAgg}
+import graft.functions.{DotProduct, FreqItemsAgg, KllDoublesAgg, MinHashSignature, ThetaSketchAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -55,6 +55,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"theta_sketch_agg takes exactly 1 argument, got ${children.size}")
         ThetaSketchAgg(children.head).toAggregateExpression()
+      }))
+
+    // kll_sketch_agg(doubleValue): mergeable KLL quantile sketch
+    // bytes — SQL surface of graft.functions.KllDoublesAgg.
+    ext.injectFunction((
+      new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllDoublesAgg].getName,
+        "kll_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"kll_sketch_agg takes exactly 1 argument, got ${children.size}")
+        KllDoublesAgg(children.head).toAggregateExpression()
+      }))
+
+    // freq_items_agg(longKey): mergeable Misra-Gries frequent-items
+    // sketch bytes — SQL surface of graft.functions.FreqItemsAgg.
+    ext.injectFunction((
+      new FunctionIdentifier("freq_items_agg"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName,
+        "freq_items_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"freq_items_agg takes exactly 1 argument, got ${children.size}")
+        FreqItemsAgg(children.head).toAggregateExpression()
       }))
 
     // zorder_key(x, y[, bits=12]): Morton layout key — a COMPOSED tree

@@ -155,6 +155,60 @@ object SketchOps extends OpPack {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable KLL quantile sketch columns — percentiles of a 100 TB
+    // column from KB-sized per-group summaries: one distributed pass
+    // builds a KllDoublesSketch per return flag (native
+    // TypedImperativeAggregate, map-side combined partials), the
+    // driver decodes p50/p90/p99 from the ≤3 collected sketches.
+    // Unlike `percentile` (exact, buffers every value per group) the
+    // state is O(k·log n) regardless of input size. Approximate by
+    // design (KLL compaction flips a random coin once n > k, so
+    // reruns can differ within the pinned ±1.65 % rank-error band) ⇒
+    // rows-only check, rule ③; SketchSpec pins the rank-error
+    // bound vs the exact order statistic and merge-vs-direct
+    // agreement.
+    "agg_sketch_kll" -> ((s, dir) => {
+      val perFlag = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.KllSketch
+            .agg(col("l_extendedprice").cast("double")).as("sk"),
+          count(lit(1)).as("n_items"))
+        .collect()
+      val rows = perFlag.map { r =>
+        val sk = r.getAs[Array[Byte]]("sk")
+        (r.getAs[String]("l_returnflag"), r.getAs[Long]("n_items"),
+          graft.functions.KllSketch.quantile(sk, 0.5),
+          graft.functions.KllSketch.quantile(sk, 0.9),
+          graft.functions.KllSketch.quantile(sk, 0.99))
+      }.toSeq
+      s.createDataFrame(rows)
+        .toDF("l_returnflag", "n_items", "p50", "p90", "p99")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Misra-Gries frequent-items sketch: heavy hitters of l_suppkey
+    // (count ≥ 1 % of the stream) from one pass with a fixed
+    // 2048-slot budget. While distinct keys fit under the purge
+    // capacity (all driver test scales: ≤1000 suppkeys vs 1536
+    // slots) counters are never decremented ⇒ estimates are EXACT
+    // and partition-order independent, so this carries a real DuckDB
+    // oracle — same exact-below-capacity contract as
+    // agg_sketch_theta. Above capacity the declared semantics
+    // degrade to the ε·N overcount band with no false negatives
+    // (SketchSpec pins that regime on a synthetic wide-key
+    // stream). Threshold derives from the sketch's own recorded
+    // stream length, so the query is scale-factor-free.
+    "agg_sketch_freq" -> ((s, dir) => {
+      val bytes = Tables(s, dir, "lineitem")
+        .agg(graft.functions.FreqSketch.agg(col("l_suppkey")).as("sk"))
+        .collect()(0).getAs[Array[Byte]]("sk")
+      val threshold = math.ceil(
+        0.01 * graft.functions.FreqSketch.streamLength(bytes)).toLong
+      val rows = graft.functions.FreqSketch.frequentItems(bytes, threshold)
+      s.createDataFrame(rows).toDF("l_suppkey", "est_count")
+        .orderBy(col("est_count").desc, col("l_suppkey"))
+    }),
+
     // Count-Min heavy-hitter estimation: one pass over lineitem
     // builds a fixed-size frequency summary of l_suppkey; the probe
     // reports estimated vs exact counts for a fixed key set. CMS never
@@ -205,6 +259,15 @@ object SketchOps extends OpPack {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE c_mktsegment = 'BUILDING'
          |GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // exact below purge capacity (≤1000 distinct suppkeys vs 1536
+    // slots at every test scale) — see FreqItemsAgg doc
+    "agg_sketch_freq" ->
+      """SELECT l_suppkey, count(*) AS est_count
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(*) >= (
+        |  SELECT CAST(ceil(0.01 * count(*)) AS BIGINT) FROM lineitem)
+        |ORDER BY est_count DESC, l_suppkey""".stripMargin
   )
 }

@@ -266,6 +266,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // checks (sketch properties pinned in SketchSpec instead)
     assert(noOracle ==
       Set("agg_approx_distinct", "llm_ann_ivf", "llm_ann_knn",
-        "agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll"))
+        "agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll",
+        "agg_sketch_kll"))
   }
 }

@@ -118,9 +118,129 @@ class SketchSpec extends AnyFunSuite {
     assert(ThetaSketch.estimate(sk) === 1000L)
   }
 
+  test("KLL quantiles are true stream members within the rank-error bound") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_sketch_kll")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("v"))
+      .collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+      .map { case (f, rs) => (f, rs.map(_.getAs[Double]("v")).sorted) }
+    // k=200 ⇒ ~1.65% single-sided normalized rank error at 99%
+    // confidence; assert a 2x slack band per quantile
+    val eps = 0.033
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val exact = li(flag)
+      assert(r.getAs[Long]("n_items") === exact.length.toLong)
+      for ((rank, cname) <- Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))) {
+        val q = r.getAs[Double](cname)
+        // KLL reports sampled stream values, never interpolations
+        assert(exact.contains(q), s"$flag/$cname=$q not a stream member")
+        val obsRank = exact.count(_ <= q).toDouble / exact.length
+        assert(math.abs(obsRank - rank) <= eps,
+          s"$flag/$cname rank $obsRank outside $rank±$eps")
+      }
+    }
+  }
+
+  test("KLL merged partials honor the same rank-error bound") {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    // driver-side model of the distributed merge: 8 partials over
+    // disjoint slices, merged pairwise — exactly what the
+    // TypedImperativeAggregate does across partitions
+    val n = 40000
+    val data = (0 until n).map(i => ((i * 2654435761L) % 1000003L).toDouble)
+    val parts = data.grouped(n / 8).toSeq
+    val merged = KllDoublesSketch.newHeapInstance(200)
+    parts.foreach { p =>
+      val sk = KllDoublesSketch.newHeapInstance(200)
+      p.foreach(sk.update)
+      merged.merge(sk)
+    }
+    val sorted = data.sorted
+    for (rank <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val q = merged.getQuantile(rank,
+        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+      val obsRank = sorted.count(_ <= q).toDouble / n
+      assert(math.abs(obsRank - rank) <= 0.033,
+        s"merged rank $obsRank outside $rank±0.033")
+    }
+  }
+
+  test("freq sketch is exact below purge capacity (matches groupBy)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_sketch_freq")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables(spark, dir, "lineitem")
+    val n = li.count()
+    val threshold = math.ceil(0.01 * n).toLong
+    val exact = li.groupBy(col("l_suppkey")).count()
+      .filter(col("count") >= threshold)
+      .collect()
+      .map(r => r.getAs[Long]("l_suppkey") -> r.getAs[Long]("count"))
+      .toMap
+    assert(rows.length === exact.size)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("l_suppkey")
+      assert(exact.get(k).contains(r.getAs[Long]("est_count")),
+        s"suppkey $k: sketch ${r.getAs[Long]("est_count")} != exact")
+    }
+    // sub-capacity regime ⇒ zero worst-case error recorded
+    val bytes = li.agg(graft.functions.FreqSketch.agg(col("l_suppkey"))
+      .as("sk")).collect()(0).getAs[Array[Byte]]("sk")
+    assert(graft.functions.FreqSketch.maxError(bytes) === 0L)
+  }
+
+  test("freq sketch above capacity: no false negatives, bounded overcount") {
+    import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+    // 5000 distinct uniform keys >> 192 purge slots (maxMapSize=256),
+    // plus 20 genuinely heavy keys whose true count (2000) exceeds the
+    // guarantee floor eps*N ≈ (3.5/256)*90000 ≈ 1230 — the
+    // over-capacity regime the 100 TB path hits. Misra-Gries
+    // guarantees: upper bound never below true count (⇒
+    // NO_FALSE_NEGATIVES finds every above-floor heavy hitter) and
+    // maxError ≤ ~(3.5/maxMapSize)·N.
+    val heavy = (1L to 20L).flatMap(k => Seq.fill(2000)(1000000L + k))
+    val noise = (0 until 50000).map(i => (i * 48271L) % 5000L)
+    val stream = heavy ++ noise
+    val sk = new LongsSketch(256)
+    stream.foreach(sk.update)
+    val maxErr = sk.getMaximumError
+    assert(maxErr > 0L, "stream did not exceed purge capacity")
+    assert(maxErr <= (3.5 / 256 * stream.length).toLong,
+      s"maxError $maxErr exceeds epsilon*N")
+    assert(maxErr < 2000L, "heavy keys not above the guarantee floor")
+    val found = sk.getFrequentItems(2000L, ErrorType.NO_FALSE_NEGATIVES)
+      .map(_.getItem).toSet
+    (1L to 20L).foreach { k =>
+      assert(found.contains(1000000L + k), s"heavy key $k missed")
+    }
+    (1L to 20L).foreach { k =>
+      val est = sk.getEstimate(1000000L + k)
+      assert(est >= 2000L - maxErr && est <= 2000L + maxErr,
+        s"heavy key $k estimate $est outside 2000±$maxErr")
+    }
+  }
+
+  test("kll_sketch_agg and freq_items_agg are registered as SQL functions") {
+    val kllBytes = spark.sql(
+      "SELECT kll_sketch_agg(CAST(id AS DOUBLE)) AS sk FROM range(0, 100)")
+      .head.getAs[Array[Byte]]("sk")
+    // n=100 < k=200: sketch is in exact mode, median of 0..99 = 49
+    assert(graft.functions.KllSketch.quantile(kllBytes, 0.5) === 49.0)
+    val freqBytes = spark.sql(
+      "SELECT freq_items_agg(id % 10) AS sk FROM range(0, 1000)")
+      .head.getAs[Array[Byte]]("sk")
+    val items = graft.functions.FreqSketch.frequentItems(freqBytes, 100L)
+    assert(items.toMap === (0L to 9L).map(_ -> 100L).toMap)
+  }
+
   test("sketch outputs are deterministic across runs") {
     for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll",
-        "agg_sketch_theta")) {
+        "agg_sketch_theta", "agg_sketch_freq")) {
       val a = SparkEntry.queries(q)(spark, dir).collect().toSeq
       val b = SparkEntry.queries(q)(spark, dir).collect().toSeq
       assert(a === b, s"$q not deterministic")
