@@ -308,6 +308,34 @@ object DedupOps extends OpPack {
               struct(col("chunk_idx"), col("chunk"))))),
             x => x.getField("chunk")), " ").as("clean_text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact duplicated-SPAN detection (Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better", adapted from
+    // suffix arrays to aligned window fingerprints): md5-fingerprint
+    // every 64-char window at stride 32, group on the 16-byte digest,
+    // report windows shared by ≥2 distinct docs. Unlike the
+    // shingle-Jaccard family this needs NO pairwise join — a span
+    // shared by K docs costs one aggregation row, not K² pairs, so
+    // the plan is one digest-keyed hash shuffle, linear in corpus
+    // size with no df cap required. Catches the long verbatim
+    // boilerplate runs that cap-bounded similarity dedup deliberately
+    // ignores (see DfCap's declared fallback).
+    "llm_dedup_substr" -> ((s, dir) => {
+      val W = 64
+      val S = 32
+      Tables(s, dir, "documents")
+        .filter(length(col("text")) >= W)
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(0, (length(text) - $W) div $S), " +
+              s"i -> md5(substring(text, i * $S + 1, $W)))")).as("wh"))
+        .groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("wh"))
     })
   )
 
@@ -525,7 +553,21 @@ object DedupOps extends OpPack {
         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
         |    FILTER (WHERE rn = 1), '') AS clean_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_substr" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 64
+        |), w AS (
+        |  SELECT doc_id,
+        |    md5(substr(text, CAST(p * 32 + 1 AS INT), 64)) AS wh
+        |  FROM d, unnest(range(0, (n - 64) // 32 + 1)) AS t(p))
+        |SELECT wh, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occ, min(doc_id) AS first_doc
+        |FROM w GROUP BY wh
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY wh""".stripMargin
   )
 
   /** The recursive-closure CTE chain shared by the cluster-labeling

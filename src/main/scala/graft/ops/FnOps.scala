@@ -267,6 +267,38 @@ object FnOps extends OpPack {
           format_string("%x", col("p_partkey")).as("hex_key"),
           format_string("%d%%", col("p_size")).as("size_pct"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // Positional explode (generator with ordinality): token position
+    // matters for fingerprints/n-grams, so the generator must carry
+    // the index. Narrow generate + the presentation sort only.
+    "fn_posexplode" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // Calendar-spine generation: sequence() materializes the month
+    // backbone between the corpus date bounds, then a left join shows
+    // per-month order counts INCLUDING empty months — the standard
+    // gaps-visible time-series shape. The spine is ~tens of rows
+    // (broadcast side); the fact side contributes one two-phase agg.
+    "fn_sequence" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d"))
+      val months = o.agg(trunc(min(col("d")), "MM").as("lo"),
+          trunc(max(col("d")), "MM").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 month"))).as("month"))
+      val per = o.groupBy(trunc(col("d"), "MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      months.join(per, Seq("month"), "left_outer")
+        .select(col("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("month"))
     })
   )
 
@@ -436,6 +468,38 @@ object FnOps extends OpPack {
         |  printf('P%07d/%s', p_partkey, p_brand) AS tag,
         |  printf('%x', p_partkey) AS hex_key,
         |  printf('%d%%', p_size) AS size_pct
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // generate_subscripts + unnest align positionally in DuckDB, so
+    // (pos, w) pairs stay index-correct; Spark posexplode is 0-based
+    "fn_posexplode" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 20
+        |), u AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+        |    unnest(toks) AS w
+        |  FROM t)
+        |SELECT doc_id, pos, w FROM u
+        |WHERE w <> ''
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "fn_sequence" ->
+      """WITH b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 MONTH)) AS DATE) AS month FROM b),
+        |per AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT spine.month,
+        |  CAST(coalesce(per.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN per ON spine.month = per.month
+        |ORDER BY spine.month""".stripMargin
   )
 }

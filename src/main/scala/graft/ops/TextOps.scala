@@ -219,6 +219,35 @@ object TextOps extends OpPack {
         .orderBy(col("w1"), col("rnk"))
     }),
 
+    // Gopher-style quality GATE (Rae et al. 2021 §A1.1 adapted to the
+    // corpus's character space): hard pass/fail rules, not a score —
+    // word-count bounds, mean-word-length band, minimum distinct-
+    // stopword presence. Entirely narrow per-row array arithmetic
+    // (higher-order `aggregate` for the length sum — no explode, NO
+    // shuffle, fully codegen'd): at 100 TB this gate runs at scan
+    // speed and feeds partition-pruned writes downstream. Integer
+    // arithmetic only (mean word length as ×100 fixed-point) so both
+    // engines agree bit-for-bit.
+    "llm_quality_gopher" -> ((s, dir) => {
+      val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
+      Tables(s, dir, "documents")
+        .withColumn("arr", filter(split(col("text"), " "), w => w =!= ""))
+        .withColumn("n_words", size(col("arr")))
+        .withColumn("tot_len",
+          aggregate(col("arr"), lit(0), (acc, w) => acc + length(w)))
+        .withColumn("mean_wlen_x100",
+          expr("CAST(tot_len * 100 DIV n_words AS INT)"))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(col("arr")), stops)))
+        .withColumn("wc_ok", col("n_words").between(20, 100000))
+        .withColumn("wlen_ok", col("mean_wlen_x100").between(300, 1000))
+        .withColumn("stop_ok", col("n_stop") >= 2)
+        .select(col("doc_id"), col("n_words"), col("mean_wlen_x100"),
+          col("n_stop"), col("wc_ok"), col("wlen_ok"), col("stop_ok"),
+          (col("wc_ok") && col("wlen_ok") && col("stop_ok")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing any 4-gram
     // with the benchmark set (doc_id % 50 == 0 as the held-out suite).
     // The benchmark gram set is tiny relative to the corpus — exactly
@@ -396,6 +425,28 @@ object TextOps extends OpPack {
         |  ON tr.gram = be.gram AND be.doc_id % 50 = 0
         |WHERE tr.doc_id % 50 <> 0
         |GROUP BY tr.doc_id
-        |ORDER BY tr.doc_id""".stripMargin
+        |ORDER BY tr.doc_id""".stripMargin,
+
+    "llm_quality_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(arr) AS INT) AS n_words,
+        |    CAST(CAST(list_sum(list_transform(arr, x -> length(x)))
+        |      AS BIGINT) * 100 // len(arr) AS INT) AS mean_wlen_x100,
+        |    CAST(len(list_intersect(list_distinct(arr),
+        |      ['the', 'a', 'of', 'to', 'and'])) AS INT) AS n_stop
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_wlen_x100, n_stop,
+        |  n_words BETWEEN 20 AND 100000 AS wc_ok,
+        |  mean_wlen_x100 BETWEEN 300 AND 1000 AS wlen_ok,
+        |  n_stop >= 2 AS stop_ok,
+        |  (n_words BETWEEN 20 AND 100000)
+        |    AND (mean_wlen_x100 BETWEEN 300 AND 1000)
+        |    AND n_stop >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -138,6 +138,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher quality gate is a narrow-only plan: no shuffle before the sort") {
+    // All three rules are per-row array arithmetic (higher-order
+    // aggregate, no explode) — at 100 TB the gate runs at scan speed;
+    // the only wide stage is the presentation ORDER BY.
+    val p = plan("llm_quality_gopher")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"llm_quality_gopher should not hash-shuffle:\n$p")
+  }
+
   test("sequence packing groups with exactly one hash shuffle") {
     // One exchange to co-locate each (lang, shard) group, sort-based
     // grouping after it — no second shuffle, no buffering aggregation.
