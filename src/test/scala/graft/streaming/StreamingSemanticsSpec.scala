@@ -324,4 +324,51 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     val batches = delivered.asScala.toSeq.filter(_._2 > 0).sortBy(_._1)
     assert(batches.map(_._2) == Seq(3L, 2L))
   }
+
+  test("streaming theta-sketch maintenance: merged micro-batch partials " +
+      "equal the batch answer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of the agg_sketch_theta/hll pre-aggregation
+    // pattern: per-segment sketch state updated from each micro-batch
+    // via foreachBatch. Theta union is commutative, associative AND
+    // idempotent, so users recurring across micro-batches are not
+    // double-counted, and merge order across batches cannot change
+    // the result — the property that makes KB-sized sketch state the
+    // right streaming distinct-count representation at 100 TB.
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches, Union}
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(String, Long)]
+    val state = scala.collection.concurrent.TrieMap[String, Union]()
+    val q = input.toDF().toDF("event_type", "user_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.groupBy(col("event_type"))
+          .agg(graft.functions.ThetaSketch.agg(col("user_id")).as("sk"))
+          .collect()
+          .foreach { r =>
+            val u = state.getOrElseUpdate(r.getAs[String]("event_type"),
+              SetOperation.builder().buildUnion())
+            u.union(Sketches.heapifyCompactSketch(
+              Memory.wrap(r.getAs[Array[Byte]]("sk"))))
+          }
+        ()
+      }
+      .start()
+    // three micro-batches with users recurring across batches
+    input.addData(("click", 1L), ("click", 2L), ("view", 1L))
+    q.processAllAvailable()
+    input.addData(("click", 2L), ("click", 3L), ("view", 9L))
+    q.processAllAvailable()
+    input.addData(("click", 1L), ("view", 1L), ("view", 2L), ("buy", 7L))
+    q.processAllAvailable()
+    q.stop()
+    def est(u: Union): Long =
+      math.rint(u.getResult().getEstimate).toLong
+    // click {1,2,3}, view {1,9,2}, buy {7} — exact below capacity
+    assert(est(state("click")) === 3L)
+    assert(est(state("view")) === 3L)
+    assert(est(state("buy")) === 1L)
+  }
 }
