@@ -96,6 +96,32 @@ object WindowOps extends OpPack {
         .orderBy(col("event_id"))
     }),
 
+    // Gaps-and-islands sessionization in BATCH form (the window-only
+    // sibling of stream_session): a new session starts where the gap
+    // to the previous event exceeds 30 min — lag marks boundaries, a
+    // running sum over the SAME (partition, order) numbers the
+    // islands, so both window passes and the per-session rollup ride
+    // ONE user_id hash shuffle (HashPartitioning(user_id) already
+    // satisfies the (user_id, session_id) grouping — no second
+    // exchange; PlanShapeSpec pins the single-shuffle shape).
+    "win_islands" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("es"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("es", floor(unix_timestamp(col("ts"))).cast("long"))
+        .withColumn("prev_es", lag(col("es"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_es").isNull ||
+            col("es") - col("prev_es") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("es")).as("start_es"),
+          max(col("es")).as("end_es"))
+        .withColumn("duration_s", col("end_es") - col("start_es"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -197,6 +223,30 @@ object WindowOps extends OpPack {
         |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "win_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN lag(es) OVER w IS NULL
+        |           OR es - lag(es) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+        |), sess AS (
+        |  SELECT user_id, es,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  min(es) AS start_es, max(es) AS end_es,
+        |  max(es) - min(es) AS duration_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "win_ntile" ->
       """SELECT c_custkey, c_mktsegment,

@@ -165,6 +165,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
   }
 
+  test("win_islands sessionization is ONE keyed hash shuffle") {
+    // lag + running sum share the (user_id, ordering), and
+    // HashPartitioning(user_id) already satisfies the
+    // (user_id, session_id) grouping — so boundary marking, island
+    // numbering AND the per-session rollup all ride a single
+    // exchange; the presentation sort is range partitioning.
+    val p = plan("win_islands")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
+  }
+
   test("decontamination probes a broadcast benchmark set — no corpus shuffle for the join") {
     val p = plan("llm_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
