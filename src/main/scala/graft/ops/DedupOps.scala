@@ -63,9 +63,11 @@ object DedupOps extends OpPack {
     * Declared corollary (pinned by DfCapFamilySpec): a document whose
     * every shingle is boilerplate (df > K) has an empty capped set
     * and participates in no near-dup pair; such documents are covered
-    * by `llm_dedup_exact` (identical copies) and
-    * `llm_dedup_paragraph` (chunk-level repeats), and remain
-    * singleton clusters in the CC labelings. K = 128 sits far above
+    * by `llm_dedup_exact` (identical copies),
+    * `llm_dedup_paragraph` (chunk-level repeats) and
+    * `llm_dedup_substr` (long shared runs inside otherwise-distinct
+    * docs — aligned window fingerprints, no posting-list join, so no
+    * cap needed), and remain singleton clusters in the CC labelings. K = 128 sits far above
     * the observed max df at both test scales (7 at sf0.01, 25 at
     * sf0.1), so test results are byte-identical with or without the
     * cap. */

@@ -67,4 +67,48 @@ class DfCapFamilySpec extends AnyFunSuite {
     assert((0L until 130L).forall(i => clusters(i) == i)) // singletons
     assert(clusters(201L) === 200L) // the real near-dup still clusters
   }
+
+  // A second corpus where the boilerplate is a long SHARED RUN inside
+  // otherwise-distinct docs: unique fixed-width prefix (alignment
+  // preserved) + a 199-char common tail in 130 docs. Exact dedup sees
+  // nothing (no two texts equal); the df-capped shingle family is
+  // blind (every tail trigram has df = 130 > 128, and each kept
+  // gram contains the doc's unique prefix). llm_dedup_substr is the
+  // operator DfCap's doc points at for exactly this case.
+  private lazy val runDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("dfcaprun").toString
+    val tail = (1 to 40).map(i => f"bp$i%02d").mkString(" ") // 199 chars
+    val rows = (0L until 130L).map { i =>
+      val text = f"q$i%03d " + tail // 5-char prefix keeps windows aligned
+      (i, text, "en", "web", text.length.toLong)
+    } ++ Seq({
+      val lone = (1 to 41).map(i => s"z$i").mkString(" ")
+      (300L, lone, "en", "web", lone.length.toLong)
+    })
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("duplicated-span detection catches long shared runs the capped " +
+      "family and exact dedup both miss") {
+    // capped family: blind to the 130-doc shared tail
+    val ng = SparkEntry.queries("llm_dedup_ngram")(spark, runDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.isEmpty, s"capped ngram dedup should see no pairs: $ng")
+    // exact dedup: no byte-identical docs to merge
+    val exact = SparkEntry.queries("llm_dedup_exact")(spark, runDir)
+      .collect().map(_.getLong(1))
+    assert(exact.forall(_ == 1L), "no doc should have exact copies")
+    // substring-span detection: the aligned tail windows surface the
+    // full 130-doc boilerplate cluster
+    val spans = SparkEntry.queries("llm_dedup_substr")(spark, runDir)
+      .collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ")))
+    assert(spans.nonEmpty, "shared tail must produce duplicated spans")
+    assert(spans.exists(_._1 == 130L),
+      s"some span must cover all 130 boilerplate docs: ${spans.toSeq}")
+  }
 }
