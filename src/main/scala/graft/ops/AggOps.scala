@@ -235,6 +235,27 @@ object AggOps extends OpPack {
         .select(col("o_orderstatus"),
           col("o_orderpriority").as("mode_priority"), col("n"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Fixed-width histogram: $5000 price buckets over lineitem, one
+    // two-phase hash agg (bucket id computed at the scan, map-side
+    // combined — the distributed histogram needs no sort and no
+    // per-value state). Bucketing on ROUNDED CENTS keeps everything
+    // integer after one well-defined round, so both engines agree on
+    // every boundary (floor-dividing the raw double would ride IEEE
+    // representation luck at exact multiples).
+    "agg_hist" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .withColumn("cents",
+          round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("bucket", expr("cents DIV 500000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .withColumn("bucket_lo", col("bucket") * 5000)
+        .select(col("bucket"), col("bucket_lo"), col("n_items"),
+          col("sum_qty"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -392,6 +413,18 @@ object AggOps extends OpPack {
         |    row_number() OVER (PARTITION BY o_orderstatus
         |      ORDER BY count(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
-        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_hist" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT cents // 500000 AS bucket,
+        |  (cents // 500000) * 5000 AS bucket_lo,
+        |  count(*) AS n_items,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM c GROUP BY 1
+        |ORDER BY bucket""".stripMargin
   )
 }

@@ -237,6 +237,49 @@ object JoinOps extends OpPack {
         .orderBy(col("click_id"))
     }),
 
+    // Nearest-direction as-of: each purchase attributed to whichever
+    // click is CLOSER in time (backward wins ties) — the kdb-style
+    // `aj` nearest variant, composed from the two directional as-of
+    // passes (each one keyed shuffle) plus an equi join on the left
+    // key. Gaps compared in integer microseconds, so the choice is
+    // engine-exact.
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val back = AsOfJoin(purchases, clicks, key = "user_id",
+          tsCol = "ts", seqCol = "event_id",
+          carry = Map("event_id" -> "b_id", "ts" -> "b_ts"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("b_id"), col("b_ts"))
+      val fwd = AsOfJoin(purchases, clicks, key = "user_id",
+          tsCol = "ts", seqCol = "event_id",
+          carry = Map("event_id" -> "f_id", "ts" -> "f_ts"),
+          forward = true)
+        .select(col("event_id").as("purchase_id"),
+          col("f_id"), col("f_ts"))
+      back.join(fwd, Seq("purchase_id"))
+        .withColumn("b_gap_us",
+          unix_micros(col("ts")) - unix_micros(col("b_ts")))
+        .withColumn("f_gap_us",
+          unix_micros(col("f_ts")) - unix_micros(col("ts")))
+        .withColumn("nearest_click_id",
+          when(col("b_id").isNull, col("f_id"))
+            .when(col("f_id").isNull, col("b_id"))
+            .when(col("b_gap_us") <= col("f_gap_us"), col("b_id"))
+            .otherwise(col("f_id")))
+        .withColumn("gap_us",
+          when(col("b_id").isNull, col("f_gap_us"))
+            .when(col("f_id").isNull, col("b_gap_us"))
+            .when(col("b_gap_us") <= col("f_gap_us"), col("b_gap_us"))
+            .otherwise(col("f_gap_us")))
+        .select(col("purchase_id"), col("user_id"),
+          col("nearest_click_id"), col("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Composite flagship #3: the event-log side of the engine end to
     // end — forward as-of attribution (click → next purchase) feeding
     // a dimensional rollup (customer → nation) into a conversion-rate
@@ -458,6 +501,44 @@ object JoinOps extends OpPack {
         |SELECT id_a, count(*) AS n_matches, min(id_b) AS min_match
         |FROM a JOIN b ON bucket_a IS NOT DISTINCT FROM bucket_b
         |GROUP BY id_a ORDER BY id_a""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(NULL AS BIGINT) AS purchase_id,
+        |         event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, event_id, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT user_id, ts, purchase_id,
+        |    last_value(click_id IGNORE NULLS) OVER wb AS b_id,
+        |    last_value(click_ts IGNORE NULLS) OVER wb AS b_ts,
+        |    last_value(click_id IGNORE NULLS) OVER wf AS f_id,
+        |    last_value(click_ts IGNORE NULLS) OVER wf AS f_ts
+        |  FROM tagged
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), g AS (
+        |  SELECT purchase_id, user_id,
+        |    epoch_us(ts) - epoch_us(b_ts) AS b_gap_us,
+        |    epoch_us(f_ts) - epoch_us(ts) AS f_gap_us,
+        |    b_id, f_id
+        |  FROM w WHERE purchase_id IS NOT NULL)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN b_gap_us <= f_gap_us THEN b_id ELSE f_id END
+        |    AS nearest_click_id,
+        |  CAST(CASE WHEN b_id IS NULL THEN f_gap_us
+        |       WHEN f_id IS NULL THEN b_gap_us
+        |       WHEN b_gap_us <= f_gap_us THEN b_gap_us ELSE f_gap_us END
+        |    AS BIGINT) AS gap_us
+        |FROM g ORDER BY purchase_id""".stripMargin,
 
     "join_asof_fwd" ->
       """WITH tagged AS (
