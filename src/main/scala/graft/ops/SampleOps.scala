@@ -207,9 +207,14 @@ object SampleOps extends OpPack {
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(concat(lit("bal:"), col("doc_id").cast("string"))),
           col("doc_id"))
+      // null-safe key match: a NULL-lang class still ranks, counts
+      // toward min_n and keeps its quota — the oracle's cross join
+      // never drops it, so an equi-join (NULL never matches) would
+      // silently diverge on corpora with unlabeled docs
+      val mp = minPerLang.withColumnRenamed("lang", "lang_m")
       d.select(col("doc_id"), col("lang"))
         .withColumn("rn", row_number().over(w))
-        .join(broadcast(minPerLang), Seq("lang"))
+        .join(broadcast(mp), col("lang") <=> col("lang_m"))
         .filter(col("rn") <= col("min_n"))
         .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy(col("doc_id"))

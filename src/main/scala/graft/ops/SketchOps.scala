@@ -262,12 +262,17 @@ object SketchOps extends OpPack {
          |ORDER BY o_orderpriority""".stripMargin,
 
     // exact below purge capacity (≤1000 distinct suppkeys vs 1536
-    // slots at every test scale) — see FreqItemsAgg doc
+    // slots at every test scale) — see FreqItemsAgg doc. NULL keys
+    // never enter the sketch (update skips them) and streamLength
+    // counts only ingested rows, so the oracle mirrors both: non-null
+    // rows only, threshold over count(l_suppkey)
     "agg_sketch_freq" ->
       """SELECT l_suppkey, count(*) AS est_count
-        |FROM lineitem GROUP BY l_suppkey
+        |FROM lineitem WHERE l_suppkey IS NOT NULL
+        |GROUP BY l_suppkey
         |HAVING count(*) >= (
-        |  SELECT CAST(ceil(0.01 * count(*)) AS BIGINT) FROM lineitem)
+        |  SELECT CAST(ceil(0.01 * count(l_suppkey)) AS BIGINT)
+        |  FROM lineitem)
         |ORDER BY est_count DESC, l_suppkey""".stripMargin
   )
 }

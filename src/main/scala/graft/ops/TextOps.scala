@@ -233,10 +233,15 @@ object TextOps extends OpPack {
       Tables(s, dir, "documents")
         .withColumn("arr", filter(split(col("text"), " "), w => w =!= ""))
         .withColumn("n_words", size(col("arr")))
+        // LONG accumulator (a >21M-char doc would overflow Int·100
+        // under ANSI); zero-word docs get a NULL mean, not a
+        // DIVIDE_BY_ZERO — same 3-valued logic as the DuckDB oracle
+        // (empty list_sum → NULL), and keep stays false via wc_ok
         .withColumn("tot_len",
-          aggregate(col("arr"), lit(0), (acc, w) => acc + length(w)))
+          aggregate(col("arr"), lit(0L), (acc, w) => acc + length(w)))
         .withColumn("mean_wlen_x100",
-          expr("CAST(tot_len * 100 DIV n_words AS INT)"))
+          when(col("n_words") > 0,
+            expr("CAST(tot_len * 100 DIV n_words AS INT)")))
         .withColumn("n_stop",
           size(array_intersect(array_distinct(col("arr")), stops)))
         .withColumn("wc_ok", col("n_words").between(20, 100000))
