@@ -199,6 +199,41 @@ object CdcOps extends OpPack {
         .agg(count(lit(1)).as("n_live"),
           Tables.moneySum(col("value")).as("sum_value"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Snapshot DIFF — the warehouse table-compare: two versions of a
+    // per-supplier rollup (v1 = shipped before 1995-07; v2 =
+    // shipped before 1995-10 minus returned lines) full-outer-joined on the key
+    // and every key classified added / removed / changed / unchanged
+    // with both versions' values beside it. Shape at 100 TB: each
+    // version is one two-phase agg over its own scan, the diff is a
+    // single key-shuffled (AQE-broadcastable) full outer join of two
+    // ALREADY-AGGREGATED frames — |keys|, not |rows|. Value equality
+    // compares the exact decimal-summed money doubles, so the
+    // classification is engine-deterministic.
+    "diff_snapshot" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      def snap(pred: org.apache.spark.sql.Column) =
+        li.filter(pred).groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("l_extendedprice")).as("rev"))
+      val v1 = snap(col("l_shipdate") < to_timestamp(lit("1995-07-01")))
+        .select(col("l_partkey"), col("n").as("n_v1"),
+          col("rev").as("rev_v1"))
+      val v2 = snap(col("l_shipdate") < to_timestamp(lit("1995-10-01")) &&
+          col("l_returnflag") =!= "R")
+        .select(col("l_partkey"), col("n").as("n_v2"),
+          col("rev").as("rev_v2"))
+      v1.join(v2, Seq("l_partkey"), "full_outer")
+        .withColumn("status",
+          when(col("n_v1").isNull, "added")
+            .when(col("n_v2").isNull, "removed")
+            .when(col("n_v1") =!= col("n_v2") ||
+              col("rev_v1") =!= col("rev_v2"), "changed")
+            .otherwise("unchanged"))
+        .select(col("l_partkey"), col("status"), col("n_v1"),
+          col("n_v2"), col("rev_v1"), col("rev_v2"))
+        .orderBy(col("l_partkey"))
     })
   )
 
@@ -328,6 +363,29 @@ object CdcOps extends OpPack {
         |    AS sum_value
         |FROM events
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "diff_snapshot" ->
+      s"""WITH v1 AS (
+         |  SELECT l_partkey, count(*) AS n_v1,
+         |    ${Tables.sql.moneySum("l_extendedprice")} AS rev_v1
+         |  FROM lineitem
+         |  WHERE l_shipdate < TIMESTAMP '1995-07-01'
+         |  GROUP BY l_partkey
+         |), v2 AS (
+         |  SELECT l_partkey, count(*) AS n_v2,
+         |    ${Tables.sql.moneySum("l_extendedprice")} AS rev_v2
+         |  FROM lineitem
+         |  WHERE l_shipdate < TIMESTAMP '1995-10-01'
+         |    AND l_returnflag <> 'R'
+         |  GROUP BY l_partkey)
+         |SELECT coalesce(v1.l_partkey, v2.l_partkey) AS l_partkey,
+         |  CASE WHEN v1.l_partkey IS NULL THEN 'added'
+         |       WHEN v2.l_partkey IS NULL THEN 'removed'
+         |       WHEN n_v1 <> n_v2 OR rev_v1 <> rev_v2 THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  n_v1, n_v2, rev_v1, rev_v2
+         |FROM v1 FULL OUTER JOIN v2 ON v1.l_partkey = v2.l_partkey
+         |ORDER BY l_partkey""".stripMargin
   )
 }
