@@ -237,6 +237,52 @@ object AggOps extends OpPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // EXACT distinct counting via bitmap indexes — the third point on
+    // the distinct-count cost curve (exact groupBy state ↔ bitmap ↔
+    // HLL estimate): per (segment, 32k-bucket) bitmaps built by a
+    // two-phase hash agg, distinct count = sum of per-bucket popcounts.
+    // Bitmaps are fixed-size, mergeable (bitwise OR) and EXACT — the
+    // materialized-rollup pattern warehouses use when estimates are
+    // not acceptable; at 100 TB the shuffle carries 4 KB bitmaps per
+    // (segment, bucket), not user ids. Oracle is the plain distinct.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Winsorized robust statistics: per-group p05/p95 thresholds
+    // (exact order statistics, broadcast back) clip the tails before
+    // aggregating — the outlier-robust mean/total a data-quality
+    // pipeline reports alongside the raw one. Two passes: a tiny
+    // threshold agg + one clipped scan-agg; both two-phase, the join
+    // is a broadcast on the group key.
+    "agg_winsorize" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val th = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p05"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p95"))
+      li.join(broadcast(th), Seq("l_returnflag"))
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          Tables.moneySum(col("l_extendedprice")).as("raw_total"),
+          Tables.moneySum(col("clipped")).as("wins_total"),
+          sum(when(col("l_extendedprice") < col("p05") ||
+            col("l_extendedprice") > col("p95"), 1L).otherwise(0L))
+            .as("n_clipped"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Fixed-width histogram: $5000 price buckets over lineitem, one
     // two-phase hash agg (bucket id computed at the scan, map-side
     // combined — the distributed histogram needs no sort and no
@@ -414,6 +460,30 @@ object AggOps extends OpPack {
         |      ORDER BY count(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "agg_winsorize" ->
+      s"""WITH th AS (
+         |  SELECT l_returnflag,
+         |    quantile_disc(l_extendedprice, 0.05) AS p05,
+         |    quantile_disc(l_extendedprice, 0.95) AS p95
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT li.l_returnflag,
+         |  count(*) AS n_items,
+         |  ${Tables.sql.moneySum("l_extendedprice")} AS raw_total,
+         |  ${Tables.sql.moneySum(
+              "least(greatest(l_extendedprice, p05), p95)")} AS wins_total,
+         |  CAST(sum(CASE WHEN l_extendedprice < p05
+         |    OR l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clipped
+         |FROM lineitem li JOIN th ON li.l_returnflag = th.l_returnflag
+         |GROUP BY li.l_returnflag
+         |ORDER BY li.l_returnflag""".stripMargin,
 
     "agg_hist" ->
       """WITH c AS (
