@@ -281,6 +281,22 @@ object FnOps extends OpPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Error-safe evaluation surface (`try_*`): under ANSI SQL mode
+    // (Spark 4's default) a single malformed row aborts a 100 TB job
+    // mid-stage — the try_ forms return NULL instead, which is the
+    // only viable posture when scrubbing raw corpora. All evaluated
+    // row-local inside codegen; the oracle mirrors with TRY_CAST /
+    // NULLIF.
+    "fn_try" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("try_cast(p_brand AS INT)").as("bad_cast"),
+          expr("try_cast(CAST(p_size AS STRING) AS INT)").as("good_cast"),
+          expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+          expr("try_divide(p_retailprice, 2)").as("half"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Calendar-spine generation: sequence() materializes the month
     // backbone between the corpus date bounds, then a left join shows
     // per-month order counts INCLUDING empty months — the standard
@@ -484,6 +500,14 @@ object FnOps extends OpPack {
         |SELECT doc_id, pos, w FROM u
         |WHERE w <> ''
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "fn_try" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_brand AS INT) AS bad_cast,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_cast,
+        |  p_retailprice / nullif(p_size - p_size, 0) AS div0,
+        |  p_retailprice / 2 AS half
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_sequence" ->
       """WITH b AS (

@@ -122,6 +122,36 @@ object WindowOps extends OpPack {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Time-series gap-fill with LOCF (last observation carried
+    // forward): the (user × day) grid is generated NARROWLY — day
+    // spine exploded per user from collected bounds (two scalar
+    // dates), no cross join — then one left join against the daily
+    // sums and one per-user window carries values across gaps. Days
+    // before a user's first observation stay NULL (was_gap marks
+    // them). At 100 TB: grid ∝ keys × spine (not events), the join
+    // and window share the user_id shuffle key.
+    "win_gapfill" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Tables.moneySum(col("value")).as("day_value"))
+      val b = e.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi")).collect()(0)
+      val grid = e.select(col("user_id")).distinct()
+        .withColumn("day", explode(sequence(
+          lit(b.getAs[java.sql.Date]("lo")),
+          lit(b.getAs[java.sql.Date]("hi")),
+          expr("interval 1 day"))))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("was_gap", col("day_value").isNull)
+        .withColumn("value_filled",
+          last(col("day_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("value_filled"),
+          col("was_gap"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -223,6 +253,30 @@ object WindowOps extends OpPack {
         |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "win_gapfill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    ${Tables.sql.moneySum("value")} AS day_value
+         |  FROM events GROUP BY 1, 2
+         |), b AS (
+         |  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+         |  FROM events
+         |), u AS (SELECT DISTINCT user_id FROM events),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         |grid AS (SELECT user_id, day FROM u CROSS JOIN spine),
+         |j AS (
+         |  SELECT g.user_id, g.day, daily.day_value
+         |  FROM grid g LEFT JOIN daily
+         |    ON g.user_id = daily.user_id AND g.day = daily.day)
+         |SELECT user_id, day,
+         |  last_value(day_value IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS value_filled,
+         |  day_value IS NULL AS was_gap
+         |FROM j ORDER BY user_id, day""".stripMargin,
 
     "win_islands" ->
       """WITH e AS (
