@@ -283,6 +283,31 @@ object AggOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Equi-DEPTH histogram (the partner to agg_hist's equi-width and
+    // agg_sketch_kll's approximation): 9 exact decile cuts collected
+    // once (a 1-row aggregate — the only driver-side state), then
+    // bucket id = Σ (value > cut_i) evaluated as a literal chain at
+    // the scan, one two-phase hash agg. No global sort, no ntile —
+    // the classic scale shape for quantile bucketing: threshold
+    // computation is one pass, classification is free.
+    "agg_hist_eqdepth" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val cutExprs = (1 to 9).map(i =>
+        expr(s"percentile_disc(0.$i) WITHIN GROUP " +
+          "(ORDER BY l_extendedprice)").as(s"c$i"))
+      val cuts = li.agg(cutExprs.head, cutExprs.tail: _*).collect()(0)
+      val bucket = (1 to 9).map(i =>
+          when(col("l_extendedprice") > lit(cuts.getAs[Double](s"c$i")), 1)
+            .otherwise(0))
+        .reduce(_ + _)
+      li.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // Fixed-width histogram: $5000 price buckets over lineitem, one
     // two-phase hash agg (bucket id computed at the scan, map-side
     // combined — the distributed histogram needs no sort and no
@@ -484,6 +509,28 @@ object AggOps extends OpPack {
          |FROM lineitem li JOIN th ON li.l_returnflag = th.l_returnflag
          |GROUP BY li.l_returnflag
          |ORDER BY li.l_returnflag""".stripMargin,
+
+    "agg_hist_eqdepth" ->
+      """WITH th AS (
+        |  SELECT quantile_disc(l_extendedprice, 0.1) AS c1,
+        |         quantile_disc(l_extendedprice, 0.2) AS c2,
+        |         quantile_disc(l_extendedprice, 0.3) AS c3,
+        |         quantile_disc(l_extendedprice, 0.4) AS c4,
+        |         quantile_disc(l_extendedprice, 0.5) AS c5,
+        |         quantile_disc(l_extendedprice, 0.6) AS c6,
+        |         quantile_disc(l_extendedprice, 0.7) AS c7,
+        |         quantile_disc(l_extendedprice, 0.8) AS c8,
+        |         quantile_disc(l_extendedprice, 0.9) AS c9
+        |  FROM lineitem)
+        |SELECT CAST((l_extendedprice > c1)::int + (l_extendedprice > c2)::int
+        |  + (l_extendedprice > c3)::int + (l_extendedprice > c4)::int
+        |  + (l_extendedprice > c5)::int + (l_extendedprice > c6)::int
+        |  + (l_extendedprice > c7)::int + (l_extendedprice > c8)::int
+        |  + (l_extendedprice > c9)::int AS INT) AS bucket,
+        |  count(*) AS n_items,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem, th
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "agg_hist" ->
       """WITH c AS (
