@@ -325,6 +325,48 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(batches.map(_._2) == Seq(3L, 2L))
   }
 
+  test("streaming session windows merge across micro-batches and close " +
+      "at the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of stream_session/win_islands: session_window
+    // state MERGES when a later micro-batch arrives within the gap
+    // (stateful interval union — the capability batch sessionization
+    // doesn't need), and a session only emits in append mode once the
+    // watermark passes its close.
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    // batch 1: user 1 at 10:00 and 10:08 — one open session
+    input.addData((ts(0), 1L), (ts(8), 1L))
+    q.processAllAvailable()
+    // batch 2: 10:15 is within 10 min of 10:08 → MERGES into the same
+    // session (state union across batches), extending it to 10:25
+    input.addData((ts(15), 1L))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past 10:25 → session closes
+    input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_win")
+      .select(col("user_id"),
+        col("session_window.start").cast("string").as("s"),
+        col("session_window.end").cast("string").as("e"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // ONE merged session for user 1 covering all three events
+    assert(out.count(_._1 == 1L) === 1)
+    val s1 = out.find(_._1 == 1L).get
+    assert(s1._2 == "2024-01-01 10:00:00")
+    assert(s1._3 == "2024-01-01 10:25:00") // last event + 10-min gap
+    assert(s1._4 === 3L)
+  }
+
   test("streaming theta-sketch maintenance: merged micro-batch partials " +
       "equal the batch answer") {
     import spark.implicits._
