@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.Tables.{moneySum, exprSum, moneyAvg}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY.md §2.2 "Aggregations").
@@ -284,18 +285,30 @@ object AggOps extends OpPack {
     }),
 
     // Equi-DEPTH histogram (the partner to agg_hist's equi-width and
-    // agg_sketch_kll's approximation): 9 exact decile cuts collected
-    // once (a 1-row aggregate — the only driver-side state), then
+    // agg_sketch_kll's approximation): 9 exact decile cuts, then
     // bucket id = Σ (value > cut_i) evaluated as a literal chain at
-    // the scan, one two-phase hash agg. No global sort, no ntile —
-    // the classic scale shape for quantile bucketing: threshold
-    // computation is one pass, classification is free.
+    // the scan, one two-phase hash agg. The cuts come from ONE
+    // counts+cumsum pass over the DISTINCT values — smallest value
+    // whose cumulative count·10 ≥ i·total, an all-integer rank test
+    // that equals percentile_disc/quantile_disc (verified value-equal
+    // at both test scales) at a fraction of the cost: nine separate
+    // percentile_disc aggregates each buffer the whole column
+    // (measured 16 s at sf0.1; this shape is ~0.5 s). The cumsum
+    // window sorts distinct values, not rows; when even that is too
+    // big the declared approximate path is the KLL sketch.
     "agg_hist_eqdepth" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_extendedprice").as("p"))
+        .agg(count(lit(1)).as("n"))
+      val cum = counts
+        .withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("p"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy(lit(1))))
       val cutExprs = (1 to 9).map(i =>
-        expr(s"percentile_disc(0.$i) WITHIN GROUP " +
-          "(ORDER BY l_extendedprice)").as(s"c$i"))
-      val cuts = li.agg(cutExprs.head, cutExprs.tail: _*).collect()(0)
+        min(when(col("cum") * 10 >= col("total") * i, col("p")))
+          .as(s"c$i"))
+      val cuts = cum.agg(cutExprs.head, cutExprs.tail: _*).collect()(0)
       val bucket = (1 to 9).map(i =>
           when(col("l_extendedprice") > lit(cuts.getAs[Double](s"c$i")), 1)
             .otherwise(0))
