@@ -184,6 +184,11 @@ object FreqSketch {
   def streamLength(bytes: Array[Byte]): Long =
     LongsSketch.getInstance(Memory.wrap(bytes)).getStreamLength
 
+  /** Number of keys currently tracked (== exact distinct count while
+    * under purge capacity; an undercount once purging starts). */
+  def numActive(bytes: Array[Byte]): Long =
+    LongsSketch.getInstance(Memory.wrap(bytes)).getNumActiveItems.toLong
+
   /** Worst-case overcount bound (0 while under purge capacity). */
   def maxError(bytes: Array[Byte]): Long =
     LongsSketch.getInstance(Memory.wrap(bytes)).getMaximumError

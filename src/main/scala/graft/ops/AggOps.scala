@@ -293,7 +293,7 @@ object AggOps extends OpPack {
     // that equals percentile_disc/quantile_disc (verified value-equal
     // at both test scales) at a fraction of the cost: nine separate
     // percentile_disc aggregates each buffer the whole column
-    // (measured 16 s at sf0.1; this shape is ~0.5 s). The cumsum
+    // (measured 16 s at sf0.1; this shape is ~1.4 s). The cumsum
     // window sorts distinct values, not rows; when even that is too
     // big the declared approximate path is the KLL sketch.
     "agg_hist_eqdepth" -> ((s, dir) => {

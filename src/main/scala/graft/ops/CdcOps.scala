@@ -202,7 +202,7 @@ object CdcOps extends OpPack {
     }),
 
     // Snapshot DIFF — the warehouse table-compare: two versions of a
-    // per-supplier rollup (v1 = shipped before 1995-07; v2 =
+    // per-part rollup (v1 = shipped before 1995-07; v2 =
     // shipped before 1995-10 minus returned lines) full-outer-joined on the key
     // and every key classified added / removed / changed / unchanged
     // with both versions' values beside it. Shape at 100 TB: each

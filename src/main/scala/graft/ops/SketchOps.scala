@@ -186,24 +186,28 @@ object SketchOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Misra-Gries frequent-items sketch: heavy hitters of l_suppkey
-    // (count ≥ 1 % of the stream) from one pass with a fixed
-    // 2048-slot budget. While distinct keys fit under the purge
-    // capacity (all driver test scales: ≤1000 suppkeys vs 1536
-    // slots) counters are never decremented ⇒ estimates are EXACT
-    // and partition-order independent, so this carries a real DuckDB
-    // oracle — same exact-below-capacity contract as
-    // agg_sketch_theta. Above capacity the declared semantics
-    // degrade to the ε·N overcount band with no false negatives
-    // (SketchSpec pins that regime on a synthetic wide-key
-    // stream). Threshold derives from the sketch's own recorded
-    // stream length, so the query is scale-factor-free.
+    // Misra-Gries frequent-items sketch: above-average keys of
+    // l_suppkey (count ≥ the per-key mean, both derived from the
+    // sketch's own streamLength/numActive so the query is scale-
+    // factor-free AND non-empty at every scale — a fixed stream
+    // fraction goes empty once key cardinality grows past it, which
+    // would leave the extraction path untimed at bench scale). One
+    // pass with a fixed 2048-slot budget; while distinct keys fit
+    // under the purge capacity (all driver test scales: ≤1000
+    // suppkeys vs 1536 slots) counters are never decremented ⇒
+    // estimates are EXACT, numActive is the exact distinct count, and
+    // the result is partition-order independent, so this carries a
+    // real DuckDB oracle — same exact-below-capacity contract as
+    // agg_sketch_theta. Above capacity the declared semantics degrade
+    // to the ε·N overcount band with no false negatives (SketchSpec
+    // pins that regime on a synthetic wide-key stream).
     "agg_sketch_freq" -> ((s, dir) => {
       val bytes = Tables(s, dir, "lineitem")
         .agg(graft.functions.FreqSketch.agg(col("l_suppkey")).as("sk"))
         .collect()(0).getAs[Array[Byte]]("sk")
       val threshold = math.ceil(
-        0.01 * graft.functions.FreqSketch.streamLength(bytes)).toLong
+        graft.functions.FreqSketch.streamLength(bytes).toDouble /
+          graft.functions.FreqSketch.numActive(bytes)).toLong
       val rows = graft.functions.FreqSketch.frequentItems(bytes, threshold)
       s.createDataFrame(rows).toDF("l_suppkey", "est_count")
         .orderBy(col("est_count").desc, col("l_suppkey"))
@@ -263,15 +267,17 @@ object SketchOps extends OpPack {
 
     // exact below purge capacity (≤1000 distinct suppkeys vs 1536
     // slots at every test scale) — see FreqItemsAgg doc. NULL keys
-    // never enter the sketch (update skips them) and streamLength
-    // counts only ingested rows, so the oracle mirrors both: non-null
-    // rows only, threshold over count(l_suppkey)
+    // never enter the sketch (update skips them), streamLength counts
+    // only ingested rows, numActive is the exact distinct count in
+    // the sub-capacity regime — so the oracle mirrors all three:
+    // non-null rows only, threshold = ceil(rows / distinct keys)
     "agg_sketch_freq" ->
       """SELECT l_suppkey, count(*) AS est_count
         |FROM lineitem WHERE l_suppkey IS NOT NULL
         |GROUP BY l_suppkey
         |HAVING count(*) >= (
-        |  SELECT CAST(ceil(0.01 * count(l_suppkey)) AS BIGINT)
+        |  SELECT CAST(ceil(1.0 * count(l_suppkey)
+        |    / count(DISTINCT l_suppkey)) AS BIGINT)
         |  FROM lineitem)
         |ORDER BY est_count DESC, l_suppkey""".stripMargin
   )

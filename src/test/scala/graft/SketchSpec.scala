@@ -176,7 +176,8 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val li = Tables(spark, dir, "lineitem")
     val n = li.count()
-    val threshold = math.ceil(0.01 * n).toLong
+    val nKeys = li.select(col("l_suppkey")).distinct().count()
+    val threshold = math.ceil(n.toDouble / nKeys).toLong
     val exact = li.groupBy(col("l_suppkey")).count()
       .filter(col("count") >= threshold)
       .collect()
