@@ -151,6 +151,65 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("nearest as-of composition matches the brute-force nearest model") {
+    // Pins join_asof_nearest's composition arithmetic (two directional
+    // passes + gap compare, backward wins ties) on logs with FORCED
+    // timestamp ties — the regime the driver testdata never hits.
+    val sideGen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0, 3)
+      t <- Gen.chooseNum(0L, 15L) // few ts values ⇒ forced ties
+      v <- Gen.chooseNum(0, 999)
+    } yield (k, t, v))
+    check(Prop.forAll(sideGen, sideGen) { (ls, rs) =>
+      (ls.isEmpty || rs.isEmpty) || {
+        val left = ls.zipWithIndex.map { case ((k, t, v), i) =>
+          (k, t, 1000L + i, v) }
+        val right = rs.zipWithIndex.map { case ((k, t, v), i) =>
+          (k, t, i.toLong, v) }
+        val l = left.toDF("k", "ts", "seq", "lv")
+        val r = right.toDF("k", "ts", "seq", "rv")
+        val back = graft.operators.AsOfJoin(l, r, key = "k",
+            tsCol = "ts", seqCol = "seq",
+            carry = Map("seq" -> "b_seq", "ts" -> "b_ts"))
+          .select(col("k"), col("seq"), col("ts"), col("b_seq"),
+            col("b_ts"))
+        val fwd = graft.operators.AsOfJoin(l, r, key = "k",
+            tsCol = "ts", seqCol = "seq",
+            carry = Map("seq" -> "f_seq", "ts" -> "f_ts"),
+            forward = true)
+          .select(col("seq").as("seq2"), col("f_seq"), col("f_ts"))
+        val out = back.join(fwd, col("seq") === col("seq2"))
+          .withColumn("b_gap", col("ts") - col("b_ts"))
+          .withColumn("f_gap", col("f_ts") - col("ts"))
+          .withColumn("nearest",
+            when(col("b_seq").isNull, col("f_seq"))
+              .when(col("f_seq").isNull, col("b_seq"))
+              .when(col("b_gap") <= col("f_gap"), col("b_seq"))
+              .otherwise(col("f_seq")))
+          .select("k", "seq", "nearest")
+          .collect()
+          .map(row => (row.getInt(0), row.getLong(1),
+            if (row.isNullAt(2)) None else Some(row.getLong(2)))).toSet
+        val model = left.map { case (k, t, s, _) =>
+          val b = right.filter(rr => rr._1 == k &&
+            (rr._2 < t || (rr._2 == t && rr._3 < s)))
+            .sortBy(rr => (rr._2, rr._3)).lastOption
+          val f = right.filter(rr => rr._1 == k &&
+            (rr._2 > t || (rr._2 == t && rr._3 > s)))
+            .sortBy(rr => (rr._2, rr._3)).headOption
+          val nearest = (b, f) match {
+            case (None, ff) => ff.map(_._3)
+            case (bb, None) => bb.map(_._3)
+            case (Some(bb), Some(ff)) =>
+              if (t - bb._2 <= ff._2 - t) Some(bb._3) else Some(ff._3)
+          }
+          (k, s, nearest)
+        }.toSet
+        out == model
+      }
+    })
+  }
+
   /** Random documents with planted exact duplicates. */
   private val docsGen: Gen[List[(Long, String)]] = for {
     texts <- Gen.listOfN(25, Gen.nonEmptyListOf(
