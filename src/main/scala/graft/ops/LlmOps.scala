@@ -194,6 +194,45 @@ object LlmOps extends OpPack {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // with LEARNED blocking — the IVF index's k-means cells replace
+    // llm_dedup_embed's label blocks, so near-duplicates are found
+    // WITHOUT any label column: pairwise cosine only within each
+    // cell (quadratic per cell, cells bounded by the clustering —
+    // the SemDeDup trade), keep-min drop rule. Reuses the memoized
+    // session index, so the marginal cost over the ANN queries is
+    // one within-cell self-join. Approximate by design (cluster-
+    // boundary pairs are unseen — cell recall, same rule ③ as the
+    // ANN family) ⇒ rows-only; SemDedupSpec-style properties pinned
+    // in AnnIvfSpec (determinism, sim ≥ threshold, within-cell only).
+    "llm_dedup_semantic" -> ((s, dir) => {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        graft.functions.VectorFunctions.dotProduct(x, y)
+      val a = ivfIndex(s, dir, numCells = 16).assignments
+        .withColumn("__d", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("__norm", sqrt(dot(col("__d"), col("__d"))))
+        .withColumn("unit", transform(col("__d"), x => x / col("__norm")))
+        .select(col("vec_id"), col("cell"), col("unit"))
+      val l = a.select(col("cell"), col("vec_id").as("vec_a"),
+        col("unit").as("unit_a"))
+      val r = a.select(col("cell").as("cell_b"),
+        col("vec_id").as("vec_b"), col("unit").as("unit_b"))
+      val pairs = l.join(r,
+          col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+        .withColumn("sim", dot(col("unit_a"), col("unit_b")))
+        .filter(col("sim") >= 0.4)
+        .select(col("cell"), col("vec_a"), col("vec_b"))
+      a.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        .join(pairs.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("vec_b")).as("n_dropped")),
+          Seq("cell"), "left_outer")
+        .select(col("cell"), col("n_vectors"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy(col("cell"))
+    }),
+
     "llm_multimodal_join" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val e = Tables(s, dir, "embeddings")

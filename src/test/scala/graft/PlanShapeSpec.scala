@@ -268,8 +268,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // the broadcast numCells×dim centroid table.
     // llm_triangles crosses two single-row aggregates (census totals);
     // llm_vocab broadcasts a single-row corpus total.
+    // llm_dedup_semantic rides the same IVF assignment build as the
+    // ANN queries (corpus × broadcast numCells-row centroid table).
     val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine",
-      "llm_ann_knn", "llm_triangles", "llm_vocab")
+      "llm_ann_knn", "llm_triangles", "llm_vocab", "llm_dedup_semantic")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
@@ -287,6 +289,6 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(noOracle ==
       Set("agg_approx_distinct", "llm_ann_ivf", "llm_ann_knn",
         "agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll",
-        "agg_sketch_kll"))
+        "agg_sketch_kll", "llm_dedup_semantic"))
   }
 }

@@ -158,4 +158,48 @@ class AnnIvfSpec extends AnyFunSuite {
     // rank 1 is the probe itself (cosine 1.0 self-match)
     assert(got.head.getAs[Long]("vec_id") == 0L)
   }
+
+  test("semantic dedup is deterministic and exact within cells") {
+    // SemDeDup contract (llm_dedup_semantic): the approximation is
+    // ONLY the learned blocking — within each k-means cell, pair
+    // detection is exact brute-force cosine. Model: collect unit
+    // vectors + cell assignments, count all within-cell pairs with
+    // sim >= 0.4 per cell, compare against the query's per-cell
+    // counts; plus run-to-run determinism of the whole frame.
+    val dir = sf
+    val a = graft.SparkEntry.queries("llm_dedup_semantic")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val b = graft.SparkEntry.queries("llm_dedup_semantic")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(a == b, "semantic dedup not deterministic across runs")
+    assert(a.map(_._2).sum ==
+      Tables(spark, dir, "embeddings").count(), "cells must partition")
+    // brute-force model from the same (deterministic) index build
+    val built = AnnIvf.buildIndex(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+      numCells = 16)
+    val members = built.assignments.collect().map { r =>
+      val emb = r.getSeq[Float](2).map(_.toDouble).toArray
+      val n = math.sqrt(emb.map(x => x * x).sum)
+      (r.getInt(1), r.getLong(0), emb.map(_ / n))
+    }
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    val modelPairs = members.groupBy(_._1).map { case (cell, ms) =>
+      val sorted = ms.sortBy(_._2)
+      cell -> (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if dot(sorted(i)._3, sorted(j)._3) >= 0.4
+      } yield 1).size.toLong
+    }
+    a.foreach { case (cell, _, nPairs, _) =>
+      assert(modelPairs.getOrElse(cell, 0L) == nPairs,
+        s"cell $cell: query $nPairs pairs vs model ${modelPairs.get(cell)}")
+    }
+  }
 }
