@@ -253,6 +253,28 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping-window chunking — the RAG/pretraining chunker:
+    // 30-token windows at stride 20 (10-token overlap so no span is
+    // split across chunk boundaries without context). Chunk starts
+    // are 0, S, 2S, … while < n_tokens; `slice` clips the final
+    // window, so trailing chunks may be short (declared; mirrored
+    // exactly in the oracle). Narrow generate + presentation sort —
+    // chunking a 100 TB corpus is a scan-speed map, no shuffle.
+    "llm_chunk_overlap" -> ((s, dir) => {
+      val W = 30
+      val S = 20
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(toks) - 1) div $S), " +
+            s"i -> slice(toks, i * $S + 1, $W))"))
+          .as(Seq("chunk_idx", "chunk_toks")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk_toks")).as("n_chunk_toks"),
+          array_join(col("chunk_toks"), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing any 4-gram
     // with the benchmark set (doc_id % 50 == 0 as the held-out suite).
     // The benchmark gram set is tiny relative to the corpus — exactly
@@ -431,6 +453,19 @@ object TextOps extends OpPack {
         |WHERE tr.doc_id % 50 <> 0
         |GROUP BY tr.doc_id
         |ORDER BY tr.doc_id""".stripMargin,
+
+    "llm_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    toks[(i * 20 + 1):(i * 20 + 30)] AS chunk_toks
+        |  FROM t, unnest(range(0, (len(toks) - 1) // 20 + 1)) AS u(i))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(chunk_toks) AS INT) AS n_chunk_toks,
+        |  array_to_string(chunk_toks, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "llm_quality_gopher" ->
       """WITH w AS (
