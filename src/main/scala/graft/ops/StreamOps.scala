@@ -40,9 +40,12 @@ object StreamOps extends OpPack {
       // Session windows, 30 min gap, per user. Timestamps are floored
       // to whole seconds first so the gap comparison is integer-exact
       // in both engines (ns vs µs precision cannot flip a boundary).
-      // Spark session semantics: a gap of exactly 30 min starts a NEW
-      // session (window is [start, last+gap)) — the oracle's
-      // gaps-and-islands break condition is therefore `>= 1800`.
+      // Spark session semantics: an event at EXACTLY last+gap still
+      // MERGES into the session (sessions combine while
+      // next.start <= prev.end, ends inclusive — verified empirically
+      // on the one exactly-1800 s gap in the sf0.1 data, which Spark
+      // merges) — the oracle's gaps-and-islands break condition is
+      // therefore strictly `> 1800`.
       Tables(s, dir, "events")
         .withColumn("tsec", timestamp_seconds(unix_timestamp(col("ts"))))
         .groupBy(col("user_id"), session_window(col("tsec"), "30 minutes").as("w"))
@@ -92,7 +95,7 @@ object StreamOps extends OpPack {
         |  FROM events
         |), g AS (
         |  SELECT *, CASE WHEN es - lag(es) OVER (
-        |      PARTITION BY user_id ORDER BY es, event_id) >= 1800
+        |      PARTITION BY user_id ORDER BY es, event_id) > 1800
         |    THEN 1 ELSE 0 END AS brk
         |  FROM e
         |), s AS (

@@ -114,7 +114,12 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     // user 1: events at 10:00, 10:03, 10:06 chain into ONE session
     // (each within 5 min of the previous); 10:20 starts a second.
     // user 2: single event, its own session.
-    input.addData((ts(0), 1), (ts(3), 1), (ts(6), 1), (ts(20), 1), (ts(0), 2))
+    // user 3: events at EXACTLY the 5-min gap (10:00, 10:05) — Spark
+    // merges at the inclusive boundary (session end is last+gap and
+    // touching sessions combine); the stream_session oracle's
+    // strictly-greater break condition mirrors this.
+    input.addData((ts(0), 1), (ts(3), 1), (ts(6), 1), (ts(20), 1),
+      (ts(0), 2), (ts(0), 3), (ts(5), 3))
     q.processAllAvailable()
     // advance the watermark far enough to finalize and emit everything
     input.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 9))
@@ -128,6 +133,8 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(out.contains((1, "2024-01-01 10:00:00", 3L))) // merged chain
     assert(out.contains((1, "2024-01-01 10:20:00", 1L))) // split after gap
     assert(out.contains((2, "2024-01-01 10:00:00", 1L))) // per-key state
+    assert(out.contains((3, "2024-01-01 10:00:00", 2L)),
+      s"exact-gap events must merge into one session: $out")
   }
 
   test("dropDuplicatesWithinWatermark: dedups inside the horizon, evicts state past it") {
