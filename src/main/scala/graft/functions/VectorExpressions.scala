@@ -114,4 +114,18 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     dotProduct(a, b) / sqrt(dotProduct(a, a)) / sqrt(dotProduct(b, b))
   }
+
+  /** Appends a unit-normalized double copy of `embCol` as `outCol`
+    * (cast → L2 norm via one native dot → elementwise divide). The
+    * shared normalize-once-per-row step of every cosine pair join
+    * (llm_dedup_embed, llm_dedup_semantic): one dot per PAIR
+    * afterwards instead of three. */
+  def withUnitVector(df: org.apache.spark.sql.DataFrame, embCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, sqrt, transform}
+    df.withColumn("__d", transform(col(embCol), x => x.cast("double")))
+      .withColumn("__norm", sqrt(dotProduct(col("__d"), col("__d"))))
+      .withColumn(outCol, transform(col("__d"), x => x / col("__norm")))
+      .drop("__d", "__norm")
+  }
 }

@@ -159,11 +159,8 @@ object DedupOps extends OpPack {
     "llm_dedup_embed" -> ((s, dir) => {
       def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         graft.functions.VectorFunctions.dotProduct(x, y)
-      // Unit-normalize once per row (one dot per pair, not three).
-      val e = Tables(s, dir, "embeddings")
-        .withColumn("__d", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("__norm", sqrt(dot(col("__d"), col("__d"))))
-        .withColumn("unit", transform(col("__d"), x => x / col("__norm")))
+      val e = graft.functions.VectorFunctions.withUnitVector(
+        Tables(s, dir, "embeddings"), "embedding", "unit")
       val l = e.select(col("vec_id").as("vec_a"), col("label"),
         col("unit").as("unit_a"))
       val r = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),

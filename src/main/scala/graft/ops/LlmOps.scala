@@ -208,10 +208,8 @@ object LlmOps extends OpPack {
     "llm_dedup_semantic" -> ((s, dir) => {
       def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         graft.functions.VectorFunctions.dotProduct(x, y)
-      val a = ivfIndex(s, dir, numCells = 16).assignments
-        .withColumn("__d", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("__norm", sqrt(dot(col("__d"), col("__d"))))
-        .withColumn("unit", transform(col("__d"), x => x / col("__norm")))
+      val a = graft.functions.VectorFunctions.withUnitVector(
+          ivfIndex(s, dir, numCells = 16).assignments, "embedding", "unit")
         .select(col("vec_id"), col("cell"), col("unit"))
       val l = a.select(col("cell"), col("vec_id").as("vec_a"),
         col("unit").as("unit_a"))

@@ -174,7 +174,10 @@ class SketchSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("agg_sketch_freq")(spark, dir).collect()
     assert(rows.nonEmpty)
+    // non-null rows/keys only — the sketch never ingests nulls, and
+    // the query's threshold derives from streamLength/numActive
     val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_suppkey").isNotNull)
     val n = li.count()
     val nKeys = li.select(col("l_suppkey")).distinct().count()
     val threshold = math.ceil(n.toDouble / nKeys).toLong

@@ -190,16 +190,21 @@ class AnnIvfSpec extends AnyFunSuite {
       while (i < x.length) { s += x(i) * y(i); i += 1 }
       s
     }
-    val modelPairs = members.groupBy(_._1).map { case (cell, ms) =>
+    val model = members.groupBy(_._1).map { case (cell, ms) =>
       val sorted = ms.sortBy(_._2)
-      cell -> (for {
+      val pairs = for {
         i <- sorted.indices; j <- (i + 1) until sorted.length
         if dot(sorted(i)._3, sorted(j)._3) >= 0.4
-      } yield 1).size.toLong
+      } yield (sorted(i)._2, sorted(j)._2)
+      // keep-min drop rule: dropped = distinct greater-id pair members
+      cell -> (pairs.size.toLong, pairs.map(_._2).distinct.size.toLong)
     }
-    a.foreach { case (cell, _, nPairs, _) =>
-      assert(modelPairs.getOrElse(cell, 0L) == nPairs,
-        s"cell $cell: query $nPairs pairs vs model ${modelPairs.get(cell)}")
+    a.foreach { case (cell, _, nPairs, nDropped) =>
+      val (mPairs, mDropped) = model.getOrElse(cell, (0L, 0L))
+      assert(mPairs == nPairs,
+        s"cell $cell: query $nPairs pairs vs model $mPairs")
+      assert(mDropped == nDropped,
+        s"cell $cell: query $nDropped dropped vs model $mDropped")
     }
   }
 }
