@@ -220,6 +220,37 @@ object SampleOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Epoch-aware mixture scheduling (the data-constrained regime of
+    // Muennighoff et al. 2023, arXiv:2305.16264): given isqrt-
+    // temperature weights and a fixed token budget, each source gets
+    // target tokens ∝ weight; a source smaller than its target is
+    // REPEATED (epochs = ceil(target / available), capped at 4 — the
+    // diminishing-returns cliff), and allocated = min(target,
+    // epochs·available) exposes the shortfall the cap leaves. All
+    // integer arithmetic over the tiny per-source domain — one
+    // two-phase agg + window total, engine-exact.
+    "sample_mix_epochs" -> ((s, dir) => {
+      val budget = 100000L
+      val w = Window.partitionBy(lit(1))
+      Tables(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"))
+        .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+        .withColumn("sum_w", sum(col("weight")).over(w))
+        .withColumn("target_tokens",
+          expr(s"$budget * weight div sum_w"))
+        .withColumn("epochs",
+          least(lit(4L), expr(
+            "(target_tokens + n_tokens - 1) div n_tokens")))
+        .withColumn("allocated_tokens",
+          least(col("target_tokens"), col("epochs") * col("n_tokens")))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("target_tokens"), col("epochs"), col("allocated_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // The full curation funnel in ONE declarative plan — quality gate
     // → corpus-wide exact dedup → benchmark decontamination →
     // deterministic hash sample → per-lang corpus stats. Every stage
@@ -270,6 +301,29 @@ object SampleOps extends OpPack {
         |SELECT doc_id, lang, CAST(rn AS INT) AS rn
         |FROM r, m WHERE rn <= min_n
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_mix_epochs" ->
+      """WITH src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), wtd AS (
+        |  SELECT *, CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight,
+        |    CAST(sum(CAST(floor(sqrt(n_docs)) AS BIGINT)) OVER ()
+        |      AS BIGINT) AS sum_w
+        |  FROM src
+        |), tgt AS (
+        |  SELECT *, 100000 * weight // sum_w AS target_tokens FROM wtd
+        |), ep AS (
+        |  SELECT *, least(4, (target_tokens + n_tokens - 1) // n_tokens)
+        |    AS epochs
+        |  FROM tgt)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(least(target_tokens, epochs * n_tokens) AS BIGINT)
+        |    AS allocated_tokens
+        |FROM ep ORDER BY source""".stripMargin,
 
     "sample_importance" ->
       """SELECT lang, count(*) AS n_kept,
