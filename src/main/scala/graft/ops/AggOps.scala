@@ -238,6 +238,28 @@ object AggOps extends OpPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Median absolute deviation — the robust spread partner to
+    // agg_winsorize's robust totals: MAD = median(|x - median(x)|)
+    // per group, immune to the outliers that inflate stddev. Two
+    // passes (per-group median broadcast back, then the deviation
+    // median); both medians are exact order statistics over member
+    // values, so the doubles are bit-identical across engines.
+    "agg_mad" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP " +
+          "(ORDER BY l_extendedprice)").as("median_price"))
+      li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("absdev",
+          abs(col("l_extendedprice") - col("median_price")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          first(col("median_price")).as("median_price"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)")
+            .as("mad"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // EXACT distinct counting via bitmap indexes — the third point on
     // the distinct-count cost curve (exact groupBy state ↔ bitmap ↔
     // HLL estimate): per (segment, 32k-bucket) bitmaps built by a
@@ -498,6 +520,19 @@ object AggOps extends OpPack {
         |      ORDER BY count(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |    quantile_disc(l_extendedprice, 0.5) AS median_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT li.l_returnflag,
+        |  count(*) AS n_items,
+        |  any_value(median_price) AS median_price,
+        |  quantile_disc(abs(l_extendedprice - median_price), 0.5) AS mad
+        |FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag
+        |GROUP BY li.l_returnflag
+        |ORDER BY li.l_returnflag""".stripMargin,
 
     "agg_bitmap_distinct" ->
       """SELECT event_type,
