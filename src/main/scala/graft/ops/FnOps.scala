@@ -281,6 +281,27 @@ object FnOps extends OpPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Array SET algebra (union/intersect/except/overlap) between two
+    // per-row token windows — the per-row sibling of the relational
+    // set ops. Results are sorted + serialized so element order
+    // (engine-defined in the raw functions) never leaks into the
+    // comparison; all narrow codegen'd builtins.
+    "fn_array_set" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("a", slice(col("toks"), 1, 10))
+        .withColumn("b", expr("slice(toks, greatest(1, size(toks) - 9), 10)"))
+        .select(col("doc_id"),
+          array_join(array_sort(array_union(col("a"), col("b"))), " ")
+            .as("u"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), " ")
+            .as("i"),
+          array_join(array_sort(array_except(col("a"), col("b"))), " ")
+            .as("d"),
+          arrays_overlap(col("a"), col("b")).as("has_common"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Error-safe evaluation surface (`try_*`): under ANSI SQL mode
     // (Spark 4's default) a single malformed row aborts a 100 TB job
     // mid-stage — the try_ forms return NULL instead, which is the
@@ -500,6 +521,29 @@ object FnOps extends OpPack {
         |SELECT doc_id, pos, w FROM u
         |WHERE w <> ''
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // explicit list_filter/list_contains constructions: the raw
+    // DuckDB list_intersect/list_has_any dedup/order semantics are
+    // not guaranteed to match Spark's, the filtered forms are exact
+    "fn_array_set" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), ab AS (
+        |  SELECT doc_id, toks[1:10] AS a,
+        |    toks[greatest(1, len(toks) - 9):(len(toks))] AS b
+        |  FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ' ')
+        |    AS u,
+        |  -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> list_contains(b, x))), ' '), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> NOT list_contains(b, x))), ' '), '') AS d,
+        |  len(list_filter(list_distinct(a),
+        |    x -> list_contains(b, x))) > 0 AS has_common
+        |FROM ab ORDER BY doc_id""".stripMargin,
 
     "fn_try" ->
       """SELECT p_partkey,
