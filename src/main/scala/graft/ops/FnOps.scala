@@ -281,6 +281,29 @@ object FnOps extends OpPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // inline: the struct-array generator — one row per element with
+    // the struct fields spread into columns (the UDTF shape; completes
+    // the generator family with explode/explode_outer/posexplode).
+    "fn_inline" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", slice(split(col("text"), " "), 1, 5))
+        .selectExpr("doc_id",
+          "inline(transform(toks, (w, i) -> " +
+            "struct(i AS idx, w AS word, length(w) AS wlen)))")
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // stack: the constant-table generator (n, k1, v1, k2, v2, …) —
+    // the generator form of unpivot, one (metric, value) row pair per
+    // input row. Integer values only so both engines agree exactly.
+    "fn_stack" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'retail_cents', CAST(round(p_retailprice * 100) AS BIGINT), " +
+            "'size', CAST(p_size AS BIGINT)) AS (metric, value)")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
     // Array SET algebra (union/intersect/except/overlap) between two
     // per-row token windows — the per-row sibling of the relational
     // set ops. Results are sorted + serialized so element order
@@ -521,6 +544,27 @@ object FnOps extends OpPack {
         |SELECT doc_id, pos, w FROM u
         |WHERE w <> ''
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "fn_inline" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ')[1:5] AS toks
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS INT) AS idx,
+        |    unnest(toks) AS word
+        |  FROM t)
+        |SELECT doc_id, idx, word, CAST(length(word) AS INT) AS wlen
+        |FROM u ORDER BY doc_id, idx""".stripMargin,
+
+    "fn_stack" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'retail_cents' AS metric,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS value
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size', CAST(p_size AS BIGINT) FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     // explicit list_filter/list_contains constructions: the raw
     // DuckDB list_intersect/list_has_any dedup/order semantics are
