@@ -201,6 +201,41 @@ object CdcOps extends OpPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // SCD2 point-in-time lookup — the composite every warehouse runs
+    // against its dimension history: rebuild the cdc_scd2 validity
+    // ranges, then answer "which version was active at time T" for a
+    // spine of probe instants (the global event_id quartiles, derived
+    // in integer arithmetic so the probe set is scale-free). The probe
+    // frame is 3 rows — broadcast against the history, the interval
+    // predicate evaluates narrowly per history row, and the history
+    // itself is the same single user_id-keyed window as cdc_scd2: at
+    // 100 TB this is one keyed shuffle + a broadcast, never a
+    // range-banded shuffle join. Users whose first version opens after
+    // a probe have no active row there (inner join — declared).
+    "composite_scd2_pit" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          money(col("value")).as("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val scd2 = ev
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to_event", lead(col("event_id"), 1).over(w))
+      val probes = ev
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .select(explode(array(
+          expr("lo + ((hi - lo) * 1) div 4"),
+          expr("lo + ((hi - lo) * 2) div 4"),
+          expr("lo + ((hi - lo) * 3) div 4"))).as("probe_event"))
+      scd2.join(broadcast(probes),
+          col("event_id") <= col("probe_event") &&
+            (col("valid_to_event").isNull ||
+              col("probe_event") < col("valid_to_event")))
+        .select(col("user_id"), col("probe_event"), col("version"),
+          col("event_id").as("valid_from"), col("event_type"),
+          col("value"))
+        .orderBy(col("user_id"), col("probe_event"))
+    }),
+
     // Snapshot DIFF — the warehouse table-compare: two versions of a
     // per-part rollup (v1 = shipped before 1995-07; v2 =
     // shipped before 1995-10 minus returned lines) full-outer-joined on the key
@@ -364,6 +399,26 @@ object CdcOps extends OpPack {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "composite_scd2_pit" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+         |    ${Tables.sql.money("value")} AS value FROM events),
+         |scd AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |    row_number() OVER w AS version,
+         |    lead(event_id, 1) OVER w AS valid_to_event
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |), b AS (SELECT min(event_id) AS lo, max(event_id) AS hi
+         |         FROM ev),
+         |p AS (SELECT lo + ((hi - lo) * k) // 4 AS probe_event
+         |      FROM b, (VALUES (1), (2), (3)) t(k))
+         |SELECT s.user_id, p.probe_event, s.version,
+         |  s.event_id AS valid_from, s.event_type, s.value
+         |FROM scd s JOIN p ON s.event_id <= p.probe_event
+         |  AND (s.valid_to_event IS NULL
+         |       OR p.probe_event < s.valid_to_event)
+         |ORDER BY user_id, probe_event""".stripMargin,
 
     "diff_snapshot" ->
       s"""WITH v1 AS (
