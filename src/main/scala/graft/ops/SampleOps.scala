@@ -220,6 +220,37 @@ object SampleOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Sharded class-balanced downsampling — sample_balanced's giant-k
+    // scale path: the per-class rank runs within (lang, md5-shard16),
+    // not one window per lang, so no single partition ever holds a
+    // whole class (the en class of a 100 TB corpus is billions of
+    // rows; a per-lang row_number serializes them through one task —
+    // sharding bounds every window partition at class/16 and the 16
+    // ranks run in parallel). The price is quota granularity: each
+    // shard keeps ceil(min_n/16), so a class keeps UP TO 16·ceil/16
+    // (shards smaller than the quota under-fill, never over) instead
+    // of exactly min_n — the declared trade vs the exact-k variant.
+    "sample_balanced_shard" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val quotaPerLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("min_n",
+          min(col("n")).over(Window.partitionBy(lit(1))))
+        .select(col("lang").as("lang_m"),
+          expr("(min_n + 15) div 16").as("quota"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(md5(concat(lit("balsh:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .withColumn("shard",
+          conv(substring(coin(col("doc_id")), 1, 6), 16, 10).cast("long")
+            % 16)
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(quotaPerLang), col("lang") <=> col("lang_m"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("shard"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Epoch-aware mixture scheduling (the data-constrained regime of
     // Muennighoff et al. 2023, arXiv:2305.16264): given isqrt-
     // temperature weights and a fixed token budget, each source gets
@@ -300,6 +331,25 @@ object SampleOps extends OpPack {
         |  FROM documents)
         |SELECT doc_id, lang, CAST(rn AS INT) AS rn
         |FROM r, m WHERE rn <= min_n
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_balanced_shard" ->
+      """WITH m AS (
+        |  SELECT min(n) AS min_n FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY lang)
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |         AS BIGINT) % 16 AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |             AS BIGINT) % 16
+        |      ORDER BY md5('balsh:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, shard, CAST(rn AS INT) AS rn
+        |FROM r, m WHERE rn <= (min_n + 15) // 16
         |ORDER BY doc_id""".stripMargin,
 
     "sample_mix_epochs" ->
