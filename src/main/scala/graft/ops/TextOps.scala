@@ -109,6 +109,44 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    // the MOSS algorithm): hash every character 8-gram, then from each
+    // window of 4 consecutive hashes select the minimum (leftmost on
+    // ties, encoded by min over hash||zero-padded-position so both
+    // engines pick identically). Overlapping windows mostly re-select
+    // the same hash, so the distinct selections are a ~1/w density
+    // position-robust fingerprint set with the guarantee exact
+    // fingerprinting lacks: any shared run of >= k+w-1 chars shares a
+    // fingerprint REGARDLESS of alignment — the winnowing answer to
+    // llm_dedup_substr's declared stride-alignment sensitivity. Shape
+    // at 100 TB: narrow generate (k-gram hashing is a scan-speed map),
+    // ONE doc_id-keyed shuffle shared by the window and the digest
+    // agg; output is one row per doc (count + md5 of the sorted set),
+    // never the raw fingerprint inventory. Docs shorter than k+w-1
+    // chars have no full window and drop out (declared; testdata min
+    // doc length is far above it).
+    "llm_winnow" -> ((s, dir) => {
+      val k = 8; val w = 4
+      val kg = Tables(s, dir, "documents")
+        .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"), length(col("text")).as("n"),
+          posexplode(expr(
+            s"transform(sequence(0, length(text) - $k), " +
+              s"i -> substring(md5(substring(text, i + 1, $k)), 1, 8))"))
+            .as(Seq("pos", "h")))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, w - 1)
+      kg.withColumn("sel",
+          min(concat(col("h"),
+            lpad(col("pos").cast("string"), 6, "0"))).over(win))
+        .filter(col("pos") <= col("n") - k - (w - 1))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("sel"))).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          md5(concat_ws(",", col("fps"))).as("fp_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF-style distinctive terms: top-3 terms per doc ranked by
     // tf/df as the INTEGER score tf·10⁶ div df (N is constant within a
     // ranking so the idf numerator drops out; integer division keeps
@@ -358,6 +396,28 @@ object TextOps extends OpPack {
         |    AS BIGINT) AS fingerprint
         |FROM t WHERE w <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_winnow" ->
+      """WITH p AS (
+        |  SELECT doc_id, len(text) AS n, text,
+        |    unnest(generate_series(0, len(text) - 8)) AS pos
+        |  FROM documents WHERE len(text) >= 11
+        |), kg AS (
+        |  SELECT doc_id, n, pos,
+        |    substr(md5(substr(text, pos + 1, 8)), 1, 8) AS h
+        |  FROM p
+        |), sel AS (
+        |  SELECT doc_id, n, pos,
+        |    min(h || lpad(CAST(pos AS VARCHAR), 6, '0')) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM kg
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, sel FROM sel WHERE pos <= n - 11
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_fp,
+        |  md5(string_agg(sel, ',' ORDER BY sel)) AS fp_digest
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_tfidf" ->
       """WITH tok AS (
