@@ -109,6 +109,33 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram language-model commonness score — the engine-exact
+    // stand-in for the perplexity filter of corpus curation (CCNet-
+    // style): per doc, the mean corpus frequency of its tokens in ppm
+    // (integer div per token, so both engines agree bit-for-bit; a
+    // float log-prob would hash-diverge) plus the hapax count (tokens
+    // occurring once corpus-wide — the OOV/noise signal). Low mean ⇒
+    // rare-token text, high hapax ⇒ junk/OCR noise. Shape at 100 TB:
+    // one token hash agg for the unigram table, the (doc, token) frame
+    // re-joins it ON the token key (same shuffle key as the agg,
+    // AQE-broadcastable head), the global total is a 1-row broadcast,
+    // and the per-doc rollup shuffles doc_id once. All counts are
+    // ratios of corpus scale, so ppm values are scale-free and the
+    // long arithmetic never overflows (c·10⁶ ≤ 10¹⁷ at 10¹³ tokens).
+    "llm_unigram_lm" -> ((s, dir) => {
+      val tok = toks(s, dir)
+      val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(cw, "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("ppm", expr("(c * 1000000) div n_total"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          expr("sum(ppm) div count(1)").as("mean_ppm"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     // the MOSS algorithm): hash every character 8-gram, then from each
     // window of 4 consecutive hashes select the minimum (leftmost on
@@ -396,6 +423,22 @@ object TextOps extends OpPack {
         |    AS BIGINT) AS fingerprint
         |FROM t WHERE w <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |cw AS (SELECT w, count(*) AS c FROM t2 GROUP BY w),
+        |tot AS (SELECT count(*) AS n_total FROM t2),
+        |per AS (
+        |  SELECT doc_id, (c * 1000000) // n_total AS ppm, c
+        |  FROM t2 JOIN cw USING (w), tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_winnow" ->
       """WITH p AS (
