@@ -320,6 +320,29 @@ object DedupOps extends OpPack {
     // size with no df cap required. Catches the long verbatim
     // boilerplate runs that cap-bounded similarity dedup deliberately
     // ignores (see DfCap's declared fallback).
+    // First-occurrence novelty score — the curation-ordering signal:
+    // per doc, how many of its distinct 3-grams FIRST appear in it
+    // when the corpus is scanned in doc_id (ingestion) order, as an
+    // integer permille. A late near-copy scores ~0, the original
+    // scores high, and boilerplate-heavy docs sit in between — the
+    // cheap "does this doc add anything" ranking that complements the
+    // pairwise dedup family. Rides the same persisted (UNCAPPED)
+    // shingle index as the family — no pairwise join anywhere, so no
+    // df cap is needed: first-doc per gram is one gram-keyed hash agg,
+    // the join back is on the identical gram key (co-partitioned), and
+    // the rollup is one doc_id shuffle. Linear at 100 TB.
+    "llm_novelty" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val fd = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(fd, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_permille", expr("(n_novel * 1000) div n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     "llm_dedup_substr" -> ((s, dir) => {
       val W = 64
       val S = 32
@@ -405,6 +428,26 @@ object DedupOps extends OpPack {
       |JOIN sz sb ON doc_b = sb.doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), fd AS (SELECT sh, min(doc_id) AS first_doc FROM tri GROUP BY sh)
+        |SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = tri.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  CAST((sum(CASE WHEN first_doc = tri.doc_id THEN 1 ELSE 0 END)
+        |        * 1000) // count(*) AS BIGINT) AS novelty_permille
+        |FROM tri JOIN fd USING (sh)
+        |GROUP BY tri.doc_id ORDER BY doc_id""".stripMargin,
+
     "llm_dedup_minhash" ->
       s"""WITH t AS (
         |  SELECT doc_id,
