@@ -22,6 +22,35 @@ object TextOps extends OpPack {
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
 
+  /** The llm_quality_gopher transformation over any (doc_id, text)
+    * frame — shared by the batch query and the streaming foreachBatch
+    * pin in StreamingSemanticsSpec: the gate is a stateless narrow
+    * map, so its streaming form is literally the same function applied
+    * per micro-batch (no state, no watermark — gate-at-ingest). LONG
+    * length accumulator (a >21M-char doc would overflow Int·100 under
+    * ANSI); zero-word docs get a NULL mean, not a DIVIDE_BY_ZERO —
+    * same 3-valued logic as the DuckDB oracle (empty list_sum → NULL),
+    * and keep stays false via wc_ok. */
+  private[graft] def gopherGate(docs: DataFrame): DataFrame = {
+    val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
+    docs
+      .withColumn("arr", filter(split(col("text"), " "), w => w =!= ""))
+      .withColumn("n_words", size(col("arr")))
+      .withColumn("tot_len",
+        aggregate(col("arr"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("mean_wlen_x100",
+        when(col("n_words") > 0,
+          expr("CAST(tot_len * 100 DIV n_words AS INT)")))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("arr")), stops)))
+      .withColumn("wc_ok", col("n_words").between(20, 100000))
+      .withColumn("wlen_ok", col("mean_wlen_x100").between(300, 1000))
+      .withColumn("stop_ok", col("n_stop") >= 2)
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_x100"),
+        col("n_stop"), col("wc_ok"), col("wlen_ok"), col("stop_ok"),
+        (col("wc_ok") && col("wlen_ok") && col("stop_ok")).as("keep"))
+  }
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
     * non-alphanumeric glyphs — the classic GPT-2-style split, minus
     * the byte-level merges (kept regex-only so both engines agree). */
@@ -293,30 +322,8 @@ object TextOps extends OpPack {
     // speed and feeds partition-pruned writes downstream. Integer
     // arithmetic only (mean word length as ×100 fixed-point) so both
     // engines agree bit-for-bit.
-    "llm_quality_gopher" -> ((s, dir) => {
-      val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
-      Tables(s, dir, "documents")
-        .withColumn("arr", filter(split(col("text"), " "), w => w =!= ""))
-        .withColumn("n_words", size(col("arr")))
-        // LONG accumulator (a >21M-char doc would overflow Int·100
-        // under ANSI); zero-word docs get a NULL mean, not a
-        // DIVIDE_BY_ZERO — same 3-valued logic as the DuckDB oracle
-        // (empty list_sum → NULL), and keep stays false via wc_ok
-        .withColumn("tot_len",
-          aggregate(col("arr"), lit(0L), (acc, w) => acc + length(w)))
-        .withColumn("mean_wlen_x100",
-          when(col("n_words") > 0,
-            expr("CAST(tot_len * 100 DIV n_words AS INT)")))
-        .withColumn("n_stop",
-          size(array_intersect(array_distinct(col("arr")), stops)))
-        .withColumn("wc_ok", col("n_words").between(20, 100000))
-        .withColumn("wlen_ok", col("mean_wlen_x100").between(300, 1000))
-        .withColumn("stop_ok", col("n_stop") >= 2)
-        .select(col("doc_id"), col("n_words"), col("mean_wlen_x100"),
-          col("n_stop"), col("wc_ok"), col("wlen_ok"), col("stop_ok"),
-          (col("wc_ok") && col("wlen_ok") && col("stop_ok")).as("keep"))
-        .orderBy(col("doc_id"))
-    }),
+    "llm_quality_gopher" -> ((s, dir) =>
+      gopherGate(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
 
     // Overlapping-window chunking — the RAG/pretraining chunker:
     // 30-token windows at stride 20 (10-token overlap so no span is

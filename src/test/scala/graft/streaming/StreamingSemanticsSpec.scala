@@ -374,6 +374,45 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(s1._4 === 3L)
   }
 
+  test("streaming quality gate: per-micro-batch gopher gate equals the " +
+      "batch gate") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The gate-at-ingest form of llm_quality_gopher: the gate is a
+    // stateless narrow map, so applying it per micro-batch must give
+    // exactly the batch answer over the union of batches — no state,
+    // no watermark, order-independent. Docs cover every gate branch:
+    // keep=true, word-count fail, mean-word-length + stopword fail,
+    // and the empty doc (NULL mean, keep=false via wc_ok).
+    val good = "the and " + Seq.fill(18)("words").mkString(" ")
+    val short = "the and tiny"
+    val onechar = Seq.fill(25)("a").mkString(" ")
+    val empty = ""
+    val docs = Seq((1L, good), (2L, short), (3L, onechar), (4L, empty))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= graft.ops.TextOps.gopherGate(df).collect() }
+        ()
+      }
+      .start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.ops.TextOps.gopherGate(docs.toDF("doc_id", "text"))
+      .collect()
+    assert(got.toSet === batch.toSet)
+    val byId = batch.map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(byId === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // the empty doc exercised the NULL-mean branch
+    val emptyRow = batch.find(_.getLong(0) == 4L).get
+    assert(emptyRow.isNullAt(emptyRow.fieldIndex("mean_wlen_x100")))
+  }
+
   test("streaming theta-sketch maintenance: merged micro-batch partials " +
       "equal the batch answer") {
     import spark.implicits._
