@@ -127,6 +127,28 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Asymmetric CONTAINMENT dedup (Broder 1997's second resemblance
+    // measure): C = |A∩B| / min(|A|,|B|) ≥ 0.8 — catches a short doc
+    // embedded verbatim inside a long one, which symmetric Jaccard
+    // misses (the union is dominated by the long doc, J stays tiny).
+    // The quote/excerpt/boilerplate-wrapper case of corpus dedup.
+    // Rides the SAME persisted pairCounts frame as the Jaccard family
+    // (df-capped shingle index — identical declared cap semantics):
+    // marginal cost is one filter, and the direction column names
+    // which doc is the contained one. Integer threshold only.
+    "llm_dedup_containment" -> ((s, dir) => {
+      pairCounts(s, dir)
+        .filter(col("n_inter") * 5 >= least(col("n_a"), col("n_b")) * 4)
+        .withColumn("containment_permille",
+          expr("(n_inter * 1000) div least(n_a, n_b)"))
+        .withColumn("contained",
+          when(col("n_a") <= col("n_b"), col("doc_a"))
+            .otherwise(col("doc_b")))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+          col("n_b"), col("containment_permille"), col("contained"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Edit-distance near-dup: ORDER-SENSITIVE trigram-shingle Jaccard
     // (>= 0.3, exact inverted-index join on the persisted shingle
     // index) gates the expensive levenshtein verification — the
@@ -510,6 +532,39 @@ object DedupOps extends OpPack {
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_containment" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST((n_inter * 1000) // least(sa.n_sh, sb.n_sh) AS BIGINT)
+        |    AS containment_permille,
+        |  CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END
+        |    AS contained
+        |FROM pair
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE n_inter * 5 >= least(sa.n_sh, sb.n_sh) * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_edit" ->
