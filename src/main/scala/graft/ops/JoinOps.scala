@@ -362,6 +362,32 @@ object JoinOps extends OpPack {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // TPC-H-Q18-shaped composite (large-volume customers): orders
+    // whose total line quantity exceeds 250, joined back to orders +
+    // customer, ranked by quantity. The HAVING-then-join shape is the
+    // one to get right at scale: the quantity rollup aggregates the
+    // fact table FIRST (two-phase hash agg, |orders| out, the >250
+    // filter cuts that to a sliver before any join), so the join
+    // inputs are pre-shrunk frames on the SAME l_orderkey/o_orderkey
+    // shuffle key and the customer dim joins an already-tiny slice
+    // (AQE-broadcastable). Ranking is TakeOrderedAndProject, never a
+    // global sort. Decimal-exact quantity sums (moneySum).
+    "composite_q18" -> ((s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(moneySum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          Tables.money(col("o_totalprice")).as("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(desc("sum_qty"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
     "join_interval" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -617,6 +643,21 @@ object JoinOps extends OpPack {
          |  AND o_orderdate <  TIMESTAMP '1998-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "composite_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    ${Tables.sql.moneySum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  ${Tables.sql.money("o_totalprice")} AS o_totalprice, sum_qty
+         |FROM big
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE sum_qty > 250
+         |ORDER BY sum_qty DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
 
     "join_interval" ->
       s"""SELECT o_orderpriority, count(*) AS n,
