@@ -152,6 +152,26 @@ object WindowOps extends OpPack {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Cumulative DISTINCT count — the per-user "breadth so far" series
+    // (distinct event types seen up to each event). Neither engine
+    // windows count(DISTINCT), so this is the standard composition:
+    // first-occurrence flag (row_number=1 over (user, type)) + running
+    // sum of the flag over (user). Two keyed exchanges — (user, type)
+    // then (user) — both bounded-cardinality hash keys; no state
+    // beyond the window sort at any scale, and the flag trick is
+    // exactly how a streaming version would keep O(types) state.
+    "win_cum_distinct" -> ((s, dir) => {
+      val first = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("is_first",
+          when(row_number().over(first) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("is_first")).over(run))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -200,6 +220,20 @@ object WindowOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_cum_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY event_id) = 1
+        |      THEN 1 ELSE 0 END AS is_first
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(is_first AS BIGINT) AS is_first,
+        |  CAST(sum(is_first) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+        |    AS n_types_seen
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
     "win_rank" ->
       """SELECT c_mktsegment, o_orderkey, rnk, drnk FROM (
         |  SELECT c_mktsegment, o_orderkey,
