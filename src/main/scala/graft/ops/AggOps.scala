@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.{moneySum, exprSum, moneyAvg}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Aggregations (SURVEY.md §2.2 "Aggregations").
   *
@@ -258,6 +259,33 @@ object AggOps extends OpPack {
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)")
             .as("mad"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Moment-based 2-sigma outlier gate, ALL-INTEGER: flag x iff
+    // (N·x − S)² > 4·(N·Q − S²) — the |x−μ| > 2σ test multiplied out
+    // so no division, sqrt, or float ever appears (N = count, S = Σx,
+    // Q = Σx² per group). Complements the order-statistic family
+    // (mad/winsorize): moment sums are single-pass, mergeable partials
+    // — the form that streams and distributes where percentiles need a
+    // sort or sketch. Products go through decimal(38,0) (HUGEINT in
+    // the oracle): at 10¹⁰ rows/group the squared terms pass 2⁶³,
+    // exactly the overflow this cast removes. Tiny per-group stats
+    // frame broadcasts back; one scan + one broadcast join at 100 TB.
+    "agg_outliers" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val stats = d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars").cast(dec)).as("s"),
+        sum((col("n_chars") * col("n_chars")).cast(dec)).as("q"))
+      d.join(broadcast(stats), Seq("lang"))
+        .withColumn("dev", col("n").cast(dec) * col("n_chars") - col("s"))
+        .withColumn("is_outlier", col("dev") * col("dev") >
+          (col("n").cast(dec) * col("q") - col("s") * col("s")) * 4)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("is_outlier"))
+        .orderBy(col("doc_id"))
     }),
 
     // EXACT distinct counting via bitmap indexes — the third point on
@@ -520,6 +548,19 @@ object AggOps extends OpPack {
         |      ORDER BY count(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_outliers" ->
+      """WITH st AS (
+        |  SELECT lang, count(*) AS n,
+        |    sum(CAST(n_chars AS HUGEINT)) AS s,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars,
+        |  (CAST(n AS HUGEINT) * n_chars - s)
+        |    * (CAST(n AS HUGEINT) * n_chars - s)
+        |    > (CAST(n AS HUGEINT) * q - s * s) * 4 AS is_outlier
+        |FROM documents JOIN st USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "agg_mad" ->
       """WITH med AS (
