@@ -201,6 +201,32 @@ object CdcOps extends OpPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Event-time disorder audit — the measurement that SIZES a
+    // watermark: per key, how many events arrive (in event_id /
+    // arrival order) with an event time EARLIER than the running
+    // event-time high-water mark, and the worst such lateness in
+    // integer microseconds. Run this over a replay before picking
+    // `withWatermark` bounds; max_late_us IS the delay threshold that
+    // would have dropped nothing. One user_id-keyed window + the same
+    // keyed rollup (shared shuffle), running max is O(1) state per
+    // row — linear at 100 TB.
+    "cdc_ooo_audit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("hwm", max(col("ts")).over(w))
+        .withColumn("late_us",
+          when(col("ts") < col("hwm"),
+            unix_micros(col("hwm")) - unix_micros(col("ts")))
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_ooo"),
+          max(col("late_us")).as("max_late_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // SCD2 point-in-time lookup — the composite every warehouse runs
     // against its dimension history: rebuild the cdc_scd2 validity
     // ranges, then answer "which version was active at time T" for a
@@ -399,6 +425,23 @@ object CdcOps extends OpPack {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "cdc_ooo_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < hwm THEN epoch_us(hwm) - epoch_us(ts)
+        |         ELSE 0 END AS late_us
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ooo,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "composite_scd2_pit" ->
       s"""WITH ev AS (SELECT user_id, event_id, event_type,

@@ -210,6 +210,26 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The dedup REPORT — what a curation run actually publishes:
+    // cluster-size histogram (size → how many clusters, how many docs,
+    // how many are removable duplicates) over the same memoized CC
+    // labels as llm_dedup_cluster/keep, so its marginal cost is two
+    // tiny aggregations on an already-persisted frame. Singletons
+    // (docs with no near-dup edge) appear as size-1 clusters — the
+    // histogram always accounts for every doc. At 100 TB the first
+    // groupBy is |docs| → |clusters| and the second is |distinct
+    // sizes| (~log-scale few) — nothing here outweighs the label run.
+    "llm_dedup_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(ccLabels(s, dir), Seq("doc_id"), "left_outer")
+        .select(coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("size") * col("n_clusters"))
+        .withColumn("dup_docs", (col("size") - 1) * col("n_clusters"))
+        .orderBy(col("size"))
+    }),
+
     // Same cluster assignment, computed by large-star/small-star
     // contraction ([[graft.operators.BigStarCC]]) instead of label
     // propagation: O(log n) rounds independent of component diameter —
@@ -615,6 +635,19 @@ object DedupOps extends OpPack {
     // Both CC variants must produce this same closure.
     "llm_dedup_cluster" -> clusterClosureSql,
     "llm_cc_bigstar" -> clusterClosureSql,
+    "llm_dedup_stats" -> (closureCtes +
+      """,
+        |asg AS (
+        |  SELECT coalesce(m.cl, d.doc_id) AS cluster_id
+        |  FROM documents d
+        |  LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
+        |    ON d.doc_id = m.u
+        |), cs AS (
+        |  SELECT cluster_id, count(*) AS size FROM asg GROUP BY cluster_id)
+        |SELECT size, count(*) AS n_clusters,
+        |  CAST(size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((size - 1) * count(*) AS BIGINT) AS dup_docs
+        |FROM cs GROUP BY size ORDER BY size""".stripMargin),
     "llm_dedup_keep" -> dedupKeepSql,
     "llm_pagerank" -> pagerankSql,
 

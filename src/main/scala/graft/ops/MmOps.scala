@@ -76,6 +76,31 @@ object MmOps extends OpPack {
           explode(sequence(lit(0), col("declared_frames") - 1, lit(3)))
             .as("frame_idx"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Signature dedup over media assets: group by the DECODED
+    // signature (kind, dimensions, frame count), report collision
+    // groups with the keeper (min id) — the multimodal analogue of
+    // metadata near-dup (same asset re-encoded twice has one decoded
+    // signature where the byte digest differs). In production the
+    // signature is a perceptual hash from the same mapPartitions
+    // decode path as feature extraction; here the stub decode stands
+    // in (declared — the grouping/report plumbing is what's pinned,
+    // per the multimodal brief). The payload itself never shuffles:
+    // only the few-byte signature columns reach the exchange — the
+    // property that makes this run over 100 TB of media at
+    // metadata cost.
+    "mm_dedup" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      media
+        .withColumn("width", Multimodal.stubWidth(length(col("content"))))
+        .withColumn("height", Multimodal.stubHeight(length(col("content"))))
+        .groupBy(col("kind"), col("width"), col("height"),
+          col("declared_frames"))
+        .agg(count(lit(1)).as("n_assets"), min(col("media_id")).as("keeper"))
+        .filter(col("n_assets") >= 2)
+        .orderBy(col("kind"), col("width"), col("height"),
+          col("declared_frames"))
     })
   )
 
@@ -136,6 +161,21 @@ object MmOps extends OpPack {
         |    ON b.kind = w.kind AND b.shard = w.shard AND b.rn = w.rn + 1
         |)
         |SELECT media_id, kind, shard, pack_id, kpx
-        |FROM walk ORDER BY media_id""".stripMargin
+        |FROM walk ORDER BY media_id""".stripMargin,
+
+    "mm_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+        |    CAST(64 + n_chars % 577 AS INT) AS width,
+        |    CAST(64 + n_chars % 389 AS INT) AS height,
+        |    CAST(n_chars // 100 + 1 AS INT) AS declared_frames
+        |  FROM documents)
+        |SELECT kind, width, height, declared_frames,
+        |  count(*) AS n_assets, min(media_id) AS keeper
+        |FROM m
+        |GROUP BY kind, width, height, declared_frames
+        |HAVING count(*) >= 2
+        |ORDER BY kind, width, height, declared_frames""".stripMargin
   )
 }
