@@ -43,6 +43,38 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(q.count() === expected)
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes fact " +
+      "partitions at runtime") {
+    // The star-schema accelerator at 100 TB: the fact side is
+    // partitioned on the join key, the dim side's selective filter is
+    // only known at runtime — DPP turns the dim's matching keys into a
+    // runtime PartitionFilter on the fact scan, so only the matching
+    // day directories are read (a static plan would scan every
+    // partition and filter post-join).
+    val root = Files.createTempDirectory("graft-dpp").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(root)
+    val fact = spark.read.parquet(root)
+    val firstDay = fact.agg(min(col("day"))).head().getDate(0)
+    import spark.implicits._
+    // the dim must be a real source (a LocalRelation would constant-
+    // fold the filter away and the DPP rule would see no selective
+    // predicate on the build side)
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq((firstDay, "target"),
+        (java.sql.Date.valueOf(firstDay.toLocalDate.plusDays(1)), "other"))
+      .toDF("d_day", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = fact.join(dim, col("day") === col("d_day"))
+      .filter(col("tag") === "target")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP in plan:\n$plan")
+    assert(q.count() ===
+      fact.filter(col("day") === firstDay).count())
+  }
+
   test("sink_partitioned's read-back prunes on the partition column") {
     // build the query once so it writes its partitioned scratch dir
     ops.ScanOps.queries("sink_partitioned")(spark, "/root/testdata/sf0.001")
