@@ -183,23 +183,36 @@ object TextOps extends OpPack {
     // doc length is far above it).
     "llm_winnow" -> ((s, dir) => {
       val k = 8; val w = 4
-      val kg = Tables(s, dir, "documents")
+      // Winnowing is per-document, so the WHOLE algorithm runs inside
+      // array expressions — no explode, no window operator, NO SHUFFLE
+      // (the plan is a scan-speed narrow map + presentation sort; at
+      // 100 TB fingerprinting is embarrassingly parallel and this plan
+      // keeps it that way). k-gram hash = base-131 polynomial over the
+      // doc's char-code array (built once per doc — 8 array reads +
+      // long arithmetic per position, all whole-stage codegen; an md5
+      // per position costs a digest allocation each and a per-position
+      // row costs the WindowExec sort: both measured slower at sf0.1).
+      // Selection key packs (40-bit hash, position) into one long
+      // (h·2²⁰ + pos, pos < 2²⁰) so array_min picks the leftmost
+      // minimum exactly like the classic algorithm.
+      val poly = (0 until k)
+        .map(j => s"codes[i + $j] * ${math.pow(131, j).toLong}L")
+        .mkString(" + ")
+      Tables(s, dir, "documents")
         .filter(length(col("text")) >= k + w - 1)
-        .select(col("doc_id"), length(col("text")).as("n"),
-          posexplode(expr(
-            s"transform(sequence(0, length(text) - $k), " +
-              s"i -> substring(md5(substring(text, i + 1, $k)), 1, 8))"))
-            .as(Seq("pos", "h")))
-      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, w - 1)
-      kg.withColumn("sel",
-          min(concat(col("h"),
-            lpad(col("pos").cast("string"), 6, "0"))).over(win))
-        .filter(col("pos") <= col("n") - k - (w - 1))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("sel"))).as("fps"))
+        .withColumn("codes",
+          expr("transform(split(text, ''), c -> ascii(c))"))
+        .withColumn("hs", expr(
+          s"transform(sequence(0, length(text) - $k), " +
+            s"i -> (($poly) % 1099511627776L) * 1048576L + i)"))
+        .withColumn("fps", expr(
+          s"array_sort(array_distinct(transform(" +
+            s"sequence(0, size(hs) - $w), " +
+            s"p -> array_min(slice(hs, p + 1, $w)))))"))
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
-          md5(concat_ws(",", col("fps"))).as("fp_digest"))
+          md5(concat_ws(",",
+            expr("transform(fps, x -> CAST(x AS STRING))")))
+            .as("fp_digest"))
         .orderBy(col("doc_id"))
     }),
 
@@ -454,11 +467,23 @@ object TextOps extends OpPack {
         |  FROM documents WHERE len(text) >= 11
         |), kg AS (
         |  SELECT doc_id, n, pos,
-        |    substr(md5(substr(text, pos + 1, 8)), 1, 8) AS h
+        |    (CAST(ascii(substr(text, pos + 1, 1)) AS BIGINT) * 1
+        |     + CAST(ascii(substr(text, pos + 2, 1)) AS BIGINT) * 131
+        |     + CAST(ascii(substr(text, pos + 3, 1)) AS BIGINT) * 17161
+        |     + CAST(ascii(substr(text, pos + 4, 1)) AS BIGINT) * 2248091
+        |     + CAST(ascii(substr(text, pos + 5, 1)) AS BIGINT)
+        |       * 294499921
+        |     + CAST(ascii(substr(text, pos + 6, 1)) AS BIGINT)
+        |       * 38579489651
+        |     + CAST(ascii(substr(text, pos + 7, 1)) AS BIGINT)
+        |       * 5053913144281
+        |     + CAST(ascii(substr(text, pos + 8, 1)) AS BIGINT)
+        |       * 662062621900811)
+        |    % 1099511627776 AS h
         |  FROM p
         |), sel AS (
         |  SELECT doc_id, n, pos,
-        |    min(h || lpad(CAST(pos AS VARCHAR), 6, '0')) OVER (
+        |    min(h * 1048576 + pos) OVER (
         |      PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
         |  FROM kg
@@ -466,7 +491,8 @@ object TextOps extends OpPack {
         |  SELECT DISTINCT doc_id, sel FROM sel WHERE pos <= n - 11
         |)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_fp,
-        |  md5(string_agg(sel, ',' ORDER BY sel)) AS fp_digest
+        |  md5(string_agg(CAST(sel AS VARCHAR), ',' ORDER BY sel))
+        |    AS fp_digest
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_tfidf" ->

@@ -147,6 +147,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"llm_quality_gopher should not hash-shuffle:\n$p")
   }
 
+  test("winnowing fingerprints are a narrow-only plan: no shuffle, no window") {
+    // The whole algorithm (k-gram polynomial hashes, per-window min,
+    // distinct + digest) runs inside array expressions per document —
+    // fingerprinting 100 TB is a scan-speed map; the only wide stage
+    // is the presentation ORDER BY. A per-position formulation would
+    // cost an explode + a doc_id shuffle + a WindowExec sort
+    // (measured ~18× slower at sf0.1).
+    val p = plan("llm_winnow")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"llm_winnow should not hash-shuffle:\n$p")
+    assert(!p.contains("Window"),
+      s"llm_winnow should not plan a window operator:\n$p")
+  }
+
   test("sequence packing groups with exactly one hash shuffle") {
     // One exchange to co-locate each (lang, shard) group, sort-based
     // grouping after it — no second shuffle, no buffering aggregation.
