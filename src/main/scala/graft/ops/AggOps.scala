@@ -261,6 +261,45 @@ object AggOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact linear-regression moments per group — the distributed
+    // regression primitive: slope/intercept of y = a + b·x recovered
+    // from the five MERGEABLE sums (N, Σx, Σy, Σx², Σxy) in closed
+    // form, with division (the only inexact step) pushed to integer-
+    // x1000 output: b = (NΣxy − ΣxΣy)/D, a = (ΣyΣx² − ΣxΣxy)/D,
+    // D = NΣx² − (Σx)². x = quantity (integer-valued by the data
+    // contract, checked exact), y = price in exact cents; sums in
+    // decimal(38,0) (HUGEINT oracle) because the cross terms pass 2⁶³
+    // near 10¹⁰ rows/group. One two-phase hash agg — moments merge
+    // across partitions and micro-batches, which sort-based fits
+    // can't; this is the same partial-merge shape as
+    // cdc_incremental_agg, applied to model fitting.
+    "agg_regression" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("xq"),
+          expr("CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100," +
+            " 0) AS BIGINT)").as("yc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xq").cast(dec)).as("sx"),
+          sum(col("yc").cast(dec)).as("sy"),
+          sum((col("xq") * col("xq")).cast(dec)).as("sxx"),
+          sum((col("xq") * col("yc")).cast(dec)).as("sxy"))
+        .withColumn("den",
+          col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        // the slope numerator CAN be negative (near-uncorrelated x,y);
+        // verified empirically: DuckDB's `//` on HUGEINT truncates
+        // toward zero exactly like Spark's `div`, so the plain
+        // integral divide is bit-identical for either sign
+        .select(col("l_returnflag"), col("n"),
+          expr("CAST((1000 * (n * sxy - sx * sy)) div den AS BIGINT)")
+            .as("slope_cents_x1000"),
+          expr("CAST((1000 * (sy * sxx - sx * sxy)) div den AS BIGINT)")
+            .as("intercept_cents_x1000"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Moment-based 2-sigma outlier gate, ALL-INTEGER: flag x iff
     // (N·x − S)² > 4·(N·Q − S²) — the |x−μ| > 2σ test multiplied out
     // so no division, sqrt, or float ever appears (N = count, S = Σx,
@@ -548,6 +587,25 @@ object AggOps extends OpPack {
         |      ORDER BY count(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_regression" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS HUGEINT)) AS sx,
+        |    sum(CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100,
+        |             0) AS HUGEINT)) AS sy,
+        |    sum(CAST(l_quantity AS HUGEINT)
+        |        * CAST(l_quantity AS HUGEINT)) AS sxx,
+        |    sum(CAST(l_quantity AS HUGEINT)
+        |        * CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100,
+        |               0) AS HUGEINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST((1000 * (n * sxy - sx * sy))
+        |       // (n * sxx - sx * sx) AS BIGINT) AS slope_cents_x1000,
+        |  CAST((1000 * (sy * sxx - sx * sxy))
+        |       // (n * sxx - sx * sx) AS BIGINT) AS intercept_cents_x1000
+        |FROM b ORDER BY l_returnflag""".stripMargin,
 
     "agg_outliers" ->
       """WITH st AS (

@@ -362,6 +362,66 @@ object JoinOps extends OpPack {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // Ordered-funnel composite (MATCH_RECOGNIZE-lite): which users
+    // completed signup → click → purchase IN THAT ORDER (each stage's
+    // event strictly after the previous stage's), and how far the
+    // rest got. Sequential-min composition: stage k's earliest
+    // qualifying event feeds the filter for stage k+1 — three
+    // conditional min-aggs + left joins, ALL keyed on user_id (one
+    // shuffle key end to end; AQE broadcasts the shrinking stage
+    // frames). The relational form of funnel pattern matching — no
+    // per-user driver loop, no UDF state machine.
+    "composite_funnel_ordered" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val t1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("signup_id"))
+      val t2 = e.join(t1, "user_id")
+        .filter(col("event_type") === "click" &&
+          col("event_id") > col("signup_id"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("click_id"))
+      val t3 = e.join(t2, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          col("event_id") > col("click_id"))
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("purchase_id"))
+      e.select(col("user_id")).distinct()
+        .join(t1, Seq("user_id"), "left_outer")
+        .join(t2, Seq("user_id"), "left_outer")
+        .join(t3, Seq("user_id"), "left_outer")
+        .withColumn("stage",
+          when(col("purchase_id").isNotNull, 3)
+            .when(col("click_id").isNotNull, 2)
+            .when(col("signup_id").isNotNull, 1).otherwise(0))
+        .orderBy(col("user_id"))
+    }),
+
+    // Cohort retention composite — the product-analytics matrix: users
+    // grouped by first-activity week (cohort), each later active week
+    // counted as (cohort, weeks-since) with distinct users and integer
+    // permille retention vs cohort size. Weeks compared as day-diffs
+    // div 7 over Monday-truncated stamps (exact in both engines). At
+    // 100 TB everything rides ONE user_id shuffle (first-week agg,
+    // distinct activity, the user-level join), then collapses to a
+    // |weeks|² matrix joined to a broadcast cohort-size frame.
+    "composite_retention" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val firstWk = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val sizes = firstWk.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      e.distinct()
+        .join(firstWk, "user_id")
+        .withColumn("weeks_since",
+          expr("datediff(wk, cohort_wk) div 7").cast("int"))
+        .groupBy(col("cohort_wk"), col("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .withColumn("retention_permille",
+          expr("(n_active * 1000) div cohort_size"))
+        .orderBy(col("cohort_wk"), col("weeks_since"))
+    }),
+
     // TPC-H-Q18-shaped composite (large-volume customers): orders
     // whose total line quantity exceeds 250, joined back to orders +
     // customer, ranked by quantity. The HAVING-then-join shape is the
@@ -643,6 +703,53 @@ object JoinOps extends OpPack {
          |  AND o_orderdate <  TIMESTAMP '1998-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "composite_funnel_ordered" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events),
+        |t1 AS (SELECT user_id, min(event_id) AS signup_id FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(event_id) AS click_id
+        |       FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND event_id > signup_id
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(event_id) AS purchase_id
+        |       FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND event_id > click_id
+        |       GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, signup_id, click_id, purchase_id,
+        |  CAST(CASE WHEN purchase_id IS NOT NULL THEN 3
+        |            WHEN click_id IS NOT NULL THEN 2
+        |            WHEN signup_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS stage
+        |FROM u LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "composite_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+        |      GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |j AS (
+        |  SELECT a.user_id, f.cohort_wk,
+        |    datediff('day', CAST(f.cohort_wk AS DATE),
+        |             CAST(a.wk AS DATE)) // 7 AS weeks_since
+        |  FROM a JOIN f USING (user_id)),
+        |g AS (SELECT cohort_wk, weeks_since,
+        |        count(DISTINCT user_id) AS n_active
+        |      FROM j GROUP BY cohort_wk, weeks_since),
+        |sz AS (SELECT cohort_wk, count(*) AS cohort_size FROM f
+        |       GROUP BY cohort_wk)
+        |SELECT g.cohort_wk, CAST(weeks_since AS INT) AS weeks_since,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST((n_active * 1000) // cohort_size AS BIGINT)
+        |    AS retention_permille
+        |FROM g JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, weeks_since""".stripMargin,
 
     "composite_q18" ->
       s"""WITH big AS (
