@@ -413,6 +413,43 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(emptyRow.isNullAt(emptyRow.fieldIndex("mean_wlen_x100")))
   }
 
+  test("streaming language partition: per-micro-batch count partials " +
+      "merge to the batch totals") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of llm_lang_partition's salted two-stage agg:
+    // per-batch (lang, n, tokens) partials merged by addition in the
+    // sink state — count/sum partials are commutative, associative
+    // mergeable, so micro-batch boundaries cannot change the totals
+    // (the same partial-merge contract cdc_incremental_agg pins in
+    // batch form). A doc recurring across batches is counted per
+    // arrival — append semantics, declared.
+    val input = MemoryStream[(String, String)]
+    val state = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+    val q = input.toDF().toDF("lang", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(size(split(col("text"), " ")).cast("long")).as("t"))
+          .collect()
+          .foreach { r =>
+            val (n0, t0) = state.getOrElse(r.getAs[String]("lang"), (0L, 0L))
+            state(r.getAs[String]("lang")) =
+              (n0 + r.getAs[Long]("n"), t0 + r.getAs[Long]("t"))
+          }
+        ()
+      }
+      .start()
+    input.addData(("en", "a b c"), ("fr", "x y"), ("en", "d e"))
+    q.processAllAvailable()
+    input.addData(("en", "f"), ("zh", "g h i j"))
+    q.processAllAvailable()
+    q.stop()
+    assert(state === Map("en" -> (3L, 6L), "fr" -> (1L, 2L),
+      "zh" -> (1L, 4L)))
+  }
+
   test("streaming theta-sketch maintenance: merged micro-batch partials " +
       "equal the batch answer") {
     import spark.implicits._
