@@ -138,6 +138,43 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Collocation detection by pointwise mutual information — the
+    // phrase-mining primitive (fixed expressions score high, chance
+    // co-occurrences low). PMI's log is monotone, so ranking by the
+    // INTEGER ratio c_xy·N·10⁶ div (c_x·c_y) ranks exactly by PMI
+    // with no float anywhere; c_xy ≥ 5 is the standard min-support
+    // gate. Products via decimal(38,0)/HUGEINT (c_x·c_y ~ 10²² at
+    // 10¹³ tokens). Shape at 100 TB: adjacent-pair + unigram hash
+    // aggs, two joins ON the token key (co-partitioned with the
+    // aggs), 1-row total broadcast, TakeOrderedAndProject top-20 —
+    // never a global sort.
+    "llm_pmi" -> ((s, dir) => {
+      val tok = toks(s, dir)
+      val pairs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val cxy = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      cxy
+        .join(cw.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(cw.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_x1e6", expr(
+          "CAST((CAST(c_xy AS DECIMAL(38,0)) * n_total * 1000000) " +
+            "div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+          col("c_y"), col("pmi_x1e6"))
+        .orderBy(desc("pmi_x1e6"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
     // Unigram language-model commonness score — the engine-exact
     // stand-in for the perplexity filter of corpus curation (CCNet-
     // style): per doc, the mean corpus frequency of its tokens in ppm
@@ -443,6 +480,31 @@ object TextOps extends OpPack {
         |    AS BIGINT) AS fingerprint
         |FROM t WHERE w <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_pmi" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), big AS (
+        |  SELECT a.w AS w1, b.w AS w2
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.w <> '' AND b.w <> ''
+        |), cxy AS (
+        |  SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2
+        |  HAVING count(*) >= 5
+        |), cw AS (
+        |  SELECT w, count(*) AS c FROM t WHERE w <> '' GROUP BY w
+        |), tot AS (SELECT count(*) AS n_total FROM t WHERE w <> '')
+        |SELECT w1, w2, c_xy, cx.c AS c_x, cy.c AS c_y,
+        |  CAST((CAST(c_xy AS HUGEINT) * n_total * 1000000)
+        |       // (CAST(cx.c AS HUGEINT) * cy.c) AS BIGINT) AS pmi_x1e6
+        |FROM cxy
+        |JOIN cw cx ON w1 = cx.w
+        |JOIN cw cy ON w2 = cy.w, tot
+        |ORDER BY pmi_x1e6 DESC, w1, w2
+        |LIMIT 20""".stripMargin,
 
     "llm_unigram_lm" ->
       """WITH tok AS (
