@@ -201,6 +201,31 @@ object CdcOps extends OpPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Replication-integrity audit — sequence-gap detection per domain
+    // (the cdc_gtid domains): a missing sequence number is a LOST
+    // EVENT, the failure a CDC consumer must detect before its
+    // downstream state silently diverges. Per domain: expected-vs-
+    // actual count (n_missing) and how many distinct gap runs (lag
+    // jumps > 1). One domain-keyed window + the same-key rollup —
+    // shared shuffle, O(1) state per row.
+    "cdc_gap_detect" -> ((s, dir) => {
+      val w = Window.partitionBy(col("domain")).orderBy(col("seq"))
+      Tables(s, dir, "events")
+        .select(pmod(col("user_id"), lit(4)).as("domain"),
+          col("event_id").as("seq"))
+        .withColumn("prev", lag(col("seq"), 1).over(w))
+        .withColumn("jump",
+          when(col("prev").isNotNull && col("seq") - col("prev") > 1, 1L)
+            .otherwise(0L))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"),
+          (max(col("seq")) - min(col("seq")) + 1 - count(lit(1)))
+            .as("n_missing"),
+          sum(col("jump")).as("n_gaps"))
+        .orderBy(col("domain"))
+    }),
+
     // Event-time disorder audit — the measurement that SIZES a
     // watermark: per key, how many events arrive (in event_id /
     // arrival order) with an event time EARLIER than the running
@@ -425,6 +450,21 @@ object CdcOps extends OpPack {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "cdc_gap_detect" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS domain, event_id AS seq FROM events),
+        |l AS (
+        |  SELECT domain, seq,
+        |    lag(seq) OVER (PARTITION BY domain ORDER BY seq) AS prev
+        |  FROM e)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(seq) AS min_seq, max(seq) AS max_seq,
+        |  CAST(max(seq) - min(seq) + 1 - count(*) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND seq - prev > 1
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+        |FROM l GROUP BY domain ORDER BY domain""".stripMargin,
 
     "cdc_ooo_audit" ->
       """WITH e AS (

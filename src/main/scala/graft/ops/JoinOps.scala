@@ -199,6 +199,31 @@ object JoinOps extends OpPack {
         .orderBy(col("purchase_id"))
     }),
 
+    // Tolerance-bounded as-of (pandas merge_asof(tolerance=...) / kdb
+    // wj): backward as-of match VOIDED when the gap exceeds 24 h — a
+    // stale click should not claim a purchase. Same single-shuffle
+    // AsOfJoin (the match timestamp rides along as a second carried
+    // column); the tolerance is a post-join null-out, in integer
+    // microseconds, so the plan cost is identical to join_asof.
+    "join_asof_tol" -> ((s, dir) => {
+      val tolUs = 86400000000L
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin(purchases, clicks, key = "user_id", tsCol = "ts",
+          seqCol = "event_id",
+          carry = Map("event_id" -> "click_id", "ts" -> "click_ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("click_ts")))
+        .withColumn("in_tol", col("gap_us") <= tolUs)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("in_tol"), col("click_id")).as("click_id"),
+          when(col("in_tol"), col("gap_us")).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Null-safe equi join (<=>): both sides derive a NULLABLE bucket
     // (null for low-value events), and null keys MATCH each other —
     // the semantics `=` can't express (null = null is null ⇒ dropped).
@@ -556,6 +581,32 @@ object JoinOps extends OpPack {
     // As-of on the (ts, event_id) total order: latest click at-or-before
     // each purchase per user. Written as the same union + running-last
     // construction in both engines so tie semantics match exactly.
+    "join_asof_tol" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_id AS click_id,
+        |         ts AS click_ts,
+        |         CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT user_id, ts, purchase_id,
+        |         last_value(click_id IGNORE NULLS) OVER win AS click_id,
+        |         last_value(click_ts IGNORE NULLS) OVER win AS click_ts
+        |  FROM tagged
+        |  WINDOW win AS (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), g AS (
+        |  SELECT purchase_id, user_id, click_id,
+        |         epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |  FROM w WHERE purchase_id IS NOT NULL)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN gap_us <= 86400000000 THEN click_id END AS click_id,
+        |  CASE WHEN gap_us <= 86400000000 THEN gap_us END AS gap_us
+        |FROM g ORDER BY purchase_id""".stripMargin,
+
     "join_asof" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id, event_id AS click_id,

@@ -152,6 +152,31 @@ object WindowOps extends OpPack {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Longest-streak summary — the engagement metric built on the
+    // gaps-and-islands machinery (win_islands), at day grain: per
+    // user, active-day count, number of consecutive-day streaks, and
+    // the longest streak. Distinct (user, day) first (bounds the
+    // window input at keys × spine), then ONE user_id exchange shared
+    // by the lag, the running streak-id sum, and both rollups.
+    "win_streak" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      e.withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            datediff(col("day"), col("prev")) > 1, 1).otherwise(0))
+        .withColumn("streak_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("streak_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cumulative DISTINCT count — the per-user "breadth so far" series
     // (distinct event types seen up to each event). Neither engine
     // windows count(DISTINCT), so this is the standard composition:
@@ -220,6 +245,31 @@ object WindowOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_streak" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, day,
+        |    sum(CASE WHEN prev IS NULL
+        |             OR datediff('day', prev, day) > 1
+        |             THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS streak_id
+        |  FROM l),
+        |g AS (SELECT user_id, streak_id, count(*) AS len FROM s
+        |      GROUP BY user_id, streak_id)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "win_cum_distinct" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
