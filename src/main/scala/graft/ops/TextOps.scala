@@ -22,6 +22,31 @@ object TextOps extends OpPack {
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
 
+  /** Winnowing selection over any (doc_id, text) frame → (doc_id,
+    * fps) with fps = sorted distinct packed (40-bit hash)·2²⁰+pos
+    * selections — shared by the llm_winnow query and the alignment-
+    * robustness property pin in DfCapFamilySpec (unpack the hash
+    * component with `sel div 1048576` for cross-doc comparison). See
+    * the query's doc for the narrow-plan rationale. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val k = 8; val w = 4
+    val poly = (0 until k)
+      .map(j => s"codes[i + $j] * ${math.pow(131, j).toLong}L")
+      .mkString(" + ")
+    docs
+      .filter(length(col("text")) >= k + w - 1)
+      .withColumn("codes",
+        expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("hs", expr(
+        s"transform(sequence(0, length(text) - $k), " +
+          s"i -> (($poly) % 1099511627776L) * 1048576L + i)"))
+      .withColumn("fps", expr(
+        s"array_sort(array_distinct(transform(" +
+          s"sequence(0, size(hs) - $w), " +
+          s"p -> array_min(slice(hs, p + 1, $w)))))"))
+      .select(col("doc_id"), col("fps"))
+  }
+
   /** The llm_quality_gopher transformation over any (doc_id, text)
     * frame — shared by the batch query and the streaming foreachBatch
     * pin in StreamingSemanticsSpec: the gate is a stateless narrow
@@ -232,20 +257,7 @@ object TextOps extends OpPack {
       // Selection key packs (40-bit hash, position) into one long
       // (h·2²⁰ + pos, pos < 2²⁰) so array_min picks the leftmost
       // minimum exactly like the classic algorithm.
-      val poly = (0 until k)
-        .map(j => s"codes[i + $j] * ${math.pow(131, j).toLong}L")
-        .mkString(" + ")
-      Tables(s, dir, "documents")
-        .filter(length(col("text")) >= k + w - 1)
-        .withColumn("codes",
-          expr("transform(split(text, ''), c -> ascii(c))"))
-        .withColumn("hs", expr(
-          s"transform(sequence(0, length(text) - $k), " +
-            s"i -> (($poly) % 1099511627776L) * 1048576L + i)"))
-        .withColumn("fps", expr(
-          s"array_sort(array_distinct(transform(" +
-            s"sequence(0, size(hs) - $w), " +
-            s"p -> array_min(slice(hs, p + 1, $w)))))"))
+      winnowFps(Tables(s, dir, "documents"))
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
           md5(concat_ws(",",
             expr("transform(fps, x -> CAST(x AS STRING))")))

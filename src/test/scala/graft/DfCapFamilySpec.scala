@@ -44,6 +44,36 @@ class DfCapFamilySpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("winnowing: docs sharing a run of >= k+w-1 chars share a " +
+      "fingerprint hash at ANY alignment; disjoint docs share none") {
+    // The theorem that makes winnowing the answer to llm_dedup_substr's
+    // declared stride-alignment sensitivity (SURVEY row): a shared run
+    // of >= k+w-1 = 11 chars contains at least one FULL window of w
+    // k-grams; within the run both docs see the identical hash
+    // sequence in the same relative order, so the leftmost-min
+    // selection picks the same HASH (positions differ — compare the
+    // unpacked sel div 2^20 component). Checked at several offsets,
+    // including ones misaligned with llm_dedup_substr's 32-stride.
+    import org.apache.spark.sql.functions.{col, explode}
+    val run = "the_shared_run_of_text_42"
+    def hashes(text: String, off: Int): Set[Long] = {
+      val df = spark.createDataFrame(Seq((1L, text)))
+        .toDF("doc_id", "text")
+      graft.ops.TextOps.winnowFps(df)
+        .select(explode(col("fps")).as("sel")).collect()
+        .map(_.getLong(0) / 1048576L).toSet
+    }
+    val base = hashes("aaaaaaaaaaaaa" + run + "bbbb", 0)
+    for (off <- Seq(0, 1, 5, 17, 31)) {
+      val other = hashes(("c" * off) + run + "dddddddd", off)
+      assert(base.intersect(other).nonEmpty,
+        s"no shared fingerprint hash at offset $off")
+    }
+    // negative control: disjoint-alphabet docs share nothing
+    val disjoint = hashes("xyzwvu_totally_different_payload_q", 0)
+    assert(base.intersect(disjoint).isEmpty)
+  }
+
   test("minhash and the exact inverted index are blind to the same " +
       "boilerplate group and find the same discriminative near-dup") {
     val mh = pairs("llm_dedup_minhash")
