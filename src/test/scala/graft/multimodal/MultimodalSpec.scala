@@ -21,6 +21,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("binaryFile source: raw media files ingest as (path, length, " +
+      "content) with length pushdown") {
+    // The real ingest surface for a 100 TB media corpus: Spark's
+    // built-in `binaryFile` source reads each file as one row of
+    // opaque bytes + metadata — the step BEFORE mediaFromDocuments'
+    // synthesized table. Pins: content round-trips byte-exact, length
+    // matches, and pathGlobFilter selects files at the SOURCE (file
+    // listing), not post-scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4, 5),
+      "b.bin" -> "binary media payload".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2)))
+    assert(rows.length == 2)
+    rows.foreach { case (name, len, content) =>
+      assert(payloads(name).sameElements(content), name)
+      assert(len == payloads(name).length.toLong, name)
+    }
+    // glob filtering happens in the file listing, before any read
+    val capped = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "a.bin").load(dir.toString)
+    assert(capped.count() == 1)
+  }
+
   test("mapPartitions feature extraction is deterministic and exact") {
     val docs = Tables(spark, sf, "documents").limit(50)
     val media = Multimodal.mediaDataset(spark, docs)
