@@ -44,6 +44,33 @@ class DfCapFamilySpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("containment catches a short doc embedded in a long one where " +
+      "symmetric Jaccard stays below its threshold") {
+    // The Broder-containment claim from the SURVEY row: doc A (11
+    // tokens → 9 shingles) verbatim inside doc B with 200 extra
+    // tokens → J = 9/209 ≈ 0.043 < 0.05 (llm_dedup_ngram's gate), but
+    // C = 9/min(9, 209) = 1.0 ≥ 0.8 — only the asymmetric measure
+    // sees the embedding.
+    val d = java.nio.file.Files.createTempDirectory("contain").toString
+    val short = (1 to 11).map(i => s"s$i").mkString(" ")
+    val long = short + " " + (1 to 200).map(i => s"x$i").mkString(" ")
+    val rows = Seq((1L, short, "en", "web", short.length.toLong),
+      (2L, long, "en", "web", long.length.toLong))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    def pairSet(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, d)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet("llm_dedup_containment") === Set((1L, 2L)))
+    assert(!pairSet("llm_dedup_ngram").contains((1L, 2L)))
+    val contained = SparkEntry.queries("llm_dedup_containment")(spark, d)
+      .select("contained").head().getLong(0)
+    assert(contained === 1L)
+  }
+
   test("winnowing: docs sharing a run of >= k+w-1 chars share a " +
       "fingerprint hash at ANY alignment; disjoint docs share none") {
     // The theorem that makes winnowing the answer to llm_dedup_substr's
