@@ -163,6 +163,25 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The BPE merge decision — tokenizer-training's inner-loop
+    // statistic: corpus-wide counts of adjacent character pairs within
+    // words (occurrence-weighted, exactly the table byte-pair encoding
+    // consults to pick its next merge; llm_vocab covers the vocab-size
+    // curve, this covers the merge rule). Top-10 by count. Narrow
+    // generate (each word yields len−1 two-char substrings) + ONE
+    // pair-keyed hash agg + TakeOrderedAndProject — tokenizer stats
+    // over 100 TB are a scan plus one tiny-key shuffle.
+    "llm_bpe_pairs" -> ((s, dir) => {
+      toks(s, dir)
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, length(w) - 2), " +
+            "i -> substring(w, i + 1, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(10)
+    }),
+
     // Collocation detection by pointwise mutual information — the
     // phrase-mining primitive (fixed expressions score high, chance
     // co-occurrences low). PMI's log is monotone, so ranking by the
@@ -492,6 +511,19 @@ object TextOps extends OpPack {
         |    AS BIGINT) AS fingerprint
         |FROM t WHERE w <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), t2 AS (SELECT w FROM t WHERE len(w) >= 2),
+        |p AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM t2),
+        |pr AS (SELECT substr(w, i, 2) AS pair FROM p)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM pr GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 10""".stripMargin,
 
     "llm_pmi" ->
       """WITH t AS (
