@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{money, moneySum}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling operators over the `events` stream table —
+  * the downsampling/telemetry surface a CDC-fed warehouse serves
+  * (the batch analogues of the reference's ordered event stream,
+  * `client.go:144-162`).
+  *
+  * Scale notes: both queries are single hash aggregations keyed on
+  * (user_id[, bucket]) — map-side partial aggregation means the
+  * shuffle carries one partial row per (map partition, key), never the
+  * raw events; at 100 TB the exchange is proportional to the key
+  * cardinality. No windows over the full log: open/close ride
+  * `min_by`/`max_by` partials (each a single (ord, value) pair of
+  * state), and the interarrival deltas use one per-key window whose
+  * state is O(1) per row (lag(1)).
+  */
+object TsOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    // OHLC bar resampling (the classic tick→bar downsample): per
+    // (user, day), first/last value by the unique event_id order
+    // (ts is monotone in event_id per TESTDATA, so "first by
+    // event_id" == "first in time" and the argmin is deterministic),
+    // high/low over the 2-decimal money values, exact decimal volume.
+    // One hash agg — min_by/max_by carry a single pair of state each,
+    // so the bar table streams out of a map-side-combined shuffle.
+    "ts_ohlc" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          min_by(money(col("value")), col("event_id")).as("open"),
+          max(money(col("value"))).as("high"),
+          min(money(col("value"))).as("low"),
+          max_by(money(col("value")), col("event_id")).as("close"),
+          moneySum(col("value")).as("volume"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Inter-arrival time profile per key: consecutive-event gaps in
+    // integer microseconds (event_id order), min/max/integer-mean per
+    // user — the cadence statistic that sizes polling intervals and
+    // rate limits (and the complement of cdc_ooo_audit's lateness
+    // audit). One per-key lag window (single user_id shuffle, O(1)
+    // state) + one hash agg; all-integer so exactly oracle-checkable.
+    "ts_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          expr("sum(gap_us) div count(*)").as("mean_gap_us"))
+        .orderBy(col("user_id"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "ts_ohlc" ->
+      s"""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  arg_min(${Tables.sql.money("value")}, event_id) AS open,
+         |  max(${Tables.sql.money("value")}) AS high,
+         |  min(${Tables.sql.money("value")}) AS low,
+         |  arg_max(${Tables.sql.money("value")}, event_id) AS close,
+         |  ${Tables.sql.moneySum("value")} AS volume,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM events GROUP BY user_id, day
+         |ORDER BY user_id, day""".stripMargin,
+
+    "ts_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |      (PARTITION BY user_id ORDER BY event_id)) AS gap_us
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
