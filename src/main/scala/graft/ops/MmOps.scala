@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (task-brief addition): binary payload
@@ -101,6 +102,37 @@ object MmOps extends OpPack {
         .filter(col("n_assets") >= 2)
         .orderBy(col("kind"), col("width"), col("height"),
           col("declared_frames"))
+    }),
+
+    // WebDataset-style shard manifest: pack each writer's asset stream
+    // into ~4 KB tar shards (cut when the running byte total passes the
+    // budget; an asset is assigned to the shard where it STARTS) and
+    // publish the manifest — per-shard asset count, byte size, id
+    // range. Sharding is per (kind, writer): each writer packs only
+    // its own md5-partitioned stream, exactly how distributed tar
+    // writers work — no global coordination, and no window partition
+    // ever holds more than corpus/n_writers (the writer count is the
+    // parallelism knob; a per-kind global cumsum would serialize 100 TB
+    // through 3 tasks). The running sum is O(1) state per row; the
+    // manifest agg rides the same (kind, writer) shuffle key.
+    "mm_shard_manifest" -> ((s, dir) => {
+      val budget = 4000L
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      val w = Window.partitionBy(col("kind"), col("writer"))
+        .orderBy(col("media_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      media
+        .select(col("media_id"), col("kind"),
+          pmod(col("media_id"), lit(4)).as("writer"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+        .withColumn("shard_id", expr(s"(cum_bytes - n_bytes) div $budget"))
+        .groupBy(col("kind"), col("writer"), col("shard_id"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("media_id")).as("first_id"),
+          max(col("media_id")).as("last_id"))
+        .orderBy(col("kind"), col("writer"), col("shard_id"))
     })
   )
 
@@ -176,6 +208,33 @@ object MmOps extends OpPack {
         |FROM m
         |GROUP BY kind, width, height, declared_frames
         |HAVING count(*) >= 2
-        |ORDER BY kind, width, height, declared_frames""".stripMargin
+        |ORDER BY kind, width, height, declared_frames""".stripMargin,
+
+    "mm_shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+        |    doc_id % 4 AS writer,
+        |    CAST(n_chars AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT media_id, kind, writer, n_bytes,
+        |    sum(n_bytes) OVER (PARTITION BY kind, writer
+        |      ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_bytes
+        |  FROM m),
+        |sh AS (
+        |  SELECT kind, writer,
+        |    (cum_bytes - n_bytes) // 4000 AS shard_id,
+        |    media_id, n_bytes
+        |  FROM c)
+        |SELECT kind, CAST(writer AS BIGINT) AS writer,
+        |  CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |  min(media_id) AS first_id, max(media_id) AS last_id
+        |FROM sh GROUP BY kind, writer, shard_id
+        |ORDER BY kind, writer, shard_id""".stripMargin
   )
 }

@@ -182,6 +182,39 @@ object TextOps extends OpPack {
         .limit(10)
     }),
 
+    // Token-concentration quality signal: the Herfindahl index of each
+    // document's unigram distribution in integer permille — the
+    // entropy-free repetitiveness measure (1 - HHI is Gini-Simpson
+    // diversity; log-free so it stays exactly oracle-checkable where
+    // Shannon entropy's floats would not). Degenerate docs (one token
+    // repeated) score 1000, maximally diverse docs 1000/n_distinct —
+    // the same signal CCNet/Gopher repetition filters threshold on,
+    // here as a ranked per-doc statistic beside the max-token share.
+    // Arithmetic bound: ss·1000 ≤ n²·1000 — a 10⁹-token document is
+    // 10²¹ and would overflow BIGINT, so the squared sum rides
+    // decimal(38,0)/HUGEINT like llm_pmi's products. Shape at 100 TB:
+    // two chained hash aggs on (doc, token) then doc — the second is
+    // co-partitioned with the first (doc_id is a prefix of the
+    // (doc_id, w) hash key in practice only after a repartition; here
+    // Catalyst keeps one exchange on (doc_id, w) and one on doc_id),
+    // both map-side combined; no window, no join.
+    "llm_gini" -> ((s, dir) => {
+      toks(s, dir)
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"),
+          max(col("c")).as("maxc"))
+        .select(col("doc_id"),
+          col("n_tok"), col("n_distinct"),
+          expr("CAST((ss * 1000) div (CAST(n_tok AS DECIMAL(38,0)) * n_tok) AS BIGINT)")
+            .as("hhi_permille"),
+          expr("(maxc * 1000) div n_tok").as("top_share_permille"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Collocation detection by pointwise mutual information — the
     // phrase-mining primitive (fixed expressions score high, chance
     // co-occurrences low). PMI's log is monotone, so ranking by the
@@ -511,6 +544,23 @@ object TextOps extends OpPack {
         |    AS BIGINT) AS fingerprint
         |FROM t WHERE w <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_gini" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM t2
+        |       GROUP BY doc_id, w),
+        |d AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+        |        sum(c * c) AS ss, max(c) AS maxc
+        |      FROM tc GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST((ss * 1000) // (n_tok * n_tok) AS BIGINT)
+        |    AS hhi_permille,
+        |  CAST((maxc * 1000) // n_tok AS BIGINT) AS top_share_permille
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "llm_bpe_pairs" ->
       """WITH t AS (
