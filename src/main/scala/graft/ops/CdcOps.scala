@@ -252,6 +252,35 @@ object CdcOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Transaction-boundary integrity audit — the reference's envelope
+    // carries (domain, sequence, event_number 1-based within the
+    // transaction) (`event.go:189-200`), and a consumer that applies
+    // transactions atomically must first verify it HAS the whole
+    // transaction. Synthesis: 5-event transactions (sequence ≔
+    // event_id div 5, event_number ≔ event_id % 5 + 1, domain from the
+    // sequence so a txn never straddles domains), with every 97th
+    // event dropped to simulate loss. Per (domain, sequence): event
+    // count, distinct tables touched (event_type as the table-name
+    // stand-in), max event_number, and the completeness flag
+    // max_event_number == n_events — detects INTERIOR gaps (dense
+    // 1..max); trailing loss is only visible to the next sequence's
+    // arrival, which is cdc_gap_detect's job. One hash agg on the
+    // (domain, sequence) key, map-side combined — the audit of a
+    // 100 TB log shuffles |transactions| partial rows, not events.
+    "cdc_txn_stats" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("event_id") % 97 =!= 0)
+        .withColumn("sequence", expr("event_id div 5"))
+        .withColumn("domain", pmod(col("sequence"), lit(4)))
+        .withColumn("event_number", (col("event_id") % 5 + 1).cast("int"))
+        .groupBy(col("domain"), col("sequence"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_tables"),
+          max(col("event_number")).as("max_event_number"))
+        .withColumn("complete", col("max_event_number") === col("n_events"))
+        .orderBy(col("domain"), col("sequence"))
+    }),
+
     // SCD2 point-in-time lookup — the composite every warehouse runs
     // against its dimension history: rebuild the cdc_scd2 validity
     // ranges, then answer "which version was active at time T" for a
@@ -482,6 +511,21 @@ object CdcOps extends OpPack {
         |    AS n_ooo,
         |  CAST(max(late_us) AS BIGINT) AS max_late_us
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "cdc_txn_stats" ->
+      """WITH e AS (
+        |  SELECT event_id // 5 AS sequence,
+        |    (event_id // 5) % 4 AS domain,
+        |    CAST(event_id % 5 + 1 AS INT) AS event_number,
+        |    event_type
+        |  FROM events WHERE event_id % 97 <> 0)
+        |SELECT domain, sequence,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_tables,
+        |  max(event_number) AS max_event_number,
+        |  max(event_number) = count(*) AS complete
+        |FROM e GROUP BY domain, sequence
+        |ORDER BY domain, sequence""".stripMargin,
 
     "composite_scd2_pit" ->
       s"""WITH ev AS (SELECT user_id, event_id, event_type,

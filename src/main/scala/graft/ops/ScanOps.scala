@@ -186,6 +186,23 @@ object ScanOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // XML sink + source roundtrip (Spark 4's built-in XML source —
+    // formerly spark-xml): write region as <row> elements, read back
+    // with an explicit schema + rowTag. The fourth file-format leg of
+    // the source/sink surface (columnar parquet/orc, delimited csv,
+    // json lines, raw text, xml trees); the oracle reads the original
+    // parquet, so a pass proves write→read fidelity through the XML
+    // encoding.
+    "scan_xml_roundtrip" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/xml-region"
+      Tables(s, dir, "region").write.mode("overwrite")
+        .option("rowTag", "region").format("xml").save(scratch)
+      s.read.schema("r_regionkey INT, r_name STRING")
+        .option("rowTag", "region").format("xml").load(scratch)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
     // Z-order (Morton-curve) layout: interleave 12 bits of customer
     // key and 12 bits of floor(price) into one sort key, then report
     // per-file-bucket (z >> 12) min/max of BOTH dimensions — the
@@ -299,6 +316,10 @@ object ScanOps extends OpPack {
     "scan_text_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scan_xml_roundtrip" ->
+      """SELECT r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
 
     "scan_json_corrupt" ->
       """SELECT CASE WHEN doc_id % 20 = 0 THEN NULL ELSE lang END AS lang,
