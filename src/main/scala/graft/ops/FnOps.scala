@@ -43,6 +43,26 @@ object FnOps extends OpPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Calendar-interval arithmetic — the month-aware family fn_date's
+    // day arithmetic can't express: add_months with end-of-month
+    // clamping (Jan 31 + 1 month = Feb 29, the Gregorian behavior
+    // both engines implement via clamp-to-last-day), last_day,
+    // next_day by weekday name (ISO-weekday modular arithmetic in the
+    // oracle), ISO week + day-of-year. All narrow per-row codegen'd
+    // expressions — calendar math over 100 TB is scan-speed.
+    "fn_interval" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .select(col("o_orderkey"), col("d"),
+          add_months(col("d"), 1).as("plus_1m"),
+          add_months(col("d"), -2).as("minus_2m"),
+          last_day(col("d")).as("month_end"),
+          next_day(col("d"), "Mon").as("next_monday"),
+          weekofyear(col("d")).as("iso_week"),
+          dayofyear(col("d")).as("doy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "fn_math" -> ((s, dir) => {
       Tables(s, dir, "part")
         .select(col("p_partkey"),
@@ -383,6 +403,19 @@ object FnOps extends OpPack {
         |    AS days_since_2024,
         |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_interval" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey, d,
+        |  CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+        |  CAST(d - INTERVAL 2 MONTH AS DATE) AS minus_2m,
+        |  last_day(d) AS month_end,
+        |  d + CAST(CASE WHEN (8 - isodow(d)) % 7 = 0 THEN 7
+        |           ELSE (8 - isodow(d)) % 7 END AS INT) AS next_monday,
+        |  CAST(weekofyear(d) AS INT) AS iso_week,
+        |  CAST(dayofyear(d) AS INT) AS doy
+        |FROM o ORDER BY o_orderkey""".stripMargin,
 
     "fn_math" ->
       s"""SELECT p_partkey,

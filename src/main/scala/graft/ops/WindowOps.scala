@@ -197,6 +197,30 @@ object WindowOps extends OpPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Bounded ROWS-frame rolling statistics — the moving-average /
+    // band-monitor window (5-event trailing frame per key, integer
+    // cents so the mean is exactly oracle-checkable via integer
+    // division). Complements win_running_sum (unbounded frame) and
+    // win_range_frame (value-range frame): a ROWS k-PRECEDING frame
+    // keeps O(k) state per key in the window operator regardless of
+    // partition size — the 100 TB shape for telemetry smoothing is
+    // one key shuffle with constant per-row work.
+    "win_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .withColumn("roll_sum_cents", sum(col("cents")).over(w))
+        .withColumn("roll_min_cents", min(col("cents")).over(w))
+        .withColumn("roll_max_cents", max(col("cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("roll_n"), col("roll_sum_cents"),
+          expr("roll_sum_cents div roll_n").as("roll_avg_cents"),
+          col("roll_min_cents"), col("roll_max_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -283,6 +307,28 @@ object WindowOps extends OpPack {
         |    PARTITION BY user_id ORDER BY event_id) AS BIGINT)
         |    AS n_types_seen
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "win_rolling" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, cents,
+        |    count(*) OVER w AS roll_n,
+        |    sum(cents) OVER w AS roll_sum_cents,
+        |    min(cents) OVER w AS roll_min_cents,
+        |    max(cents) OVER w AS roll_max_cents
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, cents,
+        |  CAST(roll_n AS BIGINT) AS roll_n,
+        |  CAST(roll_sum_cents AS BIGINT) AS roll_sum_cents,
+        |  CAST(roll_sum_cents // roll_n AS BIGINT) AS roll_avg_cents,
+        |  CAST(roll_min_cents AS BIGINT) AS roll_min_cents,
+        |  CAST(roll_max_cents AS BIGINT) AS roll_max_cents
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     "win_rank" ->
       """SELECT c_mktsegment, o_orderkey, rnk, drnk FROM (
