@@ -221,6 +221,36 @@ object AggOps extends OpPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // The skew report — the diagnostic an engineer runs on a join/agg
+    // key BEFORE choosing a strategy (plain shuffle vs broadcast vs
+    // salting vs AQE skew split): per-key group-size distribution
+    // (count/sum/max/integer-mean, p50/p99 via percentile_disc), the
+    // heaviest key (deterministic argmax: ties to the larger key id),
+    // and its corpus share in ppm. Two chained map-side-combined hash
+    // aggs (rows → key counts → 1-row summary) — profiling a 100 TB
+    // key column shuffles |keys| partials then one row; this is the
+    // query whose answer decides whether join_skew_salted's plan is
+    // needed.
+    "diag_skew_report" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_n"),
+          expr("sum(n) div count(*)").as("mean_n"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+            .as("p50_n"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+            .as("p99_n"),
+          // (n, key) ordering packed into one BIGINT — DuckDB's
+          // arg_max can't order by a struct; n ≤ 1e8 and key < 1e10
+          // keep the packing exact at any test sf.
+          max_by(col("l_orderkey"),
+            expr("n * 10000000000L + l_orderkey")).as("heaviest_key"))
+        .withColumn("max_share_ppm",
+          expr("max_n * 1000000 div n_rows"))
+    }),
+
     // Deterministic mode: most frequent order priority per status,
     // ties broken lexicographically (the built-in `mode()` leaves tie
     // order engine-defined, so it is composed from count + top-1 here
@@ -578,6 +608,21 @@ object AggOps extends OpPack {
         |  quantile_disc(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "diag_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, count(*) AS n
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_n,
+        |  CAST(sum(n) // count(*) AS BIGINT) AS mean_n,
+        |  CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n,
+        |  CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
+        |  arg_max(l_orderkey, n * 10000000000 + l_orderkey)
+        |    AS heaviest_key,
+        |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_share_ppm
+        |FROM c""".stripMargin,
 
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (

@@ -473,6 +473,33 @@ object JoinOps extends OpPack {
         .limit(100)
     }),
 
+    // TPC-H-Q10-shaped composite (returned-item revenue report), run
+    // ENTIRELY through the SQL entry path: temp views + one
+    // spark.sql(...) — the same Catalyst plan the DataFrame
+    // composites get (broadcast dims, two-phase agg,
+    // TakeOrderedAndProject), proving the engine serves SQL users
+    // with no parity gap. Quarter-filtered orders prune before the
+    // join; the revenue agg keys on the customer, so the one real
+    // shuffle is |customers|; nation is a broadcast dim.
+    "composite_q10" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"${t}_q10"))
+      s.sql(s"""
+        SELECT c_custkey, c_name, n_name,
+          ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")}
+            AS revenue
+        FROM lineitem_q10
+        JOIN orders_q10 ON l_orderkey = o_orderkey
+        JOIN customer_q10 ON o_custkey = c_custkey
+        JOIN nation_q10 ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1995-10-01'
+          AND o_orderdate < DATE '1996-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+
     "join_interval" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -816,6 +843,21 @@ object JoinOps extends OpPack {
          |WHERE sum_qty > 250
          |ORDER BY sum_qty DESC, o_orderkey ASC
          |LIMIT 100""".stripMargin,
+
+    "composite_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")}
+         |    AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= DATE '1995-10-01'
+         |  AND o_orderdate < DATE '1996-01-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
 
     "join_interval" ->
       s"""SELECT o_orderpriority, count(*) AS n,
