@@ -299,6 +299,56 @@ object DedupOps extends OpPack {
             .as("closure_permille"))
     }),
 
+    // Common-neighbor link prediction over the CHUNK-SHARING graph —
+    // the transitive-template-family signal: docs connected when they
+    // share ≥1 exact 10-token chunk (the llm_dedup_paragraph
+    // relation), then pairs NOT directly sharing a chunk are ranked
+    // by how many neighbors vouch for them (A shares chunk₁ with B, B
+    // shares chunk₂ with C ⇒ A and C likely instantiate the same
+    // template even with zero verbatim overlap — invisible to every
+    // direct-similarity member of the family). NOT run on the
+    // near-dup Jaccard graph: near-identical copies form cliques, so
+    // that graph has no open wedge to predict (verified at both test
+    // scales) — chunk sharing is hub/chain-shaped, which is exactly
+    // where common-neighbor evidence adds information. Two declared
+    // caps bound the plan at 100 TB: chunk df ≤ 64 (a boilerplate
+    // chunk in K docs would emit K²/2 edge pairs) and serving-node
+    // degree ≤ 64 (a hub contributes deg² wedges; its own pairs are
+    // already direct edges), so edge generation and the two-hop
+    // self-join are both ≤ cap·|rows|. Top-20 by (count desc, pair) —
+    // TakeOrderedAndProject, never a global sort.
+    "llm_graph_linkpred" -> ((s, dir) => {
+      val W = 10; val dfCap = 64; val degCap = 64
+      val dc = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"transform(sequence(0, (size(toks) + $W - 1) div $W - 1), " +
+            s"i -> array_join(slice(toks, i * $W + 1, $W), ' '))")))
+          .as("chunk"))
+      val rare = dc.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("chunk"))
+      val dcf = dc.join(rare, Seq("chunk"))
+      val pairs = dcf.select(col("doc_id").as("doc_a"), col("chunk"))
+        .join(dcf.select(col("doc_id").as("doc_b"),
+          col("chunk").as("chunk_b")),
+          col("chunk") === col("chunk_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val serving = e.join(deg.filter(col("d") <= degCap), Seq("u"))
+        .select(col("u").as("w"), col("v").as("nbr"))
+      val wedges = serving.as("a")
+        .join(serving.as("b"),
+          col("a.w") === col("b.w") && col("a.nbr") < col("b.nbr"))
+        .select(col("a.nbr").as("doc_a"), col("b.nbr").as("doc_b"))
+      wedges.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+        .orderBy(desc("n_common"), asc("doc_a"), asc("doc_b"))
+        .limit(20)
+    }),
+
     // The "so what" of the dedup family: materialize the deduplicated
     // corpus stats — one representative (min doc_id) per near-dup
     // cluster survives, unclustered docs survive — per language. Rides
@@ -668,6 +718,42 @@ object DedupOps extends OpPack {
         |       THEN (n_triangles * 3000) // n_wedges ELSE 0 END AS BIGINT)
         |    AS closure_permille
         |FROM tcount, wed""".stripMargin),
+
+    "llm_graph_linkpred" ->
+      """WITH lt AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        |lc AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[(i*10+1):((i+1)*10)], ' ') AS chunk
+        |  FROM lt, unnest(range(0, (len(toks)+9)//10)) AS u(i)),
+        |lcdf AS (SELECT chunk FROM lc GROUP BY chunk
+        |         HAVING count(*) <= 64),
+        |lcf AS (SELECT lc.doc_id, lc.chunk
+        |        FROM lc JOIN lcdf ON lc.chunk = lcdf.chunk),
+        |lpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM lcf a JOIN lcf b
+        |    ON a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |ledge AS (SELECT doc_a AS u, doc_b AS v FROM lpair
+        |          UNION SELECT doc_b, doc_a FROM lpair),
+        |lsdeg AS (SELECT u, count(*) AS d FROM ledge GROUP BY u),
+        |lserv AS (
+        |  SELECT e.u AS w, e.v AS nbr
+        |  FROM ledge e JOIN lsdeg ON e.u = lsdeg.u
+        |  WHERE lsdeg.d <= 64),
+        |lcnb AS (
+        |  SELECT a.nbr AS doc_a, b.nbr AS doc_b, count(*) AS n_common
+        |  FROM lserv a JOIN lserv b
+        |    ON a.w = b.w AND a.nbr < b.nbr
+        |  GROUP BY doc_a, doc_b)
+        |SELECT lcnb.doc_a, lcnb.doc_b,
+        |  CAST(n_common AS BIGINT) AS n_common
+        |FROM lcnb
+        |LEFT JOIN lpair ON lcnb.doc_a = lpair.doc_a
+        |  AND lcnb.doc_b = lpair.doc_b
+        |WHERE lpair.doc_a IS NULL
+        |ORDER BY n_common DESC, lcnb.doc_a, lcnb.doc_b
+        |LIMIT 20""".stripMargin,
 
     "llm_dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
