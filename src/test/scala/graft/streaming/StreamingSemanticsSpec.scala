@@ -83,6 +83,59 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       s"only in-window same-user pairs join, got $got")
   }
 
+  test("stream-stream LEFT OUTER join: matches emit eagerly, unmatched " +
+      "left rows null-emit only after the watermark closes their window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // Outer semantics on an unbounded stream need the watermark to
+    // PROVE a row can no longer match before emitting it with nulls —
+    // too early would be wrong (a match may still arrive), never would
+    // leak state. Pin both halves: the matched pair emits in its own
+    // batch; the unmatched click is withheld until min(watermarks)
+    // passes click_ts + join window, then emits exactly once, nulls on
+    // the right.
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "5 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "5 minutes")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode("append").start()
+    clicks.addData((ts(0), 1L, 100L), (ts(1), 2L, 101L)) // 101 never matches
+    purchases.addData((ts(3), 1L, 200L))                 // matches click 100
+    q.processAllAvailable()
+    def collected(): Set[(Long, Option[Long])] =
+      spark.table("ss_left_join").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val early = collected()
+    assert(early == Set((100L, Some(200L))),
+      s"only the matched pair may emit while 101's window is open: $early")
+    // Advance BOTH watermarks far past click 101's window close
+    // (1 + 5 join window + 5 delay < 30 - 5), then run one more batch
+    // so the state eviction that null-emits 101 executes.
+    clicks.addData((ts(30), 9L, 900L))
+    purchases.addData((ts(30), 8L, 901L))
+    q.processAllAvailable()
+    clicks.addData((ts(31), 9L, 902L))
+    purchases.addData((ts(31), 8L, 903L))
+    q.processAllAvailable()
+    q.stop()
+    val got = collected()
+    assert(got.contains((101L, None)),
+      s"unmatched click must null-emit after the watermark: $got")
+    assert(got.count(_._1 == 101L) == 1, s"exactly once: $got")
+    assert(!got.contains((100L, None)),
+      s"a matched row must never also null-emit: $got")
+  }
+
   test("stateful dropDuplicates emits each key once across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
