@@ -240,6 +240,57 @@ object LlmOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact per-label vector centroids — the class-prototype /
+    // mean-pooling aggregate (nearest-class-mean classifiers, cluster
+    // summaries, the user-facing form of what IVF training computes
+    // internally). Floats are converted to integer micro-units BEFORE
+    // summing (float→double widening and ·10⁶ are both exact: 24+14
+    // significand bits < 53), so the elementwise sums are
+    // order-independent and bit-identical cross-engine — a naive
+    // float mean is neither. Shape at 100 TB: one (label, dim-index)
+    // hash agg, map-side combined to |labels|·dim partials, then a
+    // |labels|-row repack — never a driver-side vector loop.
+    "llm_centroid" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("idx", "x")))
+        .withColumn("xu",
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy(col("label"), col("idx"))
+        .agg(sum(col("xu")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mean_u", expr("s div n"))
+        .groupBy(col("label"))
+        .agg(min(col("n")).as("n_vecs"),
+          collect_list(struct(col("idx"), col("mean_u"))).as("pairs"))
+        .select(col("label"), col("n_vecs"),
+          transform(array_sort(col("pairs")), x => x.getField("mean_u"))
+            .as("centroid_u"))
+        .orderBy(col("label"))
+    }),
+
+    // Int8 embedding quantization (the 4× memory / bandwidth lever for
+    // ANN serving): per-vector max-abs scaling to [-127, 127] in PURE
+    // integer arithmetic over the exact micro-unit representation —
+    // q = (x_u · 127) div maxabs_u, truncation toward zero in both
+    // engines — plus the quantized L1 norm as the row checksum.
+    // Zero vectors quantize to zeros (declared guard). Entirely
+    // narrow per-row array expressions: quantizing 100 TB of vectors
+    // is a scan-speed map, no shuffle anywhere.
+    "llm_vec_quantize" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .withColumn("xu", expr(
+          "transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .withColumn("maxabs_u",
+          expr("array_max(transform(xu, v -> abs(v)))"))
+        .withColumn("q8", expr(
+          "transform(xu, v -> CAST(CASE WHEN maxabs_u = 0 THEN 0 " +
+            "ELSE (v * 127) div maxabs_u END AS INT))"))
+        .select(col("vec_id"), col("maxabs_u"), col("q8"),
+          expr("aggregate(q8, 0L, (acc, v) -> acc + abs(v))").as("l1_q"))
+        .orderBy(col("vec_id"))
+    }),
+
     "llm_lang_partition" -> ((s, dir) => {
       // Skew-aware two-stage aggregation: pre-aggregate on a salted
       // key, then combine — the partial results are tiny regardless of
@@ -327,6 +378,46 @@ object LlmOps extends OpPack {
         |  CAST(len(embedding) AS INT) AS dim
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_centroid" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    generate_subscripts(embedding, 1) - 1 AS idx,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, idx,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xu
+        |  FROM e),
+        |g AS (
+        |  SELECT label, idx, sum(xu) AS s, count(*) AS n
+        |  FROM a GROUP BY label, idx)
+        |SELECT label, CAST(min(n) AS BIGINT) AS n_vecs,
+        |  list(CAST(s // n AS BIGINT) ORDER BY idx) AS centroid_u
+        |FROM g GROUP BY label ORDER BY label""".stripMargin,
+
+    "llm_vec_quantize" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS xu
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, xu,
+        |    list_max(list_transform(xu, v -> abs(v))) AS maxabs_u
+        |  FROM u),
+        |q AS (
+        |  SELECT vec_id, CAST(maxabs_u AS BIGINT) AS maxabs_u,
+        |    list_transform(xu,
+        |      v -> CAST(CASE WHEN maxabs_u = 0 THEN 0
+        |           ELSE (CAST(v AS HUGEINT) * 127) // maxabs_u
+        |           END AS INT)) AS q8
+        |  FROM m)
+        |SELECT vec_id, maxabs_u, q8,
+        |  CAST(list_sum(list_transform(q8, v -> abs(v))) AS BIGINT)
+        |    AS l1_q
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "llm_lang_partition" ->
       """SELECT lang, count(*) AS n_docs,

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.{money, moneySum}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series resampling operators over the `events` stream table —
   * the downsampling/telemetry surface a CDC-fed warehouse serves
@@ -43,6 +44,33 @@ object TsOps extends OpPack {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Windowed anomaly detection: flag events more than 2σ from their
+    // own trailing 10-event window — agg_outliers' all-integer moment
+    // algebra ((n·x−S)² > 4(n·Q−S²), exact under decimal(38,0)/
+    // HUGEINT, no float σ anywhere) moved into a bounded ROWS frame,
+    // so the monitor adapts per key as the series drifts. Frames
+    // shorter than 5 events report false (declared warm-up rule — a
+    // 2-point σ flags everything). One key shuffle, O(frame) state
+    // per row; the telemetry alarm at 100 TB is a windowed scan.
+    "ts_anomaly" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sm", sum(col("cents").cast(dec)).over(w))
+        .withColumn("q",
+          sum((col("cents").cast(dec) * col("cents"))).over(w))
+        .withColumn("dev", col("n").cast(dec) * col("cents") - col("sm"))
+        .withColumn("is_anomaly", col("n") >= 5 &&
+          col("dev") * col("dev") >
+            (col("n").cast(dec) * col("q") - col("sm") * col("sm")) * 4)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("n").as("win_n"), col("is_anomaly"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Inter-arrival time profile per key: consecutive-event gaps in
     // integer microseconds (event_id order), min/max/integer-mean per
     // user — the cadence statistic that sizes polling intervals and
@@ -75,6 +103,27 @@ object TsOps extends OpPack {
          |  CAST(count(*) AS BIGINT) AS n_events
          |FROM events GROUP BY user_id, day
          |ORDER BY user_id, day""".stripMargin,
+
+    "ts_anomaly" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, cents,
+        |    count(*) OVER w AS n,
+        |    sum(CAST(cents AS HUGEINT)) OVER w AS sm,
+        |    sum(CAST(cents AS HUGEINT) * cents) OVER w AS q
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, cents,
+        |  CAST(n AS BIGINT) AS win_n,
+        |  n >= 5 AND
+        |    (CAST(n AS HUGEINT) * cents - sm)
+        |      * (CAST(n AS HUGEINT) * cents - sm)
+        |    > (CAST(n AS HUGEINT) * q - sm * sm) * 4 AS is_anomaly
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     "ts_interarrival" ->
       """WITH g AS (
