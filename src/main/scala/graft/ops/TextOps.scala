@@ -182,6 +182,35 @@ object TextOps extends OpPack {
         .limit(10)
     }),
 
+    // Deterministic MLM masking — the masked-language-model data-prep
+    // step: each (doc, position) flips an md5 coin (15% ≈ 0x2666/2¹⁶,
+    // the BERT rate), masked tokens become [MASK], and the output
+    // carries the mask positions + an md5 digest of the masked text
+    // (never the full text). The same coin on any re-run, subset or
+    // engine — what `rand()` masking can't give, and what makes
+    // training data reproducible. Entirely narrow per-row array
+    // expressions (transform/filter/aggregate): masking 100 TB is a
+    // scan-speed map, no shuffle.
+    "llm_mlm_mask" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("flags", expr(
+          "transform(sequence(1, size(toks)), p -> " +
+            "substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+            "CAST(p AS STRING))), 1, 4) < '2666')"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          expr("aggregate(flags, 0L, (a, f) -> a + IF(f, 1L, 0L))")
+            .as("n_masked"),
+          expr("transform(filter(sequence(1, size(toks)), " +
+            "p -> element_at(flags, p)), p -> CAST(p AS BIGINT))")
+            .as("mask_pos"),
+          expr("md5(array_join(transform(sequence(1, size(toks)), " +
+            "p -> IF(element_at(flags, p), '[MASK]', " +
+            "element_at(toks, p))), ' '))").as("masked_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-concentration quality signal: the Herfindahl index of each
     // document's unigram distribution in integer permille — the
     // entropy-free repetitiveness measure (1 - HHI is Gini-Simpson
@@ -544,6 +573,26 @@ object TextOps extends OpPack {
         |    AS BIGINT) AS fingerprint
         |FROM t WHERE w <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_mlm_mask" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, pos, w,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(pos AS VARCHAR)), 1, 4) < '2666' AS m
+        |  FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  coalesce(list(CAST(pos AS BIGINT) ORDER BY pos)
+        |    FILTER (WHERE m), []) AS mask_pos,
+        |  md5(string_agg(CASE WHEN m THEN '[MASK]' ELSE w END, ' '
+        |    ORDER BY pos)) AS masked_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_gini" ->
       """WITH tok AS (

@@ -161,6 +161,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"llm_winnow should not plan a window operator:\n$p")
   }
 
+  test("MLM masking and int8 quantization are narrow-only plans") {
+    // Both are pure per-row array-expression transforms (transform/
+    // filter/aggregate + md5): at 100 TB they run at scan speed; the
+    // only wide stage allowed is the presentation ORDER BY.
+    for (name <- Seq("llm_mlm_mask", "llm_vec_quantize")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name should not hash-shuffle:\n$p")
+      assert(!p.contains("Window"),
+        s"$name should not plan a window operator:\n$p")
+    }
+  }
+
+  test("OHLC bars and the skew report aggregate without any window operator") {
+    // ts_ohlc: min_by/max_by partials replace a per-key ordering
+    // window — the shuffle carries one partial row per (map
+    // partition, key). diag_skew_report: two chained hash aggs down
+    // to one row; a window formulation would sort the whole key list.
+    for (name <- Seq("ts_ohlc", "diag_skew_report")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$name should be aggregation-shaped:\n$p")
+      assert(!p.contains("Window"),
+        s"$name should not plan a window operator:\n$p")
+    }
+  }
+
   test("sequence packing groups with exactly one hash shuffle") {
     // One exchange to co-locate each (lang, shard) group, sort-based
     // grouping after it — no second shuffle, no buffering aggregation.
