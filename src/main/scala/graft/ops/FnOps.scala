@@ -43,6 +43,25 @@ object FnOps extends OpPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Spark 4 VARIANT surface: parse the JSON payload ONCE into the
+    // binary variant encoding, then typed-path extraction + runtime
+    // schema inference — the semi-structured column type that
+    // replaces per-expression string-JSON re-parsing (fn_json's
+    // get_json_object re-tokenizes the string on every call; a
+    // variant column parses at ingest and every downstream access is
+    // a binary offset walk — the 100 TB difference for logs with many
+    // extracted fields). Missing paths are SQL NULL (pinned by the
+    // `absent` column).
+    "fn_variant" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("schema_of_variant(v)").as("vschema"),
+          expr("variant_get(v, '$.absent', 'int')").as("absent"))
+        .orderBy(col("event_id"))
+    }),
+
     // Calendar-interval arithmetic — the month-aware family fn_date's
     // day arithmetic can't express: add_months with end-of-month
     // clamping (Jan 31 + 1 month = Feb 29, the Gregorian behavior
@@ -403,6 +422,16 @@ object FnOps extends OpPack {
         |    AS days_since_2024,
         |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // vschema: every props payload is {"k": <int 0..99>} (testdata
+    // contract, re-checked at verify time by this very constant —
+    // schema_of_variant infers BIGINT for JSON integers).
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  'OBJECT<k: BIGINT>' AS vschema,
+        |  CAST(NULL AS INT) AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_interval" ->
       """WITH o AS (
