@@ -509,6 +509,102 @@ object JoinOps extends OpPack {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H-Q7-shaped composite (volume shipping): bilateral trade
+    // revenue between two nations by ship year. The two-ROLE dimension
+    // pattern: the SAME nation table joins twice under different keys
+    // (supplier's nation vs customer's nation) — both broadcast, both
+    // pre-filtered to the two trading partners so the supplier and
+    // customer sides are semi-reduced BEFORE the fact joins. The only
+    // big shuffles are the fact's l_orderkey and o_custkey exchanges;
+    // the bilateral pair filter rides the broadcast hash lookups.
+    "composite_q7" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      Tables(s, dir, "lineitem")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(exprSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H-Q8-shaped composite (market share): the permille of ASIA-
+    // market revenue supplied by NATION_3, per order year. The
+    // two-level conditional-aggregate shape: ONE pass computes both
+    // the numerator (case-gated) and denominator as exact integer
+    // basis-point sums (price-cents × discount-pct products in
+    // decimal(38,0) — exact to 10¹⁵ rows), then an integer div gives
+    // the share. Region/nation dims broadcast; no second scan.
+    "composite_q8" -> ((s, dir) => {
+      val asiaNations = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mkt_nkey"))
+      val suppNation = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      Tables(s, dir, "lineitem")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("mkt_nkey"),
+          "left_semi")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("vol_bp",
+          expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) " +
+            "* CAST(round((1 - l_discount) * 100) AS BIGINT)"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("vol_bp"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("num_bp"),
+          sum(col("vol_bp")).as("den_bp"))
+        .select(col("o_year"),
+          expr("CAST((num_bp * 1000) div den_bp AS BIGINT)")
+            .as("share_permille"),
+          expr("CAST(den_bp AS DOUBLE)").as("den_bp"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H-Q16-shaped composite (parts/supplier relationship),
+    // adapted to this schema: the part-supplier relation is DERIVED
+    // from lineitem as distinct (l_partkey, l_suppkey) — the
+    // pre-DISTINCT is the scale move, collapsing the fact table to at
+    // most |part|×|supplier per part| pairs before any dimension work.
+    // Suppliers whose name ends in '0' are excluded via a broadcast
+    // NOT-IN (null-free key ⇒ plain anti join, no null-aware BNL).
+    // count(DISTINCT l_suppkey) per (brand, type, size) then runs on
+    // the shrunken pair frame.
+    "composite_q16" -> ((s, dir) => {
+      val ps = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = Tables(s, dir, "supplier")
+        .filter(col("s_name").like("%0"))
+        .select(col("s_suppkey"))
+      val p = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      ps.join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
     })
   )
 
@@ -867,6 +963,57 @@ object JoinOps extends OpPack {
          | AND l_shipdate >= o_orderdate
          | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
          |GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "composite_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")}
+         |    AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "composite_q8" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT) AS vol_bp,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey IN (
+        |    SELECT n_nationkey FROM nation JOIN region
+        |      ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'))
+        |SELECT o_year,
+        |  CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+        |                      THEN vol_bp ELSE 0 END) AS HUGEINT) * 1000)
+        |       // CAST(sum(vol_bp) AS HUGEINT) AS BIGINT) AS share_permille,
+        |  CAST(sum(vol_bp) AS DOUBLE) AS den_bp
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "composite_q16" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0'))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 }
