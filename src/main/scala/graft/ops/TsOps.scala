@@ -90,7 +90,52 @@ object TsOps extends OpPack {
           max(col("gap_us")).as("max_gap_us"),
           expr("sum(gap_us) div count(*)").as("mean_gap_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // Bounded-frame EWMA, integer-exact: the classic recursive
+    // y_t = α·x_t + (1−α)·y_{t−1} is order-dependent float arithmetic
+    // (not mergeable, not engine-portable); with α = 1/2 the trailing
+    // 16 terms carry weights 2^15 … 2^0 — exact BIGINT fixed-point
+    // (4-dp value units × 2^15 × 16 terms ≈ 2.6e12 ≪ 2^63), and terms
+    // beyond 16 lags contribute < 2^-16 ≈ the fixed-point ulp, so the
+    // truncation IS the declared semantics, not an approximation. The
+    // numerator/denominator SQL is generated once (ewmaTerms) and runs
+    // verbatim in BOTH engines — only the integer-div operator
+    // differs. One user_id exchange; 30 lag functions share one
+    // window frame (O(16) state/row); scan-proportional at 100 TB.
+    "ts_ewma" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_ewma")
+      val (num, den) = ewmaTerms
+      s.sql(s"""
+        WITH base AS (
+          SELECT user_id, event_id,
+            CAST(round(value * 10000) AS BIGINT) AS v_fp
+          FROM events_ewma)
+        SELECT user_id, event_id, v_fp,
+          CAST(($num) div ($den) AS BIGINT) AS ewma_fp
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        ORDER BY user_id, event_id""")
     }))
+
+  /** Shared numerator/denominator SQL for ts_ewma: weight 2^(15−k) on
+    * lag k (k = 0 is the current row), null lags (series head) drop
+    * out of BOTH sums so the head of each series is a proper
+    * re-normalized partial EWMA. Identical text runs in Spark and
+    * DuckDB (`WINDOW w` clause is common SQL). */
+  private def ewmaTerms: (String, String) = {
+    val num = (0 to 15).map { k =>
+      val w = 1L << (15 - k)
+      if (k == 0) s"v_fp * $w"
+      else s"coalesce(lag(v_fp, $k) OVER w * $w, 0)"
+    }.mkString(" + ")
+    val den = (0 to 15).map { k =>
+      val w = 1L << (15 - k)
+      if (k == 0) s"$w"
+      else s"CASE WHEN lag(v_fp, $k) OVER w IS NOT NULL THEN $w ELSE 0 END"
+    }.mkString(" + ")
+    (num, den)
+  }
 
   def oracle: Map[String, String] = Map(
     "ts_ohlc" ->
@@ -136,5 +181,18 @@ object TsOps extends OpPack {
         |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_ewma" -> {
+      val (num, den) = ewmaTerms
+      s"""WITH base AS (
+         |  SELECT user_id, event_id,
+         |    CAST(round(value * 10000) AS BIGINT) AS v_fp
+         |  FROM events)
+         |SELECT user_id, event_id, v_fp,
+         |  CAST(($num) // ($den) AS BIGINT) AS ewma_fp
+         |FROM base
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    })
 }
