@@ -308,6 +308,62 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Out-of-vocabulary rate vs the corpus top-1000 vocabulary — the
+    // tokenizer-coverage signal (a doc full of OOV tokens is noise,
+    // markup, or the wrong language for the tokenizer). The vocab is
+    // a TakeOrderedAndProject top-k (total order: count desc, token
+    // asc — rank-1000 boundary ties are deterministic) and BROADCASTS
+    // to the token scan; per-doc counts are one map-side-combined
+    // doc_id agg. At 100 TB: vocab stays ~KBs regardless of corpus
+    // size, the token frame never shuffles on the token key.
+    "llm_oov_rate" -> ((s, dir) => {
+      val tok = toks(s, dir)
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w")).limit(1000)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_permille", expr("n_oov * 1000 div n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style head/middle/tail corpus partition (Wenzek et al.
+    // 2020): per-lang terciles of the unigram-LM commonness score
+    // (llm_unigram_lm's mean_ppm). NOT an ntile window — a per-lang
+    // ntile sorts every doc of a language in one window partition,
+    // which dies on a dominant language at 100 TB. Instead the
+    // tercile CUTS are exact percentile_disc aggregates (sort-based,
+    // two-phase) and broadcast back; bucket assignment is then a
+    // narrow map. Boundary docs (score == cut) go to the lower bucket
+    // in both engines — integer scores, no float boundary ambiguity.
+    "llm_ccnet_bucket" -> ((s, dir) => {
+      val tok = toks(s, dir)
+      val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      val ds = tok.join(cw, "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("ppm", expr("(c * 1000000) div n_total"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(ppm) div count(1)").as("mean_ppm"))
+      val cuts = ds.groupBy(col("lang"))
+        .agg(expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY mean_ppm)")
+            .as("c33"),
+          expr("percentile_disc(0.67) WITHIN GROUP (ORDER BY mean_ppm)")
+            .as("c67"))
+      ds.join(broadcast(cuts), "lang")
+        .withColumn("bucket",
+          when(col("mean_ppm") <= col("c33"), "tail")
+            .when(col("mean_ppm") <= col("c67"), "middle")
+            .otherwise("head"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("mean_ppm")).as("min_ppm"),
+          max(col("mean_ppm")).as("max_ppm"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     // the MOSS algorithm): hash every character 8-gram, then from each
     // window of 4 consecutive hashes select the minimum (leftmost on
@@ -664,6 +720,53 @@ object TextOps extends OpPack {
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_hapax
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS n FROM t2 GROUP BY w
+        |    ORDER BY n DESC, w LIMIT 1000)),
+        |per AS (
+        |  SELECT doc_id,
+        |    CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END AS oov
+        |  FROM t2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST((CAST(sum(oov) AS HUGEINT) * 1000) // count(*) AS BIGINT)
+        |    AS oov_permille
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_ccnet_bucket" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+        |cw AS (SELECT w, count(*) AS c FROM t2 GROUP BY w),
+        |tot AS (SELECT count(*) AS n_total FROM t2),
+        |per AS (
+        |  SELECT doc_id, lang, (c * 1000000) // n_total AS ppm
+        |  FROM t2 JOIN cw USING (w), tot),
+        |ds AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm
+        |  FROM per GROUP BY doc_id, lang),
+        |cuts AS (
+        |  SELECT lang, quantile_disc(mean_ppm, 0.33) AS c33,
+        |    quantile_disc(mean_ppm, 0.67) AS c67
+        |  FROM ds GROUP BY lang)
+        |SELECT ds.lang,
+        |  CASE WHEN mean_ppm <= c33 THEN 'tail'
+        |       WHEN mean_ppm <= c67 THEN 'middle'
+        |       ELSE 'head' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(mean_ppm) AS BIGINT) AS min_ppm,
+        |  CAST(max(mean_ppm) AS BIGINT) AS max_ppm
+        |FROM ds JOIN cuts USING (lang)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_winnow" ->
       """WITH p AS (
