@@ -78,6 +78,38 @@ object CdcOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Log compaction with tombstone GC (the Kafka-compacted-topic /
+    // delete-retention semantics a long-lived CDC changelog needs —
+    // the reference's consumer materializes state forever,
+    // client.go:144-162; compaction is what makes that affordable):
+    // latest event per key (same map-side-combined max_by as
+    // cdc_snapshot_latest); keys whose latest is a delete ('error',
+    // the cdc_merge_upsert convention) stay as TOMBSTONES only while
+    // recent enough for lagging consumers to observe — past the
+    // retention cutoff (bottom 99% of the event_id range; ts is
+    // monotone in event_id) they are PURGED from the compacted log.
+    // The cutoff is a broadcast 1-row aggregate; at 100 TB compaction
+    // is one |keys|-row shuffle + a broadcast scalar, never a re-sort.
+    "cdc_compact" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val latest = ev.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("latest"))
+        .select(col("user_id"), col("latest.event_id").as("event_id"),
+          col("latest.event_type").as("event_type"),
+          money(col("latest.value")).as("value"))
+      val cut = ev.agg(expr("max(event_id) * 99 div 100").as("cutoff"))
+      latest.crossJoin(broadcast(cut))
+        .withColumn("op",
+          when(col("event_type") =!= "error", "live")
+            .when(col("event_id") > col("cutoff"), "tombstone"))
+        .filter(col("op").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("op"))
+        .orderBy(col("user_id"))
+    }),
+
     // `event.go:177-183`: update_before/update_after adjacency — pair
     // each event with its per-user successor via lead.
     "cdc_update_pairs" -> ((s, dir) => {
@@ -406,6 +438,23 @@ object CdcOps extends OpPack {
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
          |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_compact" ->
+      s"""WITH latest AS (
+         |  SELECT user_id, event_id, event_type,
+         |    ${Tables.sql.money("value")} AS value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         |  WHERE rn = 1),
+         |cut AS (
+         |  SELECT CAST(max(event_id) AS HUGEINT) * 99 // 100 AS cutoff
+         |  FROM events)
+         |SELECT user_id, event_id, event_type, value,
+         |  CASE WHEN event_type <> 'error' THEN 'live'
+         |       ELSE 'tombstone' END AS op
+         |FROM latest, cut
+         |WHERE event_type <> 'error' OR event_id > cutoff
+         |ORDER BY user_id""".stripMargin,
 
     "cdc_update_pairs" ->
       s"""SELECT event_id, user_id, event_type,

@@ -311,14 +311,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // llm_vocab broadcasts a single-row corpus total.
     // llm_dedup_semantic rides the same IVF assignment build as the
     // ANN queries (corpus × broadcast numCells-row centroid table).
-    // llm_unigram_lm and llm_pmi cross a broadcast single-row corpus
-    // total (same shape as llm_vocab); composite_scd2_pit
+    // llm_unigram_lm, llm_pmi, llm_ccnet_bucket, and cdc_compact cross
+    // a broadcast single-row corpus total / retention cutoff (same
+    // shape as llm_vocab); composite_scd2_pit
     // interval-joins a broadcast 3-row probe spine (no equi key by
     // design — the probe frame is constant-size, so the BNL side is
     // bounded at 3 rows).
     val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine",
       "llm_ann_knn", "llm_triangles", "llm_vocab", "llm_dedup_semantic",
-      "llm_unigram_lm", "composite_scd2_pit", "llm_pmi")
+      "llm_unigram_lm", "composite_scd2_pit", "llm_pmi",
+      "llm_ccnet_bucket", "cdc_compact")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
