@@ -268,6 +268,25 @@ object LlmOps extends OpPack {
         .orderBy(col("label"))
     }),
 
+    // Dominant principal component of the embedding corpus
+    // (PcaPower): 8 power-iteration rounds, each ONE broadcast pass +
+    // one (dim)-keyed hash agg — see graft.operators.PcaPower for the
+    // scale argument. Output is the d-row loading vector (sign-
+    // canonical, 6-dp rounded) plus the explained-scatter share in
+    // ppm. Approximate-by-design (iterative float convergence has no
+    // SQL oracle); rows-only check + PcaPowerSpec's known-direction /
+    // determinism / Rayleigh pins.
+    "llm_pca_power" -> ((s, dir) => {
+      val (v, lam, tot) = graft.operators.PcaPower
+        .dominant(Tables(s, dir, "embeddings"), "embedding")
+      val evrPpm = math.round(lam / tot * 1e6)
+      import s.implicits._
+      v.toSeq.zipWithIndex
+        .map { case (l, p) => (p, math.rint(l * 1e6) / 1e6, evrPpm) }
+        .toDF("pos", "loading", "evr_ppm")
+        .orderBy(col("pos"))
+    }),
+
     // Int8 embedding quantization (the 4× memory / bandwidth lever for
     // ANN serving): per-vector max-abs scaling to [-127, 127] in PURE
     // integer arithmetic over the exact micro-unit representation —

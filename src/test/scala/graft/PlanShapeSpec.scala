@@ -338,6 +338,6 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(noOracle ==
       Set("agg_approx_distinct", "llm_ann_ivf", "llm_ann_knn",
         "agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll",
-        "agg_sketch_kll", "llm_dedup_semantic"))
+        "agg_sketch_kll", "llm_dedup_semantic", "llm_pca_power"))
   }
 }
