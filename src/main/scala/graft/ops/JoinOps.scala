@@ -511,6 +511,51 @@ object JoinOps extends OpPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // TPC-H-Q1-shaped composite (pricing summary report) — the
+    // canonical scan-heavy aggregation: one pushed date filter, one
+    // two-phase hash agg producing the full 8-aggregate block
+    // (decimal-exact sums incl. the 3-factor charge product at 6dp,
+    // decimal-sum/double-div averages). No join, no window: at 100 TB
+    // this is THE map-side-combine showcase — the shuffle carries
+    // |flag×status| partials per map partition, never rows.
+    "composite_q1" -> ((s, dir) => {
+      val disc = lit(1) - col("l_discount")
+      val charge = col("l_extendedprice") * disc * (lit(1) + col("l_tax"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          exprSum(col("l_extendedprice") * disc).as("sum_disc_price"),
+          exprSum(charge).as("sum_charge"),
+          Tables.moneyAvg(col("l_quantity")).as("avg_qty"),
+          Tables.moneyAvg(col("l_extendedprice")).as("avg_price"),
+          Tables.moneyAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H-Q4-shaped composite (order priority checking): orders in
+    // one quarter having AT LEAST ONE late lineitem (shipped >30 days
+    // after the order date), counted per priority. The EXISTS shape
+    // done right: a hash LEFT-SEMI join on the orderkey with the
+    // lateness predicate as a residual — each order emits at most
+    // once regardless of how many late lines it has, so the agg input
+    // is bounded by |orders|, and no distinct/dedup pass is needed
+    "composite_q4" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-04-01").cast("date"))
+      val li = Tables(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // TPC-H-Q7-shaped composite (volume shipping): bilateral trade
     // revenue between two nations by ship year. The two-ROLE dimension
     // pattern: the SAME nation table joins twice under different keys
@@ -964,6 +1009,37 @@ object JoinOps extends OpPack {
          | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    "composite_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Tables.sql.moneySum("l_quantity")} AS sum_qty,
+         |  ${Tables.sql.moneySum("l_extendedprice")} AS sum_base_price,
+         |  ${Tables.sql.exprSum("l_extendedprice * (1 - l_discount)")}
+         |    AS sum_disc_price,
+         |  ${Tables.sql.exprSum(
+              "l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+         |    AS sum_charge,
+         |  ${Tables.sql.moneyAvg("l_quantity")} AS avg_qty,
+         |  ${Tables.sql.moneyAvg("l_extendedprice")} AS avg_price,
+         |  ${Tables.sql.moneyAvg("l_discount")} AS avg_disc,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= DATE '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "composite_q4" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "composite_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
