@@ -255,6 +255,27 @@ object DedupOps extends OpPack {
     // edge-side join + one aggregation — O(edges) per round, the
     // standard distributed PR shape; dangling mass is deliberately
     // not redistributed (documented determinism trade).
+    // Degree distribution of the near-dup graph — the first diagnostic
+    // run on any duplicate graph (a heavy tail means template farms /
+    // boilerplate hubs; mass at 0 means the corpus is mostly clean) and
+    // the input to choosing DfCap-style bounds. Rides the shared
+    // persisted pair frame; isolated documents appear as degree 0 via
+    // the left join. Two hash aggs — the histogram of a 100 TB corpus
+    // graph is \|distinct degrees\| rows out of a map-side-combined
+    // shuffle.
+    "llm_graph_degree" -> ((s, dir) => {
+      val e = nearDupPairs(s, dir)
+      val deg = e.select(col("doc_a").as("id"))
+        .union(e.select(col("doc_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(deg, col("doc_id") === col("id"), "left_outer")
+        .withColumn("degree", coalesce(col("degree"), lit(0L)))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     "llm_pagerank" -> ((s, dir) => {
       val pairs = nearDupPairs(s, dir)
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -700,6 +721,16 @@ object DedupOps extends OpPack {
         |FROM cs GROUP BY size ORDER BY size""".stripMargin),
     "llm_dedup_keep" -> dedupKeepSql,
     "llm_pagerank" -> pagerankSql,
+
+    "llm_graph_degree" -> (closureCtes + ",\n" +
+      """dg AS (SELECT id, count(*) AS degree FROM (
+        |          SELECT doc_a AS id FROM cand
+        |          UNION ALL SELECT doc_b FROM cand)
+        |        GROUP BY id)
+        |SELECT CAST(coalesce(dg.degree, 0) AS BIGINT) AS degree,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM documents d LEFT JOIN dg ON d.doc_id = dg.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "llm_triangles" -> (closureCtes + ",\n" +
       """ce AS (SELECT doc_a AS a, doc_b AS b FROM cand),

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.Tables.{moneySum, exprSum}
 import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Joins (SURVEY.md §2.2 "Joins").
@@ -511,6 +512,40 @@ object JoinOps extends OpPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Pareto / ABC inventory classification — the 80/95 cumulative-
+    // revenue-share report: parts ranked by exact basis-point revenue,
+    // running share in permille, classed A (≤800‰), B (≤950‰), C.
+    // The ranking window is GLOBAL but runs on the AGGREGATED part
+    // frame (|part| rows, dimension-bounded — the fact table never
+    // enters a window); revenue totals ride the same window spec as
+    // the cumsum so one sort serves both. Output is the 3-row class
+    // summary, not the ranked inventory.
+    "composite_pareto" -> ((s, dir) => {
+      val rev = Tables(s, dir, "lineitem")
+        .withColumn("bp",
+          expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) " +
+            "* CAST(round((1 - l_discount) * 100) AS BIGINT)"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("bp")).as("rev_bp"))
+      val w = Window.orderBy(desc("rev_bp"), asc("l_partkey"))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      rev
+        .withColumn("cum_bp", sum(col("rev_bp")).over(wcum))
+        .withColumn("tot_bp", sum(col("rev_bp")).over(wall))
+        .withColumn("cum_permille",
+          expr("CAST((cum_bp * 1000) div tot_bp AS BIGINT)"))
+        .withColumn("abc",
+          when(col("cum_permille") <= 800, "A")
+            .when(col("cum_permille") <= 950, "B")
+            .otherwise("C"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"),
+          expr("CAST(sum(rev_bp) AS DOUBLE)").as("class_rev_bp"))
+        .orderBy(col("abc"))
+    }),
+
     // TPC-H-Q1-shaped composite (pricing summary report) — the
     // canonical scan-heavy aggregation: one pushed date filter, one
     // two-phase hash agg producing the full 8-aggregate block
@@ -1009,6 +1044,32 @@ object JoinOps extends OpPack {
          | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    "composite_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+        |        * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS rev_bp
+        |  FROM lineitem GROUP BY l_partkey),
+        |r2 AS (
+        |  SELECT rev_bp,
+        |    sum(rev_bp) OVER (ORDER BY rev_bp DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_bp,
+        |    sum(rev_bp) OVER () AS tot_bp
+        |  FROM rev),
+        |r3 AS (
+        |  SELECT rev_bp,
+        |    CASE WHEN cp <= 800 THEN 'A' WHEN cp <= 950 THEN 'B'
+        |         ELSE 'C' END AS abc
+        |  FROM (SELECT rev_bp,
+        |          CAST((CAST(cum_bp AS HUGEINT) * 1000)
+        |            // CAST(tot_bp AS HUGEINT) AS BIGINT) AS cp
+        |        FROM r2))
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev_bp) AS DOUBLE) AS class_rev_bp
+        |FROM r3 GROUP BY abc ORDER BY abc""".stripMargin,
 
     "composite_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

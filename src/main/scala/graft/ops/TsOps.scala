@@ -103,6 +103,28 @@ object TsOps extends OpPack {
     // verbatim in BOTH engines — only the integer-div operator
     // differs. One user_id exchange; 30 lag functions share one
     // window frame (O(16) state/row); scan-proportional at 100 TB.
+    // Period-over-period delta report (WoW revenue): weekly order
+    // revenue in exact cents, each week's change vs the previous week
+    // in integer permille (negative deltas truncate toward zero
+    // identically in both engines). The lag window is GLOBAL but runs
+    // on the already-aggregated week frame — bounded by the calendar
+    // (~350 rows here, never corpus-proportional), which is the
+    // declared contract for partition-less windows in this engine.
+    "ts_period_delta" -> ((s, dir) => {
+      val w = Window.orderBy(col("wk"))
+      Tables(s, dir, "orders")
+        .withColumn("wk", date_trunc("week", col("o_orderdate")).cast("date"))
+        .groupBy(col("wk"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_c"), count(lit(1)).as("n_orders"))
+        .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+        .withColumn("delta_permille",
+          expr("((rev_c - prev_c) * 1000) div prev_c"))
+        .select(col("wk"), col("rev_c"), col("n_orders"),
+          col("prev_c"), col("delta_permille"))
+        .orderBy(col("wk"))
+    }),
+
     "ts_ewma" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events_ewma")
       val (num, den) = ewmaTerms
@@ -182,6 +204,20 @@ object TsOps extends OpPack {
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_period_delta" ->
+      """WITH wkrev AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_c,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT wk, rev_c, n_orders,
+        |  lag(rev_c, 1) OVER (ORDER BY wk) AS prev_c,
+        |  CAST(((rev_c - lag(rev_c, 1) OVER (ORDER BY wk)) * 1000)
+        |    // lag(rev_c, 1) OVER (ORDER BY wk) AS BIGINT)
+        |    AS delta_permille
+        |FROM wkrev ORDER BY wk""".stripMargin,
 
     "ts_ewma" -> {
       val (num, den) = ewmaTerms
