@@ -268,6 +268,31 @@ object LlmOps extends OpPack {
         .orderBy(col("label"))
     }),
 
+    // Embedding-distribution drift monitor: per-dimension mean of two
+    // corpus cohorts (vec_id parity as the deterministic old/new
+    // split stand-in) in exact integer micro-units, plus the
+    // per-dimension delta — the check run before mixing a new crawl
+    // batch into a training corpus or after re-embedding with a new
+    // model. Same exactness argument as llm_centroid (float→double→µ
+    // conversion exact under 53 bits). ONE (dim)-keyed hash agg with
+    // conditional branches — drift over 100 TB of vectors shuffles
+    // d·|map partitions| partials, output is d rows.
+    "llm_vec_drift" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xu",
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy(col("pos"))
+        .agg(
+          expr("sum(CASE WHEN vec_id % 2 = 0 THEN xu END) " +
+            "div sum(CASE WHEN vec_id % 2 = 0 THEN 1 END)").as("mean_a_u"),
+          expr("sum(CASE WHEN vec_id % 2 = 1 THEN xu END) " +
+            "div sum(CASE WHEN vec_id % 2 = 1 THEN 1 END)").as("mean_b_u"))
+        .withColumn("drift_u", abs(col("mean_a_u") - col("mean_b_u")))
+        .orderBy(col("pos"))
+    }),
+
     // Dominant principal component of the embedding corpus
     // (PcaPower): 8 power-iteration rounds, each ONE broadcast pass +
     // one (dim)-keyed hash agg — see graft.operators.PcaPower for the
@@ -414,6 +439,29 @@ object LlmOps extends OpPack {
         |SELECT label, CAST(min(n) AS BIGINT) AS n_vecs,
         |  list(CAST(s // n AS BIGINT) ORDER BY idx) AS centroid_u
         |FROM g GROUP BY label ORDER BY label""".stripMargin,
+
+    "llm_vec_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, pos,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xu
+        |  FROM e),
+        |g AS (
+        |  SELECT CAST(pos AS INT) AS pos,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN xu END)
+        |      // sum(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |      AS mean_a_u,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN xu END)
+        |      // sum(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS mean_b_u
+        |  FROM a GROUP BY pos)
+        |SELECT pos, mean_a_u, mean_b_u,
+        |  abs(mean_a_u - mean_b_u) AS drift_u
+        |FROM g ORDER BY pos""".stripMargin,
 
     "llm_vec_quantize" ->
       """WITH u AS (
