@@ -512,6 +512,32 @@ object JoinOps extends OpPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Metrics-layer dashboard composite: one long-format frame of
+    // per-week business metrics from TWO fact tables (order revenue in
+    // exact cents + order count; event count + distinct active users)
+    // aligned by calendar week via UNION ALL — the "semantic layer"
+    // query shape every BI stack compiles to. Each leg is an
+    // independent map-side-combined hash agg on its own table (no
+    // cross-table join anywhere); the union is shuffle-free; at 100 TB
+    // the frame is |weeks × metrics| rows.
+    "composite_dashboard" -> ((s, dir) => {
+      val wk = (c: org.apache.spark.sql.Column) =>
+        date_trunc("week", c).cast("date").as("wk")
+      val orders = Tables(s, dir, "orders").groupBy(wk(col("o_orderdate")))
+      val rev = orders
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+        .select(col("wk"), lit("revenue_cents").as("metric"), col("v"))
+      val nord = orders.agg(count(lit(1)).as("v"))
+        .select(col("wk"), lit("n_orders").as("metric"), col("v"))
+      val events = Tables(s, dir, "events").groupBy(wk(col("ts")))
+      val nev = events.agg(count(lit(1)).as("v"))
+        .select(col("wk"), lit("n_events").as("metric"), col("v"))
+      val au = events.agg(countDistinct(col("user_id")).as("v"))
+        .select(col("wk"), lit("active_users").as("metric"), col("v"))
+      rev.unionAll(nord).unionAll(nev).unionAll(au)
+        .orderBy(col("wk"), col("metric"))
+    }),
+
     // Pareto / ABC inventory classification — the 80/95 cumulative-
     // revenue-share report: parts ranked by exact basis-point revenue,
     // running share in permille, classed A (≤800‰), B (≤950‰), C.
@@ -1044,6 +1070,28 @@ object JoinOps extends OpPack {
          | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    "composite_dashboard" ->
+      """SELECT * FROM (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |    'revenue_cents' AS metric,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |    'n_orders' AS metric, CAST(count(*) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    'n_events' AS metric, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    'active_users' AS metric,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS v
+        |  FROM events GROUP BY 1)
+        |ORDER BY wk, metric""".stripMargin,
 
     "composite_pareto" ->
       """WITH rev AS (
