@@ -308,6 +308,67 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The corpus report card — the one-page summary printed before
+    // and after every curation run (dataset datasheets / data cards):
+    // size, token volume, language/source breadth, exact-dup mass,
+    // quality-gate pass rate, mean doc length — as a long-format
+    // (metric, value) frame via the stack generator. ONE enriched
+    // doc-level pass (gate columns joined on the co-partitioned
+    // doc_id key) into a single global aggregate; every distinct
+    // count is a real countDistinct (two-phase). 100 TB → 7 rows.
+    "llm_corpus_card" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val g = gopherGate(d).select(col("doc_id"), col("keep"),
+        col("n_words"))
+      d.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("digest"))
+        .join(g, "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words").cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("digest")).as("n_unique"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .selectExpr("stack(7, " +
+          "'exact_dup_docs', n_docs - n_unique, " +
+          "'gopher_pass_permille', n_keep * 1000 div n_docs, " +
+          "'mean_doc_chars', sum_chars div n_docs, " +
+          "'n_docs', n_docs, " +
+          "'n_langs', n_langs, " +
+          "'n_sources', n_sources, " +
+          "'n_tokens', n_tokens) AS (metric, value)")
+        .orderBy(col("metric"))
+    }),
+
+    // Boilerplate / template detection per source: the most frequent
+    // 5-token document PREFIX in each source and its share of the
+    // source's documents in permille — a source whose docs mostly
+    // open identically is a template farm (headers, scraped nav,
+    // license banners). One (source, prefix) hash agg, then a
+    // map-side-combined max_by per source (ties break to the
+    // lexicographically smallest prefix); shuffle ∝ distinct
+    // prefixes, output ∝ |sources|.
+    "llm_boilerplate" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("prefix",
+          array_join(slice(filter(split(col("text"), " "),
+            w => w =!= ""), 1, 5), " "))
+      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      d.groupBy(col("source"), col("prefix"))
+        .agg(count(lit(1)).as("n_pref"))
+        .groupBy(col("source"))
+        .agg(min_by(struct(col("prefix"), col("n_pref")),
+          struct((-col("n_pref")).as("neg"), col("prefix"))).as("top"))
+        .select(col("source"), col("top.prefix").as("top_prefix"),
+          col("top.n_pref").as("n_pref"))
+        .join(broadcast(sizes), "source")
+        .withColumn("share_permille",
+          expr("n_pref * 1000 div n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Out-of-vocabulary rate vs the corpus top-1000 vocabulary — the
     // tokenizer-coverage signal (a doc full of OOV tokens is noise,
     // markup, or the wrong language for the tokenizer). The vocab is
@@ -720,6 +781,72 @@ object TextOps extends OpPack {
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_hapax
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_corpus_card" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_words,
+        |    CAST(CAST(list_sum(list_transform(arr, x -> length(x)))
+        |      AS BIGINT) * 100 // len(arr) AS INT) AS mwl,
+        |    len(list_intersect(list_distinct(arr),
+        |      ['the', 'a', 'of', 'to', 'and'])) AS n_stop
+        |  FROM w),
+        |k AS (
+        |  SELECT doc_id, n_words,
+        |    (n_words BETWEEN 20 AND 100000)
+        |      AND (mwl BETWEEN 300 AND 1000) AND n_stop >= 2 AS keep
+        |  FROM m),
+        |e AS (
+        |  SELECT d.doc_id, lang, source, n_chars, md5(text) AS digest,
+        |    n_words, keep
+        |  FROM documents d JOIN k ON d.doc_id = k.doc_id),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_keep
+        |  FROM e)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'exact_dup_docs' AS metric, n_docs - n_unique AS value
+        |    FROM s
+        |  UNION ALL SELECT 'gopher_pass_permille',
+        |    (n_keep * 1000) // n_docs FROM s
+        |  UNION ALL SELECT 'mean_doc_chars', sum_chars // n_docs FROM s
+        |  UNION ALL SELECT 'n_docs', n_docs FROM s
+        |  UNION ALL SELECT 'n_langs', n_langs FROM s
+        |  UNION ALL SELECT 'n_sources', n_sources FROM s
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM s)
+        |ORDER BY metric""".stripMargin,
+
+    "llm_boilerplate" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), w -> w <> '')[1:5],
+        |      ' ') AS prefix
+        |  FROM documents),
+        |pc AS (
+        |  SELECT source, prefix, count(*) AS n_pref
+        |  FROM d GROUP BY source, prefix),
+        |sz AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+        |top AS (
+        |  SELECT source, prefix AS top_prefix, n_pref
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY n_pref DESC, prefix ASC) AS rn FROM pc)
+        |  WHERE rn = 1)
+        |SELECT top.source, top_prefix, CAST(n_pref AS BIGINT) AS n_pref,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST((CAST(n_pref AS HUGEINT) * 1000) // n_docs AS BIGINT)
+        |    AS share_permille
+        |FROM top JOIN sz ON top.source = sz.source
+        |ORDER BY top.source""".stripMargin,
 
     "llm_oov_rate" ->
       """WITH tok AS (
