@@ -127,6 +127,45 @@ object SampleOps extends OpPack {
         .orderBy(col("split"))
     }),
 
+    // Contiguous token-budget sharding — the distributed PREFIX SUM:
+    // assign doc_id-ordered documents to shards of ≤5000 tokens each
+    // (the layout step before writing tokenized training shards whose
+    // order must match the corpus order). A single global cumsum
+    // window would sort the whole corpus in ONE partition; instead
+    // this runs the textbook two-phase scan: range-partition by
+    // doc_id, per-partition token totals (16 rows) cumsum'd into
+    // BROADCAST offsets, then a within-partition running sum shifted
+    // by the partition's offset — exact global prefix sums with no
+    // global sort, invariant to where the range boundaries land. The
+    // oracle checks it against the plain single-window cumsum.
+    "llm_token_shards" -> ((s, dir) => {
+      val budget = 5000L
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_tok"))
+        .repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val offsets = t.groupBy(col("pid"))
+        .agg(sum(col("n_tok")).as("psum"), min(col("doc_id")).as("lo"))
+        .withColumn("offset",
+          coalesce(sum(col("psum")).over(
+            Window.orderBy(col("lo"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid").as("pid2"), col("offset"))
+      val wp = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      t.join(broadcast(offsets), col("pid") === col("pid2"))
+        .withColumn("running",
+          col("offset") + sum(col("n_tok")).over(wp))
+        .withColumn("shard", expr(s"(running - 1) div $budget"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    }),
+
     "sample_pack" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select(
         col("doc_id"), col("lang"),
@@ -440,6 +479,24 @@ object SampleOps extends OpPack {
         |FROM documents
         |GROUP BY split
         |ORDER BY split""".stripMargin,
+
+    "llm_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS running
+        |  FROM t)
+        |SELECT CAST((running - 1) // 5000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_pack" ->
       """WITH RECURSIVE base AS (
