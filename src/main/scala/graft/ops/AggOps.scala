@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.Tables.{moneySum, exprSum, moneyAvg}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -249,6 +250,38 @@ object AggOps extends OpPack {
             expr("n * 10000000000L + l_orderkey")).as("heaviest_key"))
         .withColumn("max_share_ppm",
           expr("max_n * 1000000 div n_rows"))
+    }),
+
+    // Data-quality constraint audit (the dbt-test / Deequ-style
+    // contract suite run on every load): FK coverage, PK uniqueness,
+    // value-range and null checks across three tables, as a
+    // long-format (check, n_bad) frame — all zeros on healthy data,
+    // each leg an independent anti-join or pushed filter count
+    // (AQE broadcasts the shrunken sides; the unions are 1-row
+    // frames). Auditing 100 TB costs one scan per constraint with
+    // map-side-combined counting, never a row-level report unless a
+    // check fails.
+    "diag_dq_audit" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val li = Tables(s, dir, "lineitem")
+      val ev = Tables(s, dir, "events")
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_bad"))
+          .select(lit(name).as("check"), col("n_bad"))
+      leg("fk_orders_customer",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+        .unionAll(leg("fk_lineitem_orders",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")))
+        .unionAll(leg("pk_orders_dup",
+          o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1)))
+        .unionAll(leg("range_orders_totalprice",
+          o.filter(col("o_totalprice") <= 0)))
+        .unionAll(leg("range_lineitem_discount",
+          li.filter(!col("l_discount").between(0, 0.5))))
+        .unionAll(leg("null_events_props", ev.filter(col("props").isNull)))
+        .orderBy(col("check"))
     }),
 
     // Deterministic mode: most frequent order priority per status,
@@ -623,6 +656,32 @@ object AggOps extends OpPack {
         |    AS heaviest_key,
         |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_share_ppm
         |FROM c""".stripMargin,
+
+    "diag_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'fk_orders_customer' AS "check",
+        |    CAST(count(*) AS BIGINT) AS n_bad
+        |  FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |    CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'pk_orders_dup', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |        HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'range_orders_totalprice', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'range_lineitem_discount', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE NOT (l_discount BETWEEN 0 AND 0.5)
+        |  UNION ALL
+        |  SELECT 'null_events_props', CAST(count(*) AS BIGINT)
+        |  FROM events WHERE props IS NULL)
+        |ORDER BY "check"""".stripMargin,
 
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (
