@@ -49,6 +49,42 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:10:00") == 1L)
   }
 
+  test("stream-static join: each micro-batch enriches against the batch dim, " +
+      "unmatched keys pass a left join with nulls") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming fact → broadcast dimension enrichment every
+    // CDC-fed pipeline runs at ingest: the static side is planned per
+    // micro-batch (broadcast hash join), no stream state at all.
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val joined = input.toDF().toDF("ts", "cust_id", "amount")
+      .join(broadcast(dim), Seq("cust_id"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    input.addData((ts(0), 1L, 10L), (ts(1), 3L, 30L))
+    q.processAllAvailable()
+    input.addData((ts(2), 2L, 20L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_enrich")
+      .select(col("cust_id"), col("amount"), col("tier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    // both batches enriched; the unknown key 3 survived with a null
+    // tier (left join) instead of being dropped
+    assert(out == Set((1L, 10L, Some("gold")), (3L, 30L, None),
+      (2L, 20L, Some("silver"))))
+    // batch equivalence: same join as a plain batch frame
+    val batch = Seq((ts(0), 1L, 10L), (ts(1), 3L, 30L), (ts(2), 2L, 20L))
+      .toDF("ts", "cust_id", "amount")
+      .join(broadcast(dim), Seq("cust_id"), "left_outer")
+      .select(col("cust_id"), col("amount"), col("tier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(out == batch)
+  }
+
   test("stream-stream join: time-bounded inner join emits matched pairs, watermark bounds state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
