@@ -308,6 +308,25 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashing-trick featurizer (Weinberger 2009): tokens bucketed to a
+    // fixed 64-dim feature space via the md5-derived bucket id (the
+    // cross-engine-stable hash; vocabularies never materialize), doc
+    // vectors emitted SPARSE in COO form (doc_id, bucket, count) — at
+    // 100 TB the dense form wastes 64× the IO for mostly-zero rows,
+    // and downstream linear models consume COO directly. One
+    // (doc, bucket) hash agg, map-side combined; no token-key shuffle,
+    // no vocabulary state.
+    "llm_hash_embed" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 64"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("doc_id"), col("b"))
+    }),
+
     // The corpus report card — the one-page summary printed before
     // and after every curation run (dataset datasheets / data cards):
     // size, token volume, language/source breadth, exact-dup mass,
@@ -781,6 +800,17 @@ object TextOps extends OpPack {
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_hapax
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_hash_embed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, w FROM tok WHERE w <> '')
+        |SELECT doc_id,
+        |  CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 64 AS b,
+        |  CAST(count(*) AS BIGINT) AS c
+        |FROM t2 GROUP BY doc_id, b
+        |ORDER BY doc_id, b""".stripMargin,
 
     "llm_corpus_card" ->
       """WITH w AS (
