@@ -317,10 +317,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // interval-joins a broadcast 3-row probe spine (no equi key by
     // design — the probe frame is constant-size, so the BNL side is
     // bounded at 3 rows).
+    // composite_q11 / composite_q15 / composite_q22 cross a broadcast
+    // 1-row scalar gate (total+count / max / mean-balance pair) — the
+    // TPC-H scalar-subquery shape, same bound as llm_unigram_lm.
     val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine",
       "llm_ann_knn", "llm_triangles", "llm_vocab", "llm_dedup_semantic",
       "llm_unigram_lm", "composite_scd2_pit", "llm_pmi",
-      "llm_ccnet_bucket", "cdc_compact")
+      "llm_ccnet_bucket", "cdc_compact",
+      "composite_q11", "composite_q15", "composite_q22")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
