@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Spatial binning operators: point-in-rectangle containment as a
+  * GRID-BUCKETED equi join, and grid-cell density aggregation.
+  *
+  * The testdata has no geometry columns, so both sides are derived
+  * deterministically (md5 — identical hex in Spark and DuckDB, the
+  * repo's established cross-engine hash) on a 10000×10000 integer
+  * plane: events become points, parts become rectangles of side
+  * 100–499.
+  *
+  * Scale design: the naive containment join is a theta join (BNL —
+  * quadratic). Instead both sides map to 250-unit grid cells — points
+  * to exactly ONE cell, each rectangle replicated to the ≤3×3 cells it
+  * covers — so the join is a plain (cx, cy) hash equi-join with the
+  * exact containment predicate as a residual. Shuffle is
+  * |points| + 9·|boxes|, never |points|×|boxes|; a (point, box) pair
+  * can only meet in the point's single cell, so no dedup pass is
+  * needed. Cell size is chosen ≈ the box-size scale — at 100 TB you'd
+  * pick it from the box-extent histogram the same way; a hot cell is
+  * bounded by geometry density, and AQE's skew split handles the rest.
+  */
+object GeoOps extends OpPack {
+
+  private val Cell = 250
+
+  /** Derived points: one per event, md5-placed on the integer plane. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT) % 10000").as("x"),
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, 8), " +
+          "16, 10) AS BIGINT) % 10000").as("y"))
+
+  /** Derived rectangles: one per part, origin md5-placed in [0, 9400),
+    * width/height 100 + key-derived in [100, 500) — always in-bounds. */
+  private def boxes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .select(col("p_partkey").as("box_id"),
+        expr("CAST(conv(substring(md5(concat('bx', CAST(p_partkey AS " +
+          "STRING))), 1, 8), 16, 10) AS BIGINT) % 9400").as("x0"),
+        expr("CAST(conv(substring(md5(concat('by', CAST(p_partkey AS " +
+          "STRING))), 1, 8), 16, 10) AS BIGINT) % 9400").as("y0"))
+      .withColumn("x1", col("x0") + lit(100) + col("box_id") % 400)
+      .withColumn("y1", col("y0") + lit(100) + (col("box_id") * 7) % 400)
+
+  def queries: Map[String, Q] = Map(
+
+    // Point-in-rectangle containment join via grid bucketing: boxes
+    // explode to their ≤9 covering cells, points map to their one cell,
+    // equi-join on the cell + exact residual. Per-box point count out.
+    "join_spatial_grid" -> ((s, dir) => {
+      val b = boxes(s, dir)
+        .withColumn("cx", explode(expr(s"sequence(x0 div $Cell, x1 div $Cell)")))
+        .withColumn("cy", explode(expr(s"sequence(y0 div $Cell, y1 div $Cell)")))
+      val p = points(s, dir)
+        .withColumn("cx", expr(s"x div $Cell"))
+        .withColumn("cy", expr(s"y div $Cell"))
+      p.join(b, Seq("cx", "cy"))
+        .filter(col("x").between(col("x0"), col("x1")) &&
+          col("y").between(col("y0"), col("y1")))
+        .groupBy(col("box_id"))
+        .agg(count(lit(1)).as("n_points"), min(col("event_id")).as("first_event"))
+        .orderBy(col("box_id"))
+    }),
+
+    // Grid-cell density histogram (spatial binning agg): points →
+    // cell → two-phase count. Narrow map + one ≤1600-group hash agg.
+    "geo_grid_density" -> ((s, dir) => {
+      points(s, dir)
+        .groupBy(expr(s"x div $Cell").as("cx"), expr(s"y div $Cell").as("cy"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("cx"), col("cy"))
+    })
+  )
+
+  private val ptsSql =
+    """pts AS (
+      |  SELECT event_id,
+      |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 10000 AS x,
+      |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)
+      |      AS BIGINT) % 10000 AS y
+      |  FROM events)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    // The oracle runs the PLAIN theta containment join (DuckDB plans
+    // its IEJoin) — same result, different algorithm: the point of the
+    // grid plan is avoiding exactly this at scale.
+    "join_spatial_grid" ->
+      s"""WITH $ptsSql,
+         |boxes AS (
+         |  SELECT p_partkey AS box_id,
+         |    CAST('0x' || substring(md5('bx' || CAST(p_partkey AS VARCHAR)),
+         |      1, 8) AS BIGINT) % 9400 AS x0,
+         |    CAST('0x' || substring(md5('by' || CAST(p_partkey AS VARCHAR)),
+         |      1, 8) AS BIGINT) % 9400 AS y0
+         |  FROM part),
+         |rect AS (
+         |  SELECT box_id, x0, y0,
+         |    x0 + 100 + box_id % 400 AS x1,
+         |    y0 + 100 + (box_id * 7) % 400 AS y1
+         |  FROM boxes)
+         |SELECT box_id, count(*) AS n_points, min(event_id) AS first_event
+         |FROM pts JOIN rect
+         |  ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
+         |GROUP BY box_id
+         |ORDER BY box_id""".stripMargin,
+
+    "geo_grid_density" ->
+      s"""WITH $ptsSql
+         |SELECT x // 250 AS cx, y // 250 AS cy, count(*) AS n
+         |FROM pts
+         |GROUP BY cx, cy
+         |ORDER BY cx, cy""".stripMargin
+  )
+}
