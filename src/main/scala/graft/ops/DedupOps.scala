@@ -64,10 +64,13 @@ object DedupOps extends OpPack {
     * every shingle is boilerplate (df > K) has an empty capped set
     * and participates in no near-dup pair; such documents are covered
     * by `llm_dedup_exact` (identical copies),
-    * `llm_dedup_paragraph` (chunk-level repeats) and
+    * `llm_dedup_paragraph` (chunk-level repeats),
     * `llm_dedup_substr` (long shared runs inside otherwise-distinct
     * docs — aligned window fingerprints, no posting-list join, so no
-    * cap needed), and remain singleton clusters in the CC labelings. K = 128 sits far above
+    * cap needed) and `llm_dedup_prefix` (EXACT high-threshold Jaccard
+    * via AllPairs prefix filtering — sub-quadratic with NO gram
+    * dropped; see [[graft.operators.PrefixFilterJoin]]), and remain
+    * singleton clusters in the CC labelings. K = 128 sits far above
     * the observed max df at both test scales (7 at sf0.01, 25 at
     * sf0.1), so test results are byte-identical with or without the
     * cap. */
@@ -123,6 +126,25 @@ object DedupOps extends OpPack {
       pairCounts(s, dir)
         .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
         .filter(col("n_inter") * 20 >= col("n_union"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // EXACT Jaccard >= 0.8 near-dup join via AllPairs/PPJoin prefix
+    // filtering — the family's exactness-preserving scale path: unlike
+    // the DfCap index, NO gram and NO document is dropped from the
+    // similarity space; candidates come from each doc's
+    // (n - ceil(0.8n) + 1) globally-RAREST shingles only (theorem: a
+    // J>=tau pair must collide inside those prefixes under the shared
+    // df-ascending order), then every candidate is re-verified against
+    // the FULL shingle sets. The oracle brute-forces the uncapped
+    // inverted-index join — independently confirming that prefix
+    // pruning loses nothing. See PrefixFilterJoin for the scale bound.
+    "llm_dedup_prefix" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val cand = graft.operators.PrefixFilterJoin.candidatePairs(
+        sh, "doc_id", "sh", num = 4, den = 5)
+      MinHashLsh.verifyJaccard(cand, sh, "doc_id", "sh", num = 4, den = 5)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -623,6 +645,34 @@ object DedupOps extends OpPack {
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Brute-force UNCAPPED inverted-index Jaccard join: an algorithm
+    // the Spark side deliberately does NOT use — matching it proves
+    // the prefix filter dropped no qualifying pair.
+    "llm_dedup_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union
+        |FROM pair
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE n_inter * 5 >= (sa.n_sh + sb.n_sh - n_inter) * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_containment" ->
