@@ -50,6 +50,57 @@ class RunningUserAgg extends StatefulProcessor[Long, (Long, Long), TwsUpdate] {
   }
 }
 
+/** Session-close record emitted by the timer path only. */
+case class SessionClose(user: Long, nEvents: Long, closedAtMs: Long)
+
+/** Event-time SESSION tracking on timers: each key keeps an event
+  * count and re-arms one event-time timer at (max event ts + gap) as
+  * events arrive (old timer deleted — at most one armed per key);
+  * when the WATERMARK passes the armed expiry, `handleExpiredTimer`
+  * emits the close record and clears all state. This is the timer
+  * third of the arbitrary-state API (state, timers, TTL) — the shape
+  * of a CDC session cache or an online-feature staleness evictor:
+  * state is dropped by watermark progress, not by traffic on the key.
+  */
+class SessionOnTimers(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionClose] {
+  @transient private var n: ValueState[Long] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timers: TimerValues): Iterator[SessionClose] = {
+    var cnt = if (n.exists()) n.get() else 0L
+    var maxTs = Long.MinValue
+    rows.foreach { case (_, ts) =>
+      cnt += 1; maxTs = math.max(maxTs, ts.getTime) }
+    n.update(cnt)
+    val expiry = maxTs + gapMs
+    if (armed.exists()) {
+      val prev = armed.get()
+      if (expiry > prev) { getHandle.deleteTimer(prev) }
+      else { return Iterator.empty } // keep the later of the two
+    }
+    getHandle.registerTimer(expiry)
+    armed.update(expiry)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[SessionClose] = {
+    val out = SessionClose(key, if (n.exists()) n.get() else 0L,
+      expired.getExpiryTimeInMs)
+    n.clear(); armed.clear()
+    Iterator.single(out)
+  }
+}
+
 /** Pins the Spark 4 `transformWithState` arbitrary-state operator
   * end-to-end on the RocksDB state store (the only provider the API
   * supports): value + list state carried across micro-batches, one
@@ -90,6 +141,60 @@ class TransformWithStateSpec extends AnyFunSuite {
       // untouched-in-batch-2 key keeps its batch-1 emission only
       assert(last(2L).nEvents == 1L && last(2L).sumCents == 7L)
       assert(last(3L).nEvents == 1L && last(3L).sumCents == 2L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("event-time timers close sessions when the watermark passes the " +
+      "armed expiry, and expiry clears state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val out = input.toDS()
+        .withWatermark("_2", "10 seconds")
+        .groupByKey(_._1)
+        .transformWithState(new SessionOnTimers(gapMs = 30000L),
+          TimeMode.EventTime(), OutputMode.Update())
+      val q = out.writeStream.format("memory").queryName("tws_timers")
+        .outputMode("update").start()
+      // sessions: key 1 events at 10 s, 20 s (expiry 50 s);
+      // key 2 at 12 s (expiry 42 s)
+      input.addData((1L, ts(10)), (1L, ts(20)), (2L, ts(12)))
+      q.processAllAvailable()
+      // (9,100 s) advances the watermark to 90 s; the engine's
+      // trailing no-data batch then fires the armed timers for keys 1
+      // (expiry 50 s) and 2 (42 s). Key 9's own timer (130 s) survives.
+      input.addData((9L, ts(100)))
+      q.processAllAvailable()
+      val mid = spark.table("tws_timers").as[SessionClose].collect()
+      assert(mid.map(c => c.user -> ((c.nEvents, c.closedAtMs))).toMap ==
+        Map(1L -> ((2L, 50000L)), 2L -> ((1L, 42000L))))
+      // a second event for 9 at 200 s RE-ARMS its timer 130 s → 230 s
+      // (wm during the batch is 90 s, so 130 hasn't fired); wm then
+      // reaches 190 s < 230 s — still pending
+      input.addData((9L, ts(200)))
+      q.processAllAvailable()
+      assert(spark.table("tws_timers").count() == 2)
+      // wm passes 230 s → key 9 closes ONCE with the merged count
+      input.addData((8L, ts(300)))
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("tws_timers").as[SessionClose].collect()
+      val nine = all.filter(_.user == 9L)
+      assert(nine.length == 1 && nine.head.nEvents == 2L &&
+        nine.head.closedAtMs == 230000L)
+      // a fired timer cleared its state: no second close for 1 or 2
+      assert(all.count(_.user == 1L) == 1 && all.count(_.user == 2L) == 1)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
