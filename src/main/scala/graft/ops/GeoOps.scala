@@ -77,8 +77,49 @@ object GeoOps extends OpPack {
         .groupBy(expr(s"x div $Cell").as("cx"), expr(s"y div $Cell").as("cy"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("cx"), col("cy"))
+    }),
+
+    // Within-distance spatial SELF-join (L2 <= D): customers md5-placed
+    // on a 4000×4000 plane, pairs closer than D=60. Cell size == D, so
+    // any qualifying pair sits in the same or an adjacent cell: side A
+    // keeps its one home cell, side B replicates to its 3×3
+    // neighborhood, the join is a plain (cx,cy) hash equi-join with the
+    // exact integer dist² residual. Shuffle |A| + 9·|B|, never |A|·|B|;
+    // (a,b) can meet only in a's single home cell ⇒ no dedup needed.
+    // The oracle brute-forces the same result with a band theta join
+    // (DuckDB IEJoin) — viable at test scale, which is exactly what the
+    // grid plan replaces at 100 TB.
+    "geo_distance_join" -> ((s, dir) => {
+      val D = 60
+      val c = custPoints(s, dir)
+      val a = c.select(col("cust_id").as("id_a"), col("x").as("xa"),
+          col("y").as("ya"))
+        .withColumn("cx", expr(s"xa div $D"))
+        .withColumn("cy", expr(s"ya div $D"))
+      val b = c.select(col("cust_id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"))
+        .withColumn("cx", explode(expr(s"sequence(xb div $D - 1, xb div $D + 1)")))
+        .withColumn("cy", explode(expr(s"sequence(yb div $D - 1, yb div $D + 1)")))
+      a.join(b, Seq("cx", "cy"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("dist2") <= lit(D * D))
+        .select(col("id_a"), col("id_b"), col("dist2"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** Derived customer points on a DENSER 4000×4000 plane (constant
+    * expected pair density across scale factors). */
+  private def custPoints(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey").as("cust_id"),
+        expr("CAST(conv(substring(md5(concat('cp', CAST(c_custkey AS " +
+          "STRING))), 1, 8), 16, 10) AS BIGINT) % 4000").as("x"),
+        expr("CAST(conv(substring(md5(concat('cq', CAST(c_custkey AS " +
+          "STRING))), 1, 8), 16, 10) AS BIGINT) % 4000").as("y"))
 
   private val ptsSql =
     """pts AS (
@@ -118,6 +159,26 @@ object GeoOps extends OpPack {
          |SELECT x // 250 AS cx, y // 250 AS cy, count(*) AS n
          |FROM pts
          |GROUP BY cx, cy
-         |ORDER BY cx, cy""".stripMargin
+         |ORDER BY cx, cy""".stripMargin,
+
+    // Band theta join (IEJoin) — the quadratic-ish plan the grid
+    // decomposition exists to avoid; same result proves the 3×3
+    // neighborhood loses no pair.
+    "geo_distance_join" ->
+      """WITH cp AS (
+        |  SELECT c_custkey AS cust_id,
+        |    CAST('0x' || substring(md5('cp' || CAST(c_custkey AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 4000 AS x,
+        |    CAST('0x' || substring(md5('cq' || CAST(c_custkey AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 4000 AS y
+        |  FROM customer)
+        |SELECT a.cust_id AS id_a, b.cust_id AS id_b,
+        |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+        |FROM cp a JOIN cp b
+        |  ON a.cust_id < b.cust_id
+        |  AND b.x BETWEEN a.x - 60 AND a.x + 60
+        |  AND b.y BETWEEN a.y - 60 AND a.y + 60
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
