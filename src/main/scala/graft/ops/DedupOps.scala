@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.operators.{MinHashLsh, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalable near-duplicate detection suite over `documents` (the
@@ -316,6 +317,44 @@ object DedupOps extends OpPack {
               .as("pr"))
       }
       pr.orderBy(col("doc_id"))
+    }),
+
+    // Synchronous label-propagation community detection (Raghavan et
+    // al. 2007) over the near-dup graph, 3 rounds, FULLY deterministic:
+    // every node starts as its own label; each round it adopts the
+    // most frequent label among its neighbors with the tie broken by
+    // smallest label (a strict total order — classic LPA's random
+    // tie-break would be irreproducible across partitionings);
+    // neighborless nodes keep their own id. Unlike the CC labelings
+    // (pure reachability) LPA is density-driven: two clusters bridged
+    // by one spurious near-dup edge stay separate communities because
+    // votes, not connectivity, decide. Per round: one neighbor-label
+    // hash join (O(E)), one per-node vote agg, one window bounded by
+    // degree — pagerank's exact shuffle shape, nothing
+    // corpus-quadratic; fixed 3 rounds keeps the plan statically
+    // unrolled (no convergence action needed at any scale).
+    "llm_communities" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val nodes = Tables(s, dir, "documents").select(col("doc_id"))
+      var lab = nodes.withColumn("lbl", col("doc_id"))
+      for (_ <- 1 to 3) {
+        val votes = edges
+          .join(lab.select(col("doc_id").as("v"), col("lbl")), "v")
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
+        val best = votes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("u"))
+              .orderBy(desc("n"), asc("lbl"))))
+          .filter(col("rk") === 1)
+          .select(col("u").as("doc_id"), col("lbl").as("won"))
+        lab = nodes.join(best, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("won"), col("doc_id")).as("lbl"))
+      }
+      lab.select(col("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))
     }),
 
     // Triangle census of the near-dup graph: triangles vs open wedges
@@ -771,6 +810,37 @@ object DedupOps extends OpPack {
         |FROM cs GROUP BY size ORDER BY size""".stripMargin),
     "llm_dedup_keep" -> dedupKeepSql,
     "llm_pagerank" -> pagerankSql,
+
+    // 3 unrolled LPA rounds — the same deterministic
+    // (count desc, label asc) vote, written independently.
+    "llm_communities" -> (closureCtes + ",\n" +
+      """l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+        |v1 AS (SELECT e.u AS id, l.lbl, count(*) AS n
+        |       FROM edge e JOIN l0 l ON l.id = e.v GROUP BY 1, 2),
+        |b1 AS (SELECT id, lbl FROM (
+        |         SELECT id, lbl, row_number() OVER
+        |           (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rk
+        |         FROM v1) WHERE rk = 1),
+        |l1 AS (SELECT d.doc_id AS id, coalesce(b1.lbl, d.doc_id) AS lbl
+        |       FROM documents d LEFT JOIN b1 ON d.doc_id = b1.id),
+        |v2 AS (SELECT e.u AS id, l.lbl, count(*) AS n
+        |       FROM edge e JOIN l1 l ON l.id = e.v GROUP BY 1, 2),
+        |b2 AS (SELECT id, lbl FROM (
+        |         SELECT id, lbl, row_number() OVER
+        |           (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rk
+        |         FROM v2) WHERE rk = 1),
+        |l2 AS (SELECT d.doc_id AS id, coalesce(b2.lbl, d.doc_id) AS lbl
+        |       FROM documents d LEFT JOIN b2 ON d.doc_id = b2.id),
+        |v3 AS (SELECT e.u AS id, l.lbl, count(*) AS n
+        |       FROM edge e JOIN l2 l ON l.id = e.v GROUP BY 1, 2),
+        |b3 AS (SELECT id, lbl FROM (
+        |         SELECT id, lbl, row_number() OVER
+        |           (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rk
+        |         FROM v3) WHERE rk = 1)
+        |SELECT d.doc_id, CAST(coalesce(b3.lbl, d.doc_id) AS BIGINT)
+        |  AS community
+        |FROM documents d LEFT JOIN b3 ON d.doc_id = b3.id
+        |ORDER BY doc_id""".stripMargin),
 
     "llm_graph_degree" -> (closureCtes + ",\n" +
       """dg AS (SELECT id, count(*) AS degree FROM (

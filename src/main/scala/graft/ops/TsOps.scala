@@ -110,6 +110,47 @@ object TsOps extends OpPack {
     // on the already-aggregated week frame — bounded by the calendar
     // (~350 rows here, never corpus-proportional), which is the
     // declared contract for partition-less windows in this engine.
+    // Linear-interpolation resampling onto the regular daily grid
+    // (win_gapfill's LOCF sibling — telemetry wants the trend line,
+    // not a step function). Daily per-user cent totals; the grid is
+    // clipped to each user's own [first, last] observed day (interior
+    // interpolation only — no extrapolation, declared), and gap days
+    // get p + (n−p)·Δt div span in exact integer cents (div truncates
+    // toward zero identically in both engines, including negative
+    // slopes). Bracketing observations come from two ignoreNulls
+    // window passes over the SAME user_id exchange — O(1) state per
+    // row, spine bounded by keys × calendar, never event-proportional.
+    "ts_resample_linear" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val b = e.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi")).collect()(0)
+      val grid = e.select(col("user_id")).distinct()
+        .withColumn("day", explode(sequence(
+          lit(b.getAs[java.sql.Date]("lo")),
+          lit(b.getAs[java.sql.Date]("hi")),
+          expr("interval 1 day"))))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("obs_day", when(col("cents").isNotNull, col("day")))
+        .withColumn("p_day", last(col("obs_day"), ignoreNulls = true).over(wb))
+        .withColumn("p_val", last(col("cents"), ignoreNulls = true).over(wb))
+        .withColumn("n_day", first(col("obs_day"), ignoreNulls = true).over(wf))
+        .withColumn("n_val", first(col("cents"), ignoreNulls = true).over(wf))
+        .filter(col("p_day").isNotNull && col("n_day").isNotNull)
+        .withColumn("value_interp", when(col("cents").isNotNull, col("cents"))
+          .otherwise(expr("p_val + ((n_val - p_val) * " +
+            "datediff(day, p_day)) div datediff(n_day, p_day)")))
+        .withColumn("was_observed", col("cents").isNotNull)
+        .select(col("user_id"), col("day"), col("value_interp"),
+          col("was_observed"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "ts_period_delta" -> ((s, dir) => {
       val w = Window.orderBy(col("wk"))
       Tables(s, dir, "orders")
@@ -160,6 +201,46 @@ object TsOps extends OpPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "ts_resample_linear" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        |  FROM events
+        |), u AS (SELECT DISTINCT user_id FROM events),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |grid AS (SELECT user_id, day FROM u CROSS JOIN spine),
+        |g AS (
+        |  SELECT grid.user_id, grid.day, daily.cents,
+        |    CASE WHEN daily.cents IS NOT NULL THEN grid.day END AS obs_day
+        |  FROM grid LEFT JOIN daily
+        |    ON grid.user_id = daily.user_id AND grid.day = daily.day),
+        |f AS (
+        |  SELECT user_id, day, cents,
+        |    last_value(obs_day IGNORE NULLS) OVER wb AS p_day,
+        |    last_value(cents IGNORE NULLS) OVER wb AS p_val,
+        |    first_value(obs_day IGNORE NULLS) OVER wf AS n_day,
+        |    first_value(cents IGNORE NULLS) OVER wf AS n_val
+        |  FROM g
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |    ELSE p_val + ((n_val - p_val) *
+        |      datediff('day', p_day, day)) // datediff('day', p_day, n_day)
+        |  END AS BIGINT) AS value_interp,
+        |  cents IS NOT NULL AS was_observed
+        |FROM f
+        |WHERE p_day IS NOT NULL AND n_day IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin,
+
     "ts_ohlc" ->
       s"""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          |  arg_min(${Tables.sql.money("value")}, event_id) AS open,
