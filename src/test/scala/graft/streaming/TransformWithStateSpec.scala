@@ -101,6 +101,41 @@ class SessionOnTimers(gapMs: Long)
   }
 }
 
+/** Per-key map snapshot after each batch; counts rendered as sorted
+  * "etype:n" strings so assertion order is stable. */
+case class TypeCounts(user: Long, counts: Seq[String])
+
+/** MapState + INITIAL STATE: per-user per-event-type counters
+  * warm-started from a batch snapshot Dataset — the CDC bootstrap
+  * shape (batch `cdc_snapshot_latest` result seeds the stream state,
+  * then the live stream continues from it, no reprocessing of
+  * history). `handleInitialState` is invoked once per initial-state
+  * row BEFORE any input; "-etype" inputs exercise `removeKey`.
+  */
+class CountsFromSnapshot extends StatefulProcessorWithInitialState[
+    Long, (Long, String), TypeCounts, (Long, String, Long)] {
+  @transient private var m: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    m = getHandle.getMapState[String, Long]("m", Encoders.STRING,
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initial: (Long, String, Long),
+      timers: TimerValues): Unit =
+    m.updateValue(initial._2, initial._3)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[TypeCounts] = {
+    rows.foreach { case (_, et) =>
+      if (et.startsWith("-")) m.removeKey(et.drop(1))
+      else m.updateValue(et,
+        (if (m.containsKey(et)) m.getValue(et) else 0L) + 1L)
+    }
+    Iterator.single(TypeCounts(key,
+      m.iterator().map { case (k, v) => s"$k:$v" }.toSeq.sorted))
+  }
+}
+
 /** Pins the Spark 4 `transformWithState` arbitrary-state operator
   * end-to-end on the RocksDB state store (the only provider the API
   * supports): value + list state carried across micro-batches, one
@@ -141,6 +176,51 @@ class TransformWithStateSpec extends AnyFunSuite {
       // untouched-in-batch-2 key keeps its batch-1 emission only
       assert(last(2L).nEvents == 1L && last(2L).sumCents == 7L)
       assert(last(3L).nEvents == 1L && last(3L).sumCents == 2L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("MapState warm-starts from a batch snapshot via initial state, " +
+      "then the stream continues from it") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // the batch snapshot a CDC materialization would have produced
+      val snapshot = Seq((1L, "click", 5L), (1L, "buy", 2L),
+          (3L, "view", 9L))
+        .toDS().groupByKey(_._1)
+      val input = MemoryStream[(Long, String)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new CountsFromSnapshot, TimeMode.None(),
+          OutputMode.Update(), snapshot)
+      val q = out.writeStream.format("memory").queryName("tws_init")
+        .outputMode("update").start()
+      input.addData((1L, "click"), (2L, "buy"))
+      q.processAllAvailable()
+      input.addData((1L, "-buy"), (3L, "view"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_init").as[TypeCounts].collect()
+      val last = rows.groupBy(_.user).map { case (u, rs) =>
+        u -> rs.last.counts }
+      // warm-started 5 + 1 live click; removeKey dropped buy in b2
+      // (set-compare: memory-sink row order across batches is not
+      // contractual)
+      assert(rows.filter(_.user == 1L).map(_.counts).toSet ==
+        Set(Seq("buy:2", "click:6"), Seq("click:6")))
+      // no initial state for key 2: counts start at zero
+      assert(last(2L) == Seq("buy:1"))
+      // initial state on a key first touched in batch 2 still applies
+      assert(last(3L) == Seq("view:10"))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
