@@ -43,6 +43,14 @@ object Tables {
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Driver testdata switched from TIMESTAMP(NANOS) to plain
+          // µs parquet (isAdjustedToUTC=false ⇒ Spark reads NTZ).
+          // Normalize to TimestampType under the UTC session zone so
+          // unix_micros()/zone-aware functions keep working and the
+          // values are the SAME instants the nanos path produced.
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
