@@ -409,6 +409,51 @@ object AggOps extends OpPack {
         .orderBy(col("event_type"))
     }),
 
+    // Audience-overlap matrix on the SAME mergeable bitmap state as
+    // agg_bitmap_distinct: exact |A∩B| per event-type pair WITHOUT a
+    // user-level pair join, via inclusion-exclusion on per-(type,
+    // 32k-bucket) bitmaps — |A∩B| = |A| + |B| − |A∪B|, union from the
+    // built-in bitmap_or_agg. The fact table is scanned ONCE into
+    // |types|×|buckets| KB-sized bitmaps; every pairwise overlap is
+    // then bitmap algebra on that summary (bucket-co-partitioned
+    // join, rows ∝ pairs×buckets, payload bytes not user ids) — at
+    // 100 TB the user-exploded alternative shuffles the fact twice
+    // per pair. Pairs sharing no user are dropped (declared; matches
+    // the oracle's inner join). Jaccard in integer permille.
+    "agg_bitmap_overlap" -> ((s, dir) => {
+      val bm = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      val tot = bm.groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n"))
+      val l = bm.select(col("event_type").as("type_a"), col("bucket"),
+        col("bm").as("bm_a"))
+      val r = bm.select(col("event_type").as("type_b"), col("bucket"),
+        col("bm").as("bm_b"))
+      l.join(r, Seq("bucket")).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("bucket"),
+          (expr("bitmap_count(bm_a)") + expr("bitmap_count(bm_b)"))
+            .as("s_ab"),
+          explode(array(col("bm_a"), col("bm_b"))).as("x"))
+        .groupBy(col("type_a"), col("type_b"), col("bucket"))
+        .agg(first(col("s_ab")).as("s_ab"),
+          expr("bitmap_count(bitmap_or_agg(x))").as("u"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(col("s_ab") - col("u")).as("n_overlap"))
+        .filter(col("n_overlap") > 0)
+        .join(broadcast(tot.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(tot.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .withColumn("jaccard_permille",
+          expr("(n_overlap * 1000) div (n_a + n_b - n_overlap)"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_overlap"), col("jaccard_permille"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Winsorized robust statistics: per-group p05/p95 thresholds
     // (exact order statistics, broadcast back) clip the tails before
     // aggregating — the outlier-robust mean/total a data-quality
@@ -742,6 +787,25 @@ object AggOps extends OpPack {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "agg_bitmap_overlap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+        |ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_overlap
+        |  FROM du a JOIN du b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+        |  CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  CAST((n_overlap * 1000) // (ta.n + tb.n - n_overlap)
+        |    AS BIGINT) AS jaccard_permille
+        |FROM ov JOIN tot ta ON type_a = ta.event_type
+        |        JOIN tot tb ON type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "agg_winsorize" ->
       s"""WITH th AS (

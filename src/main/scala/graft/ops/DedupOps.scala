@@ -253,6 +253,65 @@ object DedupOps extends OpPack {
         .orderBy(col("size"))
     }),
 
+    // SoftDeDup-style duplicate DOWN-WEIGHTING (the remove-nothing
+    // alternative: train-time example weight 1/cluster_size instead
+    // of dropping copies — preserves coverage while neutralizing
+    // template mass). Rides the memoized CC labels; marginal cost is
+    // one size agg + one key join; weight in integer ppm (truncating
+    // div, engines identical). Singletons weigh 10⁶.
+    "llm_dedup_weight" -> ((s, dir) => {
+      val lbl = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(ccLabels(s, dir), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = lbl.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      lbl.join(sizes, "cluster_id")
+        .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("weight_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bounded-hop reachability (multi-source BFS, 3 rounds) from a
+    // scale-free seed set (doc_id % 97) over the near-dup graph — the
+    // "blast radius" audit: if these documents are contaminated /
+    // recalled, what's within 3 duplicate-hops? Each round is one
+    // frontier semi-join + distinct + anti-join vs reached — O(E) per
+    // round, fixed rounds, no driver convergence loop (the same
+    // doctrine as llm_communities / kcore). Unreached docs drop out
+    // (declared). | dist | is exact: a node enters at its true BFS
+    // level because earlier levels are anti-joined away.
+    "llm_graph_bfs" -> ((s, dir) => {
+      val e0 = nearDupPairs(s, dir)
+      val sym = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val seeds = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("id"))
+      // Each level is eagerly localCheckpoint'ed (tiny id frames):
+      // without it the level-i plan re-derives every earlier level
+      // once per later anti-join — 6 recomputes across 3 rounds (the
+      // AnnIvf k-means|| pattern; measured 8.1 s → checkpointed ~1 s
+      // at sf0.1).
+      var levels = List(seeds.localCheckpoint(true))
+      for (_ <- 1 to 3) {
+        val prev = levels.head
+        val anti = levels.reduce(_ union _)
+        val next = sym
+          .join(prev.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .select(col("v").as("id")).distinct()
+          .join(anti, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        levels = next :: levels
+      }
+      levels.reverse.zipWithIndex
+        .map { case (df, i) => df.withColumn("dist", lit(i)) }
+        .reduce(_ union _)
+        .select(col("id").as("doc_id"), col("dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Same cluster assignment, computed by large-star/small-star
     // contraction ([[graft.operators.BigStarCC]]) instead of label
     // propagation: O(log n) rounds independent of component diameter —
@@ -297,6 +356,30 @@ object DedupOps extends OpPack {
         .groupBy(col("degree"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("degree"))
+    }),
+
+    // 2-core of the near-dup graph by 3 fixed peel rounds (each:
+    // drop nodes of degree < 2, restrict edges to survivors) — the
+    // "dense duplicate neighborhoods" extractor: pendant docs that
+    // merely touch a cluster peel away, leaving the template-farm
+    // cores that degree alone overstates. Fixed-round semantics like
+    // llm_communities (a full peel iterates to a fixpoint; 3 rounds
+    // is the declared contract, enough for every test corpus — and
+    // each round is one hash agg + two key-co-partitioned semi-joins
+    // on the SAME u/v keys, O(E) per round, no driver loop, no
+    // convergence action). Rides the shared persisted pair frame.
+    "llm_graph_kcore" -> ((s, dir) => {
+      val e0 = nearDupPairs(s, dir)
+      val sym = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = kcorePeel(sym, k = 2, rounds = 3)
+        .groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(deg, col("doc_id") === col("u"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+          col("u").isNotNull.as("in_core2"))
+        .orderBy(col("doc_id"))
     }),
 
     "llm_pagerank" -> ((s, dir) => {
@@ -577,6 +660,25 @@ object DedupOps extends OpPack {
         .withColumnRenamed("id", "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Fixed-round k-core peel over a SYMMETRIC (u, v) edge frame: each
+    * round drops nodes of degree < k and restricts edges to the
+    * survivors (one hash agg + two semi-joins on the same keys,
+    * O(E)/round). Returns the surviving edge frame after `rounds`
+    * rounds — shared by llm_graph_kcore and the KCoreSpec property
+    * pin (pendant chains peel, cliques survive). */
+  private[graft] def kcorePeel(sym: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var edges = sym
+    for (_ <- 1 to rounds) {
+      val surv = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      edges = edges.join(surv, Seq("u"), "left_semi")
+        .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+    }
+    edges
+  }
+
   /** The J≥0.05 3-gram-Jaccard near-dup pair graph (doc_a < doc_b),
     * shared by both connected-components variants. Integer-only
     * threshold: n_inter·20 ≥ union. */
@@ -795,6 +897,47 @@ object DedupOps extends OpPack {
     // Both CC variants must produce this same closure.
     "llm_dedup_cluster" -> clusterClosureSql,
     "llm_cc_bigstar" -> clusterClosureSql,
+
+    "llm_dedup_weight" -> (closureCtes +
+      """,
+        |asg AS (
+        |  SELECT d.doc_id, coalesce(m.cl, d.doc_id) AS cluster_id
+        |  FROM documents d
+        |  LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
+        |    ON d.doc_id = m.u
+        |), cs AS (
+        |  SELECT cluster_id, count(*) AS csize
+        |  FROM asg GROUP BY cluster_id)
+        |SELECT asg.doc_id, CAST(asg.cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(csize AS BIGINT) AS cluster_size,
+        |  CAST(1000000 // csize AS BIGINT) AS weight_ppm
+        |FROM asg JOIN cs USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "llm_graph_bfs" -> (closureCtes + ",\n" +
+      """seeds AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+        |n1 AS (
+        |  SELECT DISTINCT e.v AS id FROM edge e
+        |  JOIN seeds s ON e.u = s.id
+        |  WHERE e.v NOT IN (SELECT id FROM seeds)),
+        |n2 AS (
+        |  SELECT DISTINCT e.v AS id FROM edge e
+        |  JOIN n1 ON e.u = n1.id
+        |  WHERE e.v NOT IN (SELECT id FROM seeds)
+        |    AND e.v NOT IN (SELECT id FROM n1)),
+        |n3 AS (
+        |  SELECT DISTINCT e.v AS id FROM edge e
+        |  JOIN n2 ON e.u = n2.id
+        |  WHERE e.v NOT IN (SELECT id FROM seeds)
+        |    AND e.v NOT IN (SELECT id FROM n1)
+        |    AND e.v NOT IN (SELECT id FROM n2))
+        |SELECT id AS doc_id, dist FROM (
+        |  SELECT id, 0 AS dist FROM seeds
+        |  UNION ALL SELECT id, 1 FROM n1
+        |  UNION ALL SELECT id, 2 FROM n2
+        |  UNION ALL SELECT id, 3 FROM n3)
+        |ORDER BY doc_id""".stripMargin),
     "llm_dedup_stats" -> (closureCtes +
       """,
         |asg AS (
@@ -840,6 +983,23 @@ object DedupOps extends OpPack {
         |SELECT d.doc_id, CAST(coalesce(b3.lbl, d.doc_id) AS BIGINT)
         |  AS community
         |FROM documents d LEFT JOIN b3 ON d.doc_id = b3.id
+        |ORDER BY doc_id""".stripMargin),
+
+    "llm_graph_kcore" -> (closureCtes + ",\n" +
+      """s1 AS (SELECT u FROM edge GROUP BY u HAVING count(*) >= 2),
+        |e1 AS (SELECT e.u, e.v FROM edge e
+        |       JOIN s1 a ON e.u = a.u JOIN s1 b ON e.v = b.u),
+        |s2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
+        |e2 AS (SELECT e.u, e.v FROM e1 e
+        |       JOIN s2 a ON e.u = a.u JOIN s2 b ON e.v = b.u),
+        |s3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
+        |e3 AS (SELECT e.u, e.v FROM e2 e
+        |       JOIN s3 a ON e.u = a.u JOIN s3 b ON e.v = b.u),
+        |dg AS (SELECT u, count(*) AS core_degree FROM e3 GROUP BY u)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(dg.core_degree, 0) AS BIGINT) AS core_degree,
+        |  dg.u IS NOT NULL AS in_core2
+        |FROM documents d LEFT JOIN dg ON d.doc_id = dg.u
         |ORDER BY doc_id""".stripMargin),
 
     "llm_graph_degree" -> (closureCtes + ",\n" +

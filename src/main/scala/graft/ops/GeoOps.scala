@@ -108,6 +108,42 @@ object GeoOps extends OpPack {
         .filter(col("dist2") <= lit(D * D))
         .select(col("id_a"), col("id_b"), col("dist2"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Bounded nearest-neighbor (the "nearest POI within D" lookup):
+    // for each point, its closest OTHER point at L2 ≤ D=60, exact by
+    // the same 3×3-cell argument as geo_distance_join (any qualifying
+    // neighbor sits in an adjacent cell; points with none in range
+    // drop out — declared: unbounded nearest needs an expanding-ring
+    // search, the D-bounded form is the one that grid-joins at
+    // 100 TB). Ranking is (dist², id) per home point over the
+    // density-bounded candidate set — row_number()==1 collapses to
+    // WindowGroupLimit, so no candidate list ever materializes past
+    // the per-partition top-1 heap. Ties break on id ascending:
+    // deterministic in both engines.
+    "geo_nearest" -> ((s, dir) => {
+      val D = 60
+      val c = custPoints(s, dir)
+      val a = c.select(col("cust_id").as("id_a"), col("x").as("xa"),
+          col("y").as("ya"))
+        .withColumn("cx", expr(s"xa div $D"))
+        .withColumn("cy", expr(s"ya div $D"))
+      val b = c.select(col("cust_id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"))
+        .withColumn("cx", explode(expr(s"sequence(xb div $D - 1, xb div $D + 1)")))
+        .withColumn("cy", explode(expr(s"sequence(yb div $D - 1, yb div $D + 1)")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a")).orderBy(col("dist2"), col("id_b"))
+      a.join(b, Seq("cx", "cy"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("dist2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("dist2") <= lit(D * D))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_a"), col("id_b").as("nearest_id"), col("dist2"))
+        .orderBy(col("id_a"))
     })
   )
 
@@ -179,6 +215,30 @@ object GeoOps extends OpPack {
         |  AND b.x BETWEEN a.x - 60 AND a.x + 60
         |  AND b.y BETWEEN a.y - 60 AND a.y + 60
         |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "geo_nearest" ->
+      """WITH cp AS (
+        |  SELECT c_custkey AS cust_id,
+        |    CAST('0x' || substring(md5('cp' || CAST(c_custkey AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 4000 AS x,
+        |    CAST('0x' || substring(md5('cq' || CAST(c_custkey AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 4000 AS y
+        |  FROM customer),
+        |cand AS (
+        |  SELECT a.cust_id AS id_a, b.cust_id AS id_b,
+        |    CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+        |      AS dist2
+        |  FROM cp a JOIN cp b
+        |    ON a.cust_id <> b.cust_id
+        |    AND b.x BETWEEN a.x - 60 AND a.x + 60
+        |    AND b.y BETWEEN a.y - 60 AND a.y + 60
+        |    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600),
+        |r AS (
+        |  SELECT id_a, id_b, dist2, row_number() OVER
+        |    (PARTITION BY id_a ORDER BY dist2, id_b) AS rn
+        |  FROM cand)
+        |SELECT id_a, id_b AS nearest_id, dist2
+        |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin
   )
 }

@@ -429,6 +429,62 @@ object JoinOps extends OpPack {
     // 100 TB everything rides ONE user_id shuffle (first-week agg,
     // distinct activity, the user-level join), then collapses to a
     // |weeks|² matrix joined to a broadcast cohort-size frame.
+    // Market-basket affinity (association-rule mining, the top-100
+    // report): distinct (order, part) items self-joined ON THE SAME
+    // orderkey shuffle key (co-partitioned — pair expansion is
+    // basket-size², bounded by TPC-H's ~7-line orders, never corpus²),
+    // pair counts + per-part counts + lift in integer ppm
+    // (n_ab·N·10⁶ div (n_a·n_b), HUGEINT/decimal products). Top-100 by
+    // (count desc, pair asc) is TakeOrderedAndProject — bounded
+    // driver result at any scale. The 1-row basket total broadcasts
+    // (allowlisted scalar-gate shape).
+    "composite_basket" -> ((s, dir) => {
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+      val a = items.select(col("ok"), col("pk").as("p_a"))
+      val b = items.select(col("ok"), col("pk").as("p_b"))
+      a.join(b, Seq("ok")).filter(col("p_a") < col("p_b"))
+        .groupBy(col("p_a"), col("p_b")).agg(count(lit(1)).as("n_ab"))
+        .join(cnt.select(col("pk").as("p_a"), col("n_p").as("n_a")), "p_a")
+        .join(cnt.select(col("pk").as("p_b"), col("n_p").as("n_b")), "p_b")
+        .crossJoin(broadcast(n))
+        .withColumn("lift_ppm", expr(
+          "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+        .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"),
+          col("n_b"), col("lift_ppm"))
+        .orderBy(col("n_ab").desc, col("p_a"), col("p_b"))
+        .limit(100)
+    }),
+
+    // Last-touch marketing attribution: each purchase's revenue is
+    // credited to the most recent PRECEDING non-purchase event of the
+    // same user (event_id order; `last(..., ignoreNulls)` over an
+    // UNBOUNDED..−1 PRECEDING frame — O(1) running state per row, not
+    // a per-row rescan), purchases with no prior touch credit
+    // 'direct'. One user_id exchange + one tiny hash agg by channel:
+    // the attribution report over a 100 TB clickstream is a windowed
+    // scan. Exact cents throughout.
+    "composite_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("chan", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("chan"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_c"))
+        .orderBy(col("channel"))
+    }),
+
     "composite_retention" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
@@ -715,6 +771,40 @@ object JoinOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "composite_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+        |cnt AS (SELECT pk, count(*) AS n_p FROM items GROUP BY pk),
+        |pr AS (
+        |  SELECT a.pk AS p_a, b.pk AS p_b, count(*) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT p_a, p_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(ca.n_p AS BIGINT) AS n_a, CAST(cb.n_p AS BIGINT) AS n_b,
+        |  CAST((CAST(n_ab AS HUGEINT) * (SELECT n_baskets FROM n)
+        |        * 1000000)
+        |    // (CAST(ca.n_p AS HUGEINT) * cb.n_p) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN cnt ca ON p_a = ca.pk JOIN cnt cb ON p_b = cb.pk
+        |ORDER BY n_ab DESC, p_a, p_b LIMIT 100""".stripMargin,
+
+    "composite_attribution" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS chan
+        |  FROM events)
+        |SELECT coalesce(chan, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_c
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
     "join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

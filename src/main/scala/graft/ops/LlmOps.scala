@@ -335,6 +335,35 @@ object LlmOps extends OpPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Johnson-Lindenstrauss sign random projection 64→16 dims
+    // (Achlioptas 2003: ±1 entries preserve pairwise distances in
+    // expectation with no Gaussians) over the exact micro-unit
+    // representation. The "random" matrix is a PURE FUNCTION of
+    // (input dim, output dim) via md5 first-hex-digit parity — no
+    // seed state, no stored matrix, both engines derive the same ±1
+    // — so the projection is deterministic, mergeable, and needs
+    // zero driver coordination. Entirely narrow nested array
+    // expressions (zip_with index + aggregate per output dim): at
+    // 100 TB the dimensionality reduction is a scan-speed map with
+    // NO shuffle and no broadcast — the cheap front half of an
+    // ANN/cluster pipeline (project, then index 4× less data).
+    "llm_vec_project" -> ((s, dir) => {
+      val sgn = "CASE WHEN substr(md5(concat(CAST(p.i AS STRING), '_', " +
+        "CAST(j AS STRING))), 1, 1) IN " +
+        "('0','1','2','3','4','5','6','7') THEN p.v ELSE -p.v END"
+      Tables(s, dir, "embeddings")
+        .withColumn("xu", expr(
+          "transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .withColumn("proj_u", expr(
+          "transform(sequence(0, 15), j -> aggregate(" +
+            "zip_with(xu, sequence(0, size(xu) - 1), " +
+            "(v, i) -> named_struct('v', v, 'i', i)), " +
+            s"0L, (acc, p) -> acc + ($sgn)))"))
+        .select(col("vec_id"), col("proj_u"))
+        .orderBy(col("vec_id"))
+    }),
+
     "llm_lang_partition" -> ((s, dir) => {
       // Skew-aware two-stage aggregation: pre-aggregate on a salted
       // key, then combine — the partial results are tiny regardless of
@@ -485,6 +514,29 @@ object LlmOps extends OpPack {
         |  CAST(list_sum(list_transform(q8, v -> abs(v))) AS BIGINT)
         |    AS l1_q
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "llm_vec_project" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS xu
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(xu, 1) - 1 AS i,
+        |    unnest(xu) AS v
+        |  FROM u),
+        |js AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |p AS (
+        |  SELECT vec_id, j,
+        |    sum(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' ||
+        |          CAST(j AS VARCHAR)), 1, 1)
+        |          IN ('0','1','2','3','4','5','6','7')
+        |        THEN v ELSE -v END) AS o
+        |  FROM e CROSS JOIN js GROUP BY vec_id, j)
+        |SELECT vec_id, list(CAST(o AS BIGINT) ORDER BY j) AS proj_u
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "llm_lang_partition" ->
       """SELECT lang, count(*) AS n_docs,

@@ -232,14 +232,86 @@ object SketchOps extends OpPack {
           (col("est_count") - coalesce(col("true_count"), lit(0L)))
             .as("overshoot"))
         .orderBy(col("l_suppkey"))
+    }),
+
+    // AMS (Alon-Matias-Szegedy 1996) second-frequency-moment sketch:
+    // F2 = Σ_v f_v² (self-join size / skew mass of the key) estimated
+    // from 16 ±1-signed counters built in ONE pass ([[amsCounters]] —
+    // no groupBy on the key, constant state), then median-of-4-means
+    // over the squared counters. The 4-value median uses the
+    // sort-free identity (Σ − min − max) div 2. Deterministic
+    // md5-derived signs (rule: derandomized sketches carry REAL
+    // oracles — same doctrine as sample_hash's md5 coin), so the
+    // estimate, the exact F2 and the signed error are all
+    // hash-checked against DuckDB. Integer-exact under decimal(38,0)
+    // up to counter² < 2⁶³ (≈3·10⁹ rows per sketch — beyond that,
+    // widen the fixed point; declared bound). At 100 TB: the exact F2
+    // needs a full key shuffle; the sketch needs 16 longs.
+    "agg_sketch_ams" -> ((s, dir) => {
+      val base = Tables(s, dir, "events").select(col("user_id"))
+      val exact = base.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)")
+          .as("f2_exact"))
+      val ctr = base.agg(amsCounters(0),
+        (1 until 16).map(amsCounters): _*)
+      val est = ctr
+        .selectExpr("stack(16, " +
+          (0 until 16).map(r => s"$r, c$r").mkString(", ") + ") AS (r, c)")
+        .groupBy(expr("r div 4").as("g"))
+        .agg(expr("sum(CAST(c AS DECIMAL(38,0)) * c) div 4").as("m"))
+        .agg(expr("CAST((sum(m) - min(m) - max(m)) div 2 AS BIGINT)")
+          .as("f2_est"))
+      exact.crossJoin(est)
+        .select(col("f2_exact"), col("f2_est"),
+          expr("CAST(((f2_est - f2_exact) * 1000) div f2_exact " +
+            "AS BIGINT)").as("err_permille"))
     })
   )
+
+  /** Sum of 16 deterministic AMS ±1 counters built in ONE scan: each
+    * counter r sums sign(md5(user_id, r)) over all rows — a plain
+    * map-side-combined aggregate whose shuffle is 16 longs per map
+    * partition. The "random" signs are a pure function of (key, r),
+    * so the sketch is deterministic, mergeable (counters add), and
+    * identically derivable in DuckDB — which is what makes this the
+    * one frequency-moment sketch with a REAL hash oracle. */
+  private def amsCounters(r: Int): Column =
+    sum(expr("CASE WHEN substr(md5(concat(CAST(user_id AS STRING), " +
+      s"'_$r')), 1, 1) IN ('0','1','2','3','4','5','6','7') " +
+      "THEN 1L ELSE -1L END")).as(s"c$r")
 
   // agg_sketch_bloom / agg_sketch_cms are approximate by design —
   // rows-only checks (rule ③); properties pinned in SketchSpec.
   // join_bloom_prefilter is EXACT (the join verifies the sketch), so
   // its oracle is the plain join.
   def oracle: Map[String, String] = Map(
+    "agg_sketch_ams" ->
+      """WITH ex AS (
+        |  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT)
+        |    AS f2_exact
+        |  FROM (SELECT count(*) AS c FROM events GROUP BY user_id)),
+        |rs AS (SELECT unnest(generate_series(0, 15)) AS r),
+        |ctr AS (
+        |  SELECT r,
+        |    sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+        |          CAST(r AS VARCHAR)), 1, 1)
+        |          IN ('0','1','2','3','4','5','6','7')
+        |        THEN 1 ELSE -1 END) AS c
+        |  FROM events CROSS JOIN rs GROUP BY r),
+        |mg AS (
+        |  SELECT r // 4 AS g,
+        |    sum(CAST(c AS HUGEINT) * c) // 4 AS m
+        |  FROM ctr GROUP BY 1),
+        |es AS (
+        |  SELECT CAST((sum(m) - min(m) - max(m)) // 2 AS BIGINT)
+        |    AS f2_est
+        |  FROM mg)
+        |SELECT f2_exact, f2_est,
+        |  CAST(((f2_est - f2_exact) * 1000) // f2_exact AS BIGINT)
+        |    AS err_permille
+        |FROM ex CROSS JOIN es""".stripMargin,
+
     // exact below sketch capacity (≤1500 distinct users vs 4096
     // retained hashes at both test scales) — see ThetaSketchAgg doc
     "agg_sketch_theta" ->

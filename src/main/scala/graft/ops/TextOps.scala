@@ -626,6 +626,41 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Flesch reading-ease readability, all-integer (milli-points):
+    // FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)
+    // ×1000 with each ratio an integer div (declared truncation, both
+    // engines identical). Sentences = runs of [.!?] (floor 1 so
+    // fragment docs score rather than divide by zero); syllables =
+    // vowel-group count over the lowercased text (word boundaries
+    // break vowel runs, so per-word syllables sum to one global
+    // regexp_count — no explode). Zero-word docs are dropped
+    // (declared: readability of nothing is undefined). Entirely
+    // narrow per-row regexp arithmetic — the readability gate at
+    // 100 TB runs at scan speed next to the gopher gate, no shuffle.
+    "llm_readability" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("n_words",
+          expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("n_sents",
+          greatest(expr("regexp_count(text, '[.!?]+')").cast("long"),
+            lit(1L)))
+        .withColumn("n_syll",
+          expr("regexp_count(lower(text), '[aeiouy]+')").cast("long"))
+        .withColumn("fre_milli",
+          lit(206835L) - expr("(1015 * n_words) div n_sents") -
+            expr("(84600 * n_syll) div n_words"))
+        .withColumn("band",
+          when(col("fre_milli") >= 90000, "very_easy")
+            .when(col("fre_milli") >= 60000, "standard")
+            .when(col("fre_milli") >= 30000, "difficult")
+            .otherwise("very_difficult"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"),
+          col("n_syll"), col("fre_milli"), col("band"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing any 4-gram
     // with the benchmark set (doc_id % 50 == 0 as the held-out suite).
     // The benchmark gram set is tiny relative to the corpus — exactly
@@ -649,6 +684,29 @@ object TextOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syll
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_words, n_sents, n_syll,
+        |    206835 - (1015 * n_words) // n_sents
+        |           - (84600 * n_syll) // n_words AS fre_milli
+        |  FROM b WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(fre_milli AS BIGINT) AS fre_milli,
+        |  CASE WHEN fre_milli >= 90000 THEN 'very_easy'
+        |       WHEN fre_milli >= 60000 THEN 'standard'
+        |       WHEN fre_milli >= 30000 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "llm_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w

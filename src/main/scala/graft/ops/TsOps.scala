@@ -197,9 +197,80 @@ object TsOps extends OpPack {
         .orderBy(col("wk"))
     }),
 
+    // Brown double smoothing (see [[holtSql]]): the generated SQL is
+    // shared verbatim with the DuckDB oracle, Spark spelling of
+    // integer division only.
+    "ts_holt" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(holtSql("div"))
+    }),
+
+    // Autocorrelation profile per key, integer-exact: center each
+    // user's cent series on its own integer mean (sum div n — the
+    // whole-partition window rides the SAME user_id exchange as the
+    // lag window, no extra shuffle), then ACF_k in permille =
+    // 1000·Σ d_t·d_{t−k} div Σ d_t² for lags 1..3. Products go
+    // through decimal(38,0)/HUGEINT (cent deviations square past 2⁶³
+    // at telemetry magnitudes); sum skips null lagged terms in both
+    // engines, and negative numerators truncate toward zero
+    // identically (the agg_regression rule). One exchange + one hash
+    // agg: the seasonality probe that decides resample grain at
+    // 100 TB is a windowed scan.
+    "ts_acf" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val d = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("mu", expr(
+          "sum(cents) OVER (PARTITION BY user_id) div " +
+            "count(*) OVER (PARTITION BY user_id)"))
+        .withColumn("d", (col("cents") - col("mu")).cast(dec))
+        .withColumn("d1", lag(col("d"), 1).over(w))
+        .withColumn("d2", lag(col("d"), 2).over(w))
+        .withColumn("d3", lag(col("d"), 3).over(w))
+      d.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d") * col("d")).as("s0"),
+          sum(col("d") * col("d1")).as("s1"),
+          sum(col("d") * col("d2")).as("s2"),
+          sum(col("d") * col("d3")).as("s3"))
+        .select(col("user_id"), col("n"),
+          acfPm("s1").as("acf1_pm"), acfPm("s2").as("acf2_pm"),
+          acfPm("s3").as("acf3_pm"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Day-of-week seasonal decomposition of daily order revenue:
+    // exact-cent daily totals (one two-phase hash agg over orders),
+    // dow from an epoch-anchored modulus (1990-01-07 was a Sunday;
+    // dayofweek() numbering differs across engines, datediff mod 7
+    // does not), per-dow integer-mean seasonal component via a
+    // window over the CALENDAR-BOUNDED aggregate (~2.5k rows here,
+    // never fact-proportional — the declared contract for
+    // partition-light windows), residual = observed − seasonal. The
+    // classic pre-forecast decomposition at 100 TB stays one fact
+    // shuffle; everything after the daily agg is bounded by days.
+    "ts_seasonal" -> ((s, dir) => {
+      val wd = Window.partitionBy(col("dow"))
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_c"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), to_date(lit("1990-01-07"))), lit(7)))
+        .withColumn("seasonal_c", expr(
+          "sum(rev_c) OVER (PARTITION BY dow) div " +
+            "count(*) OVER (PARTITION BY dow)"))
+        .withColumn("residual_c", col("rev_c") - col("seasonal_c"))
+        .select(col("day"), col("dow"), col("rev_c"),
+          col("seasonal_c"), col("residual_c"))
+        .orderBy(col("day"))
+    }),
+
     "ts_ewma" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events_ewma")
-      val (num, den) = ewmaTerms
+      val (num, den) = ewmaTerms()
       s.sql(s"""
         WITH base AS (
           SELECT user_id, event_id,
@@ -212,26 +283,121 @@ object TsOps extends OpPack {
         ORDER BY user_id, event_id""")
     }))
 
-  /** Shared numerator/denominator SQL for ts_ewma: weight 2^(15−k) on
-    * lag k (k = 0 is the current row), null lags (series head) drop
-    * out of BOTH sums so the head of each series is a proper
-    * re-normalized partial EWMA. Identical text runs in Spark and
-    * DuckDB (`WINDOW w` clause is common SQL). */
-  private def ewmaTerms: (String, String) = {
+  /** Shared numerator/denominator SQL for ts_ewma / ts_holt: weight
+    * 2^(15−k) on lag k of column `c` (k = 0 is the current row), null
+    * lags (series head) drop out of BOTH sums so the head of each
+    * series is a proper re-normalized partial EWMA. Identical text
+    * runs in Spark and DuckDB (`WINDOW w` clause is common SQL). */
+  private def ewmaTerms(c: String = "v_fp"): (String, String) = {
     val num = (0 to 15).map { k =>
       val w = 1L << (15 - k)
-      if (k == 0) s"v_fp * $w"
-      else s"coalesce(lag(v_fp, $k) OVER w * $w, 0)"
+      if (k == 0) s"$c * $w"
+      else s"coalesce(lag($c, $k) OVER w * $w, 0)"
     }.mkString(" + ")
     val den = (0 to 15).map { k =>
       val w = 1L << (15 - k)
       if (k == 0) s"$w"
-      else s"CASE WHEN lag(v_fp, $k) OVER w IS NOT NULL THEN $w ELSE 0 END"
+      else s"CASE WHEN lag($c, $k) OVER w IS NOT NULL THEN $w ELSE 0 END"
     }.mkString(" + ")
     (num, den)
   }
 
+  /** Brown's double exponential smoothing as ONE generated SQL text
+    * (only the integer-div token differs per engine): s1 = EWMA(x),
+    * s2 = EWMA(s1), both the bounded-16-term integer-exact form of
+    * ts_ewma chained through two CTEs over the SAME `PARTITION BY
+    * user_id` window — one exchange, two WindowExec passes, O(16)
+    * state per row. With α = 1/2 the smoothing identities collapse to
+    * integers: level = 2·s1 − s2, trend = (α/(1−α))·(s1−s2) = s1 − s2,
+    * one-step forecast = level + trend = 3·s1 − 2·s2. Each stage
+    * truncates via integer div IDENTICALLY in both engines, so the
+    * chain is bit-exact end-to-end — the trend-aware forecaster a
+    * telemetry pipeline runs next to the plain EWMA, at the same
+    * scan-proportional cost. */
+  private[graft] def holtSql(divOp: String): String = {
+    val (n1, d1) = ewmaTerms("v_fp")
+    val (n2, d2) = ewmaTerms("s1")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id,
+       |    CAST(round(value * 10000) AS BIGINT) AS v_fp
+       |  FROM events),
+       |s1t AS (
+       |  SELECT user_id, event_id, v_fp,
+       |    CAST(($n1) $divOp ($d1) AS BIGINT) AS s1
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+       |s2t AS (
+       |  SELECT user_id, event_id, v_fp, s1,
+       |    CAST(($n2) $divOp ($d2) AS BIGINT) AS s2
+       |  FROM s1t
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+       |SELECT user_id, event_id, v_fp, s1, s2,
+       |  2 * s1 - s2 AS level_fp,
+       |  s1 - s2 AS trend_fp,
+       |  3 * s1 - 2 * s2 AS forecast_fp
+       |FROM s2t
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** ACF ratio in permille over the decimal moment sums: NULL when the
+    * series has zero variance (constant series have no defined ACF) —
+    * both engines yield NULL through the same CASE. */
+  private def acfPm(c: String) =
+    expr(s"CAST(CASE WHEN s0 > 0 THEN ($c * 1000) div s0 END AS BIGINT)")
+
   def oracle: Map[String, String] = Map(
+    "ts_holt" -> holtSql("//"),
+
+    "ts_acf" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, cents,
+        |    sum(cents) OVER wp // count(*) OVER wp AS mu
+        |  FROM c WINDOW wp AS (PARTITION BY user_id)),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(cents - mu AS HUGEINT) AS d,
+        |    lag(CAST(cents - mu AS HUGEINT), 1) OVER w AS d1,
+        |    lag(CAST(cents - mu AS HUGEINT), 2) OVER w AS d2,
+        |    lag(CAST(cents - mu AS HUGEINT), 3) OVER w AS d3
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |g AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(d * d) AS s0, sum(d * d1) AS s1,
+        |    sum(d * d2) AS s2, sum(d * d3) AS s3
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN s0 > 0 THEN (s1 * 1000) // s0 END AS BIGINT)
+        |    AS acf1_pm,
+        |  CAST(CASE WHEN s0 > 0 THEN (s2 * 1000) // s0 END AS BIGINT)
+        |    AS acf2_pm,
+        |  CAST(CASE WHEN s0 > 0 THEN (s3 * 1000) // s0 END AS BIGINT)
+        |    AS acf3_pm
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "ts_seasonal" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev_c,
+        |    CAST(datediff('day', DATE '1990-01-07', day) % 7 AS INT)
+        |      AS dow
+        |  FROM daily),
+        |x AS (
+        |  SELECT day, dow, rev_c,
+        |    CAST(sum(rev_c) OVER wd // count(*) OVER wd AS BIGINT)
+        |      AS seasonal_c
+        |  FROM w WINDOW wd AS (PARTITION BY dow))
+        |SELECT day, dow, rev_c, seasonal_c,
+        |  rev_c - seasonal_c AS residual_c
+        |FROM x ORDER BY day""".stripMargin,
+
     "ts_cusum" ->
       """WITH base AS (
         |  SELECT user_id, event_id,
@@ -353,7 +519,7 @@ object TsOps extends OpPack {
         |FROM wkrev ORDER BY wk""".stripMargin,
 
     "ts_ewma" -> {
-      val (num, den) = ewmaTerms
+      val (num, den) = ewmaTerms()
       s"""WITH base AS (
          |  SELECT user_id, event_id,
          |    CAST(round(value * 10000) AS BIGINT) AS v_fp

@@ -320,11 +320,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // composite_q11 / composite_q15 / composite_q22 cross a broadcast
     // 1-row scalar gate (total+count / max / mean-balance pair) — the
     // TPC-H scalar-subquery shape, same bound as llm_unigram_lm.
+    // agg_sketch_ams crosses its two single-row aggregates (exact F2
+    // × sketch estimate) — the llm_triangles census shape.
+    // composite_basket crosses the broadcast 1-row basket total (the
+    // scalar-gate shape again).
     val allowed = Set("join_cross", "llm_ann_ivf", "llm_sim_cosine",
       "llm_ann_knn", "llm_triangles", "llm_vocab", "llm_dedup_semantic",
       "llm_unigram_lm", "composite_scd2_pit", "llm_pmi",
       "llm_ccnet_bucket", "cdc_compact",
-      "composite_q11", "composite_q15", "composite_q22")
+      "composite_q11", "composite_q15", "composite_q22",
+      "agg_sketch_ams", "composite_basket")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
