@@ -252,6 +252,36 @@ object AggOps extends OpPack {
           expr("max_n * 1000000 div n_rows"))
     }),
 
+    // Distribution-drift monitor (the chi-square cousin of PSI, in
+    // pure integers — PSI's ln() has no cross-engine-exact form):
+    // order totals bucketed at $5000 (agg_hist's grid), split into
+    // baseline (<1998) / current (≥1998) cohorts (orders span 1995–2001 in this testdata) in ONE scan, then
+    // per-bucket expected-current e = n_base·N_cur div N_base and the
+    // chi²-style term (n_cur−e)²·1000 div max(e,1) — the alarm a
+    // feature-store monitor fires when a distribution shifts. The
+    // cohort totals come from partition-less window sums over the
+    // BUCKET frame (bounded by the price grid, ~dozens of rows — the
+    // declared contract for partition-less windows), so there is no
+    // scalar cross-join; squared deviations ride decimal(38,0).
+    "diag_dist_drift" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .withColumn("bucket",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 500000"))
+        .withColumn("is_base",
+          col("o_orderdate") < to_date(lit("1998-01-01")))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+        .withColumn("e_cur", expr(
+          "(n_base * sum(n_cur) OVER ()) div sum(n_base) OVER ()"))
+        .withColumn("chi2_term_milli", expr(
+          "(CAST(n_cur - e_cur AS DECIMAL(38,0)) * (n_cur - e_cur) " +
+            "* 1000) div greatest(e_cur, 1)"))
+        .select(col("bucket"), col("n_base"), col("n_cur"),
+          col("e_cur"), col("chi2_term_milli"))
+        .orderBy(col("bucket"))
+    }),
+
     // Data-quality constraint audit (the dbt-test / Deequ-style
     // contract suite run on every load): FK coverage, PK uniqueness,
     // value-range and null checks across three tables, as a
@@ -787,6 +817,28 @@ object AggOps extends OpPack {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "diag_dist_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 500000
+        |      AS bucket,
+        |    sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+        |        THEN 1 ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+        |        THEN 0 ELSE 1 END) AS n_cur
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT bucket, n_base, n_cur,
+        |    (n_base * sum(n_cur) OVER ()) // sum(n_base) OVER ()
+        |      AS e_cur
+        |  FROM b)
+        |SELECT bucket, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(e_cur AS BIGINT) AS e_cur,
+        |  CAST((CAST(n_cur - e_cur AS HUGEINT) * (n_cur - e_cur)
+        |        * 1000) // greatest(e_cur, 1) AS BIGINT)
+        |    AS chi2_term_milli
+        |FROM w ORDER BY bucket""".stripMargin,
 
     "agg_bitmap_overlap" ->
       """WITH du AS (

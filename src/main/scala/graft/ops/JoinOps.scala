@@ -429,6 +429,39 @@ object JoinOps extends OpPack {
     // 100 TB everything rides ONE user_id shuffle (first-week agg,
     // distinct activity, the user-level join), then collapses to a
     // |weeks|² matrix joined to a broadcast cohort-size frame.
+    // A/B experiment assignment + sample-ratio-mismatch check: arms
+    // from the repo's standard md5 coin on user_id (deterministic,
+    // re-run- and subset-stable — the property rand() assignment
+    // lacks), per-arm distinct users / converted users / conversion
+    // permille in ONE hash agg over the fact scan (arm is a row-local
+    // expression, no assignment table, no join), and the SRM health
+    // stat (nA−nB)²·1000 div N (the declared integer chi²-with-equal-
+    // expected form) via window sums over the 2-ROW arm frame. The
+    // experiment readout on a 100 TB event log is one scan + one agg.
+    "composite_ab_srm" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("arm", when(
+          expr("substr(md5(concat('ab', CAST(user_id AS STRING))), 1, 1)")
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B"))
+        .groupBy(col("arm"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("n_converted"))
+        .withColumn("conv_permille",
+          expr("(n_converted * 1000) div n_users"))
+        .withColumn("srm_stat_milli", expr(
+          "(CAST(sum(CASE WHEN arm = 'A' THEN n_users END) OVER () - " +
+            "sum(CASE WHEN arm = 'B' THEN n_users END) OVER () " +
+            "AS DECIMAL(38,0)) * " +
+            "(sum(CASE WHEN arm = 'A' THEN n_users END) OVER () - " +
+            "sum(CASE WHEN arm = 'B' THEN n_users END) OVER ()) " +
+            "* 1000) div sum(n_users) OVER ()"))
+        .select(col("arm"), col("n_users"), col("n_converted"),
+          col("conv_permille"), col("srm_stat_milli"))
+        .orderBy(col("arm"))
+    }),
+
     // Market-basket affinity (association-rule mining, the top-100
     // report): distinct (order, part) items self-joined ON THE SAME
     // orderkey shuffle key (co-partitioned — pair expansion is
@@ -771,6 +804,34 @@ object JoinOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "composite_ab_srm" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)),
+        |      1, 1) IN ('0','1','2','3','4','5','6','7')
+        |    THEN 'A' ELSE 'B' END AS arm,
+        |    user_id, event_type
+        |  FROM events),
+        |per AS (
+        |  SELECT arm, count(DISTINCT user_id) AS n_users,
+        |    count(DISTINCT CASE WHEN event_type = 'purchase'
+        |      THEN user_id END) AS n_converted
+        |  FROM a GROUP BY arm),
+        |w AS (
+        |  SELECT arm, n_users, n_converted,
+        |    (n_converted * 1000) // n_users AS conv_permille,
+        |    sum(CASE WHEN arm = 'A' THEN n_users END) OVER ()
+        |      AS na,
+        |    sum(CASE WHEN arm = 'B' THEN n_users END) OVER ()
+        |      AS nb,
+        |    sum(n_users) OVER () AS nt
+        |  FROM per)
+        |SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_converted AS BIGINT) AS n_converted,
+        |  CAST(conv_permille AS BIGINT) AS conv_permille,
+        |  CAST((CAST(na - nb AS HUGEINT) * (na - nb) * 1000) // nt
+        |    AS BIGINT) AS srm_stat_milli
+        |FROM w ORDER BY arm""".stripMargin,
+
     "composite_basket" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

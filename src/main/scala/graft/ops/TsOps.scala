@@ -241,6 +241,37 @@ object TsOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Spearman rank correlation of value vs time per key — the
+    // ROBUST monotone-trend test (outlier-immune where the Pearson
+    // slope of agg_regression is not): ranks from two row_number
+    // windows over the SAME user_id exchange (time rank by event_id;
+    // value rank by (cents, event_id) — the declared deterministic
+    // tie-break), then ρ×1000 = 1000 − (6000·Σd²) div (n³−n) with
+    // Σd² in decimal(38,0) (d ≤ n ⇒ Σd² ≤ n³). Series shorter than
+    // 3 points are dropped (ρ undefined at n ≤ 2 up to sign). One
+    // exchange + one hash agg at any scale.
+    "ts_spearman" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val wT = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wX = Window.partitionBy(col("user_id"))
+        .orderBy(col("cents"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rt", row_number().over(wT))
+        .withColumn("rx", row_number().over(wX))
+        .withColumn("d", (col("rx") - col("rt")).cast(dec))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sd2"))
+        .filter(col("n") >= 3)
+        .select(col("user_id"), col("n"),
+          expr("CAST(sd2 AS BIGINT)").as("sum_d2"),
+          expr("CAST(1000 - (6000 * sd2) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)")
+            .as("rho_milli"))
+        .orderBy(col("user_id"))
+    }),
+
     // Day-of-week seasonal decomposition of daily order revenue:
     // exact-cent daily totals (one two-phase hash agg over orders),
     // dow from an epoch-anchored modulus (1990-01-07 was a Sunday;
@@ -347,6 +378,28 @@ object TsOps extends OpPack {
 
   def oracle: Map[String, String] = Map(
     "ts_holt" -> holtSql("//"),
+
+    "ts_spearman" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS rt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cents, event_id) AS rx
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CAST(rx - rt AS HUGEINT) * (rx - rt)) AS sd2
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(sd2 AS BIGINT) AS sum_d2,
+        |  CAST(1000 - (6000 * sd2) //
+        |    (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_milli
+        |FROM g WHERE n >= 3 ORDER BY user_id""".stripMargin,
 
     "ts_acf" ->
       """WITH c AS (
