@@ -78,6 +78,43 @@ object CdcOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Time travel: the materialized table state AS OF three log
+    // positions (event_id quartiles — collected scalars, same pattern
+    // as ts_cusum's drift constant) in ONE hash aggregation: per key,
+    // three conditional max_by's (ordering key nulled past the
+    // boundary; max_by skips null keys in both engines), stacked to
+    // long format (version, as_of_event, state). ts is monotone in
+    // event_id (TESTDATA), so event_id order == time order. At
+    // 100 TB: one |keys| shuffle serves EVERY requested version —
+    // the per-version-rescan alternative pays the scan per snapshot.
+    "cdc_time_travel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val q = ev.agg(
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP " +
+          "(ORDER BY event_id) AS BIGINT)"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP " +
+          "(ORDER BY event_id) AS BIGINT)"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP " +
+          "(ORDER BY event_id) AS BIGINT)"))
+        .collect()(0)
+      val (q1, q2, q3) = (q.getLong(0), q.getLong(1), q.getLong(2))
+      def snapAt(b: Long) = max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        when(col("event_id") <= b, col("event_id")))
+      ev.groupBy(col("user_id"))
+        .agg(snapAt(q1).as("s1"), snapAt(q2).as("s2"), snapAt(q3).as("s3"))
+        .selectExpr("user_id",
+          s"stack(3, 1, CAST($q1 AS BIGINT), s1, " +
+            s"2, CAST($q2 AS BIGINT), s2, " +
+            s"3, CAST($q3 AS BIGINT), s3) AS (version, as_of_event, sn)")
+        .filter(col("sn").isNotNull)
+        .select(col("version"), col("as_of_event"), col("user_id"),
+          col("sn.event_id").as("event_id"),
+          col("sn.event_type").as("event_type"),
+          money(col("sn.value")).as("value"))
+        .orderBy(col("version"), col("user_id"))
+    }),
+
     // Log compaction with tombstone GC (the Kafka-compacted-topic /
     // delete-retention semantics a long-lived CDC changelog needs —
     // the reference's consumer materializes state forever,
@@ -431,6 +468,35 @@ object CdcOps extends OpPack {
       s"""SELECT event_id, ${Tables.sql.money("value")} AS value,
          |  CAST(json_extract_string(props, '$$.k') AS INT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_time_travel" ->
+      s"""WITH q AS (
+         |  SELECT quantile_disc(event_id, 0.25) AS q1,
+         |         quantile_disc(event_id, 0.50) AS q2,
+         |         quantile_disc(event_id, 0.75) AS q3
+         |  FROM events),
+         |snap AS (
+         |  SELECT v.version,
+         |    CASE v.version WHEN 1 THEN (SELECT q1 FROM q)
+         |                   WHEN 2 THEN (SELECT q2 FROM q)
+         |                   ELSE (SELECT q3 FROM q) END AS as_of_event,
+         |    e.user_id,
+         |    arg_max(e.event_id, e.event_id) AS event_id,
+         |    arg_max(e.event_type, e.event_id) AS event_type,
+         |    arg_max(e.value, e.event_id) AS rawv
+         |  FROM events e
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS version) v
+         |  WHERE e.event_id <=
+         |    CASE v.version WHEN 1 THEN (SELECT q1 FROM q)
+         |                   WHEN 2 THEN (SELECT q2 FROM q)
+         |                   ELSE (SELECT q3 FROM q) END
+         |  GROUP BY 1, 2, 3)
+         |SELECT CAST(version AS INT) AS version,
+         |  CAST(as_of_event AS BIGINT) AS as_of_event, user_id,
+         |  event_id, event_type,
+         |  ${Tables.sql.money("rawv")} AS value
+         |FROM snap
+         |ORDER BY version, user_id""".stripMargin,
 
     "cdc_snapshot_latest" ->
       s"""SELECT user_id, event_id, event_type,

@@ -518,6 +518,38 @@ object JoinOps extends OpPack {
         .orderBy(col("channel"))
     }),
 
+    // Cohort LTV curve (composite_retention's revenue sibling):
+    // cumulative purchase revenue per (first-activity-week cohort,
+    // weeks-since), plus per-user LTV in exact cents (cum div size).
+    // Same single user_id shuffle spine as retention; the cumulative
+    // window runs on the |weeks|² MATRIX, not the fact table, and
+    // cohort sizes broadcast. Weeks with no purchases are absent from
+    // the curve (declared; the oracle skips them identically).
+    "composite_cohort_ltv" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+          col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val firstWk = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val sizes = firstWk.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val w = Window.partitionBy(col("cohort_wk")).orderBy(col("weeks_since"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.filter(col("event_type") === "purchase")
+        .join(firstWk, "user_id")
+        .withColumn("weeks_since",
+          expr("datediff(wk, cohort_wk) div 7").cast("int"))
+        .groupBy(col("cohort_wk"), col("weeks_since"))
+        .agg(sum(col("cents")).as("rev_c"))
+        .withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+        .join(broadcast(sizes), "cohort_wk")
+        .withColumn("ltv_per_user_c", expr("cum_rev_c div cohort_size"))
+        .select(col("cohort_wk"), col("weeks_since"), col("rev_c"),
+          col("cum_rev_c"), col("cohort_size"), col("ltv_per_user_c"))
+        .orderBy(col("cohort_wk"), col("weeks_since"))
+    }),
+
     "composite_retention" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
@@ -1157,6 +1189,36 @@ object JoinOps extends OpPack {
         |  LEFT JOIN t2 USING (user_id)
         |  LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "composite_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+        |      GROUP BY user_id),
+        |sz AS (SELECT cohort_wk, count(*) AS cohort_size FROM f
+        |       GROUP BY cohort_wk),
+        |r AS (
+        |  SELECT f.cohort_wk,
+        |    CAST(datediff('day', CAST(f.cohort_wk AS DATE),
+        |         CAST(e.wk AS DATE)) // 7 AS INT) AS weeks_since,
+        |    CAST(sum(cents) AS BIGINT) AS rev_c
+        |  FROM e JOIN f USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_wk, weeks_since, rev_c,
+        |    CAST(sum(rev_c) OVER (PARTITION BY cohort_wk
+        |      ORDER BY weeks_since
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_rev_c
+        |  FROM r)
+        |SELECT c.cohort_wk, weeks_since, rev_c, cum_rev_c,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(cum_rev_c // cohort_size AS BIGINT) AS ltv_per_user_c
+        |FROM c JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, weeks_since""".stripMargin,
 
     "composite_retention" ->
       """WITH e AS (

@@ -585,4 +585,62 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(est(state("view")) === 3L)
     assert(est(state("buy")) === 1L)
   }
+
+  test("streaming bitmap maintenance: OR-merged micro-batch bitmaps " +
+      "give the EXACT streaming distinct count") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of agg_bitmap_distinct/overlap: per
+    // (segment, bucket) bitmap partials from each micro-batch,
+    // OR-merged into driver state. Bitwise OR is commutative,
+    // associative and IDEMPOTENT — users recurring across
+    // micro-batches set the same bit again — so unlike a count the
+    // merged popcount is exact under at-least-once delivery and any
+    // batch boundary placement. KB-sized state, exact answer: what
+    // agg_sketch_theta gives approximately past capacity, the bitmap
+    // gives exactly while ids stay dense.
+    val input = MemoryStream[(String, Long)]
+    val state = scala.collection.concurrent.TrieMap[(String, Long),
+      Array[Byte]]()
+    def orMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](math.max(a.length, b.length))
+      for (i <- out.indices) {
+        val x = if (i < a.length) a(i) else 0: Byte
+        val y = if (i < b.length) b(i) else 0: Byte
+        out(i) = (x | y).toByte
+      }
+      out
+    }
+    val q = input.toDF().toDF("event_type", "user_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.groupBy(col("event_type"),
+            expr("bitmap_bucket_number(user_id)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+            .as("bm"))
+          .collect()
+          .foreach { r =>
+            val k = (r.getAs[String]("event_type"), r.getAs[Long]("bucket"))
+            val bm = r.getAs[Array[Byte]]("bm")
+            state(k) = state.get(k).map(orMerge(_, bm)).getOrElse(bm)
+          }
+        ()
+      }
+      .start()
+    // recurring users across batches must not double-count
+    input.addData(("click", 1L), ("click", 2L), ("view", 1L))
+    q.processAllAvailable()
+    input.addData(("click", 2L), ("click", 3L), ("view", 9L))
+    q.processAllAvailable()
+    input.addData(("click", 1L), ("view", 1L), ("view", 2L), ("buy", 7L))
+    q.processAllAvailable()
+    q.stop()
+    def popcount(seg: String): Long = state.collect {
+      case ((s, _), bm) if s == seg =>
+        bm.map(b => java.lang.Integer.bitCount(b & 0xff).toLong).sum
+    }.sum
+    assert(popcount("click") === 3L) // {1,2,3}
+    assert(popcount("view") === 3L)  // {1,9,2}
+    assert(popcount("buy") === 1L)   // {7}
+  }
 }
