@@ -78,6 +78,44 @@ object CdcOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Right-to-be-forgotten audit (the GDPR/CCPA erasure planner a
+    // CDC-fed warehouse must run before acting on delete requests):
+    // a deterministic md5-coin tombstone set (~1/8 of customers
+    // standing in for the day's erasure queue), then the cascade
+    // footprint — affected customers, their orders, those orders'
+    // line items — as per-table purge counts plus the revenue cents
+    // leaving the books. Each cascade leg is a key-co-partitioned
+    // LEFT SEMI join (the tombstone side is tiny ⇒ AQE broadcasts
+    // it, so at 100 TB the fact tables are probed map-side, never
+    // reshuffled); the three 1-row aggregates union to a fixed 3-row
+    // report.
+    "cdc_forget_audit" -> ((s, dir) => {
+      val tomb = Tables(s, dir, "customer")
+        .filter(expr("substr(md5(concat('gdpr', CAST(c_custkey AS " +
+          "STRING))), 1, 1)").isin("0", "1"))
+        .select(col("c_custkey"))
+      val ords = Tables(s, dir, "orders")
+        .join(tomb.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"), "left_semi")
+      val lis = Tables(s, dir, "lineitem")
+        .join(ords.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+      val c = tomb.agg(count(lit(1)).as("n_purge"),
+          lit(0L).as("purged_cents"))
+        .withColumn("tbl", lit("customer"))
+      val o = ords.agg(count(lit(1)).as("n_purge"),
+          coalesce(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+            lit(0L)).as("purged_cents"))
+        .withColumn("tbl", lit("orders"))
+      val l = lis.agg(count(lit(1)).as("n_purge"),
+          coalesce(sum(expr("CAST(round(l_extendedprice * 100) " +
+            "AS BIGINT)")), lit(0L)).as("purged_cents"))
+        .withColumn("tbl", lit("lineitem"))
+      c.unionByName(o).unionByName(l)
+        .select(col("tbl"), col("n_purge"), col("purged_cents"))
+        .orderBy(col("tbl"))
+    }),
+
     // Time travel: the materialized table state AS OF three log
     // positions (event_id quartiles — collected scalars, same pattern
     // as ts_cusum's drift constant) in ONE hash aggregation: per key,
@@ -468,6 +506,33 @@ object CdcOps extends OpPack {
       s"""SELECT event_id, ${Tables.sql.money("value")} AS value,
          |  CAST(json_extract_string(props, '$$.k') AS INT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_forget_audit" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE substr(md5('gdpr' || CAST(c_custkey AS VARCHAR)), 1, 1)
+        |    IN ('0', '1')),
+        |ords AS (
+        |  SELECT * FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+        |lis AS (
+        |  SELECT * FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+        |SELECT tbl, CAST(n_purge AS BIGINT) AS n_purge,
+        |  CAST(purged_cents AS BIGINT) AS purged_cents
+        |FROM (
+        |  SELECT 'customer' AS tbl, count(*) AS n_purge,
+        |    0 AS purged_cents FROM tomb
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |    coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+        |  FROM ords
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*),
+        |    coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)),
+        |      0)
+        |  FROM lis)
+        |ORDER BY tbl""".stripMargin,
 
     "cdc_time_travel" ->
       s"""WITH q AS (

@@ -114,6 +114,29 @@ object SampleOps extends OpPack {
     // partition of the corpus — every row lands in exactly one split,
     // assignments survive re-runs/subsets, and downstream writers can
     // `partitionBy(split)` without any shuffle of the decision itself.
+    // k-fold cross-validation assignment (k=5) from the same md5
+    // coin as sample_split — folds are disjoint, exhaustive, and
+    // SUBSET-STABLE (a doc's fold never changes when the corpus
+    // grows, which rand()-based folding cannot give); each fold is
+    // the held-out test set once, train = everything else (n_train
+    // from a window total over the 5-ROW fold frame, no second
+    // scan). The slight 256-mod-5 bucket bias is declared (hex-pair
+    // coin). One hash agg over a narrow scan at any scale.
+    "sample_kfold" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("fold", expr(
+          "CAST(conv(substring(md5(concat('cv', CAST(doc_id AS " +
+            "STRING))), 1, 2), 16, 10) AS BIGINT) % 5"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+            .as("test_tokens"))
+        .withColumn("n_train", expr("sum(n_test) OVER () - n_test"))
+        .select(col("fold"), col("n_test"), col("n_train"),
+          col("test_tokens"))
+        .orderBy(col("fold"))
+    }),
+
     "sample_split" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val h = substring(coin(col("doc_id")), 1, 4)
@@ -467,6 +490,21 @@ object SampleOps extends OpPack {
         |FROM documents
         |ORDER BY shuffle_key, doc_id
         |LIMIT 100""".stripMargin,
+
+    "sample_kfold" ->
+      """WITH f AS (
+        |  SELECT CAST('0x' || substr(md5('cv' || CAST(doc_id AS VARCHAR)),
+        |      1, 2) AS BIGINT) % 5 AS fold,
+        |    len(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT fold, count(*) AS n_test,
+        |    CAST(sum(tok) AS BIGINT) AS test_tokens
+        |  FROM f GROUP BY fold)
+        |SELECT fold, CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(sum(n_test) OVER () - n_test AS BIGINT) AS n_train,
+        |  test_tokens
+        |FROM g ORDER BY fold""".stripMargin,
 
     "sample_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'

@@ -626,6 +626,30 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Per-(lang, source) document-length percentile in permille — the
+    // statistic curation cutoffs are phrased in ("drop the shortest
+    // 5% PER SOURCE", not globally: sources have wildly different
+    // length profiles). (rank−1)·1000 div (n−1) over a row_number
+    // ranking (ties broken by doc_id — declared); singleton groups
+    // score the 500 midpoint. The rank window and the group-count
+    // window ride ONE (lang, source) exchange; at 100 TB this is the
+    // windowed scan that replaces a per-source quantile lookup table.
+    "llm_length_pctile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", expr(
+          "count(*) OVER (PARTITION BY lang, source)"))
+        .withColumn("pctile_permille", expr(
+          "CASE WHEN n > 1 THEN ((rk - 1) * 1000) div (n - 1) " +
+            "ELSE 500 END"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("pctile_permille"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Flesch reading-ease readability, all-integer (milli-points):
     // FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)
     // ×1000 with each ratio an integer div (declared truncation, both
@@ -684,6 +708,18 @@ object TextOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_length_pctile" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars,
+        |  CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000) // (n - 1)
+        |       ELSE 500 END AS BIGINT) AS pctile_permille
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "llm_readability" ->
       """WITH b AS (
         |  SELECT doc_id,
