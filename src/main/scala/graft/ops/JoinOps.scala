@@ -518,6 +518,45 @@ object JoinOps extends OpPack {
         .orderBy(col("channel"))
     }),
 
+    // RFM segmentation (recency / frequency / monetary quintile
+    // scores, the classic customer-value coding): per-user purchase
+    // aggregates in one shuffle, then quintile CUT VALUES via
+    // percentile_disc (one collected row — the agg_hist_eqdepth
+    // trick) and scores as literal-comparison sums. The obvious
+    // ntile(5) OVER () would single-partition-sort every user at
+    // 100 TB; threshold buckets keep the scoring a narrow map.
+    // Scores 1–5 (recency inverted: recent = 5); code = r·100+f·10+m.
+    "composite_rfm" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val anchor = e.agg(max(to_date(col("ts")))).collect()(0)
+        .getAs[java.sql.Date](0)
+      val u = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("mon_c"))
+        .withColumn("rec_days",
+          datediff(lit(anchor), col("last_day")).cast("long"))
+      val cutExprs = for {
+        m <- Seq("rec_days", "freq", "mon_c"); q <- Seq(2, 4, 6, 8)
+      } yield expr(s"CAST(percentile_disc(0.$q) WITHIN GROUP " +
+        s"(ORDER BY $m) AS BIGINT)").as(s"${m}_$q")
+      val c = u.agg(cutExprs.head, cutExprs.tail: _*).collect()(0)
+      def bucket(m: String) = Seq(2, 4, 6, 8)
+        .map(q => when(col(m) > c.getAs[Long](s"${m}_$q"), 1)
+          .otherwise(0))
+        .reduce(_ + _) + lit(1)
+      u.withColumn("r_score", lit(6) - bucket("rec_days"))
+        .withColumn("f_score", bucket("freq"))
+        .withColumn("m_score", bucket("mon_c"))
+        .withColumn("rfm_code",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .select(col("user_id"), col("rec_days"), col("freq"),
+          col("mon_c"), col("r_score"), col("f_score"), col("m_score"),
+          col("rfm_code"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cohort LTV curve (composite_retention's revenue sibling):
     // cumulative purchase revenue per (first-activity-week cohort,
     // weeks-since), plus per-user LTV in exact cents (cum div size).
@@ -1189,6 +1228,42 @@ object JoinOps extends OpPack {
         |  LEFT JOIN t2 USING (user_id)
         |  LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "composite_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    datediff('day', max(CAST(ts AS DATE)),
+        |      (SELECT max(CAST(ts AS DATE)) FROM events)) AS rec_days,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS mon_c
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    quantile_disc(rec_days, 0.2) AS r2, quantile_disc(rec_days, 0.4) AS r4,
+        |    quantile_disc(rec_days, 0.6) AS r6, quantile_disc(rec_days, 0.8) AS r8,
+        |    quantile_disc(freq, 0.2) AS f2, quantile_disc(freq, 0.4) AS f4,
+        |    quantile_disc(freq, 0.6) AS f6, quantile_disc(freq, 0.8) AS f8,
+        |    quantile_disc(mon_c, 0.2) AS m2, quantile_disc(mon_c, 0.4) AS m4,
+        |    quantile_disc(mon_c, 0.6) AS m6, quantile_disc(mon_c, 0.8) AS m8
+        |  FROM u),
+        |s AS (
+        |  SELECT user_id, CAST(rec_days AS BIGINT) AS rec_days,
+        |    CAST(freq AS BIGINT) AS freq, mon_c,
+        |    6 - ((rec_days > r2)::INT + (rec_days > r4)::INT +
+        |         (rec_days > r6)::INT + (rec_days > r8)::INT + 1)
+        |      AS r_score,
+        |    (freq > f2)::INT + (freq > f4)::INT + (freq > f6)::INT +
+        |      (freq > f8)::INT + 1 AS f_score,
+        |    (mon_c > m2)::INT + (mon_c > m4)::INT + (mon_c > m6)::INT +
+        |      (mon_c > m8)::INT + 1 AS m_score
+        |  FROM u CROSS JOIN c)
+        |SELECT user_id, rec_days, freq, mon_c,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "composite_cohort_ltv" ->
       """WITH e AS (
