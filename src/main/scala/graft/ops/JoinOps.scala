@@ -518,6 +518,37 @@ object JoinOps extends OpPack {
         .orderBy(col("channel"))
     }),
 
+    // Time-to-convert report (the latency dimension the count-based
+    // funnels don't give): per user, first signup → first purchase
+    // AT-OR-AFTER it, latency in integer minutes, summarized as
+    // count / min / p50 / p90 / max / integer mean. The join rides
+    // the SAME user_id key as the per-user aggregates (one shuffle
+    // spine); the final summary is one 1-row order-stat agg. Signup
+    // events are a filtered slice so AQE broadcasts them against the
+    // purchase side at any scale.
+    "composite_funnel_time" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val s0 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      e.filter(col("event_type") === "purchase")
+        .join(s0, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("purchase_ts"),
+          min(col("signup_ts")).as("signup_ts2"))
+        .withColumn("latency_min", expr(
+          "(unix_micros(purchase_ts) - unix_micros(signup_ts2)) " +
+            "div 60000000"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("latency_min")).as("min_min"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP " +
+            "(ORDER BY latency_min) AS BIGINT)").as("p50_min"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP " +
+            "(ORDER BY latency_min) AS BIGINT)").as("p90_min"),
+          max(col("latency_min")).as("max_min"),
+          expr("sum(latency_min) div count(*)").as("mean_min"))
+    }),
+
     // RFM segmentation (recency / frequency / monetary quintile
     // scores, the classic customer-value coding): per-user purchase
     // aggregates in one shuffle, then quintile CUT VALUES via
@@ -1228,6 +1259,25 @@ object JoinOps extends OpPack {
         |  LEFT JOIN t2 USING (user_id)
         |  LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "composite_funnel_time" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id,
+        |    (epoch_us(min(e.ts)) - epoch_us(min(s0.signup_ts)))
+        |      // 60000000 AS latency_min
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s0.signup_ts
+        |  GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(min(latency_min) AS BIGINT) AS min_min,
+        |  CAST(quantile_disc(latency_min, 0.5) AS BIGINT) AS p50_min,
+        |  CAST(quantile_disc(latency_min, 0.9) AS BIGINT) AS p90_min,
+        |  CAST(max(latency_min) AS BIGINT) AS max_min,
+        |  CAST(sum(latency_min) // count(*) AS BIGINT) AS mean_min
+        |FROM conv""".stripMargin,
 
     "composite_rfm" ->
       """WITH u AS (
