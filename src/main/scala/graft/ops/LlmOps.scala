@@ -348,18 +348,28 @@ object LlmOps extends OpPack {
     // NO shuffle and no broadcast — the cheap front half of an
     // ANN/cluster pipeline (project, then index 4× less data).
     "llm_vec_project" -> ((s, dir) => {
-      val sgn = "CASE WHEN substr(md5(concat(CAST(p.i AS STRING), '_', " +
-        "CAST(j AS STRING))), 1, 1) IN " +
-        "('0','1','2','3','4','5','6','7') THEN p.v ELSE -p.v END"
+      // The ±1 matrix is a pure function of (i, j) — so it is a
+      // CONSTANT: derive it once driver-side (same md5 the oracle
+      // computes in SQL — identical hex) and embed it as a ~1 KB
+      // nested array literal. The runtime is then a pure
+      // multiply-accumulate per row; the md5-in-lambda alternative
+      // hashes 16×64 times PER ROW — a real cost at 10⁹ vectors.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(i: Int, j: Int): Int = {
+        val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      }
+      val mat = (0 until 16).map(j => (0 until 64)
+        .map(i => s"${sign(i, j)}L").mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")")
       Tables(s, dir, "embeddings")
         .withColumn("xu", expr(
           "transform(embedding, " +
             "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
         .withColumn("proj_u", expr(
-          "transform(sequence(0, 15), j -> aggregate(" +
-            "zip_with(xu, sequence(0, size(xu) - 1), " +
-            "(v, i) -> named_struct('v', v, 'i', i)), " +
-            s"0L, (acc, p) -> acc + ($sgn)))"))
+          s"transform(sequence(0, 15), j -> aggregate(" +
+            s"zip_with(xu, element_at($mat, j + 1), " +
+            "(v, sg) -> v * sg), 0L, (acc, x) -> acc + x))"))
         .select(col("vec_id"), col("proj_u"))
         .orderBy(col("vec_id"))
     }),

@@ -253,8 +253,10 @@ object SketchOps extends OpPack {
         .agg(count(lit(1)).as("c"))
         .agg(expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)")
           .as("f2_exact"))
-      val ctr = base.agg(amsCounters(0),
-        (1 until 16).map(amsCounters): _*)
+      val ctr = base
+        .withColumn("amsh",
+          expr("md5(concat('ams', CAST(user_id AS STRING)))"))
+        .agg(amsCounters(0), (1 until 16).map(amsCounters): _*)
       val est = ctr
         .selectExpr("stack(16, " +
           (0 until 16).map(r => s"$r, c$r").mkString(", ") + ") AS (r, c)")
@@ -269,16 +271,20 @@ object SketchOps extends OpPack {
     })
   )
 
-  /** Sum of 16 deterministic AMS ±1 counters built in ONE scan: each
-    * counter r sums sign(md5(user_id, r)) over all rows — a plain
-    * map-side-combined aggregate whose shuffle is 16 longs per map
-    * partition. The "random" signs are a pure function of (key, r),
-    * so the sketch is deterministic, mergeable (counters add), and
+  /** Sum of 16 deterministic AMS ±1 counters built in ONE scan with
+    * ONE md5 per row: counter r's sign is the parity class of hex
+    * NIBBLE r of md5('ams' ‖ key) — 16 sign streams sliced from one
+    * 128-bit digest (declared independence trade: 4-bit slices of
+    * one strong hash, adequate for the F2 median-of-means; the
+    * one-digest-per-(key, r) alternative hashes 16× per row). A
+    * plain map-side-combined aggregate whose shuffle is 16 longs per
+    * map partition; signs are a pure function of the key, so the
+    * sketch is deterministic, mergeable (counters add), and
     * identically derivable in DuckDB — which is what makes this the
     * one frequency-moment sketch with a REAL hash oracle. */
   private def amsCounters(r: Int): Column =
-    sum(expr("CASE WHEN substr(md5(concat(CAST(user_id AS STRING), " +
-      s"'_$r')), 1, 1) IN ('0','1','2','3','4','5','6','7') " +
+    sum(expr(s"CASE WHEN substr(amsh, ${r + 1}, 1) " +
+      "IN ('0','1','2','3','4','5','6','7') " +
       "THEN 1L ELSE -1L END")).as(s"c$r")
 
   // agg_sketch_bloom / agg_sketch_cms are approximate by design —
@@ -294,8 +300,8 @@ object SketchOps extends OpPack {
         |rs AS (SELECT unnest(generate_series(0, 15)) AS r),
         |ctr AS (
         |  SELECT r,
-        |    sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '_' ||
-        |          CAST(r AS VARCHAR)), 1, 1)
+        |    sum(CASE WHEN substr(md5('ams' || CAST(user_id AS VARCHAR)),
+        |          r + 1, 1)
         |          IN ('0','1','2','3','4','5','6','7')
         |        THEN 1 ELSE -1 END) AS c
         |  FROM events CROSS JOIN rs GROUP BY r),
