@@ -40,6 +40,48 @@ class GraphTsSpec extends AnyFunSuite {
     assert(out.count() == undirected.size * 2L)
   }
 
+  test("ts_acf: alternating series hits the exact closed form") {
+    // x = +a, −a, +a, … ⇒ integer mean 0, deviations alternate ±a:
+    // Σd·d1 = −(n−1)a², Σd² = n·a² ⇒ acf1_pm = (−(n−1)·1000) div n;
+    // lag 2 is +(n−2)/n, lag 3 −(n−3)/n. n = 20 ⇒ −950, +900, −850.
+    val rows = (1L to 20L).map(i =>
+      (11L, i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "view", if (i % 2 == 1) 7.0 else -7.0, "{}"))
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type",
+      "value", "props")
+    df.write.mode("overwrite")
+      .parquet("/tmp/graphts_acf/events.parquet")
+    val out = graft.SparkEntry.queries("ts_acf")(spark, "/tmp/graphts_acf")
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("acf1_pm") == -950L)
+    assert(r.getAs[Long]("acf2_pm") == 900L)
+    assert(r.getAs[Long]("acf3_pm") == -850L)
+  }
+
+  test("ts_spearman: monotone series score exactly ±1000") {
+    // strictly increasing ⇒ ranks equal ⇒ Σd² = 0 ⇒ ρ = 1000;
+    // strictly decreasing ⇒ Σd² = n(n²−1)/3 ⇒ ρ = −1000 exactly.
+    val rows =
+      (1L to 15L).map(i =>
+        (1L, i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          "view", i * 1.25, "{}")) ++
+      (1L to 15L).map(i =>
+        (2L, i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          "view", (16 - i) * 1.25, "{}"))
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value",
+        "props")
+      .write.mode("overwrite")
+      .parquet("/tmp/graphts_spear/events.parquet")
+    val out = graft.SparkEntry
+      .queries("ts_spearman")(spark, "/tmp/graphts_spear")
+      .collect().map(r =>
+        r.getAs[Long]("user_id") -> r.getAs[Long]("rho_milli")).toMap
+    assert(out(1L) == 1000L)
+    assert(out(2L) == -1000L)
+  }
+
   test("ts_holt generated SQL: constant series is a fixed point") {
     // 20 events, single user, constant value 3.14 → v_fp = 31400.
     val rows = (1L to 20L).map(i =>
