@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config(Tables.NanosKey, "true")
       .config("spark.ui.enabled", "false")
@@ -32,7 +33,11 @@ object Bench {
     // A failed run must not win the min (its fast-fail elapsed time is
     // not a time the query achieved): prefer successful runs, and fall
     // back to the max observed time when every run failed.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Fixed (sorted) execution order so driver runs and committed
+    // reference timings are order-comparable run to run — Map
+    // iteration order is hash-arbitrary and changes as queries are
+    // added.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -44,7 +49,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver keeps only the LAST 2000 chars of stdout; a 159-query

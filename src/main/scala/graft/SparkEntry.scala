@@ -15,7 +15,8 @@ object SparkEntry {
   private val packs: Seq[OpPack] = Seq(
     ScanOps, FilterOps, AggOps, JoinOps, WindowOps, SortSetOps,
     FnOps, CdcOps, StreamOps, LlmOps, DedupOps, TextOps, MmOps,
-    SubqueryOps, SampleOps, SketchOps, TsOps, TpchOps, GeoOps)
+    SubqueryOps, SampleOps, SketchOps, TsOps, TpchOps, GeoOps,
+    StatOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

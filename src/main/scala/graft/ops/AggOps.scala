@@ -239,10 +239,13 @@ object AggOps extends OpPack {
           sum(col("n")).as("n_rows"),
           max(col("n")).as("max_n"),
           expr("sum(n) div count(*)").as("mean_n"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
-            .as("p50_n"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
-            .as("p99_n"),
+          // percentile_disc returns DOUBLE in Spark; the oracle CASTs
+          // to BIGINT, so the engine side must too (4.0 vs 4 hash
+          // differently even though they compare equal).
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) " +
+            "AS BIGINT)").as("p50_n"),
+          expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) " +
+            "AS BIGINT)").as("p99_n"),
           // (n, key) ordering packed into one BIGINT — DuckDB's
           // arg_max can't order by a struct; n ≤ 1e8 and key < 1e10
           // keep the packing exact at any test sf.
@@ -307,8 +310,13 @@ object AggOps extends OpPack {
         .groupBy(col("bucket"))
         .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
           sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+        // n_base·N_cur rides DECIMAL(38,0): at 100 TB the raw BIGINT
+        // product overflows int64 (Spark non-ANSI wraps silently,
+        // DuckDB errors — an engine divergence). div still yields
+        // BIGINT on decimal operands, so the output schema is stable.
         .withColumn("e_cur", expr(
-          "(n_base * sum(n_cur) OVER ()) div sum(n_base) OVER ()"))
+          "(CAST(n_base AS DECIMAL(38,0)) * sum(n_cur) OVER ()) " +
+            "div sum(n_base) OVER ()"))
         .withColumn("chi2_term_milli", expr(
           "(CAST(n_cur - e_cur AS DECIMAL(38,0)) * (n_cur - e_cur) " +
             "* 1000) div greatest(e_cur, 1)"))
@@ -901,8 +909,8 @@ object AggOps extends OpPack {
         |  FROM orders GROUP BY 1),
         |w AS (
         |  SELECT bucket, n_base, n_cur,
-        |    (n_base * sum(n_cur) OVER ()) // sum(n_base) OVER ()
-        |      AS e_cur
+        |    (CAST(n_base AS HUGEINT) * sum(n_cur) OVER ())
+        |      // sum(n_base) OVER () AS e_cur
         |  FROM b)
         |SELECT bucket, CAST(n_base AS BIGINT) AS n_base,
         |  CAST(n_cur AS BIGINT) AS n_cur,

@@ -382,6 +382,34 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Strict 2-hop neighborhood size per document over the near-dup
+    // graph — the "friends-of-friends" cluster-periphery signal (how
+    // much MORE a transitive dedup pass would sweep in than the direct
+    // edges show; complements llm_graph_bfs's seeded reach with an
+    // every-node statistic). Strict = reachable in exactly 2 hops and
+    // NOT a direct neighbor and not self. The DfCap-bounded degree is
+    // what makes this scale-safe: the edge-edge join is O(Σ deg(v)²),
+    // bounded per node — never corpus². One self-join + distinct +
+    // anti-join + hash agg, all on the u/v key exchanges.
+    "llm_graph_2hop" -> ((s, dir) => {
+      val e0 = nearDupPairs(s, dir)
+      val sym = e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val two = sym
+        .join(sym.select(col("u").as("m"), col("v").as("w2")),
+          col("v") === col("m"))
+        .filter(col("w2") =!= col("u"))
+        .select(col("u"), col("w2")).distinct()
+      val strict = two.join(sym.select(col("u"), col("v").as("w2")),
+        Seq("u", "w2"), "left_anti")
+      val n2 = strict.groupBy(col("u")).agg(count(lit(1)).as("n_2hop"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(n2, col("doc_id") === col("u"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+        .orderBy(col("doc_id"))
+    }),
+
     "llm_pagerank" -> ((s, dir) => {
       val pairs = nearDupPairs(s, dir)
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -1011,6 +1039,20 @@ object DedupOps extends OpPack {
         |  CAST(count(*) AS BIGINT) AS n_nodes
         |FROM documents d LEFT JOIN dg ON d.doc_id = dg.id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "llm_graph_2hop" -> (closureCtes + ",\n" +
+      """hop2 AS (
+        |  SELECT DISTINCT e1.u, e2.v AS w2
+        |  FROM edge e1 JOIN edge e2 ON e1.v = e2.u
+        |  WHERE e2.v <> e1.u),
+        |strict2 AS (
+        |  SELECT h.u, h.w2 FROM hop2 h
+        |  LEFT JOIN edge d ON d.u = h.u AND d.v = h.w2
+        |  WHERE d.u IS NULL),
+        |n2 AS (SELECT u, count(*) AS n_2hop FROM strict2 GROUP BY u)
+        |SELECT doc_id, CAST(coalesce(n_2hop, 0) AS BIGINT) AS n_2hop
+        |FROM documents LEFT JOIN n2 ON doc_id = n2.u
+        |ORDER BY doc_id""".stripMargin),
 
     "llm_triangles" -> (closureCtes + ",\n" +
       """ce AS (SELECT doc_a AS a, doc_b AS b FROM cand),

@@ -67,15 +67,23 @@ object LlmOps extends OpPack {
     * inline in the query closure — so repeated invocations resolve to
     * the ONE cached plan (CacheManager dedupes the equal subplan)
     * instead of re-registering a per-invocation persist. */
-  private def tokensCapped(s: SparkSession, dir: String): DataFrame = {
-    val t0 = tokens(s, dir)
-    val hot = t0.groupBy(col("lang"), col("source"), col("w"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > DedupOps.DfCap)
-      .select(col("lang"), col("source"), col("w"))
-    t0.join(hot, Seq("lang", "source", "w"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private val tokensCappedCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  private def tokensCapped(s: SparkSession, dir: String): DataFrame =
+    // Memoized per (session, corpus) so repeated invocations return
+    // the SAME persisted frame (stable cache entries across runs)
+    // instead of registering a fresh persist each call.
+    tokensCappedCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val t0 = tokens(s, dir)
+        val hot = t0.groupBy(col("lang"), col("source"), col("w"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > DedupOps.DfCap)
+          .select(col("lang"), col("source"), col("w"))
+        t0.join(hot, Seq("lang", "source", "w"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   def queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) => {
@@ -263,8 +271,13 @@ object LlmOps extends OpPack {
         .agg(min(col("n")).as("n_vecs"),
           collect_list(struct(col("idx"), col("mean_u"))).as("pairs"))
         .select(col("label"), col("n_vecs"),
-          transform(array_sort(col("pairs")), x => x.getField("mean_u"))
-            .as("centroid_u"))
+          // Serialized (array_join) per the repo convention: raw
+          // array cells are unhashable in the driver's pandas-based
+          // compare, so the flat string is what makes this
+          // oracle-checkable (agg_collect/fn_array_set precedent).
+          array_join(
+            transform(array_sort(col("pairs")), x => x.getField("mean_u")),
+            ",").as("centroid_u"))
         .orderBy(col("label"))
     }),
 
@@ -330,7 +343,10 @@ object LlmOps extends OpPack {
         .withColumn("q8", expr(
           "transform(xu, v -> CAST(CASE WHEN maxabs_u = 0 THEN 0 " +
             "ELSE (v * 127) div maxabs_u END AS INT))"))
-        .select(col("vec_id"), col("maxabs_u"), col("q8"),
+        .select(col("vec_id"), col("maxabs_u"),
+          // Serialized for the driver's pandas compare (see
+          // llm_centroid); l1_q aggregates the raw array first.
+          array_join(col("q8"), ",").as("q8"),
           expr("aggregate(q8, 0L, (acc, v) -> acc + abs(v))").as("l1_q"))
         .orderBy(col("vec_id"))
     }),
@@ -370,7 +386,11 @@ object LlmOps extends OpPack {
           s"transform(sequence(0, 15), j -> aggregate(" +
             s"zip_with(xu, element_at($mat, j + 1), " +
             "(v, sg) -> v * sg), 0L, (acc, x) -> acc + x))"))
-        .select(col("vec_id"), col("proj_u"))
+        .select(col("vec_id"),
+          // Serialized for the driver's pandas compare (see
+          // llm_centroid) — this is also what finally makes the
+          // sign-matrix derivation cross-engine hash-verified.
+          array_join(col("proj_u"), ",").as("proj_u"))
         .orderBy(col("vec_id"))
     }),
 
@@ -476,7 +496,8 @@ object LlmOps extends OpPack {
         |  SELECT label, idx, sum(xu) AS s, count(*) AS n
         |  FROM a GROUP BY label, idx)
         |SELECT label, CAST(min(n) AS BIGINT) AS n_vecs,
-        |  list(CAST(s // n AS BIGINT) ORDER BY idx) AS centroid_u
+        |  string_agg(CAST(CAST(s // n AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY idx) AS centroid_u
         |FROM g GROUP BY label ORDER BY label""".stripMargin,
 
     "llm_vec_drift" ->
@@ -520,7 +541,7 @@ object LlmOps extends OpPack {
         |           ELSE (CAST(v AS HUGEINT) * 127) // maxabs_u
         |           END AS INT)) AS q8
         |  FROM m)
-        |SELECT vec_id, maxabs_u, q8,
+        |SELECT vec_id, maxabs_u, array_to_string(q8, ',') AS q8,
         |  CAST(list_sum(list_transform(q8, v -> abs(v))) AS BIGINT)
         |    AS l1_q
         |FROM q ORDER BY vec_id""".stripMargin,
@@ -545,7 +566,9 @@ object LlmOps extends OpPack {
         |          IN ('0','1','2','3','4','5','6','7')
         |        THEN v ELSE -v END) AS o
         |  FROM e CROSS JOIN js GROUP BY vec_id, j)
-        |SELECT vec_id, list(CAST(o AS BIGINT) ORDER BY j) AS proj_u
+        |SELECT vec_id,
+        |  string_agg(CAST(CAST(o AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY j) AS proj_u
         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "llm_lang_partition" ->

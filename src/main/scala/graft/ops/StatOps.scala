@@ -1,0 +1,334 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust / order statistics beyond the moment-based aggregates:
+  * Theil–Sen slope and Kendall rank correlation (the outlier-immune
+  * siblings of agg_regression's OLS slope and ts_spearman's rho),
+  * exact rolling medians, corpus language-model and keyword
+  * statistics, chunked lexical diversity, and the Gini concentration
+  * coefficient via a two-phase distributed rank (no global-sort
+  * window). All integer-exact (permille / ppm fixed-point), every
+  * product that could pass 2^63 at 100 TB routed through
+  * DECIMAL(38,0) / HUGEINT.
+  */
+object StatOps extends OpPack {
+
+  /** Per-user (earlier, later) event pairs with cent values — the
+    * shared frame of the pairwise robust statistics. The self-join is
+    * per-user-BLOCK-bounded (the declared bounded-block contract of
+    * join_range_self / KnnJoin: a user's event count is bounded by the
+    * retention window, so k² per user never approaches corpus²); the
+    * join shuffles both sides on user_id once. */
+  private def eventPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val c = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val a = c.select(col("user_id"), col("event_id").as("x1"),
+      col("cents").as("y1"))
+    val b = c.select(col("user_id").as("u2"), col("event_id").as("x2"),
+      col("cents").as("y2"))
+    a.join(b, col("user_id") === col("u2") && col("x1") < col("x2"))
+      .select(col("user_id"), col("x1"), col("x2"), col("y1"), col("y2"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // Theil–Sen estimator: the median of all pairwise slopes — the
+    // robust trend line (one gross outlier moves OLS arbitrarily,
+    // moves the pairwise-slope median not at all). Slopes in integer
+    // milli-cents-per-event-id ((Δy·1000) div Δx — truncation toward
+    // zero identical in both engines); the median is percentile_disc
+    // (an actual observed slope, never an interpolated float). Shape:
+    // one user_id-shuffled bounded-block self-join + one hash agg.
+    "ts_theilsen" -> ((s, dir) => {
+      eventPairs(s, dir)
+        .withColumn("slope_milli",
+          expr("((y2 - y1) * 1000) div (x2 - x1)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP " +
+            "(ORDER BY slope_milli) AS BIGINT)").as("theil_slope_milli"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Kendall rank correlation (tau-a) of value vs event order per
+    // user — the pair-concordance monotone-trend test (complements
+    // ts_spearman's rank-difference form; tau has the cleaner
+    // integer closed form: no squared deviations at all). x strictly
+    // increases within a pair by construction, so concordant =
+    // value rose, discordant = value fell, value ties count neither;
+    // tau×1000 = (C − D)·1000 div n_pairs. Same bounded-block pair
+    // frame + one hash agg.
+    "ts_kendall" -> ((s, dir) => {
+      eventPairs(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("y2") > col("y1"), 1L).otherwise(0L)).as("conc"),
+          sum(when(col("y2") < col("y1"), 1L).otherwise(0L)).as("disc"))
+        .withColumn("tau_milli",
+          expr("((conc - disc) * 1000) div n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Exact rolling median over the trailing 11 events per user — the
+    // robust smoother a telemetry pipeline runs beside ts_ewma (one
+    // spike moves a mean for 16 samples, a median not at all). The
+    // 11-element frame is collected per row and median'd with narrow
+    // array expressions (lower-median element, the percentile_disc
+    // convention): O(frame) state per row on the ONE user_id
+    // exchange every window op here shares — no second shuffle.
+    "win_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-10, 0)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("win", collect_list(col("cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          expr("element_at(array_sort(win), " +
+            "CAST((size(win) + 1) div 2 AS INT))").as("med11"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Corpus bigram language model (the Markov sibling of
+    // llm_unigram_lm): conditional next-token probability in ppm =
+    // c(w1,w2)·10⁶ div c(w1·) over adjacent-token pairs, top-20 by
+    // pair count. The count product rides DECIMAL(38,0): a 10¹²-pair
+    // corpus count ×10⁶ overflows BIGINT. Narrow per-row pair
+    // generation + two chained map-side-combined hash aggs + one
+    // co-partitioned join on w1 + TakeOrderedAndProject — LM stats
+    // over 100 TB are a scan plus vocabulary-sized shuffles.
+    "llm_bigram_lm" -> ((s, dir) => {
+      val bg = Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      c2.join(c1, "w1")
+        .withColumn("p_ppm",
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div n1 " +
+            "AS BIGINT)"))
+        .select(col("w1"), col("w2"), col("n"), col("n1"), col("p_ppm"))
+        .orderBy(desc("n"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
+    // Per-document keyword extraction: top-3 tokens by integer
+    // tf·rarity score (tf·10⁶ div df — the tf-idf ranking without the
+    // log, so it stays exactly oracle-checkable; llm_tfidf holds the
+    // corpus-level form). Deterministic tie-break (score desc, token
+    // asc); the per-doc top-3 is a row_number window that gets the
+    // WindowGroupLimit pushdown (never materializes full ranked
+    // lists). Two hash aggs + one vocabulary-keyed co-partitioned
+    // join + windowed top-k on the doc_id exchange.
+    "llm_keyword_topk" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("w"))
+      tf.join(dfq, "w")
+        .withColumn("score",
+          expr("CAST((CAST(tf AS DECIMAL(38,0)) * 1000000) div df " +
+            "AS BIGINT)"))
+        .withColumn("rnk", row_number().over(win).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("w"), col("tf"),
+          col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // Chunked type-token ratio (MATTR's fixed-chunk form): lexical
+    // diversity per 50-token chunk in permille, rolled up to per-doc
+    // min/mean — the length-robust diversity signal (plain TTR decays
+    // with doc length, chunked TTR does not; complements llm_gini's
+    // concentration view). Position-based chunking (pos div 50), two
+    // chained hash aggs ((doc, chunk) → doc), integer mean = sum div
+    // n. Diversity over 100 TB is a scan plus doc-keyed shuffles.
+    "llm_ttr_chunk" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+        .withColumn("chunk", expr("pos div 50"))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("w")).as("n_distinct"))
+        .withColumn("ttr_pm", expr("(n_distinct * 1000) div n_tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          min(col("ttr_pm")).as("min_ttr_pm"),
+          expr("sum(ttr_pm) div count(*)").as("mean_ttr_pm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gini concentration coefficient of customer revenue (the revenue
+    // inequality audit behind composite_pareto's 80/20 view), exact in
+    // permille: G = (2·Σ iᐧxᵢ − (n+1)·Σx) div (n·Σx) over ascending
+    // ranks. The rank is the SCALE PATH: a global row_number window is
+    // a single-partition sort, so ranks come from a TWO-PHASE
+    // distributed prefix rank instead (the llm_token_shards idiom) —
+    // bucket on the $10k revenue grid, per-bucket row_number on the
+    // bucket exchange, plus the grid histogram's prefix sum (a
+    // partition-less window over the BOUNDED price grid — the declared
+    // contract); bucket order is monotone in cents so the composed
+    // rank equals the global one. Rank·value products ride
+    // DECIMAL(38,0) (i·x reaches n·Σx ≈ 10²⁷ at 100 TB).
+    "agg_gini_wealth" -> ((s, dir) => {
+      val rev = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val b = rev.withColumn("bucket", expr("cents div 1000000"))
+      val hist = b.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .withColumn("cum_before",
+          expr("coalesce(sum(bn) OVER (ORDER BY bucket " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
+        .select(col("bucket"), col("cum_before"))
+      val win = Window.partitionBy(col("bucket"))
+        .orderBy(col("cents"), col("o_custkey"))
+      b.withColumn("rk_in", row_number().over(win).cast("long"))
+        .join(hist, "bucket")
+        .withColumn("i", col("cum_before") + col("rk_in"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("iwx"))
+        .select(col("n_customers"), col("total_cents"),
+          expr("CAST(((2 * iwx - CAST(n_customers + 1 AS DECIMAL(38,0)) " +
+            "* total_cents) * 1000) div " +
+            "(CAST(n_customers AS DECIMAL(38,0)) * total_cents) " +
+            "AS BIGINT)").as("gini_permille"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ts_theilsen" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT a.user_id,
+        |    ((b.cents - a.cents) * 1000) // (b.event_id - a.event_id)
+        |      AS slope_milli
+        |  FROM c a JOIN c b
+        |    ON a.user_id = b.user_id AND a.event_id < b.event_id)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(quantile_disc(slope_milli, 0.5) AS BIGINT)
+        |    AS theil_slope_milli
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_kendall" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT a.user_id, a.cents AS y1, b.cents AS y2
+        |  FROM c a JOIN c b
+        |    ON a.user_id = b.user_id AND a.event_id < b.event_id),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_pairs,
+        |    sum(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS conc,
+        |    sum(CASE WHEN y2 < y1 THEN 1 ELSE 0 END) AS disc
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+        |  CAST(((conc - disc) * 1000) // n_pairs AS BIGINT) AS tau_milli
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "win_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS med11
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "llm_bigram_lm" ->
+      """WITH lt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM lt, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+        |c2 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
+        |SELECT c2.w1, c2.w2, CAST(n AS BIGINT) AS n,
+        |  CAST(n1 AS BIGINT) AS n1,
+        |  CAST((CAST(n AS HUGEINT) * 1000000) // n1 AS BIGINT) AS p_ppm
+        |FROM c2 JOIN c1 USING (w1)
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "llm_keyword_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM t2
+        |       GROUP BY doc_id, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+        |    CAST((CAST(tf.tf AS HUGEINT) * 1000000) // dfq.df AS BIGINT)
+        |      AS score
+        |  FROM tf JOIN dfq USING (w)),
+        |r AS (
+        |  SELECT doc_id, w, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, w) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "llm_ttr_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, (pos - 1) // 50 AS chunk,
+        |    count(*) AS n_tok, count(DISTINCT w) AS n_distinct
+        |  FROM t GROUP BY doc_id, chunk),
+        |cr AS (
+        |  SELECT doc_id, chunk,
+        |    (n_distinct * 1000) // n_tok AS ttr_pm
+        |  FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(min(ttr_pm) AS BIGINT) AS min_ttr_pm,
+        |  CAST(sum(ttr_pm) // count(*) AS BIGINT) AS mean_ttr_pm
+        |FROM cr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "agg_gini_wealth" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS i
+        |  FROM rev)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(((2 * sum(CAST(i AS HUGEINT) * cents)
+        |         - CAST(count(*) + 1 AS HUGEINT) * sum(cents)) * 1000)
+        |       // (CAST(count(*) AS HUGEINT) * sum(cents)) AS BIGINT)
+        |    AS gini_permille
+        |FROM rk""".stripMargin
+  )
+}

@@ -202,8 +202,10 @@ object TextOps extends OpPack {
           size(col("toks")).as("n_tok"),
           expr("aggregate(flags, 0L, (a, f) -> a + IF(f, 1L, 0L))")
             .as("n_masked"),
-          expr("transform(filter(sequence(1, size(toks)), " +
-            "p -> element_at(flags, p)), p -> CAST(p AS BIGINT))")
+          // Serialized (array_join) so the driver's pandas compare
+          // can hash the cell; zero-mask docs yield '' on both sides.
+          expr("array_join(filter(sequence(1, size(toks)), " +
+            "p -> element_at(flags, p)), ',')")
             .as("mask_pos"),
           expr("md5(array_join(transform(sequence(1, size(toks)), " +
             "p -> IF(element_at(flags, p), '[MASK]', " +
@@ -818,8 +820,8 @@ object TextOps extends OpPack {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_masked,
-        |  coalesce(list(CAST(pos AS BIGINT) ORDER BY pos)
-        |    FILTER (WHERE m), []) AS mask_pos,
+        |  coalesce(string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+        |    FILTER (WHERE m), '') AS mask_pos,
         |  md5(string_agg(CASE WHEN m THEN '[MASK]' ELSE w END, ' '
         |    ORDER BY pos)) AS masked_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,

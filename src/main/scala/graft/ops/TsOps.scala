@@ -201,8 +201,12 @@ object TsOps extends OpPack {
     // shared verbatim with the DuckDB oracle, Spark spelling of
     // integer division only.
     "ts_holt" -> ((s, dir) => {
-      Tables(s, dir, "events").createOrReplaceTempView("events")
-      s.sql(holtSql("div"))
+      // Suffixed view name (events_holt, matching the events_ewma
+      // convention): registering the raw table name 'events' would
+      // shadow it for every later SQL-text op in the session and make
+      // results depend on op execution order.
+      Tables(s, dir, "events").createOrReplaceTempView("events_holt")
+      s.sql(holtSql("div", "events_holt"))
     }),
 
     // Autocorrelation profile per key, integer-exact: center each
@@ -345,13 +349,13 @@ object TsOps extends OpPack {
     * chain is bit-exact end-to-end — the trend-aware forecaster a
     * telemetry pipeline runs next to the plain EWMA, at the same
     * scan-proportional cost. */
-  private[graft] def holtSql(divOp: String): String = {
+  private[graft] def holtSql(divOp: String, table: String): String = {
     val (n1, d1) = ewmaTerms("v_fp")
     val (n2, d2) = ewmaTerms("s1")
     s"""WITH base AS (
        |  SELECT user_id, event_id,
        |    CAST(round(value * 10000) AS BIGINT) AS v_fp
-       |  FROM events),
+       |  FROM $table),
        |s1t AS (
        |  SELECT user_id, event_id, v_fp,
        |    CAST(($n1) $divOp ($d1) AS BIGINT) AS s1
@@ -377,7 +381,7 @@ object TsOps extends OpPack {
     expr(s"CAST(CASE WHEN s0 > 0 THEN ($c * 1000) div s0 END AS BIGINT)")
 
   def oracle: Map[String, String] = Map(
-    "ts_holt" -> holtSql("//"),
+    "ts_holt" -> holtSql("//", "events"),
 
     "ts_spearman" ->
       """WITH c AS (

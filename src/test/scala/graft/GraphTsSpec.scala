@@ -89,8 +89,8 @@ class GraphTsSpec extends AnyFunSuite {
         "view", 3.14, "{}"))
     rows.toDF("user_id", "event_id", "ts", "event_type", "value",
         "props")
-      .createOrReplaceTempView("events")
-    val out = spark.sql(graft.ops.TsOps.holtSql("div"))
+      .createOrReplaceTempView("events_holt_spec")
+    val out = spark.sql(graft.ops.TsOps.holtSql("div", "events_holt_spec"))
       .select(col("s1"), col("s2"), col("level_fp"), col("trend_fp"),
         col("forecast_fp"))
       .collect()

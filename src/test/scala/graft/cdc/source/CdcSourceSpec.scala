@@ -266,6 +266,119 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(all.contains("auth failed") || all.contains("ERR"))
   }
 
+  test("socket: empty UUID is rejected at REGISTER (client_test.go:41-51)") {
+    val server = new ServerSocket(0)
+    val registerSeen = new java.util.concurrent.atomic.AtomicReference[String]
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream,
+        UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      def readN(n: Int): String = {
+        val b = new Array[Char](n); var r = 0
+        while (r < n) { val k = in.read(b, r, n - r); if (k > 0) r += k }
+        new String(b)
+      }
+      // accept auth, then reject the empty-UUID REGISTER like MaxScale
+      readN(graft.cdc.Protocol.formatAuthCommand("u", "p").length)
+      out.println("OK")
+      registerSeen.set(
+        readN(graft.cdc.Protocol.formatRegisterCommand("").length))
+      out.println("ERR invalid uuid")
+      Thread.sleep(500)
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "u").option("password", "p").option("uuid", "")
+      .option("database", "test").option("table", "tests")
+      .load().writeStream.format("memory").queryName("cdc_emptyuuid")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    server.close()
+    // the wire carried the literally-empty UUID and the failure is the
+    // server's REGISTER rejection, not a client-side substitute
+    assert(registerSeen.get == "REGISTER UUID=, TYPE=JSON")
+    val all = e.getMessage + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(all.contains("register failed") || all.contains("ERR"))
+  }
+
+  test("socket: mid-stream DDL version bump feeds the schema registry") {
+    val ddlV2 = ddl
+      .replace(""""version": 1""", """"version": 2""")
+      .replace(
+        """{"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}""",
+        """{"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}, {"name": "note", "type": ["null", "varchar"], "real_type": "varchar", "length": 40}""")
+    val dmlV2 =
+      """{"domain": 0, "server_id": 3000, "sequence": 9, "event_number": 1, "timestamp": 1700000009, "event_type": "insert", "table_name": "tests", "table_schema": "test", "id": 3, "note": "altered"}"""
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream,
+        UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      def readN(n: Int): Unit = {
+        val b = new Array[Char](n); var r = 0
+        while (r < n) { val k = in.read(b, r, n - r); if (k > 0) r += k }
+      }
+      readN(graft.cdc.Protocol.formatAuthCommand("u", "p").length)
+      out.println("OK")
+      readN(graft.cdc.Protocol.formatRegisterCommand("uuid-2").length)
+      out.println("OK")
+      readN(graft.cdc.Protocol
+        .formatRequestDataCommand("test", "tests").length)
+      // live ALTER mid-stream: v1 schema + row, then v2 schema + row
+      out.println(ddl)
+      out.println(dml(7, 1))
+      out.println(ddlV2)
+      out.println(dmlV2)
+      Thread.sleep(5000)
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "u").option("password", "p").option("uuid", "uuid-2")
+      .option("database", "test").option("table", "tests")
+      .load().writeStream.format("memory").queryName("cdc_socket_ddl")
+      .outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 15000
+    var n = 0L
+    while (n < 4 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      n = spark.table("cdc_socket_ddl").count()
+      if (n < 4) Thread.sleep(100)
+    }
+    q.stop()
+    server.close()
+    val out = spark.table("cdc_socket_ddl")
+    assert(out.count() == 4)
+    // both schema versions arrive over the live socket and land in the
+    // versioned registry map — the schema-evolution path is not a
+    // replay-only behavior
+    val registry = out.filter(col("event_type") === "ddl")
+      .select("raw").collect().map(_.getString(0))
+      .map(graft.cdc.Protocol.decodeDdlEvent)
+      .map(d => (d.database, d.table, d.version) ->
+        graft.cdc.CdcModel.toStructType(d)).toMap
+    assert(registry.keySet == Set(("test", "tests", 1), ("test", "tests", 2)))
+    assert(registry(("test", "tests", 2)).fieldNames.contains("note"))
+    val projected = out.filter(col("event_type") =!= "ddl")
+      .withColumn("payload",
+        from_json(col("raw"), registry(("test", "tests", 2))))
+      .select(col("sequence"), col("payload.note"))
+      .orderBy("sequence").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(projected == Seq((7L, None), (9L, Some("altered"))))
+  }
+
   test("socket: bounded schema wait fails after schemaWaitMaxMs of ERRs") {
     val server = new ServerSocket(0)
     val t = new Thread(() => {

@@ -6,30 +6,55 @@ run `python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out`.
 
 For each query dir under outDir: load the Spark parquet result, run the
 matching oracle SQL in DuckDB over views of the testdata parquet, sort
-columns by name (the driver does the same before hashing), and compare
-row-by-row values.
+columns by name, sort rows, and compare STRINGIFIED cells exactly.
+
+This deliberately mirrors the DRIVER's hash semantics, not pandas
+comparison semantics:
+  - an array/map-typed output column is a HARD ERROR (the driver's
+    pandas canonicalizer dies on `numpy.ndarray: unhashable` — round-5
+    shipped 4 such queries believing them green because this script
+    used to tuple-normalize arrays);
+  - no numeric coercion: 4.0 (DOUBLE) vs 4 (BIGINT) is a MISMATCH
+    even though the values compare equal (the driver hashes the
+    rendered value — round-5's diag_skew_report failed exactly here).
+Local green must predict driver green.
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+
+class ArrayColumnError(Exception):
+    pass
+
+
+def canon(df: pd.DataFrame, name: str, side: str) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list-like cells to tuples for comparability
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-    return df.reset_index(drop=True)
+            if df[c].map(lambda v: isinstance(
+                    v, (list, tuple, dict, np.ndarray))).any():
+                raise ArrayColumnError(
+                    f"{side} column '{c}' is array/map-typed — the "
+                    "driver's canonicalizer cannot hash it; serialize "
+                    "with array_join / string_agg")
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns),
+                            kind="mergesort").reset_index(drop=True)
+    # Stringify exactly (no coercion): what the driver hashes.
+    return df.astype(object).where(df.notna(), None).map(
+        lambda v: "<NULL>" if v is None else str(v))
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
@@ -39,36 +64,42 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        try:
+            g = canon(got, name, "spark")
+        except ArrayColumnError as e:
+            print(f"FAIL  {name}: {e}"); n_fail += 1; continue
         if name not in oracles:
-            print(f"skip  {name}: no oracle ({len(got)} rows)"); n_noracle += 1
+            print(f"skip  {name}: no oracle ({len(got)} rows)")
+            n_noracle += 1
             continue
         try:
             exp = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        g, e = norm(got), norm(exp)
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1; continue
+        try:
+            e = canon(exp, name, "oracle")
+        except ArrayColumnError as ex:
+            print(f"FAIL  {name}: {ex}"); n_fail += 1; continue
         if list(g.columns) != list(e.columns):
             print(f"FAIL  {name}: cols {list(g.columns)} vs {list(e.columns)}")
             n_fail += 1; continue
         if len(g) != len(e):
-            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
-        try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False,
-                                          check_exact=True)
-            print(f"pass  {name} ({len(g)} rows)"); n_pass += 1
-        except AssertionError as ex:
-            first = str(ex).splitlines()[:8]
-            print(f"FAIL  {name}: value mismatch:")
-            for l in first: print(f"      {l}")
-            # show first differing row
-            neq = (g != e) & ~(g.isna() & e.isna())
+            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}")
+            n_fail += 1; continue
+        neq = (g != e)
+        if neq.to_numpy().any():
             bad = neq.any(axis=1)
-            if bad.any():
-                i = bad.idxmax()
-                print(f"      row {i}:\n      spark: {g.loc[i].to_dict()}\n      duck : {e.loc[i].to_dict()}")
+            i = bad.idxmax()
+            print(f"FAIL  {name}: value mismatch at sorted row {i}:")
+            print(f"      spark: {g.loc[i].to_dict()}")
+            print(f"      duck : {e.loc[i].to_dict()}")
             n_fail += 1
+        else:
+            print(f"pass  {name} ({len(g)} rows)"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
