@@ -20,21 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** Candidate pairs (`doc_a` < `doc_b`) from banded MinHash.
-    *
-    * @param tokens (docCol, tokenCol) rows, distinct per doc
-    */
-  def candidatePairs(tokens: DataFrame, docCol: String, tokenCol: String,
+  /** The banded signature INDEX: one `(doc, band, band_key)` row per
+    * band — |docs|·bands rows, the frame a production pipeline builds
+    * once and serves many dedup passes from (persist/memoize this, not
+    * the pair join). One shuffle of token rows with full map-side
+    * combine, via ONE imperative aggregate
+    * (graft.functions.MinHashSignature): the variable-length token
+    * string is hashed exactly once (`__h`); the aggregate updates a
+    * long[numHashes] buffer with numHashes integer mixes per row in a
+    * tight JVM loop — no 128-expression codegen blowup. (Only
+    * candidate recall depends on the hash family; the output is
+    * exact-verified afterwards.) */
+  def bandSignatures(tokens: DataFrame, docCol: String, tokenCol: String,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // One shuffle of token rows with full map-side combine, via ONE
-    // imperative aggregate (graft.functions.MinHashSignature): the
-    // variable-length token string is hashed exactly once (`h`); the
-    // aggregate updates a long[numHashes] buffer with numHashes integer
-    // mixes per row in a tight JVM loop — no 128-expression codegen
-    // blowup. (Only candidate recall depends on the hash family; the
-    // output is exact-verified afterwards.)
     val sig = tokens
       .withColumn("__h", xxhash64(col(tokenCol)))
       .groupBy(col(docCol))
@@ -45,10 +45,15 @@ object MinHashLsh {
       struct(lit(bd).as("band"),
         xxhash64(slice(col("sig"), bd * r + 1, r)).as("band_key"))
     }
-    val bandSig = sig
+    sig
       .select(col(docCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(docCol), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs (`doc_a` < `doc_b`) from a [[bandSignatures]]
+    * frame: equi-join on (band, band_key), deduped across bands. */
+  def pairsFromBands(bandSig: DataFrame, docCol: String): DataFrame = {
     val a = bandSig.select(col(docCol).as("doc_a"), col("band"),
       col("band_key"))
     val b = bandSig.select(col(docCol).as("doc_b"),
@@ -58,6 +63,15 @@ object MinHashLsh {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
+
+  /** Candidate pairs (`doc_a` < `doc_b`) from banded MinHash.
+    *
+    * @param tokens (docCol, tokenCol) rows, distinct per doc
+    */
+  def candidatePairs(tokens: DataFrame, docCol: String, tokenCol: String,
+      numHashes: Int = 128, bands: Int = 32): DataFrame =
+    pairsFromBands(
+      bandSignatures(tokens, docCol, tokenCol, numHashes, bands), docCol)
 
   /** Exact Jaccard verification of candidate pairs: attach
     * `n_inter`/`n_union` (distinct-token counts) and keep pairs with
