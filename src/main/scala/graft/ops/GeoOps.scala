@@ -144,6 +144,42 @@ object GeoOps extends OpPack {
         .filter(col("rn") === 1)
         .select(col("id_a"), col("id_b").as("nearest_id"), col("dist2"))
         .orderBy(col("id_a"))
+    }),
+
+    // Grid-cell density clustering (the DBSCAN-lite every geo stack
+    // ships): cells with >= MinPts points are "dense", touching dense
+    // cells (8-neighborhood) merge into clusters labeled by their
+    // minimum packed cell id. The clustering never touches points
+    // pairwise — density is geo_grid_density's two-phase count, the
+    // adjacency join is cell-keyed on a BOUNDED 40x40 grid, and the
+    // merge is BigStarCC's O(log n)-round star contraction (diameter-
+    // independent: a grid cluster can snake arbitrarily long, exactly
+    // the case min-label propagation degrades on). At 100 TB the only
+    // point-proportional work is the density count.
+    "geo_cluster_grid" -> ((s, dir) => {
+      val minPts = 8
+      val dense = points(s, dir)
+        .groupBy(expr(s"x div $Cell").as("cx"), expr(s"y div $Cell").as("cy"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minPts)
+        .withColumn("cell", col("cx") * 1000 + col("cy"))
+      val a = dense.select(col("cell"), col("cx"), col("cy"))
+      val nb = dense.select(col("cell").as("cell_b"),
+          explode(expr("sequence(cx - 1, cx + 1)")).as("nx"),
+          col("cy").as("cyb"))
+        .select(col("cell_b"), col("nx"),
+          explode(expr("sequence(cyb - 1, cyb + 1)")).as("ny"))
+      val edges = a.join(nb,
+          col("cx") === col("nx") && col("cy") === col("ny") &&
+            col("cell") < col("cell_b"))
+        .select(col("cell"), col("cell_b"))
+      val labels = graft.operators.BigStarCC.run(edges, "cell", "cell_b")
+      dense.join(labels, dense("cell") === labels("id"), "left_outer")
+        .withColumn("cluster_id",
+          coalesce(col("component"), col("cell")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+        .orderBy(col("cluster_id"))
     })
   )
 
@@ -239,6 +275,31 @@ object GeoOps extends OpPack {
         |    (PARTITION BY id_a ORDER BY dist2, id_b) AS rn
         |  FROM cand)
         |SELECT id_a, id_b AS nearest_id, dist2
-        |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin,
+
+    // Exact transitive closure over the dense-cell adjacency (the
+    // min-label of a component equals BigStarCC's label by the shared
+    // min-id contract).
+    "geo_cluster_grid" ->
+      s"""WITH RECURSIVE $ptsSql,
+         |dense AS (
+         |  SELECT x // 250 AS cx, y // 250 AS cy, count(*) AS n
+         |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 8),
+         |dc AS (SELECT cx * 1000 + cy AS cell, cx, cy, n FROM dense),
+         |adj AS (
+         |  SELECT a.cell AS u, b.cell AS v
+         |  FROM dc a JOIN dc b
+         |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         |    AND a.cell <> b.cell),
+         |creach(u, v) AS (
+         |  SELECT cell, cell FROM dc
+         |  UNION
+         |  SELECT e.u, r.v FROM adj e JOIN creach r ON r.u = e.v),
+         |lab AS (SELECT u AS cell, min(v) AS cluster_id
+         |        FROM creach GROUP BY u)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(n) AS BIGINT) AS n_points
+         |FROM dc JOIN lab USING (cell)
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   )
 }

@@ -224,6 +224,23 @@ object ScanOps extends OpPack {
         .orderBy(col("zbucket"))
     }),
 
+    // Hilbert-curve layout (the locality-better alternative to
+    // layout_zorder: consecutive Hilbert keys are always GRID-ADJACENT,
+    // where the Morton curve takes long diagonal jumps — tighter
+    // per-file min/max envelopes for the same write cost; this is the
+    // clustering Delta/Iceberg OPTIMIZE ZORDER's successors use). The
+    // 5-level xy2d state machine (reflect+swap per level) is generated
+    // as ONE SQL text ([[hilbertSql]]) run verbatim in both engines
+    // (only the integer-div token differs) — 5 chained projections of
+    // pure CASE arithmetic, constant-folded codegen, no UDF, no joins:
+    // computing keys for a 100 TB rewrite is a scan-speed map. Bucket
+    // report mirrors layout_zorder for a direct envelope comparison.
+    // Curve bijectivity + unit-step adjacency pinned in HilbertSpec.
+    "layout_hilbert" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_hilbert")
+      s.sql(hilbertSql("div", "orders_hilbert"))
+    }),
+
     // Row-level lineage from the parquet reader's hidden `_metadata`
     // struct — file name + in-file row index with ZERO bookkeeping
     // cost (computed from scan offsets, no join against any index).
@@ -248,7 +265,48 @@ object ScanOps extends OpPack {
     })
   )
 
+  /** The Hilbert xy2d state machine (order 5, 32×32 grid) as chained
+    * CTE projections of pure CASE arithmetic — the classic per-level
+    * quadrant-bit + reflect-and-swap rotation, unrolled for s = 16, 8,
+    * 4, 2, 1 so both engines run the IDENTICAL generated text (only
+    * the integer-div token differs, the holtSql convention). `h5`
+    * carries (x0, y0, d): original cell coords + Hilbert key. */
+  private[graft] def hilbertCtes(divOp: String, table: String): String = {
+    val steps = Seq(16, 8, 4, 2, 1).zipWithIndex.map { case (sz, k) =>
+      s"""h${k + 1} AS (
+         |  SELECT x0, y0,
+         |    CASE WHEN ry = 1 THEN x
+         |         WHEN rx = 1 THEN 31 - y ELSE y END AS x,
+         |    CASE WHEN ry = 1 THEN y
+         |         WHEN rx = 1 THEN 31 - x ELSE x END AS y,
+         |    d + ${sz * sz} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |      WHEN rx = 0 AND ry = 1 THEN 1
+         |      WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END) AS d
+         |  FROM (SELECT x0, y0, x, y, d,
+         |      (x $divOp $sz) % 2 AS rx, (y $divOp $sz) % 2 AS ry
+         |    FROM h$k) s$k)""".stripMargin
+    }
+    s"""WITH h0 AS (
+       |  SELECT o_custkey % 32 AS x0,
+       |    CAST(floor(o_totalprice) AS BIGINT) % 32 AS y0,
+       |    o_custkey % 32 AS x,
+       |    CAST(floor(o_totalprice) AS BIGINT) % 32 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM $table),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private[graft] def hilbertSql(divOp: String, table: String): String =
+    hilbertCtes(divOp, table) + "\n" +
+      s"""SELECT CAST(d $divOp 32 AS BIGINT) AS hbucket,
+         |  count(*) AS n,
+         |  min(x0) AS min_x, max(x0) AS max_x,
+         |  min(y0) AS min_y, max(y0) AS max_y
+         |FROM h5 GROUP BY hbucket ORDER BY hbucket""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "layout_hilbert" -> hilbertSql("//", "orders"),
+
     // row_index == doc_id is a verified property of the testdata
     // files (duckdb file_row_number agrees at every sf), so the
     // expected n_aligned is simply the row count

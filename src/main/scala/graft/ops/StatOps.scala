@@ -172,6 +172,93 @@ object StatOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Product-quantization codes for the embedding corpus (the PQ
+    // compressor front-end of an ANN index — 64 floats → one BIGINT
+    // code): split each vector into 8 subvectors of 8 dims, scalar-
+    // quantize each subvector MEAN over the exact micro-unit
+    // representation to a 3-bit level on the fixed [-1, 1] grid
+    // (no trained codebook — deterministic, mergeable, zero driver
+    // state; the k-means-codebook variant is llm_ann_ivf's territory),
+    // pack the 8 digits base-8, and emit the exact L1 reconstruction
+    // error as the fidelity column a recall monitor thresholds on.
+    // Entirely narrow per-row array expressions: compressing 100 TB of
+    // vectors is a scan-speed map, NO shuffle.
+    "llm_vec_pq" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .withColumn("xu", expr(
+          "transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .withColumn("digits", expr(
+          "transform(sequence(0, 7), j -> least(greatest(" +
+            "(aggregate(slice(xu, j * 8 + 1, 8), 0L, (a, v) -> a + v) " +
+            "div 8 + 1000000) div 250000, 0L), 7L))"))
+        .select(col("vec_id"),
+          expr("aggregate(digits, 0L, (a, d) -> a * 8 + d)")
+            .as("pq_code"),
+          expr("aggregate(sequence(0, 63), 0L, (a, i) -> a + " +
+            "abs(element_at(xu, CAST(i + 1 AS INT)) - " +
+            "(element_at(digits, CAST(i div 8 + 1 AS INT)) * 250000 " +
+            "- 875000)))").as("recon_err_u"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Per-nation Pareto frontier (skyline) of customers on
+    // (revenue, account balance): a customer is on the frontier iff no
+    // other customer of the nation weakly dominates it (>= in both
+    // coordinates, > in one; exact coordinate duplicates keep only the
+    // smallest custkey — declared, shared verbatim with the oracle).
+    // The skyline is the classic single-sweep: sort the PARTITIONED
+    // window by (rev desc, bal desc, key) and keep rows whose balance
+    // strictly exceeds the running max of all predecessors — O(1)
+    // window state, one nation-keyed exchange, never a pairwise
+    // dominance join.
+    "win_skyline" -> ((s, dir) => {
+      val rev = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_c"))
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("rev_c"), desc("bal_c"), asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      c.join(rev, col("c_custkey") === col("o_custkey"))
+        .withColumn("max_prev_bal", max(col("bal_c")).over(w))
+        .filter(col("max_prev_bal").isNull ||
+          col("bal_c") > col("max_prev_bal"))
+        .select(col("c_nationkey"), col("c_custkey"), col("rev_c"),
+          col("bal_c"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
+    // Per-language character-frequency profile: top-5 non-space
+    // characters with corpus share in ppm — the encoding-anomaly /
+    // mojibake / wrong-language-id detector every web-corpus intake
+    // runs (a lang bucket whose top chars aren't that script's is
+    // misrouted). Character explosion is a narrow regexp_extract_all
+    // (identical '.' semantics in Java regex and RE2), then two
+    // map-side-combined hash aggs + a WindowGroupLimit top-5 per lang;
+    // count×10⁶ rides DECIMAL(38,0)/HUGEINT.
+    "llm_char_freq" -> ((s, dir) => {
+      val ch = Tables(s, dir, "documents")
+        .select(col("lang"),
+          explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
+        .filter(col("ch") =!= " ")
+      val cnt = ch.groupBy(col("lang"), col("ch")).agg(count(lit(1)).as("n"))
+      val tot = ch.groupBy(col("lang")).agg(count(lit(1)).as("tot"))
+      val win = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("ch"))
+      cnt.join(tot, "lang")
+        .withColumn("share_ppm",
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div tot " +
+            "AS BIGINT)"))
+        .withColumn("rnk", row_number().over(win).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("ch"), col("n"),
+          col("share_ppm"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // Gini concentration coefficient of customer revenue (the revenue
     // inequality audit behind composite_pareto's 80/20 view), exact in
     // permille: G = (2·Σ iᐧxᵢ − (n+1)·Σx) div (n·Σx) over ascending
@@ -313,6 +400,79 @@ object StatOps extends OpPack {
         |  CAST(min(ttr_pm) AS BIGINT) AS min_ttr_pm,
         |  CAST(sum(ttr_pm) // count(*) AS BIGINT) AS mean_ttr_pm
         |FROM cr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_vec_pq" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS xu
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(xu, 1) - 1 AS i,
+        |    unnest(xu) AS v
+        |  FROM u),
+        |sv AS (
+        |  SELECT vec_id, i // 8 AS j, sum(v) AS s
+        |  FROM e GROUP BY vec_id, i // 8),
+        |dg AS (
+        |  SELECT vec_id, j,
+        |    least(greatest((s // 8 + 1000000) // 250000, 0), 7) AS d
+        |  FROM sv),
+        |pc AS (
+        |  SELECT vec_id,
+        |    sum(d * CAST(power(8, 7 - j) AS BIGINT)) AS code
+        |  FROM dg GROUP BY vec_id),
+        |er AS (
+        |  SELECT e.vec_id,
+        |    sum(abs(e.v - (dg.d * 250000 - 875000))) AS err
+        |  FROM e JOIN dg ON e.vec_id = dg.vec_id AND e.i // 8 = dg.j
+        |  GROUP BY e.vec_id)
+        |SELECT pc.vec_id, CAST(code AS BIGINT) AS pq_code,
+        |  CAST(err AS BIGINT) AS recon_err_u
+        |FROM pc JOIN er ON pc.vec_id = er.vec_id
+        |ORDER BY pc.vec_id""".stripMargin,
+
+    "win_skyline" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |j AS (
+        |  SELECT c_nationkey, c_custkey, rev_c, bal_c,
+        |    max(bal_c) OVER (PARTITION BY c_nationkey
+        |      ORDER BY rev_c DESC, bal_c DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS max_prev_bal
+        |  FROM c JOIN rev ON c_custkey = o_custkey)
+        |SELECT c_nationkey, c_custkey, rev_c, bal_c
+        |FROM j WHERE max_prev_bal IS NULL OR bal_c > max_prev_bal
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "llm_char_freq" ->
+      """WITH ch AS (
+        |  SELECT lang, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM documents),
+        |ch2 AS (SELECT lang, ch FROM ch WHERE ch <> ' '),
+        |c2 AS (SELECT lang, ch, count(*) AS n FROM ch2
+        |       GROUP BY lang, ch),
+        |tot AS (SELECT lang, count(*) AS tot FROM ch2 GROUP BY lang),
+        |r AS (
+        |  SELECT c2.lang, c2.ch, c2.n, tot.tot,
+        |    CAST((CAST(n AS HUGEINT) * 1000000) // tot AS BIGINT)
+        |      AS share_ppm,
+        |    row_number() OVER (PARTITION BY c2.lang
+        |                       ORDER BY n DESC, ch) AS rnk
+        |  FROM c2 JOIN tot USING (lang))
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, ch,
+        |  CAST(n AS BIGINT) AS n, share_ppm
+        |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
     "agg_gini_wealth" ->
       """WITH rev AS (
