@@ -232,6 +232,93 @@ object StatOps extends OpPack {
         .orderBy(col("c_nationkey"), col("c_custkey"))
     }),
 
+    // Benford first-digit audit of order totals (the classic
+    // fabricated-numbers screen: organically-grown monetary amounts
+    // follow log10(1+1/d); invented ones don't): observed first-digit
+    // shares in ppm against the Benford expectation (embedded as exact
+    // integer ppm CONSTANTS — public math, no runtime logs, so the
+    // whole audit stays integer-exact), absolute deviation per digit.
+    // First digit via BIGINT→string cast (identical text both
+    // engines). One scan + one 9-group hash agg + a 9-row window
+    // total: auditing 100 TB of amounts is a map-side-combined count.
+    "agg_benford" -> ((s, dir) => {
+      // round(1e6 * log10(1 + 1/d)) for d = 1..9
+      val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val benfordCase = benford.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+        .mkString("CASE digit ", " ", " END")
+      Tables(s, dir, "orders")
+        .withColumn("digit", expr(
+          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) " +
+            "AS STRING), 1, 1) AS BIGINT)"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm", expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div " +
+            "sum(n) OVER () AS BIGINT)"))
+        .withColumn("benford_ppm", expr(benfordCase))
+        .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+        .select(col("digit"), col("n"), col("share_ppm"),
+          col("benford_ppm"), col("dev_ppm"))
+        .orderBy(col("digit"))
+    }),
+
+    // Event-type transition matrix (the Markov flow behind a Sankey /
+    // user-journey diagram): per-user consecutive event-type pairs
+    // (event_id order), corpus-wide counts, and the conditional
+    // next-step probability in ppm per source type. One lag window on
+    // the user_id exchange + one |types|²-group hash agg + a
+    // co-partitioned join against source totals — journey analytics
+    // over 100 TB is a windowed scan plus tiny-key shuffles.
+    "composite_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val pairs = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+      val cnt = pairs.groupBy(col("from_type"),
+        col("event_type").as("to_type")).agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("from_type"))
+        .agg(count(lit(1)).as("n_from"))
+      cnt.join(tot, "from_type")
+        .withColumn("p_ppm", expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div n_from " +
+            "AS BIGINT)"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("n_from"), col("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Rolling OLS slope over the trailing 10 events per user (the
+    // windowed trend detector beside win_rolling_median's level and
+    // ts_ewma's smoothing): x = within-user row position, y = cents;
+    // slope×1000 = (kΣxy − ΣxΣy)·1000 div (kΣx² − (Σx)²) from FOUR
+    // frame sums over the SAME user_id exchange (row_number + sums in
+    // one window pass each, O(1) state); every product rides
+    // DECIMAL(38,0) and the zero-variance frame (k=1) yields NULL
+    // through the same CASE in both engines.
+    "win_rolling_slope" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val w = ord.rowsBetween(-9, 0)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("x", row_number().over(ord).cast("long"))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("cents")).over(w))
+        .withColumn("sxy",
+          sum(expr("CAST(x AS DECIMAL(38,0)) * cents")).over(w))
+        .withColumn("sxx",
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          expr("CAST(CASE WHEN k * sxx - CAST(sx AS DECIMAL(38,0)) * sx " +
+            "<> 0 THEN ((k * sxy - CAST(sx AS DECIMAL(38,0)) * sy) " +
+            "* 1000) div (k * sxx - CAST(sx AS DECIMAL(38,0)) * sx) " +
+            "END AS BIGINT)").as("slope_milli"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Per-language character-frequency profile: top-5 non-space
     // characters with corpus share in ppm — the encoding-anomaly /
     // mojibake / wrong-language-id detector every web-corpus intake
@@ -454,6 +541,73 @@ object StatOps extends OpPack {
         |SELECT c_nationkey, c_custkey, rev_c, bal_c
         |FROM j WHERE max_prev_bal IS NULL OR bal_c > max_prev_bal
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |w AS (
+        |  SELECT digit, n,
+        |    CAST((CAST(n AS HUGEINT) * 1000000) // sum(n) OVER ()
+        |      AS BIGINT) AS share_ppm
+        |  FROM g),
+        |b AS (
+        |  SELECT digit, n, share_ppm,
+        |    CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |      WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm
+        |  FROM w)
+        |SELECT digit, CAST(n AS BIGINT) AS n, share_ppm, benford_ppm,
+        |  abs(share_ppm - benford_ppm) AS dev_ppm
+        |FROM b ORDER BY digit""".stripMargin,
+
+    "composite_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY event_id) AS from_type
+        |  FROM events),
+        |p2 AS (SELECT from_type, event_type AS to_type FROM p
+        |       WHERE from_type IS NOT NULL),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p2
+        |      GROUP BY 1, 2),
+        |t AS (SELECT from_type, count(*) AS n_from FROM p2 GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n_from AS BIGINT) AS n_from,
+        |  CAST((CAST(n AS HUGEINT) * 1000000) // n_from AS BIGINT)
+        |    AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "win_rolling_slope" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS x
+        |  FROM c),
+        |s AS (
+        |  SELECT user_id, event_id, cents,
+        |    count(*) OVER wf AS k,
+        |    sum(x) OVER wf AS sx,
+        |    sum(cents) OVER wf AS sy,
+        |    sum(CAST(x AS HUGEINT) * cents) OVER wf AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) OVER wf AS sxx
+        |  FROM r
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, cents,
+        |  CAST(CASE WHEN k * sxx - CAST(sx AS HUGEINT) * sx <> 0
+        |    THEN ((k * sxy - CAST(sx AS HUGEINT) * sy) * 1000)
+        |         // (k * sxx - CAST(sx AS HUGEINT) * sx)
+        |    END AS BIGINT) AS slope_milli
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
 
     "llm_char_freq" ->
       """WITH ch AS (
