@@ -643,4 +643,61 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(popcount("view") === 3L)  // {1,9,2}
     assert(popcount("buy") === 1L)   // {7}
   }
+
+  test("streaming MinHash band-index maintenance: per-micro-batch " +
+      "signatures union to the batch index, candidate pairs identical") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of llm_dedup_minhash's index build: a doc's
+    // band signatures depend ONLY on that doc's tokens, so index
+    // maintenance is append-only per micro-batch — new documents add
+    // rows, nothing is revised — and any batch-boundary placement
+    // yields the same index (the property that lets a 100 TB corpus
+    // index grow incrementally instead of rebuilding).
+    val docs = Seq(
+      1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w q",
+      4L -> "x y z w e", 5L -> "m n o p q", 6L -> "a b c d e")
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= graft.operators.MinHashLsh
+          .bandSignatures(toks(df), "doc_id", "w",
+            numHashes = 64, bands = 16)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    input.addData(docs.take(2): _*); q.processAllAvailable()
+    input.addData(docs.slice(2, 4): _*); q.processAllAvailable()
+    input.addData(docs.drop(4): _*); q.processAllAvailable()
+    q.stop()
+
+    val batchIdxDf = graft.operators.MinHashLsh.bandSignatures(
+      toks(docs.toDF("doc_id", "text")), "doc_id", "w",
+      numHashes = 64, bands = 16)
+    val batchIdx = batchIdxDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(acc.size == 6 * 16 && acc.toSet == batchIdx,
+      "incremental index must equal the batch-built index")
+
+    // candidate pairs served from the incrementally-built index match
+    // the batch pairs (doc 6 duplicates doc 1 across a batch boundary)
+    val incDf = acc.toSeq.toDF("doc_id", "band", "band_key")
+    val incPairs = graft.operators.MinHashLsh
+      .pairsFromBands(incDf, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = graft.operators.MinHashLsh
+      .pairsFromBands(batchIdxDf, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incPairs == batchPairs)
+    assert(incPairs.contains((1L, 6L)),
+      "identical docs split across batches must still collide")
+  }
 }
