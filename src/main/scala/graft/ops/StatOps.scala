@@ -232,6 +232,90 @@ object StatOps extends OpPack {
         .orderBy(col("c_nationkey"), col("c_custkey"))
     }),
 
+    // Rolling MAD outlier detector (the Hampel filter): per row, the
+    // trailing-11 median AND the median absolute deviation from it —
+    // both exact lower-median order statistics over the same collected
+    // frame — flagging |x − med| > 6·MAD. The fully-robust anomaly
+    // gate (ts_anomaly's z-score breaks when the window itself holds
+    // outliers; the MAD does not). O(frame) state per row on the ONE
+    // user_id exchange; constant-window frames (MAD = 0) flag any
+    // deviation, declared.
+    "win_rolling_mad" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-10, 0)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("win", collect_list(col("cents")).over(w))
+        .withColumn("med11",
+          expr("element_at(array_sort(win), " +
+            "CAST((size(win) + 1) div 2 AS INT))"))
+        .withColumn("mad11",
+          expr("element_at(array_sort(transform(win, " +
+            "v -> abs(v - med11))), CAST((size(win) + 1) div 2 AS INT))"))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("med11"), col("mad11"),
+          expr("abs(cents - med11) > 6 * mad11").as("is_outlier"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Power-of-two (log2) histogram of order totals — the bucket
+    // shape for heavy-tailed metrics (latency/size/money histograms
+    // double their bucket width, they don't fix it): bucket = bit
+    // length of the cent amount, computed by BASE-2 STRING LENGTH
+    // (identical in both engines — no float log2 anywhere), with the
+    // exact [2^(b−1), 2^b) bounds. One scan + one ~27-group
+    // map-side-combined hash agg.
+    "agg_hist_log2" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("bits",
+          expr("CAST(length(conv(CAST(cents AS STRING), 10, 2)) " +
+            "AS BIGINT)"))
+        .groupBy(col("bits"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .withColumn("lo", expr("CAST(pow(2, bits - 1) AS BIGINT)"))
+        .withColumn("hi", expr("CAST(pow(2, bits) AS BIGINT) - 1"))
+        .select(col("bits"), col("lo"), col("hi"), col("n"),
+          col("min_cents"), col("max_cents"))
+        .orderBy(col("bits"))
+    }),
+
+    // Distinctive vocabulary per source (the segment-profiling cousin
+    // of llm_tfidf): top-3 tokens by integer lift ppm =
+    // (tf_src·total_corpus·10⁶) div (total_src·tf_corpus), minimum
+    // support tf_src ≥ 5 (declared — lift over singleton counts is
+    // noise). The corpus total rides a window sum over the BOUNDED
+    // |sources| frame (no scalar cross-join); everything else is
+    // vocabulary-keyed co-partitioned joins + a WindowGroupLimit
+    // top-3. Products in DECIMAL(38,0)/HUGEINT (tf·total·10⁶ ≈ 10³⁰
+    // at 100 TB).
+    "llm_distinctive_terms" -> ((s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf_s"))
+      val srcTot = tf.groupBy(col("source"))
+        .agg(sum(col("tf_s")).as("total_s"))
+        .withColumn("total_c", expr("sum(total_s) OVER ()"))
+      val corpusTf = tf.groupBy(col("w")).agg(sum(col("tf_s")).as("tf_c"))
+      val win = Window.partitionBy(col("source"))
+        .orderBy(desc("lift_ppm"), asc("w"))
+      tf.join(srcTot, "source").join(corpusTf, "w")
+        .filter(col("tf_s") >= 5)
+        .withColumn("lift_ppm", expr(
+          "CAST((CAST(tf_s AS DECIMAL(38,0)) * total_c * 1000000) div " +
+            "(CAST(total_s AS DECIMAL(38,0)) * tf_c) AS BIGINT)"))
+        .withColumn("rnk", row_number().over(win).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("source"), col("rnk"), col("w"), col("tf_s"),
+          col("lift_ppm"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
     // Benford first-digit audit of order totals (the classic
     // fabricated-numbers screen: organically-grown monetary amounts
     // follow log10(1+1/d); invented ones don't): observed first-digit
@@ -541,6 +625,76 @@ object StatOps extends OpPack {
         |SELECT c_nationkey, c_custkey, rev_c, bal_c
         |FROM j WHERE max_prev_bal IS NULL OR bal_c > max_prev_bal
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "win_rolling_mad" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, cents,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS win
+        |  FROM c),
+        |m AS (
+        |  SELECT user_id, event_id, cents, win,
+        |    CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT) AS med11
+        |  FROM w),
+        |m2 AS (
+        |  SELECT user_id, event_id, cents, med11,
+        |    CAST(list_sort(list_transform(win, v -> abs(v - med11)))
+        |      [(len(win) + 1) // 2] AS BIGINT) AS mad11
+        |  FROM m)
+        |SELECT user_id, event_id, cents, med11, mad11,
+        |  abs(cents - med11) > 6 * mad11 AS is_outlier
+        |FROM m2 ORDER BY user_id, event_id""".stripMargin,
+
+    "agg_hist_log2" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT cents,
+        |    CAST(length(to_base(cents, 2)) AS BIGINT) AS bits
+        |  FROM c),
+        |g AS (
+        |  SELECT bits, count(*) AS n, min(cents) AS min_cents,
+        |    max(cents) AS max_cents
+        |  FROM b GROUP BY bits)
+        |SELECT bits, CAST(power(2, bits - 1) AS BIGINT) AS lo,
+        |  CAST(power(2, bits) AS BIGINT) - 1 AS hi,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(min_cents AS BIGINT) AS min_cents,
+        |  CAST(max_cents AS BIGINT) AS max_cents
+        |FROM g ORDER BY bits""".stripMargin,
+
+    "llm_distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT source, w FROM tok WHERE w <> ''),
+        |tf AS (SELECT source, w, count(*) AS tf_s FROM t2
+        |       GROUP BY source, w),
+        |st AS (
+        |  SELECT source, sum(tf_s) AS total_s,
+        |    sum(sum(tf_s)) OVER () AS total_c
+        |  FROM tf GROUP BY source),
+        |ct AS (SELECT w, sum(tf_s) AS tf_c FROM tf GROUP BY w),
+        |sc AS (
+        |  SELECT tf.source, tf.w, tf.tf_s,
+        |    CAST((CAST(tf.tf_s AS HUGEINT) * st.total_c * 1000000) //
+        |      (CAST(st.total_s AS HUGEINT) * ct.tf_c) AS BIGINT)
+        |      AS lift_ppm
+        |  FROM tf JOIN st USING (source) JOIN ct USING (w)
+        |  WHERE tf.tf_s >= 5),
+        |r AS (
+        |  SELECT source, w, tf_s, lift_ppm,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY lift_ppm DESC, w) AS rnk
+        |  FROM sc)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, w,
+        |  CAST(tf_s AS BIGINT) AS tf_s, lift_ppm
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
     "agg_benford" ->
       """WITH d AS (
