@@ -340,6 +340,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"nested-loop plans: $offenders")
   }
 
+  test("layout_hilbert and llm_vec_pq are narrow scans: no join, no window") {
+    // Hilbert keys are 5 chained CASE projections; PQ codes are pure
+    // per-row array expressions — both must stay scan-speed maps whose
+    // only wide stages are the bucket agg / presentation ORDER BY.
+    for (name <- Seq("layout_hilbert", "llm_vec_pq")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name should not plan a join:\n$p")
+      assert(!p.contains("Window"),
+        s"$name should not plan a window operator:\n$p")
+    }
+  }
+
+  test("per-group top-k profiles get the WindowGroupLimit pushdown") {
+    // keyword/char/lift rankings keep only the per-partition top-k
+    // heap — the full ranked lists never materialize.
+    for (name <- Seq("llm_keyword_topk", "llm_char_freq",
+        "llm_distinctive_terms")) {
+      assert(plan(name).contains("WindowGroupLimit"),
+        s"$name should push the rank filter into WindowGroupLimit")
+    }
+  }
+
+  test("win_skyline and agg_gini_wealth avoid global-sort/pairwise plans") {
+    // The skyline is a partitioned running-max sweep (no dominance
+    // self-join); the Gini rank is the two-phase bucket rank (no
+    // global single-partition row_number window).
+    val sky = plan("win_skyline")
+    assert(!sky.contains("BroadcastNestedLoopJoin") &&
+      !sky.contains("CartesianProduct"),
+      s"win_skyline must not plan a pairwise dominance join:\n$sky")
+    val gini = plan("agg_gini_wealth")
+    assert(!gini.contains("Window [row_number() windowspecdefinition()"),
+      "agg_gini_wealth must not plan a partition-less row_number")
+    // the only row_number window must be partitioned (by bucket)
+    val winLines = gini.linesIterator
+      .filter(l => l.contains("row_number()")).toList
+    assert(winLines.forall(_.contains("windowspecdefinition(bucket")),
+      s"global-sort rank detected:\n${winLines.mkString("\n")}")
+  }
+
   test("every declared query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // approx + ANN + sketches are approximate by design ⇒ rows-only
