@@ -215,8 +215,11 @@ object FnOps extends OpPack {
             x => x.cast("double") > lit(0.9)).as("any_big"),
           forall(col("embedding"),
             x => x.cast("double") > lit(-1.0)).as("all_gt_neg1"),
-          round(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double")), 2).as("sum_emb"))
+          // + 0.0 collapses IEEE −0.0 to +0.0 (both engines render the
+          // sign, so a rounded −0.004 would otherwise hash-mismatch as
+          // "-0.0" vs "0.0" depending on each engine's fold order).
+          (round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 2) + lit(0.0)).as("sum_emb"))
         .orderBy(col("vec_id"))
     }),
 
@@ -555,7 +558,7 @@ object FnOps extends OpPack {
         |    x -> NOT (CAST(x AS DOUBLE) > -1.0))) = 0 AS all_gt_neg1,
         |  round(list_reduce(
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
-        |    (a, b) -> a + b), 2) AS sum_emb
+        |    (a, b) -> a + b), 2) + 0.0 AS sum_emb
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
 
