@@ -1,0 +1,282 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Report-grade analytics beyond the base OLAP inventory: running-peak
+  * drawdown, ratio-to-report shares, trailing-window burst detection,
+  * repeat-purchase rates, range-partitioner boundary planning, and
+  * head-coverage curves. (The reference exposes raw row streams,
+  * client.go:383-414 — these are the report queries its consumers run
+  * downstream, declared in SURVEY.md §2.2.)
+  *
+  * Shared scale contracts: every per-entity window rides ONE
+  * partition-keyed exchange; partition-less windows appear only over
+  * frames already bounded by an aggregation (25 nations, ~types×days
+  * calendar cells, top-1000 heads); any integer product that could
+  * pass 2^63 at 100 TB is routed through DECIMAL(38,0) (HUGEINT in
+  * the DuckDB oracle).
+  */
+object ReportOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    // Maximum drawdown of each user's cumulative event value (the
+    // running-peak-to-trough risk statistic): cum = running sum of
+    // cents, peak = running max of cum, drawdown = peak − cum; report
+    // the per-user maximum. Both window passes share ONE user_id
+    // exchange (same partitioning+ordering ⇒ Spark plans two chained
+    // WindowExecs, no re-shuffle), then one hash agg. Integer cents
+    // end to end; (ts, event_id) is a strict total order.
+    "win_drawdown" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("peak") - col("cum")).as("max_drawdown_cents"),
+          max(col("peak")).as("peak_cents"),
+          sum(col("cents")).as("final_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Ratio-to-report: each nation's share of total order revenue in
+    // ppm. Revenue aggregates to a 25-row frame (customer⋈orders on
+    // the custkey shuffle, nation broadcast), so the partition-less
+    // total window is bounded by the nation count, never by the fact
+    // table. Sums and the share product in DECIMAL(38,0).
+    "agg_ratio_report" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+          .as("rev"))
+        .withColumn("total",
+          sum(col("rev")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("n_name"),
+          col("rev").cast("long").as("rev_cents"),
+          expr("CAST((rev * 1000000) div total AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Burst detection over the per-type daily event counts: a day is a
+    // burst when its count exceeds 3× the mean of the trailing 7
+    // OBSERVED days (integer inequality cnt·n_prev > 3·Σ_prev — no
+    // float mean), requiring ≥ 4 prior days so early noise can't fire.
+    // The calendar frame is types×days-bounded; the trailing window
+    // rides the per-type exchange of that aggregated frame.
+    "ts_burst" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(col("d"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("nprev", count(col("cnt")).over(w))
+        .withColumn("sumprev", sum(col("cnt")).over(w))
+        .withColumn("is_burst",
+          when(col("nprev") >= 4 &&
+            col("cnt") * col("nprev") > lit(3) * col("sumprev"), 1L)
+            .otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("is_burst")).as("n_burst_days"),
+          max(when(col("is_burst") === 1, col("cnt"))).as("max_burst_cnt"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Repeat-purchase rate per calendar quarter: of the customers
+    // active in a quarter, the ppm share that ordered at least twice.
+    // Two-level hash agg — (quarter, customer) partial counts first
+    // (map-side combined on the orders scan), then the bounded
+    // quarter-level rollup; no window, no join.
+    "composite_repeat_rate" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("year(o_orderdate) * 10 + quarter(o_orderdate)").as("yq"))
+        .groupBy(col("yq"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("yq"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("repeaters"),
+          sum(col("n")).as("n_orders"))
+        .withColumn("repeat_ppm",
+          expr("CAST((CAST(repeaters AS DECIMAL(38,0)) * 1000000) " +
+            "div active AS BIGINT)"))
+        .orderBy(col("yq"))
+    }),
+
+    // Range-partitioner boundary planning: the 31 interior split
+    // points that divide orders by total price into 32 equal-count
+    // ranges — what a sorted/bucketed writer (sink_partitioned's
+    // sibling) feeds a RangePartitioning without sampling skew.
+    // percentile_disc keeps every boundary an OBSERVED value (exact in
+    // both engines, SKILL-pinned quantile_disc equivalence); i/32
+    // fractions are exact binary, so the literals round-trip. One
+    // scan + one 31-expression global agg + a constant 31-row stack.
+    "layout_range_bounds" -> ((s, dir) => {
+      val c = Tables(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("cents"))
+      val aggs = (1 to 31).map { i =>
+        expr(s"CAST(percentile_disc(${i / 32.0}) WITHIN GROUP " +
+          s"(ORDER BY cents) AS BIGINT)").as(s"b$i")
+      }
+      c.agg(aggs.head, aggs.tail: _*)
+        .select(expr("stack(31, " +
+          (1 to 31).map(i => s"$i, b$i").mkString(", ") +
+          ") AS (bucket, upper_cents)"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Head-coverage curve of the bigram distribution: what share of
+    // all bigram occurrences the top-10/100/1000 bigrams cover (the
+    // "how Zipfian is this corpus" dial a dedup/tokenizer budget is
+    // planned against). The global top-1000 is TakeOrderedAndProject
+    // (never a full sort); the cumulative window runs on that bounded
+    // 1000-row frame; the corpus total crosses as a broadcast 1-row
+    // scalar gate (BNL-allowlisted). Ties broken (count desc, gram
+    // asc) in both engines.
+    "llm_ngram_coverage" -> ((s, dir) => {
+      val bg = Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+        .filter(col("bg.w1") =!= "" && col("bg.w2") =!= "")
+        .select(concat_ws(" ", col("bg.w1"), col("bg.w2")).as("g"))
+      val cnt = bg.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(
+        expr("CAST(sum(CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+          .as("total"))
+      val rankW = Window.orderBy(desc("n"), asc("g"))
+      cnt.orderBy(desc("n"), asc("g")).limit(1000)
+        .withColumn("rank", row_number().over(rankW))
+        .withColumn("cum", sum(col("n")).over(
+          rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank").isin(10, 100, 1000))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("cum").as("cum_cnt"),
+          expr("CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div total " +
+            "AS BIGINT)").as("coverage_ppm"))
+        .orderBy(col("rank"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "win_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |c1 AS (
+        |  SELECT user_id, ts, event_id, cents,
+        |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM e),
+        |c2 AS (
+        |  SELECT user_id, cents, cum,
+        |    max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM c1)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+        |  CAST(max(peak) AS BIGINT) AS peak_cents,
+        |  CAST(sum(cents) AS BIGINT) AS final_cents
+        |FROM c2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_ratio_report" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, CAST(rev AS BIGINT) AS rev_cents,
+        |  CAST((rev * 1000000) // (SELECT sum(rev) FROM rev) AS BIGINT)
+        |    AS share_ppm
+        |FROM rev ORDER BY n_name""".stripMargin,
+
+    "ts_burst" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |f AS (
+        |  SELECT event_type, cnt,
+        |    count(cnt) OVER w AS nprev,
+        |    sum(cnt) OVER w AS sumprev
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT event_type, cnt,
+        |    CASE WHEN nprev >= 4 AND cnt * nprev > 3 * sumprev
+        |      THEN 1 ELSE 0 END AS is_burst
+        |  FROM f)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(is_burst) AS BIGINT) AS n_burst_days,
+        |  max(CASE WHEN is_burst = 1 THEN cnt END) AS max_burst_cnt
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "composite_repeat_rate" ->
+      """WITH per AS (
+        |  SELECT year(o_orderdate) * 10 + quarter(o_orderdate) AS yq,
+        |    o_custkey, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yq, count(*) AS active,
+        |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS repeaters,
+        |  CAST(sum(n) AS BIGINT) AS n_orders,
+        |  CAST((CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |    * 1000000) // count(*) AS BIGINT) AS repeat_ppm
+        |FROM per GROUP BY yq ORDER BY yq""".stripMargin,
+
+    "layout_range_bounds" ->
+      s"""WITH c AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |q AS (
+         |  SELECT quantile_disc(cents,
+         |    [${(1 to 31).map(i => i / 32.0).mkString(", ")}]) AS qs
+         |  FROM c)
+         |SELECT CAST(u.i AS INT) AS bucket,
+         |  CAST(qs[CAST(u.i AS INT)] AS BIGINT) AS upper_cents
+         |FROM q CROSS JOIN unnest(range(1, 32)) AS u(i)
+         |ORDER BY bucket""".stripMargin,
+
+    "llm_ngram_coverage" ->
+      """WITH lt AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM lt, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+        |c AS (SELECT g, count(*) AS n FROM bg GROUP BY g),
+        |t AS (SELECT sum(CAST(n AS HUGEINT)) AS total FROM c),
+        |top AS (SELECT g, n FROM c ORDER BY n DESC, g LIMIT 1000),
+        |r AS (
+        |  SELECT n,
+        |    row_number() OVER (ORDER BY n DESC, g) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, g ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM top)
+        |SELECT CAST(rank AS INT) AS rank, CAST(cum AS BIGINT) AS cum_cnt,
+        |  CAST((CAST(cum AS HUGEINT) * 1000000) // total AS BIGINT)
+        |    AS coverage_ppm
+        |FROM r, t WHERE rank IN (10, 100, 1000) ORDER BY rank""".stripMargin)
+}

@@ -329,7 +329,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "llm_unigram_lm", "composite_scd2_pit", "llm_pmi",
       "llm_ccnet_bucket", "cdc_compact",
       "composite_q11", "composite_q15", "composite_q22",
-      "agg_sketch_ams", "composite_basket")
+      "agg_sketch_ams", "composite_basket",
+      // llm_ngram_coverage crosses the broadcast 1-row corpus total
+      // (scalar-gate shape) against the bounded top-1000 head frame.
+      "llm_ngram_coverage")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
