@@ -1,0 +1,273 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for training-data curation: Zipf-law
+  * fit, Heaps/hapax vocabulary growth, a linear quality classifier,
+  * skip-gram co-occurrence counting, and deterministic Poisson
+  * bootstrap resampling. (Downstream analyses of the text corpora the
+  * reference's CDC stream lands — SURVEY.md §2.2 LLM family.)
+  *
+  * Determinism: everything is integer fixed-point. The only
+  * logarithms are floor-log2 via `length(bin(n)) - 1` — pure integer
+  * bit math, zero float risk (`log2()` doubles would flip floor at
+  * ulp boundaries). Random draws are md5 coins (engine-identical hex,
+  * SKILL-pinned `conv`/`'0x'||` equivalence).
+  *
+  * Scale: token explosion is the declared linear pass every corpus op
+  * pays once; per-lang tops are WindowGroupLimit-pushed (never a full
+  * ranked materialization); every moment product that could pass 2^63
+  * at 100 TB rides DECIMAL(38,0)/HUGEINT.
+  */
+object CorpusOps extends OpPack {
+
+  /** (lang, w) token stream — empty tokens dropped. */
+  private def langToks(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", explode(split(col("text"), " ")))
+      .filter(col("w") =!= "")
+      .select(col("lang"), col("w"))
+
+  def queries: Map[String, Q] = Map(
+    // Zipf's-law fit per language: OLS slope of floor-log2(freq) on
+    // floor-log2(rank) over the top-256 terms — the "is this corpus
+    // naturally distributed or template spam" dial (natural text ≈
+    // −1000 milli; a flat slope means boilerplate). Rank via ONE
+    // per-lang window that gets the WindowGroupLimit pushdown (top-256
+    // per lang, never a full ranked vocab), then a 5-moment hash agg;
+    // the closed-form slope division is integer, zero-variance langs
+    // NULL through the CASE.
+    "llm_zipf" -> ((s, dir) => {
+      val cnt = langToks(s, dir)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      val rn = row_number().over(
+        Window.partitionBy(col("lang")).orderBy(desc("n"), asc("w")))
+      cnt.withColumn("rank", rn).filter(col("rank") <= 256)
+        .withColumn("x", (length(expr("bin(rank)")) - 1).cast("long"))
+        .withColumn("y", (length(expr("bin(n)")) - 1).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_terms"),
+          expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+          expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(x * x AS DECIMAL(38,0)))").as("sxx"),
+          expr("sum(CAST(x * y AS DECIMAL(38,0)))").as("sxy"))
+        .select(col("lang"), col("n_terms"),
+          expr("CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL " +
+            "ELSE CAST(((n_terms * sxy - sx * sy) * 1000) " +
+            "div (n_terms * sxx - sx * sx) AS BIGINT) END")
+            .as("zipf_slope_milli"))
+        .orderBy(col("lang"))
+    }),
+
+    // Vocabulary-growth profile per language: token mass N, vocab V,
+    // hapax legomena (freq-1 terms — the OCR-noise/typo dial), and the
+    // Heaps'-law index V²·100 div N (V ≈ K·√N for natural text, so
+    // V²/N ≈ K² is scale-free — comparable across corpus sizes where
+    // raw V is not). One (lang, w) hash agg + one bounded lang rollup,
+    // both map-side combined.
+    "llm_hapax_heaps" -> ((s, dir) => {
+      langToks(s, dir)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(expr("CAST(sum(n) AS BIGINT)").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          expr("CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_hapax"))
+        .withColumn("hapax_ppm",
+          expr("CAST((CAST(n_hapax AS DECIMAL(38,0)) * 1000000) " +
+            "div vocab AS BIGINT)"))
+        .withColumn("heaps_x100",
+          expr("CAST((CAST(vocab AS DECIMAL(38,0)) * vocab * 100) " +
+            "div n_tokens AS BIGINT)"))
+        .orderBy(col("lang"))
+    }),
+
+    // Linear quality classifier with public integer weights (the
+    // fasttext-style quality gate, integer-exact so it oracles):
+    // score = 15·min(tokens,100) + 4·stopword‰ + 2·distinct‰ −
+    // 5·digit‰ − 2500; keep on score ≥ 0. Every feature is a narrow
+    // array/regex expression — the whole classifier is a scan-speed
+    // codegen'd map, no shuffle before the ordered output.
+    "llm_quality_logit" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .withColumn("nt", size(col("arr")).cast("long"))
+        .withColumn("stop_pm",
+          expr("CAST(size(filter(arr, x -> array_contains(" +
+            "array('the','a','of','and','to','in','is','it'), x))) " +
+            "AS BIGINT) * 1000 div nt"))
+        .withColumn("uniq_pm",
+          expr("CAST(size(array_distinct(arr)) AS BIGINT) * 1000 div nt"))
+        .withColumn("digit_pm",
+          expr("CAST(size(regexp_extract_all(text, '[0-9]', 0)) " +
+            "AS BIGINT) * 1000 div n_chars"))
+        .withColumn("score_milli",
+          expr("15 * least(nt, 100) + 4 * stop_pm + 2 * uniq_pm " +
+            "- 5 * digit_pm - 2500"))
+        .select(col("doc_id"), col("nt"), col("stop_pm"), col("uniq_pm"),
+          col("digit_pm"), col("score_milli"),
+          (col("score_milli") >= 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Skip-gram co-occurrence: unordered within-±2-token window pairs
+    // (the word2vec/GloVe counting pass; llm_pmi holds the adjacent
+    // form). Two offset legs explode from the SAME scan (union, then
+    // one hash agg); pairs canonicalized (least, greatest); top-20
+    // via TakeOrderedAndProject with (count desc, pair asc)
+    // tie-break — never a global sort.
+    "llm_skipgram" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+      def leg(k: Int) = t.filter(size(col("toks")) >= k + 1)
+        .select(explode(expr(s"transform(sequence(0, size(toks)-1-$k), " +
+          s"i -> struct(toks[i] AS wa, toks[i+$k] AS wb))")).as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      leg(1).union(leg(2))
+        .filter(col("wa") =!= "" && col("wb") =!= "")
+        .select(least(col("wa"), col("wb")).as("w1"),
+          greatest(col("wa"), col("wb")).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
+    // Deterministic Poisson(1) bootstrap: 3 replicates, each doc drawn
+    // k ∈ {0,1,2,3} times from the md5 permille of (doc_id, replicate)
+    // against the cumulative pmf (368/736/920) — the variance-
+    // estimation resample computed WITHOUT materializing replicas
+    // (weights only, the out-of-bag ~368‰ visible as n_docs−n_kept).
+    // Narrow 3× explode + one bounded (rep, lang) hash agg.
+    "sample_bootstrap" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("rep", explode(expr("array(0, 1, 2)")))
+        .withColumn("u",
+          conv(substring(md5(concat_ws(":", col("doc_id"), col("rep"))),
+            1, 6), 16, 10).cast("long") % 1000)
+        .withColumn("wt",
+          when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+            .when(col("u") < 920, 2L).otherwise(3L))
+        .groupBy(col("rep"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("wt") > 0).cast("long")).as("n_kept"),
+          sum(col("wt")).as("total_weight"),
+          sum(col("wt") * col("tok")).as("token_weight"))
+        .orderBy(col("rep"), col("lang"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "llm_zipf" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, w, count(*) AS n FROM tok
+        |  WHERE w <> '' GROUP BY lang, w),
+        |rk AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, w)
+        |      AS rank
+        |  FROM cnt),
+        |xy AS (
+        |  SELECT lang,
+        |    CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(n)) - 1 AS BIGINT) AS y
+        |  FROM rk WHERE rank <= 256),
+        |m AS (
+        |  SELECT lang, count(*) AS n_terms,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x * x AS HUGEINT)) AS sxx,
+        |    sum(CAST(x * y AS HUGEINT)) AS sxy
+        |  FROM xy GROUP BY lang)
+        |SELECT lang, n_terms,
+        |  CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(((n_terms * sxy - sx * sy) * 1000)
+        |      // (n_terms * sxx - sx * sx) AS BIGINT) END
+        |    AS zipf_slope_milli
+        |FROM m ORDER BY lang""".stripMargin,
+
+    "llm_hapax_heaps" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, w, count(*) AS n FROM tok
+        |  WHERE w <> '' GROUP BY lang, w),
+        |m AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM cnt GROUP BY lang)
+        |SELECT lang, n_tokens, vocab, n_hapax,
+        |  CAST((CAST(n_hapax AS HUGEINT) * 1000000) // vocab AS BIGINT)
+        |    AS hapax_ppm,
+        |  CAST((CAST(vocab AS HUGEINT) * vocab * 100) // n_tokens
+        |    AS BIGINT) AS heaps_x100
+        |FROM m ORDER BY lang""".stripMargin,
+
+    "llm_quality_logit" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','it'],
+        |        x))) AS BIGINT) * 1000
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_pm,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      * 1000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      AS uniq_pm,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) * 1000
+        |      // n_chars AS digit_pm
+        |  FROM documents)
+        |SELECT doc_id, nt, stop_pm, uniq_pm, digit_pm,
+        |  15 * least(nt, 100) + 4 * stop_pm + 2 * uniq_pm
+        |    - 5 * digit_pm - 2500 AS score_milli,
+        |  (15 * least(nt, 100) + 4 * stop_pm + 2 * uniq_pm
+        |    - 5 * digit_pm - 2500) >= 0 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "llm_skipgram" ->
+      """WITH lt AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |p1 AS (
+        |  SELECT toks[i] AS wa, toks[i + 1] AS wb
+        |  FROM lt, unnest(range(1, len(toks))) AS u(i)),
+        |p2 AS (
+        |  SELECT toks[i] AS wa, toks[i + 2] AS wb
+        |  FROM lt, unnest(range(1, len(toks) - 1)) AS u(i)),
+        |pp AS (
+        |  SELECT least(wa, wb) AS w1, greatest(wa, wb) AS w2
+        |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |  WHERE wa <> '' AND wb <> '')
+        |SELECT w1, w2, count(*) AS n
+        |FROM pp GROUP BY w1, w2
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "sample_bootstrap" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT d.*, u.rep,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(u.rep AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS u1
+        |  FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS rep) u),
+        |w AS (
+        |  SELECT rep, lang, tok,
+        |    CASE WHEN u1 < 368 THEN 0 WHEN u1 < 736 THEN 1
+        |      WHEN u1 < 920 THEN 2 ELSE 3 END AS wt
+        |  FROM r)
+        |SELECT CAST(rep AS INT) AS rep, lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(wt) AS BIGINT) AS total_weight,
+        |  CAST(sum(wt * tok) AS BIGINT) AS token_weight
+        |FROM w GROUP BY rep, lang ORDER BY rep, lang""".stripMargin)
+}

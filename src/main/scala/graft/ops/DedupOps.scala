@@ -374,6 +374,36 @@ object DedupOps extends OpPack {
         .orderBy(col("degree"))
     }),
 
+    // Degree-mixing (assortativity) of the near-dup graph: the OLS
+    // slope of neighbor degree on node degree over every directed
+    // edge — positive slope ⇒ template farms clump with template
+    // farms (one gigantic near-dup core), negative ⇒ hub-and-spoke
+    // boilerplate. Integer closed form like agg_regression (5 moment
+    // sums, DECIMAL(38,0)/HUGEINT — k·Σxy passes 2^63 at corpus
+    // scale); degrees attach via two node-keyed co-partitioned joins
+    // on the shared pair frame; output is ONE row, denominator-zero
+    // graphs NULL through the CASE.
+    "llm_graph_assort" -> ((s, dir) => {
+      val e = nearDupPairs(s, dir)
+      val both = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      both
+        .join(deg, Seq("u"))
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+        .agg(count(lit(1)).as("n_edges"),
+          expr("sum(CAST(d AS DECIMAL(38,0)))").as("sx"),
+          expr("sum(CAST(dv AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(d AS DECIMAL(38,0)) * d)").as("sxx"),
+          expr("sum(CAST(d AS DECIMAL(38,0)) * dv)").as("sxy"))
+        .select(col("n_edges"),
+          col("sx").cast("long").as("sum_deg"),
+          expr("CASE WHEN n_edges * sxx - sx * sx = 0 THEN NULL " +
+            "ELSE CAST(((n_edges * sxy - sx * sy) * 1000) " +
+            "div (n_edges * sxx - sx * sx) AS BIGINT) END")
+            .as("assort_slope_milli"))
+    }),
+
     // 2-core of the near-dup graph by 3 fixed peel rounds (each:
     // drop nodes of degree < 2, restrict edges to survivors) — the
     // "dense duplicate neighborhoods" extractor: pendant docs that
@@ -1055,6 +1085,27 @@ object DedupOps extends OpPack {
         |  CAST(count(*) AS BIGINT) AS n_nodes
         |FROM documents d LEFT JOIN dg ON d.doc_id = dg.id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "llm_graph_assort" -> (closureCtes + ",\n" +
+      """adeg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT doc_a AS id FROM cand
+        |    UNION ALL SELECT doc_b FROM cand) GROUP BY id),
+        |am AS (
+        |  SELECT count(*) AS n_edges,
+        |    sum(CAST(da.d AS HUGEINT)) AS sx,
+        |    sum(CAST(db.d AS HUGEINT)) AS sy,
+        |    sum(CAST(da.d AS HUGEINT) * da.d) AS sxx,
+        |    sum(CAST(da.d AS HUGEINT) * db.d) AS sxy
+        |  FROM edge e
+        |  JOIN adeg da ON e.u = da.id
+        |  JOIN adeg db ON e.v = db.id)
+        |SELECT n_edges, CAST(sx AS BIGINT) AS sum_deg,
+        |  CASE WHEN n_edges * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(((n_edges * sxy - sx * sy) * 1000)
+        |      // (n_edges * sxx - sx * sx) AS BIGINT) END
+        |    AS assort_slope_milli
+        |FROM am""".stripMargin),
 
     "llm_graph_2hop" -> (closureCtes + ",\n" +
       """hop2 AS (
