@@ -16,7 +16,7 @@ object SparkEntry {
     ScanOps, FilterOps, AggOps, JoinOps, WindowOps, SortSetOps,
     FnOps, CdcOps, StreamOps, LlmOps, DedupOps, TextOps, MmOps,
     SubqueryOps, SampleOps, SketchOps, TsOps, TpchOps, GeoOps,
-    StatOps, ReportOps, CorpusOps)
+    StatOps, ReportOps, CorpusOps, HierOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -554,6 +554,37 @@ object AggOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Weighted percentile (lower weighted quantile): the smallest
+    // quantity whose CUMULATIVE extended-price weight reaches p% of
+    // the group total — "what order size covers half the revenue",
+    // the statistic plain percentile_disc cannot answer. Exact
+    // integer closed form: ONE (flag, quantity) hash agg compresses
+    // the fact table to ≤ 3×50 cells (map-side combined), then the
+    // cumsum window and rank tests run on that dimension-bounded
+    // frame — the fact scan is paid once and the window never sees
+    // raw rows. Weights ride DECIMAL(38,0) (HUGEINT oracle): cum·10
+    // passes 2^63 at the 100 TB contract.
+    "agg_percentile_weighted" -> ((s, dir) => {
+      val cell = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("w"))
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(expr("sum(CAST(w AS DECIMAL(38,0)))").as("wsum"))
+      val win = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.withColumn("cum", sum(col("wsum")).over(win))
+        .withColumn("total",
+          sum(col("wsum")).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(max(total) AS BIGINT)").as("total_weight_cents"),
+          min(when(col("cum") * 2 >= col("total"), col("q"))).as("wp50"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("q")))
+            .as("wp90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Equi-DEPTH histogram (the partner to agg_hist's equi-width and
     // agg_sketch_kll's approximation): 9 exact decile cuts, then
     // bucket id = Σ (value > cut_i) evaluated as a literal chain at
@@ -956,6 +987,24 @@ object AggOps extends OpPack {
          |FROM lineitem li JOIN th ON li.l_returnflag = th.l_returnflag
          |GROUP BY li.l_returnflag
          |ORDER BY li.l_returnflag""".stripMargin,
+
+    "agg_percentile_weighted" ->
+      """WITH cell AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS wsum
+        |  FROM lineitem GROUP BY l_returnflag, q),
+        |w AS (
+        |  SELECT l_returnflag, q,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM cell)
+        |SELECT l_returnflag,
+        |  CAST(max(total) AS BIGINT) AS total_weight_cents,
+        |  min(CASE WHEN cum * 2 >= total THEN q END) AS wp50,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN q END) AS wp90
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_hist_eqdepth" ->
       """WITH th AS (

@@ -135,6 +135,34 @@ object CorpusOps extends OpPack {
         .limit(20)
     }),
 
+    // Per-document surprisal under the corpus unigram model: each
+    // token's information content in whole bits via the floor-log2
+    // identity bits(w) = len(bin(N)) − len(bin(c_w)) (⌊log2 N⌋ −
+    // ⌊log2 c⌋, pure integer bit math — the llm_zipf idiom), summed
+    // per doc + mean milli-bits/token. The cross-doc complement of
+    // llm_unigram_lm's ppm profile: LOW mean surprisal ⇒ stock
+    // phrasing (template/boilerplate), HIGH ⇒ rare-token noise. One
+    // token-key join against the count frame, one doc hash agg; the
+    // 1-row corpus total broadcasts as the standard scalar gate.
+    "llm_surprisal" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val perDoc = tok.join(cw, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(length(expr("bin(c)")).cast("long")).as("sum_lc"))
+      val tot = cw.agg(sum(col("c")).as("n_total"))
+      perDoc.crossJoin(broadcast(tot))
+        .withColumn("bits_total",
+          col("n_tok") * length(expr("bin(n_total)")).cast("long")
+            - col("sum_lc"))
+        .select(col("doc_id"), col("n_tok"), col("bits_total"),
+          expr("(bits_total * 1000) div n_tok").as("bits_per_tok_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic Poisson(1) bootstrap: 3 replicates, each doc drawn
     // k ∈ {0,1,2,3} times from the md5 permille of (doc_id, replicate)
     // against the cumulative pmf (368/736/920) — the variance-
@@ -248,6 +276,24 @@ object CorpusOps extends OpPack {
         |SELECT w1, w2, count(*) AS n
         |FROM pp GROUP BY w1, w2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "llm_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE w <> ''),
+        |cw AS (SELECT w, count(*) AS c FROM t2 GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cw),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    CAST(sum(length(bin(c))) AS BIGINT) AS sum_lc
+        |  FROM t2 JOIN cw USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  n_tok * CAST(length(bin(n_total)) AS BIGINT) - sum_lc
+        |    AS bits_total,
+        |  CAST(((n_tok * CAST(length(bin(n_total)) AS BIGINT) - sum_lc)
+        |    * 1000) // n_tok AS BIGINT) AS bits_per_tok_milli
+        |FROM pd, tot ORDER BY doc_id""".stripMargin,
 
     "sample_bootstrap" ->
       """WITH d AS (

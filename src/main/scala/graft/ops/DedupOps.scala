@@ -538,6 +538,72 @@ object DedupOps extends OpPack {
             .as("closure_permille"))
     }),
 
+    // Template extraction per near-dup cluster: the shared character
+    // prefix all members of a duplicate family start with (the
+    // boilerplate header a template stamped onto every instance).
+    // LCP-of-a-set = LCP(lexicographic min, lexicographic max) — so
+    // ONE hash agg over the memoized CC labels reduces each cluster
+    // to two witness strings, and the per-cluster character scan
+    // (capped at 64 chars, declared) runs on the |clusters| frame,
+    // never the corpus. The prefix-match test is the same monotone
+    // substring filter in both engines.
+    "llm_template_prefix" -> ((s, dir) => {
+      val lab = ccLabels(s, dir)
+      val cl = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .join(lab, Seq("doc_id"))
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("text")).as("tmin"), max(col("text")).as("tmax"))
+        .filter(col("n_members") >= 2)
+      cl.withColumn("m",
+          least(least(length(col("tmin")), length(col("tmax"))), lit(64)))
+        .withColumn("lcp_len",
+          expr("CAST(size(filter(sequence(1, m), " +
+            "i -> substring(tmin, 1, i) = substring(tmax, 1, i))) " +
+            "AS BIGINT)"))
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("n_members"), col("lcp_len"),
+          expr("substring(tmin, 1, CAST(lcp_len AS INT))")
+            .as("template_prefix"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Per-node local clustering coefficient over the near-dup graph —
+    // llm_triangles' census localized: for each document, its degree,
+    // the triangles THROUGH it, and 2T·10⁶ div d(d−1) ppm (NULL below
+    // degree 2). Separates clique members (template families, ppm→1e6)
+    // from bridge/hub nodes (ppm→0) that the global closure rate
+    // averages away. Same two hash joins enumerate each canonical
+    // triangle once (a<b<c); per-node counts fall out of ONE 3-way
+    // explode + hash agg; the ratio rides DECIMAL(38,0)/HUGEINT (a
+    // boilerplate hub's d² passes 2^63 headroom at corpus scale).
+    "llm_graph_clustcoef" -> ((s, dir) => {
+      val e = nearDupPairs(s, dir) // doc_a < doc_b, persisted upstream
+      val deg = e.select(col("doc_a").as("id"))
+        .union(e.select(col("doc_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      val ab = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val bc = e.select(col("doc_a").as("b"), col("doc_b").as("c"))
+      val ac = e.select(col("doc_a").as("a2"), col("doc_b").as("c2"))
+      val tri = ab.join(bc, "b")
+        .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+        .select(col("a"), col("b"), col("c"))
+      val tpn = tri.select(explode(array(col("a"), col("b"), col("c")))
+          .as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(deg, col("doc_id") === deg("id"), "left_outer").drop("id")
+        .withColumn("degree", coalesce(col("degree"), lit(0L)))
+        .join(tpn, col("doc_id") === tpn("id"), "left_outer").drop("id")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("clust_ppm",
+          expr("CASE WHEN degree >= 2 THEN " +
+            "CAST((CAST(n_tri AS DECIMAL(38,0)) * 2000000) " +
+            "div (CAST(degree AS DECIMAL(38,0)) * (degree - 1)) " +
+            "AS BIGINT) END"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Common-neighbor link prediction over the CHUNK-SHARING graph —
     // the transitive-template-family signal: docs connected when they
     // share ≥1 exact 10-token chunk (the llm_dedup_paragraph
@@ -1120,6 +1186,54 @@ object DedupOps extends OpPack {
         |SELECT doc_id, CAST(coalesce(n_2hop, 0) AS BIGINT) AS n_2hop
         |FROM documents LEFT JOIN n2 ON doc_id = n2.u
         |ORDER BY doc_id""".stripMargin),
+
+    "llm_template_prefix" -> (closureCtes + ",\n" +
+      """asg AS (
+        |  SELECT d.doc_id, d.text, coalesce(m.cl, d.doc_id) AS cluster_id
+        |  FROM documents d
+        |  LEFT JOIN (SELECT u, min(v) AS cl FROM reach GROUP BY u) m
+        |    ON d.doc_id = m.u),
+        |cl AS (
+        |  SELECT cluster_id, count(*) AS n_members,
+        |    min(text) AS tmin, max(text) AS tmax
+        |  FROM asg GROUP BY cluster_id HAVING count(*) >= 2),
+        |lc AS (
+        |  SELECT cluster_id, n_members, tmin, tmax,
+        |    least(least(length(tmin), length(tmax)), 64) AS m
+        |  FROM cl),
+        |lp AS (
+        |  SELECT cluster_id, n_members, tmin,
+        |    CAST(len(list_filter(range(1, m + 1),
+        |      i -> substr(tmin, 1, i) = substr(tmax, 1, i))) AS BIGINT)
+        |      AS lcp_len
+        |  FROM lc)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n_members,
+        |  lcp_len, substr(tmin, 1, CAST(lcp_len AS INT))
+        |    AS template_prefix
+        |FROM lp ORDER BY cluster_id""".stripMargin),
+
+    "llm_graph_clustcoef" -> (closureCtes + ",\n" +
+      """ce AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+        |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |         SELECT doc_a AS id FROM cand
+        |         UNION ALL SELECT doc_b FROM cand) GROUP BY id),
+        |tr3 AS (SELECT ab.a AS a, ab.b AS b, bc.b AS c
+        |        FROM ce ab JOIN ce bc ON ab.b = bc.a
+        |        JOIN ce ac ON ac.a = ab.a AND ac.b = bc.b),
+        |tpn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |          SELECT a AS id FROM tr3 UNION ALL SELECT b FROM tr3
+        |          UNION ALL SELECT c FROM tr3) GROUP BY id)
+        |SELECT d.doc_id,
+        |  coalesce(dg.degree, 0) AS degree,
+        |  coalesce(tpn.n_tri, 0) AS n_tri,
+        |  CASE WHEN coalesce(dg.degree, 0) >= 2 THEN
+        |    CAST((CAST(coalesce(tpn.n_tri, 0) AS HUGEINT) * 2000000)
+        |      // (CAST(dg.degree AS HUGEINT) * (dg.degree - 1)) AS BIGINT)
+        |  END AS clust_ppm
+        |FROM documents d
+        |LEFT JOIN dg ON d.doc_id = dg.id
+        |LEFT JOIN tpn ON d.doc_id = tpn.id
+        |ORDER BY d.doc_id""".stripMargin),
 
     "llm_triangles" -> (closureCtes + ",\n" +
       """ce AS (SELECT doc_a AS a, doc_b AS b FROM cand),

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Bounded-depth hierarchy analytics over the dimensional
+  * region→nation→segment tree (SURVEY.md §2.2 — the dimension-path
+  * rollups a CDC-fed warehouse serves; reference consumers read flat
+  * row streams, client.go:383-414, and aggregate downstream).
+  *
+  * Scale contract: the hierarchy is DIMENSIONAL (5 regions × 25
+  * nations × 5 segments) so every traversal is a broadcast join
+  * against the fact side — depth is statically bounded, so no
+  * recursion and no iterative driver loop exists here; `rollup`
+  * computes every level in ONE pass with partial (map-side)
+  * aggregation, which is the shape that survives a 100 TB fact scan.
+  * Money rides integer cents; shares are integer ppm (both engines
+  * truncate integer division toward zero — SKILL-pinned).
+  */
+object HierOps extends OpPack {
+
+  def queries: Map[String, Q] = Map(
+    // Path-labeled rollup of customer account balance over the
+    // 3-level dimension tree. ONE `rollup` pass gives leaf, nation,
+    // region and grand-total rows; the level falls out of which
+    // columns the rollup NULLed (dimension names are non-null by the
+    // testdata contract, so NULL ⟺ rolled-up — no grouping() bitmask
+    // gymnastics needed); `concat_ws` skips the NULLed-out levels so
+    // each row carries its materialized path
+    // ('AMERICA/NATION_1/BUILDING', …, '' at the root). Dims
+    // broadcast onto the customer scan; the rollup is a single hash
+    // agg with partial combine — no per-level re-scan.
+    "hier_rollup" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("acctbal_cents"))
+        .select(
+          expr("CAST(CASE WHEN c_mktsegment IS NOT NULL THEN 3 " +
+            "WHEN n_name IS NOT NULL THEN 2 " +
+            "WHEN r_name IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)")
+            .as("lvl"),
+          concat_ws("/", col("r_name"), col("n_name"),
+            col("c_mktsegment")).as("path"),
+          col("n_customers"), col("acctbal_cents"))
+        .orderBy(col("lvl"), col("path"))
+    }),
+
+    // Per-leaf hierarchy path + contribution shares: each
+    // (nation, segment) leaf's materialized path, its customer count,
+    // and its cents share of the parent nation and of the grand total
+    // (ppm). Leaf frame is dimension-bounded (≤125 rows), so the
+    // parent/total windows are windows over a TINY aggregate — the
+    // fact table is touched exactly once by the leaf hash agg.
+    "hier_path" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val leaf = c
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("cents"))
+      leaf
+        .withColumn("nation_cents",
+          sum(col("cents")).over(Window.partitionBy(col("n_name"))))
+        .withColumn("total_cents",
+          sum(col("cents")).over(Window.partitionBy()))
+        .select(
+          concat_ws("/", col("r_name"), col("n_name"),
+            col("c_mktsegment")).as("path"),
+          col("n_customers"),
+          col("cents").as("acctbal_cents"),
+          expr("CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) " +
+            "div nation_cents AS BIGINT)").as("nation_share_ppm"),
+          expr("CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) " +
+            "div total_cents AS BIGINT)").as("total_share_ppm"))
+        .orderBy(col("path"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "hier_rollup" ->
+      """WITH j AS (
+        |  SELECT r.r_name, n.n_name, c.c_mktsegment,
+        |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT
+        |  CAST(CASE WHEN c_mktsegment IS NOT NULL THEN 3
+        |    WHEN n_name IS NOT NULL THEN 2
+        |    WHEN r_name IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl,
+        |  concat_ws('/', r_name, n_name, c_mktsegment) AS path,
+        |  count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS acctbal_cents
+        |FROM j
+        |GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
+        |ORDER BY lvl, path""".stripMargin,
+
+    "hier_path" ->
+      """WITH j AS (
+        |  SELECT r.r_name, n.n_name, c.c_mktsegment,
+        |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |leaf AS (
+        |  SELECT r_name, n_name, c_mktsegment,
+        |    count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM j GROUP BY r_name, n_name, c_mktsegment),
+        |w AS (
+        |  SELECT *,
+        |    sum(cents) OVER (PARTITION BY n_name) AS nation_cents,
+        |    sum(cents) OVER () AS total_cents
+        |  FROM leaf)
+        |SELECT concat_ws('/', r_name, n_name, c_mktsegment) AS path,
+        |  n_customers, cents AS acctbal_cents,
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // nation_cents
+        |    AS BIGINT) AS nation_share_ppm,
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // total_cents
+        |    AS BIGINT) AS total_share_ppm
+        |FROM w ORDER BY path""".stripMargin)
+}

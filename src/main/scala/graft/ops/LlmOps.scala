@@ -281,6 +281,34 @@ object LlmOps extends OpPack {
         .orderBy(col("label"))
     }),
 
+    // Embedding outliers — the mislabeled/garbage-vector screen run
+    // before SemDeDup or classifier training: per label, the 5
+    // vectors farthest (integer squared L2) from the label centroid.
+    // Same exact-micro-unit protocol as llm_centroid (float→double→µ
+    // exact under 53 bits; centroid = floored per-dim mean); the
+    // centroid frame is |labels|·d rows → broadcast back onto the
+    // (vec, dim) stream, ONE vec-keyed hash agg sums the squares,
+    // per-label top-5 rides the WindowGroupLimit pushdown. Distances
+    // stay ≤ d·(2µ)² ≈ 2.6e14 — long-safe at any corpus size.
+    "llm_embed_outlier" -> ((s, dir) => {
+      val q = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("idx", "x")))
+        .withColumn("xu",
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+      val cent = q.groupBy(col("label"), col("idx"))
+        .agg(expr("sum(xu) div count(1)").as("c"))
+      val dist = q.join(broadcast(cent), Seq("label", "idx"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(expr("(xu - c) * (xu - c)")).as("dist2_u"))
+      dist.withColumn("rk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(desc("dist2_u"), asc("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("rk"), col("vec_id"), col("dist2_u"))
+        .orderBy(col("label"), col("rk"))
+    }),
+
     // Embedding-distribution drift monitor: per-dimension mean of two
     // corpus cohorts (vec_id parity as the deterministic old/new
     // split stand-in) in exact integer micro-units, plus the
@@ -481,6 +509,32 @@ object LlmOps extends OpPack {
         |  CAST(len(embedding) AS INT) AS dim
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_embed_outlier" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) - 1 AS idx,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, label, idx,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xu
+        |  FROM e),
+        |cent AS (
+        |  SELECT label, idx, CAST(sum(xu) // count(*) AS BIGINT) AS c
+        |  FROM a GROUP BY label, idx),
+        |d AS (
+        |  SELECT a.vec_id, a.label,
+        |    CAST(sum((xu - c) * (xu - c)) AS BIGINT) AS dist2_u
+        |  FROM a JOIN cent ON a.label = cent.label AND a.idx = cent.idx
+        |  GROUP BY a.vec_id, a.label),
+        |r AS (
+        |  SELECT label, vec_id, dist2_u,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY dist2_u DESC, vec_id ASC) AS rk
+        |  FROM d)
+        |SELECT label, CAST(rk AS INT) AS rk, vec_id, dist2_u
+        |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
 
     "llm_centroid" ->
       """WITH e AS (

@@ -174,9 +174,116 @@ object ReportOps extends OpPack {
           expr("CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div total " +
             "AS BIGINT)").as("coverage_ppm"))
         .orderBy(col("rank"))
+    }),
+
+    // Survival curve of user engagement lifetime (the Kaplan-Meier
+    // readout with no censoring: every user's observation window is
+    // the log itself): lifetime = days between first and last event;
+    // survivors at d ∈ {0,7,14,21,28} as count + ppm of the cohort.
+    // One user_id hash agg compresses the fact table; the 5-way
+    // threshold explode and the denominator window run on the
+    // per-user frame and a 5-row aggregate respectively (d=0 row IS
+    // the cohort size — no second global count pass).
+    "composite_survival" -> ((s, dir) => {
+      val life = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(expr("datediff(max(ts), min(ts))").as("life_days"))
+      life.withColumn("d", explode(expr("array(0, 7, 14, 21, 28)")))
+        .filter(col("life_days") >= col("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_survived"))
+        .withColumn("n_total",
+          max(when(col("d") === 0, col("n_survived")))
+            .over(Window.partitionBy()))
+        .select(col("d").as("day"), col("n_survived"),
+          expr("(n_survived * 1000000) div n_total").as("survival_ppm"))
+        .orderBy(col("day"))
+    }),
+
+    // Data-skipping effectiveness report (the clustering-depth metric
+    // behind OPTIMIZE/Z-ORDER decisions): orders split into 32
+    // file-sized buckets under two layouts — arrival order (orderkey
+    // ranges) vs clustered on the lookup key (custkey ranges) — and
+    // for each, the per-bucket custkey [min,max] extents and the mean
+    // number of buckets whose extents a point lookup must read
+    // (pairwise extent overlap). Arrival → every bucket spans the
+    // key space (overlap ≈ 32, no skipping); clustered → ≈ 1. Bucket
+    // widths from one collected bounds row (the agg_hist_eqdepth
+    // scalar pattern); the overlap join is equi-keyed on layout over
+    // the 64-row extent frame — bounded at 32² pairs per layout
+    // regardless of fact size; the fact table pays one bucket agg.
+    "layout_skipping_stats" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("c"))
+      val mx = o.agg(max(col("k")).as("mk"), max(col("c")).as("mc"))
+        .collect()(0)
+      val wk = mx.getLong(0) / 32 + 1
+      val wc = mx.getLong(1) / 32 + 1
+      val ext = o.groupBy(expr(s"k div $wk").as("b"))
+        .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+        .withColumn("layout", lit("arrival"))
+        .unionAll(o.groupBy(expr(s"c div $wc").as("b"))
+          .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+          .withColumn("layout", lit("clustered")))
+      val other = ext.select(col("layout").as("layout2"),
+        col("lo").as("lo2"), col("hi").as("hi2"))
+      ext.join(other, col("layout") === col("layout2") &&
+          col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+        .groupBy(col("layout"), col("b"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_buckets"),
+          expr("sum(n_overlap) * 100 div count(1)")
+            .as("avg_overlap_x100"))
+        .orderBy(col("layout"))
     }))
 
   def oracle: Map[String, String] = Map(
+    "composite_survival" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+        |      AS life_days
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT d.day, count(*) AS n_survived
+        |  FROM life, (SELECT unnest([0, 7, 14, 21, 28]) AS day) d
+        |  WHERE life_days >= d.day
+        |  GROUP BY d.day),
+        |t AS (
+        |  SELECT *, max(CASE WHEN day = 0 THEN n_survived END) OVER ()
+        |    AS n_total
+        |  FROM s)
+        |SELECT CAST(day AS INT) AS day, n_survived,
+        |  CAST((n_survived * 1000000) // n_total AS BIGINT)
+        |    AS survival_ppm
+        |FROM t ORDER BY day""".stripMargin,
+
+    "layout_skipping_stats" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(o_orderkey AS BIGINT)) AS mk,
+        |    max(CAST(o_custkey AS BIGINT)) AS mc FROM orders),
+        |e AS (
+        |  SELECT 'arrival' AS layout,
+        |    CAST(o_orderkey AS BIGINT) // (mk // 32 + 1) AS b,
+        |    min(CAST(o_custkey AS BIGINT)) AS lo,
+        |    max(CAST(o_custkey AS BIGINT)) AS hi
+        |  FROM orders, mx GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'clustered',
+        |    CAST(o_custkey AS BIGINT) // (mc // 32 + 1),
+        |    min(CAST(o_custkey AS BIGINT)),
+        |    max(CAST(o_custkey AS BIGINT))
+        |  FROM orders, mx GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT a.layout, a.b, count(*) AS n_overlap
+        |  FROM e a JOIN e b2 ON a.layout = b2.layout
+        |    AND a.lo <= b2.hi AND b2.lo <= a.hi
+        |  GROUP BY a.layout, a.b)
+        |SELECT layout, count(*) AS n_buckets,
+        |  CAST(sum(n_overlap) * 100 // count(*) AS BIGINT)
+        |    AS avg_overlap_x100
+        |FROM ov GROUP BY layout ORDER BY layout""".stripMargin,
     "win_drawdown" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,

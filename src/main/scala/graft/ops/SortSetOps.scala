@@ -102,6 +102,23 @@ object SortSetOps extends OpPack {
       a.exceptAll(b).orderBy(col("l_suppkey"))
     }),
 
+    // Symmetric difference under BAG semantics: rows in exactly one
+    // side (surviving by multiplicity difference), tagged with their
+    // origin — EXCEPT ALL in both directions, one union. Each leg
+    // shuffles once on the full row as key; the reconciliation query
+    // ("which rows changed between two snapshots, and which side")
+    // that diff_snapshot answers keyed, this answers positionless.
+    "set_symmetric_diff" -> ((s, dir) => {
+      val a = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_suppkey"))
+      val b = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 48)
+        .select(col("l_suppkey"))
+      a.exceptAll(b).withColumn("side", lit("A"))
+        .union(b.exceptAll(a).withColumn("side", lit("B")))
+        .orderBy(col("side"), col("l_suppkey"))
+    }),
+
     // Schema-mismatched union: branches with different column sets
     // merged by NAME (missing columns null-padded), the schema-drift
     // union a long-lived ingest pipeline needs. Positional unionAll
@@ -180,6 +197,18 @@ object SortSetOps extends OpPack {
         |SELECT l_suppkey FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity >= 48
         |ORDER BY l_suppkey""".stripMargin,
+
+    "set_symmetric_diff" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49),
+        |b AS (SELECT l_suppkey FROM lineitem
+        |      WHERE l_returnflag = 'R' AND l_quantity >= 48)
+        |SELECT * FROM (
+        |  SELECT l_suppkey, 'A' AS side FROM
+        |    (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT l_suppkey, 'B' AS side FROM
+        |    (SELECT * FROM b EXCEPT ALL SELECT * FROM a))
+        |ORDER BY side, l_suppkey""".stripMargin,
 
     "set_union_by_name" ->
       """SELECT * FROM (

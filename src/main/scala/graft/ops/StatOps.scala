@@ -466,10 +466,108 @@ object StatOps extends OpPack {
             "* total_cents) * 1000) div " +
             "(CAST(n_customers AS DECIMAL(38,0)) * total_cents) " +
             "AS BIGINT)").as("gini_permille"))
+    }),
+
+    // Higher-moment shape profile (skewness/kurtosis) of quantity per
+    // return flag — the distribution-shape audit beyond agg_stats'
+    // mean/stddev. Exact integer protocol: anchor = floor group mean
+    // (one tiny agg, broadcast back — the winsorize two-pass shape),
+    // central power sums m2/m3/m4 over d = q − anchor in
+    // DECIMAL(38,0) (q ≤ 50 ⇒ Σd⁴ ≤ 6.25e6·n, 38-digit-safe at
+    // 10¹² rows); kurtosis = n·m4·1000 div m2² exactly; skewness via
+    // the DECLARED two-step division sign(m3)·((m3² div m2 div m2)·
+    // n·1000 div m2) — m2³ would pass 38 digits, the staged floors
+    // are the published cross-engine formula. Two fact scans total.
+    "agg_skew_kurt" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
+      val anchor = li.groupBy(col("l_returnflag"))
+        .agg(expr("sum(q) div count(1)").as("a"))
+      li.join(broadcast(anchor), Seq("l_returnflag"))
+        .withColumn("d", col("q") - col("a"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          max(col("a")).as("anchor_qty"),
+          expr("sum(CAST(d * d AS DECIMAL(38,0)))").as("m2"),
+          expr("sum(CAST(d * d * d AS DECIMAL(38,0)))").as("m3"),
+          expr("sum(CAST(d * d * d * d AS DECIMAL(38,0)))").as("m4"))
+        .select(col("l_returnflag"), col("n_items"), col("anchor_qty"),
+          expr("CAST(m2 AS BIGINT)").as("m2"),
+          expr("CAST(m3 AS BIGINT)").as("m3"),
+          expr("CAST(CASE WHEN m2 > 0 THEN " +
+            "(CASE WHEN m3 < 0 THEN -1 ELSE 1 END) * " +
+            "(((m3 * m3 div m2 div m2) * n_items * 1000) " +
+            "div m2) END AS BIGINT)").as("skew_sq_milli_signed"),
+          expr("CAST(CASE WHEN m2 > 0 THEN " +
+            "(m4 * n_items * 1000) div (m2 * m2) END AS BIGINT)")
+            .as("kurt_milli"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Hill tail-index estimator of the order-total distribution in
+    // floor-log2 bits (how heavy is the revenue tail — Pareto-like
+    // data gives 1/α ≈ mean log-excess of the top order statistics):
+    // top-256 totals via TakeOrderedAndProject (per-partition heap,
+    // never a global sort), bits = base-2 string length (the integer
+    // log2 idiom), 1/α in milli-bits = Σ(bits − min_bits)·1000 div
+    // (k−1) over the ONE bounded 256-row frame.
+    "agg_tail_hill" -> ((s, dir) => {
+      val top = Tables(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("cents"), col("o_orderkey"))
+        .orderBy(desc("cents"), asc("o_orderkey"))
+        .limit(256)
+        .withColumn("bits", length(expr("bin(cents)")).cast("long"))
+      top.agg(count(lit(1)).as("k"),
+          max(col("cents")).as("max_cents"),
+          min(col("bits")).as("min_bits"),
+          sum(col("bits")).as("sum_bits"))
+        .select(col("k"), col("max_cents"),
+          expr("((sum_bits - k * min_bits) * 1000) div (k - 1)")
+            .as("hill_inv_alpha_milli_bits"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_skew_kurt" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |anch AS (
+        |  SELECT l_returnflag, sum(q) // count(*) AS a
+        |  FROM li GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT li.l_returnflag, count(*) AS n_items, max(a) AS anchor_qty,
+        |    sum(CAST((q - a) * (q - a) AS HUGEINT)) AS m2,
+        |    sum(CAST((q - a) * (q - a) * (q - a) AS HUGEINT)) AS m3,
+        |    sum(CAST((q - a) * (q - a) * (q - a) * (q - a) AS HUGEINT))
+        |      AS m4
+        |  FROM li JOIN anch ON li.l_returnflag = anch.l_returnflag
+        |  GROUP BY li.l_returnflag)
+        |SELECT l_returnflag, n_items, CAST(anchor_qty AS BIGINT)
+        |    AS anchor_qty,
+        |  CAST(m2 AS BIGINT) AS m2, CAST(m3 AS BIGINT) AS m3,
+        |  CAST(CASE WHEN m2 > 0 THEN
+        |    (CASE WHEN m3 < 0 THEN -1 ELSE 1 END)
+        |      * (((m3 * m3 // m2 // m2) * n_items * 1000) // m2)
+        |  END AS BIGINT) AS skew_sq_milli_signed,
+        |  CAST(CASE WHEN m2 > 0 THEN
+        |    (m4 * n_items * 1000) // (m2 * m2) END AS BIGINT)
+        |    AS kurt_milli
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "agg_tail_hill" ->
+      """WITH top AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(length(bin(CAST(round(o_totalprice * 100) AS BIGINT)))
+        |      AS BIGINT) AS bits
+        |  FROM orders
+        |  ORDER BY cents DESC, o_orderkey ASC LIMIT 256)
+        |SELECT count(*) AS k, max(cents) AS max_cents,
+        |  CAST(((sum(bits) - count(*) * min(bits)) * 1000)
+        |    // (count(*) - 1) AS BIGINT) AS hill_inv_alpha_milli_bits
+        |FROM top""".stripMargin,
     "ts_theilsen" ->
       """WITH c AS (
         |  SELECT user_id, event_id,

@@ -303,6 +303,38 @@ object TsOps extends OpPack {
         .orderBy(col("day"))
     }),
 
+    // Interval-overlap concurrency profile (sweep-line): each event
+    // holds a resource for round(value·60) seconds; per (event_type,
+    // start-date), the peak number of simultaneously-open intervals.
+    // Classic ±1 boundary sweep — start = +1, end = −1, running sum
+    // in boundary order = live concurrency; half-open [start, end)
+    // declared by sorting ends BEFORE starts at equal stamps (delta
+    // asc), event_id closes the total order. SCALE PATH: the sweep
+    // window partitions on (type, date) — calendar-bounded partitions
+    // (never one partition per type across the whole log); intervals
+    // are minutes-scale so date-bucketing the sweep is the declared
+    // grain. 2× boundary explode, one windowed pass, one hash agg.
+    "ts_concurrency" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          to_date(col("ts")).as("d"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("es"),
+          expr("greatest(CAST(1 AS BIGINT), " +
+            "CAST(round(value * 60) AS BIGINT))").as("dur"))
+      val bounds = e.select(col("event_type"), col("d"), col("event_id"),
+          col("es").as("t"), lit(1L).as("delta"))
+        .union(e.select(col("event_type"), col("d"), col("event_id"),
+          (col("es") + col("dur")).as("t"), lit(-1L).as("delta")))
+      val w = Window.partitionBy(col("event_type"), col("d"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("live", sum(col("delta")).over(w))
+        .groupBy(col("event_type"), col("d"))
+        .agg(expr("count(1) div 2").as("n_events"),
+          max(col("live")).as("max_concurrent"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
     "ts_ewma" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events_ewma")
       val (num, den) = ewmaTerms()
@@ -515,6 +547,30 @@ object TsOps extends OpPack {
         |FROM f
         |WHERE p_day IS NOT NULL AND n_day IS NOT NULL
         |ORDER BY user_id, day""".stripMargin,
+
+    "ts_concurrency" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(ts AS DATE) AS d,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(round(value * 60) AS BIGINT)) AS dur
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, d, event_id, es AS t,
+        |    CAST(1 AS BIGINT) AS delta FROM e
+        |  UNION ALL
+        |  SELECT event_type, d, event_id, es + dur AS t,
+        |    CAST(-1 AS BIGINT) AS delta FROM e),
+        |sw AS (
+        |  SELECT event_type, d,
+        |    sum(delta) OVER (PARTITION BY event_type, d
+        |      ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM b)
+        |SELECT event_type, d, CAST(count(*) // 2 AS BIGINT) AS n_events,
+        |  CAST(max(live) AS BIGINT) AS max_concurrent
+        |FROM sw GROUP BY event_type, d
+        |ORDER BY event_type, d""".stripMargin,
 
     "ts_ohlc" ->
       s"""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

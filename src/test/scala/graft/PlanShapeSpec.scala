@@ -332,7 +332,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "agg_sketch_ams", "composite_basket",
       // llm_ngram_coverage crosses the broadcast 1-row corpus total
       // (scalar-gate shape) against the bounded top-1000 head frame.
-      "llm_ngram_coverage")
+      "llm_ngram_coverage",
+      // llm_surprisal crosses the broadcast 1-row corpus token total
+      // (the llm_unigram_lm scalar-gate shape).
+      "llm_surprisal")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
