@@ -377,10 +377,49 @@ object SampleOps extends OpPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok").cast("long")).as("n_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // Inverse-frequency class weights (the balanced-reweighting dual
+    // of sample_balanced's down-sampling): weight_ppm = N·10⁶ div
+    // (|classes|·n_class) — a uniform corpus weighs 10⁶ everywhere,
+    // rare classes weigh up, capped at 10× (declared) so a tail class
+    // cannot dominate the loss. One bounded lang hash agg; the
+    // total/class-count windows run over the |langs|-row frame, never
+    // the corpus; products ride DECIMAL(38,0)/HUGEINT.
+    "sample_class_weight" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_total",
+          sum(col("n_docs")).over(Window.partitionBy()))
+        .withColumn("n_langs",
+          count(lit(1)).over(Window.partitionBy()))
+        .select(col("lang"), col("n_docs"),
+          expr("CAST((CAST(n_total AS DECIMAL(38,0)) * 1000000) " +
+            "div (n_langs * n_docs) AS BIGINT)").as("weight_ppm"))
+        .withColumn("weight_capped_ppm",
+          least(col("weight_ppm"), lit(10000000L)))
+        .orderBy(col("lang"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_class_weight" ->
+      """WITH lc AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_docs,
+        |    sum(n_docs) OVER () AS n_total,
+        |    count(*) OVER () AS n_langs
+        |  FROM lc),
+        |o AS (
+        |  SELECT lang, n_docs,
+        |    CAST((CAST(n_total AS HUGEINT) * 1000000)
+        |      // (n_langs * n_docs) AS BIGINT) AS weight_ppm
+        |  FROM w)
+        |SELECT lang, n_docs, weight_ppm,
+        |  least(weight_ppm, 10000000) AS weight_capped_ppm
+        |FROM o ORDER BY lang""".stripMargin,
     "sample_balanced" ->
       """WITH m AS (
         |  SELECT min(n) AS min_n FROM (

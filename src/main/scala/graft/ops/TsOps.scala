@@ -303,6 +303,46 @@ object TsOps extends OpPack {
         .orderBy(col("day"))
     }),
 
+    // Strict local-maximum peak detection per user series (the alert
+    // candidates a threshold-free monitor surfaces): a row is a peak
+    // iff both neighbors exist and are strictly lower. lag+lead share
+    // ONE user_id exchange (same partitioning+ordering ⇒ chained
+    // WindowExecs, no re-shuffle), then one hash agg rolls up count /
+    // tallest peak / first peak position. O(1) window state per row.
+    "ts_peak_detect" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("pv", lag(col("cents"), 1).over(w))
+        .withColumn("nx", lead(col("cents"), 1).over(w))
+        .withColumn("is_peak",
+          (col("pv").isNotNull && col("nx").isNotNull &&
+            col("cents") > col("pv") && col("cents") > col("nx"))
+            .cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("is_peak")).as("n_peaks"),
+          max(when(col("is_peak") === 1, col("cents")))
+            .as("max_peak_cents"),
+          min(when(col("is_peak") === 1, col("event_id")))
+            .as("first_peak_event"))
+        .orderBy(col("user_id"))
+    }),
+
+    // One-step-ahead forecast backtest of the Brown/Holt smoother
+    // (the "should we trust this forecast" readout): at each point,
+    // the forecast the model had BEFORE seeing it (lag of ts_holt's
+    // 3s1−2s2) vs the actual, rolled up per user as MAE and max error
+    // in fixed-point. ONE generated SQL text (the holtSql/ewmaTerms
+    // convention) runs verbatim in both engines; the two smoothing
+    // passes + the lag share one user_id exchange, then a hash agg.
+    "composite_forecast_backtest" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .createOrReplaceTempView("events_backtest")
+      s.sql(backtestSql("div", "events_backtest"))
+    }),
+
     // Interval-overlap concurrency profile (sweep-line): each event
     // holds a resource for round(value·60) seconds; per (event_type,
     // start-date), the peak number of simultaneously-open intervals.
@@ -406,6 +446,41 @@ object TsOps extends OpPack {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** One-step-ahead Holt backtest as ONE generated SQL text (same
+    * dual-engine convention as [[holtSql]]): forecast_fp lagged by one
+    * row is what the model predicted before seeing the point; per-user
+    * MAE/max of |actual − prediction|. Single-event users (nothing to
+    * score) NULL through the CASE in both engines. */
+  private[graft] def backtestSql(divOp: String, table: String): String = {
+    val (n1, d1) = ewmaTerms("v_fp")
+    val (n2, d2) = ewmaTerms("s1")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id,
+       |    CAST(round(value * 10000) AS BIGINT) AS v_fp
+       |  FROM $table),
+       |s1t AS (
+       |  SELECT user_id, event_id, v_fp,
+       |    CAST(($n1) $divOp ($d1) AS BIGINT) AS s1
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+       |s2t AS (
+       |  SELECT user_id, event_id, v_fp, s1,
+       |    CAST(($n2) $divOp ($d2) AS BIGINT) AS s2
+       |  FROM s1t
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+       |f AS (
+       |  SELECT user_id, v_fp,
+       |    lag(3 * s1 - 2 * s2, 1) OVER (PARTITION BY user_id
+       |      ORDER BY event_id) AS fc_prev
+       |  FROM s2t)
+       |SELECT user_id, CAST(count(fc_prev) AS BIGINT) AS n_scored,
+       |  CAST(CASE WHEN count(fc_prev) > 0 THEN
+       |    sum(abs(v_fp - fc_prev)) $divOp count(fc_prev)
+       |  END AS BIGINT) AS mae_fp,
+       |  CAST(max(abs(v_fp - fc_prev)) AS BIGINT) AS max_err_fp
+       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** ACF ratio in permille over the decimal moment sums: NULL when the
     * series has zero variance (constant series have no defined ACF) —
     * both engines yield NULL through the same CASE. */
@@ -414,6 +489,31 @@ object TsOps extends OpPack {
 
   def oracle: Map[String, String] = Map(
     "ts_holt" -> holtSql("//", "events"),
+
+    "composite_forecast_backtest" -> backtestSql("//", "events"),
+
+    "ts_peak_detect" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, cents,
+        |    lag(cents, 1) OVER w AS pv,
+        |    lead(cents, 1) OVER w AS nx
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |q AS (
+        |  SELECT user_id, event_id, cents,
+        |    CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+        |      AND cents > pv AND cents > nx THEN 1 ELSE 0 END AS is_peak
+        |  FROM p)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(is_peak) AS BIGINT) AS n_peaks,
+        |  max(CASE WHEN is_peak = 1 THEN cents END) AS max_peak_cents,
+        |  min(CASE WHEN is_peak = 1 THEN event_id END)
+        |    AS first_peak_event
+        |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_spearman" ->
       """WITH c AS (

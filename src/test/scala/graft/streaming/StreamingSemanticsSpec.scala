@@ -644,6 +644,46 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(popcount("buy") === 1L)   // {7}
   }
 
+  test("streaming top-k maintenance: per-micro-batch local top-k " +
+      "merged into driver state equals the batch top-k") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of topk_limit: top-k is a MERGEABLE summary
+    // (top-k of a union = top-k of the concatenated per-part top-ks),
+    // so each micro-batch contributes only its local k rows and the
+    // driver keeps k rows of state — the same per-partition-heap
+    // argument that makes TakeOrderedAndProject scale, applied across
+    // time. Any batch-boundary placement yields the same final list;
+    // ties break on the id column (strict total order) exactly like
+    // the batch query.
+    val K = 3
+    val input = MemoryStream[(Long, Long)] // (order_id, price_cents)
+    var state = Vector.empty[(Long, Long)] // merged top-K
+    def mergeTop(rows: Seq[(Long, Long)]): Unit = synchronized {
+      state = (state ++ rows)
+        .sortBy { case (id, cents) => (-cents, id) }.take(K)
+    }
+    val q = input.toDF().toDF("order_id", "cents")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val local = df.orderBy(desc("cents"), asc("order_id")).limit(K)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        mergeTop(local)
+        ()
+      }
+      .start()
+    val all = Seq(
+      Seq(1L -> 500L, 2L -> 900L, 3L -> 100L, 4L -> 900L),
+      Seq(5L -> 950L, 6L -> 50L),
+      Seq(7L -> 900L, 8L -> 20L, 9L -> 990L))
+    all.foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+    q.stop()
+    val batchTop = all.flatten
+      .sortBy { case (id, cents) => (-cents, id) }.take(K)
+    assert(state === batchTop.toVector)
+    assert(state === Vector(9L -> 990L, 5L -> 950L, 2L -> 900L))
+  }
+
   test("streaming MinHash band-index maintenance: per-micro-batch " +
       "signatures union to the batch index, candidate pairs identical") {
     import spark.implicits._
