@@ -386,6 +386,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global-sort rank detected:\n${winLines.mkString("\n")}")
   }
 
+  test("round-6 widening operators keep their declared plan shapes") {
+    // llm_embed_outlier's per-label top-5 must ride the group-limit
+    // pushdown — the full ranked distance list never materializes.
+    assert(plan("llm_embed_outlier").contains("WindowGroupLimit"),
+      "llm_embed_outlier should push rk<=5 into WindowGroupLimit")
+    // agg_tail_hill's top-256 is a per-partition heap, not a global
+    // sort.
+    assert(plan("agg_tail_hill").contains("TakeOrderedAndProject"),
+      "agg_tail_hill should plan TakeOrderedAndProject")
+    // hier_rollup: ONE rollup Expand over broadcast dimension joins —
+    // a sort-merge join against a 25-row dimension is a planning bug.
+    val hr = plan("hier_rollup")
+    assert(hr.contains("Expand"), "hier_rollup should plan one Expand")
+    assert(hr.contains("BroadcastHashJoin") &&
+      !hr.contains("SortMergeJoin"),
+      s"hier_rollup dims must broadcast:\n$hr")
+    // The sweep/series/cell windows must stay PARTITIONED — no
+    // partition-less window may ever touch fact-proportional rows in
+    // these (ts_concurrency's date-bucketed sweep is exactly the
+    // declared scale contract).
+    for ((name, key) <- Seq("ts_concurrency" -> "event_type",
+        "ts_peak_detect" -> "user_id",
+        "agg_percentile_weighted" -> "l_returnflag")) {
+      val lines = plan(name).linesIterator
+        .filter(_.contains("windowspecdefinition")).toList
+      assert(lines.nonEmpty && lines.forall(_.contains(key)),
+        s"$name windows must partition on $key:\n${lines.mkString("\n")}")
+    }
+  }
+
   test("every declared query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // approx + ANN + sketches are approximate by design ⇒ rows-only
