@@ -268,6 +268,125 @@ object SketchOps extends OpPack {
         .select(col("f2_exact"), col("f2_est"),
           expr("CAST(((f2_est - f2_exact) * 1000) div f2_exact " +
             "AS BIGINT)").as("err_permille"))
+    }),
+
+    // Derandomized HyperLogLog with a REAL oracle (the AMS doctrine
+    // extended to cardinality): registers from the md5 hash — 60-bit
+    // h, bucket = top 6 bits (m=64), rank ρ = 55 − bitlength(54-bit
+    // suffix) capped at 54 — and the raw HLL estimate α·m²/Σ2^(−Mⱼ)
+    // evaluated as an EXACT RATIONAL: numer = Σ2^(54−Rⱼ) (empty
+    // buckets contribute 2^54) stays under 2^60, and the α=0.709
+    // product rides DECIMAL(38,0)/HUGEINT — zero floats anywhere, so
+    // estimate, exact count and signed error all hash-check against
+    // DuckDB (unlike agg_sketch_hll's datasketches registers, which
+    // only Spark can derive). Registers are max-merge ⇒ one
+    // (type, bucket) hash agg, map-side combined; 64 longs of state
+    // per group at any scale.
+    "agg_sketch_hll_det" -> ((s, dir) => {
+      val B = 18014398509481984L // 2^54
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(concat('hll', " +
+            "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("bucket", expr(s"h div $B"))
+        .withColumn("rho",
+          expr(s"least(55 - length(bin(h % $B)), CAST(54 AS INT))"))
+      val reg = e.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+      val est = reg.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - r)")).as("sp"))
+        .withColumn("numer", expr(s"sp + (64 - nb) * $B"))
+        .select(col("event_type"),
+          expr(s"CAST((CAST(709 AS DECIMAL(38,0)) * 4096 * $B) " +
+            "div (CAST(1000 AS DECIMAL(38,0)) * numer) AS BIGINT)")
+            .as("est_users"))
+      val exactD = Tables(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exactD, Seq("event_type"))
+        .select(col("event_type"), col("est_users"), col("exact_users"),
+          expr("CAST(((est_users - exact_users) * 1000) " +
+            "div exact_users AS BIGINT)").as("err_permille"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Derandomized Bloom filter with a REAL oracle: k=4 bit positions
+    // per key from md5 slices into m=65536 bits; the filter is the
+    // DISTINCT position set of the build side (orders' custkeys — at
+    // most m rows however large the build is), and a probe passes iff
+    // all 4 of its positions are present (count of semi-join matches
+    // = 4). Same report shape as agg_sketch_bloom (probe pass vs
+    // exact membership vs false positives per segment) but every
+    // number is deterministic and hash-checked — the false-positive
+    // BEHAVIOR of a Bloom filter, pinned cross-engine. Probe-side
+    // work is 4 narrow (pos)-keyed lookups against a broadcast-sized
+    // position set; no fact-table shuffle.
+    "agg_sketch_bloom_det" -> ((s, dir) => {
+      def positions(key: String): Column =
+        expr(s"transform(sequence(0, 3), i -> " +
+          "CAST(conv(substring(md5(concat('bf', CAST(i AS STRING), " +
+          s"':', CAST($key AS STRING))), 1, 8), 16, 10) " +
+          "AS BIGINT) % 65536)")
+      val bits = Tables(s, dir, "orders")
+        .select(col("o_custkey")).distinct()
+        .select(explode(positions("o_custkey")).as("pos"))
+        .distinct()
+      val withOrders = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("has_orders", lit(1))
+      val probe = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(positions("c_custkey")).as("pos"))
+        .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) === 4L).as("probe"))
+      probe.join(withOrders, Seq("c_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("probe"), 1L).otherwise(0L)).as("n_probe_pass"),
+          sum(when(col("has_orders") === 1, 1L).otherwise(0L))
+            .as("n_with_orders"),
+          sum(when(col("probe") && col("has_orders").isNull, 1L)
+            .otherwise(0L)).as("n_false_positive"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Derandomized Count-Min with a REAL oracle: d=4 rows × w=256
+    // md5-bucketed counters built in one 4×-exploded map-side-
+    // combined hash agg (1024 cells of state at any scale); the
+    // point-query estimate is the min over a key's 4 counters, which
+    // never undercounts (collisions only add) — estimate, exact and
+    // overshoot for probe keys 1..25 all hash-checked cross-engine
+    // (agg_sketch_cms's Spark countMinSketch seed is not derivable in
+    // DuckDB; this one is).
+    "agg_sketch_cms_det" -> ((s, dir) => {
+      val cells = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(concat('cms', " +
+            "CAST(r AS STRING), ':', CAST(l_suppkey AS STRING))), " +
+            "1, 8), 16, 10) AS BIGINT) % 256"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val probes = s.range(1, 26).toDF("l_suppkey")
+        .select(col("l_suppkey"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(concat('cms', " +
+            "CAST(r AS STRING), ':', CAST(l_suppkey AS STRING))), " +
+            "1, 8), 16, 10) AS BIGINT) % 256"))
+      val est = probes.join(cells, Seq("r", "b"), "left_outer")
+        .groupBy(col("l_suppkey"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+      val exact = Tables(s, dir, "lineitem")
+        .filter(col("l_suppkey").between(1, 25))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("true_count"))
+      est.join(exact, Seq("l_suppkey"), "left_outer")
+        .select(col("l_suppkey"), col("est_count"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"),
+          (col("est_count") - coalesce(col("true_count"), lit(0L)))
+            .as("overshoot"))
+        .orderBy(col("l_suppkey"))
     })
   )
 
@@ -292,6 +411,102 @@ object SketchOps extends OpPack {
   // join_bloom_prefilter is EXACT (the join verifies the sketch), so
   // its oracle is the plain join.
   def oracle: Map[String, String] = Map(
+    "agg_sketch_hll_det" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, h // 18014398509481984 AS bucket,
+        |    least(55 - length(bin(h % 18014398509481984)), 54) AS rho
+        |  FROM e),
+        |reg AS (
+        |  SELECT event_type, bucket, max(rho) AS r
+        |  FROM b GROUP BY event_type, bucket),
+        |agg AS (
+        |  SELECT event_type, count(*) AS nb,
+        |    sum(CAST(1 AS BIGINT) << (54 - r)) AS sp
+        |  FROM reg GROUP BY event_type),
+        |est AS (
+        |  SELECT event_type,
+        |    CAST((CAST(709 AS HUGEINT) * 4096 * 18014398509481984)
+        |      // (CAST(1000 AS HUGEINT)
+        |          * (sp + (64 - nb) * 18014398509481984))
+        |      AS BIGINT) AS est_users
+        |  FROM agg),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT est.event_type, est_users, exact_users,
+        |  CAST(((est_users - exact_users) * 1000) // exact_users
+        |    AS BIGINT) AS err_permille
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "agg_sketch_bloom_det" ->
+      """WITH ks AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536
+        |      AS pos
+        |  FROM (SELECT DISTINCT o_custkey FROM orders) CROSS JOIN ks),
+        |wo AS (SELECT DISTINCT o_custkey AS c_custkey, 1 AS has_orders
+        |       FROM orders),
+        |pp AS (
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |    CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(c.c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536
+        |      AS pos
+        |  FROM customer c CROSS JOIN ks),
+        |pr AS (
+        |  SELECT pp.c_custkey, pp.c_mktsegment,
+        |    sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) = 4
+        |      AS probe
+        |  FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+        |  GROUP BY pp.c_custkey, pp.c_mktsegment)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN probe THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_probe_pass,
+        |  CAST(sum(CASE WHEN has_orders = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_orders,
+        |  CAST(sum(CASE WHEN probe AND has_orders IS NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_false_positive
+        |FROM pr LEFT JOIN wo USING (c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_sketch_cms_det" ->
+      """WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (
+        |  SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+        |      || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+        |      AS b,
+        |    count(*) AS c
+        |  FROM lineitem CROSS JOIN rs GROUP BY 1, 2),
+        |pk AS (SELECT unnest(generate_series(1, 25)) AS l_suppkey),
+        |pp AS (
+        |  SELECT pk.l_suppkey, rs.r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(rs.r AS VARCHAR)
+        |      || ':' || CAST(pk.l_suppkey AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 256 AS b
+        |  FROM pk CROSS JOIN rs),
+        |est AS (
+        |  SELECT l_suppkey, min(coalesce(c, 0)) AS est_count
+        |  FROM pp LEFT JOIN cells ON pp.r = cells.r AND pp.b = cells.b
+        |  GROUP BY l_suppkey),
+        |ex AS (
+        |  SELECT l_suppkey, count(*) AS true_count FROM lineitem
+        |  WHERE l_suppkey BETWEEN 1 AND 25 GROUP BY l_suppkey)
+        |SELECT est.l_suppkey AS l_suppkey,
+        |  CAST(est_count AS BIGINT) AS est_count,
+        |  CAST(coalesce(true_count, 0) AS BIGINT) AS true_count,
+        |  CAST(est_count - coalesce(true_count, 0) AS BIGINT)
+        |    AS overshoot
+        |FROM est LEFT JOIN ex ON est.l_suppkey = ex.l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+
     "agg_sketch_ams" ->
       """WITH ex AS (
         |  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT)

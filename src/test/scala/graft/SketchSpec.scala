@@ -229,6 +229,38 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("derandomized sketch family keeps the one-sided error contracts") {
+    // The _det siblings are fully hash-oracled, but the SKETCH
+    // guarantees themselves (one-sided error) are pinned here so a
+    // hash-equal-but-wrong-both-sides regression cannot slip through:
+    // Bloom admits no false negative (every with-orders customer
+    // passes), CMS never undercounts, and the HLL raw estimate is
+    // within the ±2σ ≈ ±26% relative band for m=64 registers.
+    val bloom = SparkEntry.queries("agg_sketch_bloom_det")(spark, dir)
+      .collect()
+    assert(bloom.nonEmpty)
+    bloom.foreach { r =>
+      assert(r.getAs[Long]("n_probe_pass") >=
+        r.getAs[Long]("n_with_orders"),
+        s"bloom_det false negative in segment ${r.get(0)}")
+    }
+    val cms = SparkEntry.queries("agg_sketch_cms_det")(spark, dir)
+      .collect()
+    assert(cms.length === 25)
+    cms.foreach { r =>
+      assert(r.getAs[Long]("overshoot") >= 0L,
+        s"cms_det undercounted key ${r.get(0)}")
+    }
+    val hll = SparkEntry.queries("agg_sketch_hll_det")(spark, dir)
+      .collect()
+    assert(hll.nonEmpty)
+    hll.foreach { r =>
+      val err = math.abs(r.getAs[Long]("err_permille"))
+      assert(err <= 260L,
+        s"hll_det error ${err} permille outside the m=64 band")
+    }
+  }
+
   test("kll_sketch_agg and freq_items_agg are registered as SQL functions") {
     val kllBytes = spark.sql(
       "SELECT kll_sketch_agg(CAST(id AS DOUBLE)) AS sk FROM range(0, 100)")
