@@ -644,6 +644,49 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(popcount("buy") === 1L)   // {7}
   }
 
+  test("streaming HLL register maintenance: max-merged micro-batch " +
+      "registers equal the batch registers exactly") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of agg_sketch_hll_det: a register is a MAX
+    // over per-key ranks, and max is commutative/associative/
+    // IDEMPOTENT — recurring keys across micro-batches set the same
+    // rank again — so the merged register table (and therefore the
+    // exact-rational estimate derived from it) is independent of
+    // batch boundaries and at-least-once redelivery. 64 longs of
+    // state per group, batch-identical answers.
+    val B = 18014398509481984L // 2^54
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(concat('hll', " +
+          "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", expr(s"h div $B"))
+      .withColumn("rho",
+        expr(s"least(55 - length(bin(h % $B)), CAST(54 AS INT))"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    val input = MemoryStream[Long]
+    val state = scala.collection.concurrent.TrieMap[Long, Int]()
+    val q = input.toDF().toDF("user_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        regs(df).collect().foreach { row =>
+          val b = row.getAs[Long]("bucket")
+          val r = row.getAs[Int]("r")
+          state(b) = math.max(state.getOrElse(b, 0), r)
+        }
+        ()
+      }
+      .start()
+    // recurring ids across batches must not move any register
+    input.addData(1L to 40L: _*); q.processAllAvailable()
+    input.addData(30L to 80L: _*); q.processAllAvailable()
+    input.addData(1L to 25L: _*); q.processAllAvailable()
+    q.stop()
+    val batch = regs((1L to 80L).toDF("user_id")).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("r")).toMap
+    assert(state.toMap === batch)
+  }
+
   test("streaming top-k maintenance: per-micro-batch local top-k " +
       "merged into driver state equals the batch top-k") {
     import spark.implicits._
