@@ -224,6 +224,35 @@ object CdcOps extends OpPack {
         .orderBy(col("domain"))
     }),
 
+    // Per-stream staleness monitor (the "is replication healthy"
+    // readout beside cdc_watermarks' position): per event_type, the
+    // last-seen age vs the log head and the worst observed
+    // inter-event gap — a stream whose lag_s exceeds its historical
+    // max_gap_s has stalled, not merely slowed. ONE type-keyed
+    // window (lag) + one hash agg; the log-head max rides a window
+    // over the |types|-row aggregate, never the fact.
+    "cdc_staleness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("es"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("es"), col("event_id"))
+      val g = e.withColumn("gap",
+          col("es") - lag(col("es"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("es")).as("last_es"),
+          max(col("gap")).as("max_gap_s"))
+      g.withColumn("head_es",
+          max(col("last_es")).over(Window.partitionBy()))
+        .select(col("event_type"), col("n_events"), col("max_gap_s"),
+          (col("head_es") - col("last_es")).as("lag_s"),
+          (col("head_es") - col("last_es") > col("max_gap_s"))
+            .as("stalled"))
+        .orderBy(col("event_type"))
+    }),
+
     // SCD-type-2 history build: every change event opens a new version
     // of its key and closes the previous one (valid range expressed in
     // event_ids — ts is monotone in event_id per TESTDATA, and raw ns
@@ -607,6 +636,26 @@ object CdcOps extends OpPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY domain""".stripMargin,
+
+    "cdc_staleness" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, es,
+        |    es - lag(es, 1) OVER (PARTITION BY event_type
+        |      ORDER BY es, event_id) AS gap
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    max(es) AS last_es, CAST(max(gap) AS BIGINT) AS max_gap_s
+        |  FROM g GROUP BY event_type),
+        |h AS (SELECT *, max(last_es) OVER () AS head_es FROM a)
+        |SELECT event_type, n_events, max_gap_s,
+        |  CAST(head_es - last_es AS BIGINT) AS lag_s,
+        |  (head_es - last_es > max_gap_s) AS stalled
+        |FROM h ORDER BY event_type""".stripMargin,
 
     "cdc_scd2" ->
       s"""SELECT user_id, event_id, event_type,

@@ -129,14 +129,26 @@ object ReportOps extends OpPack {
     // fractions are exact binary, so the literals round-trip. One
     // scan + one 31-expression global agg + a constant 31-row stack.
     "layout_range_bounds" -> ((s, dir) => {
+      // 31 exact equal-count boundaries via ONE counts+cumsum pass
+      // over the DISTINCT values (the agg_hist_eqdepth idiom:
+      // smallest value whose cumulative count·32 ≥ i·total ==
+      // percentile_disc(i/32), value-equal in both engines) — 31
+      // separate percentile_disc aggregates each buffer the whole
+      // column (measured ~10 s at sf0.1; this shape is sub-second).
+      // The cumsum window sorts distinct cents, not rows.
       val c = Tables(s, dir, "orders")
         .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
           .as("cents"))
-      val aggs = (1 to 31).map { i =>
-        expr(s"CAST(percentile_disc(${i / 32.0}) WITHIN GROUP " +
-          s"(ORDER BY cents) AS BIGINT)").as(s"b$i")
-      }
-      c.agg(aggs.head, aggs.tail: _*)
+      val cum = c.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total",
+          sum(col("cnt")).over(Window.partitionBy(lit(1))))
+      val cutAggs = (1 to 31).map(i =>
+        min(when(col("cum") * 32 >= col("total") * i, col("cents")))
+          .as(s"b$i"))
+      cum.agg(cutAggs.head, cutAggs.tail: _*)
         .select(expr("stack(31, " +
           (1 to 31).map(i => s"$i, b$i").mkString(", ") +
           ") AS (bucket, upper_cents)"))
