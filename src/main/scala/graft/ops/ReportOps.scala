@@ -211,6 +211,45 @@ object ReportOps extends OpPack {
         .orderBy(col("day"))
     }),
 
+    // Linear multi-touch attribution (the even-split sibling of
+    // composite_attribution's last-touch): every click/view in the 7
+    // days before a purchase gets an equal share of its cents —
+    // share = cents div n with the remainder assigned to the EARLIEST
+    // touch (declared tie-break), so attributed cents sum EXACTLY to
+    // purchase cents (the audit invariant a float split cannot give).
+    // Purchase×touch pairing rides the user_id shuffle spine (per-
+    // purchase fan-out bounded by a user's 7-day touch count); the
+    // per-purchase count/rank windows share one pid exchange; one
+    // final bounded hash agg per touch type.
+    "composite_attribution_linear" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("es"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("es").as("pes"), col("cents"))
+      val t = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("tid"),
+          col("es").as("tes"), col("event_type").as("ttype"))
+      val pair = p.join(t, Seq("user_id"))
+        .filter(col("tes") < col("pes") &&
+          col("pes") - col("tes") <= 7L * 86400L)
+      val byP = Window.partitionBy(col("pid"))
+      val rk = row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("tes"), col("tid")))
+      pair.withColumn("n", count(lit(1)).over(byP))
+        .withColumn("rk", rk)
+        .withColumn("share",
+          expr("cents div n + CASE WHEN rk = 1 THEN cents % n " +
+            "ELSE 0 END"))
+        .groupBy(col("ttype"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_purchases"),
+          sum(col("share")).as("attributed_cents"))
+        .orderBy(col("ttype"))
+    }),
+
     // Data-skipping effectiveness report (the clustering-depth metric
     // behind OPTIMIZE/Z-ORDER decisions): orders split into 32
     // file-sized buckets under two layouts — arrival order (orderkey
@@ -270,6 +309,39 @@ object ReportOps extends OpPack {
         |  CAST((n_survived * 1000000) // n_total AS BIGINT)
         |    AS survival_ppm
         |FROM t ORDER BY day""".stripMargin,
+
+    "composite_attribution_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, es AS pes, cents
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_id AS tid, es AS tes,
+        |    event_type AS ttype
+        |  FROM e WHERE event_type IN ('click', 'view')),
+        |pair AS (
+        |  SELECT p.pid, p.cents, t.tid, t.tes, t.ttype
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.tes < p.pes AND p.pes - t.tes <= 7 * 86400),
+        |w AS (
+        |  SELECT ttype, pid, cents,
+        |    count(*) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tes, tid)
+        |      AS rk
+        |  FROM pair),
+        |sh AS (
+        |  SELECT ttype, pid,
+        |    cents // n + CASE WHEN rk = 1 THEN cents % n ELSE 0 END
+        |      AS share
+        |  FROM w)
+        |SELECT ttype, count(*) AS n_touches,
+        |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  CAST(sum(share) AS BIGINT) AS attributed_cents
+        |FROM sh GROUP BY ttype ORDER BY ttype""".stripMargin,
 
     "layout_skipping_stats" ->
       """WITH mx AS (

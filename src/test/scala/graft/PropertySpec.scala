@@ -415,4 +415,34 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(spans.nonEmpty && spans.forall(_ <= 63L))
   }
+
+  test("linear attribution conserves cents: shares sum exactly to the " +
+      "attributed purchases' totals") {
+    // The audit invariant composite_attribution_linear exists for: a
+    // float even-split leaks sub-cent mass; the integer div-plus-
+    // remainder-to-earliest split must re-assemble EVERY attributed
+    // purchase's cents with zero loss. Verified against the testdata
+    // (not just the oracle hash, which could in principle agree on a
+    // both-sides-lossy formula).
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("composite_attribution_linear")(
+      spark, dir)
+    val attributed = out.agg(sum(col("attributed_cents"))).head.getLong(0)
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("es"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("es").as("pes"), col("cents"))
+    val t = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("es").as("tes"))
+    val touched = p.join(t, Seq("user_id"))
+      .filter(col("tes") < col("pes") &&
+        col("pes") - col("tes") <= 7L * 86400L)
+      .select(col("pid"), col("cents")).distinct()
+    val expected = touched.agg(sum(col("cents"))).head.getLong(0)
+    assert(attributed === expected,
+      s"attributed $attributed != touched-purchase total $expected")
+  }
 }
