@@ -135,6 +135,37 @@ object CorpusOps extends OpPack {
         .limit(20)
     }),
 
+    // Cross-source corpus overlap: Jaccard similarity between the
+    // distinct word-trigram sets of every source pair — the "which
+    // feeds are republishing each other" map drawn BEFORE corpus
+    // mixing (a source-level relation no per-document dedup query
+    // exposes). Gram-keyed self-join whose per-gram fan-out is
+    // bounded by the SOURCE count (≤|sources|² pairs per gram at any
+    // corpus size — the df-cap argument with the cap supplied by the
+    // schema); pairs sharing zero grams are absent by declared
+    // contract. One distinct (source, gram) projection feeds both
+    // the sizes and the intersection counts.
+    "llm_source_overlap" -> ((s, dir) => {
+      val sg = Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"),
+          explode(array_distinct(expr(Grams.spark(3)))).as("g"))
+        .distinct()
+      val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_g"))
+      val a = sg.select(col("source").as("sa"), col("g"))
+      val b = sg.select(col("source").as("sb"), col("g"))
+      a.join(b, Seq("g")).filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("source").as("sa"), col("n_g").as("na")),
+          Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("n_g").as("nb")),
+          Seq("sb"))
+        .select(col("sa"), col("sb"), col("n_common"),
+          expr("(n_common * 1000) div (na + nb - n_common)")
+            .as("jaccard_pm"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Per-document surprisal under the corpus unigram model: each
     // token's information content in whole bits via the floor-log2
     // identity bits(w) = len(bin(N)) − len(bin(c_w)) (⌊log2 N⌋ −
@@ -276,6 +307,30 @@ object CorpusOps extends OpPack {
         |SELECT w1, w2, count(*) AS n
         |FROM pp GROUP BY w1, w2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "llm_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT a.source, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |sz AS (SELECT source, count(*) AS n_g FROM tri GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, n_common,
+        |  CAST((n_common * 1000) // (za.n_g + zb.n_g - n_common)
+        |    AS BIGINT) AS jaccard_pm
+        |FROM pr
+        |JOIN sz za ON pr.sa = za.source
+        |JOIN sz zb ON pr.sb = zb.source
+        |ORDER BY sa, sb""".stripMargin,
 
     "llm_surprisal" ->
       """WITH tok AS (

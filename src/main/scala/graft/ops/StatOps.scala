@@ -505,6 +505,35 @@ object StatOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Herfindahl–Hirschman concentration index per brand (the
+    // antitrust-standard market-power audit; rank-free complement of
+    // agg_gini_wealth): HHI_ppm = Σ share_i² = Σ cents_i²·10⁶ div
+    // (Σcents)² over each brand's supplier revenue — 10⁶ = monopoly,
+    // 10⁶/n = perfect competition. Part dim broadcasts onto the fact
+    // scan; two chained map-side-combined hash aggs (fact → supplier
+    // cells → 25-brand rollup); squared cents in DECIMAL(38,0)/
+    // HUGEINT.
+    "agg_hhi" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(sum(col("cents")).as("sc"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("sc")).as("total_cents"),
+          expr("sum(CAST(sc AS DECIMAL(38,0)) * sc)").as("sq"))
+        .select(col("p_brand"), col("n_suppliers"), col("total_cents"),
+          expr("CAST((sq * 1000000) div " +
+            "(CAST(total_cents AS DECIMAL(38,0)) * total_cents) " +
+            "AS BIGINT)").as("hhi_ppm"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Hill tail-index estimator of the order-total distribution in
     // floor-log2 bits (how heavy is the revenue tail — Pareto-like
     // data gives 1/α ≈ mean log-excess of the top order statistics):
@@ -556,6 +585,19 @@ object StatOps extends OpPack {
         |    (m4 * n_items * 1000) // (m2 * m2) END AS BIGINT)
         |    AS kurt_milli
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH j AS (
+        |  SELECT p.p_brand, l.l_suppkey,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS HUGEINT) AS sc
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, count(*) AS n_suppliers,
+        |  CAST(sum(sc) AS BIGINT) AS total_cents,
+        |  CAST((sum(sc * sc) * 1000000) // (sum(sc) * sum(sc))
+        |    AS BIGINT) AS hhi_ppm
+        |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "agg_tail_hill" ->
       """WITH top AS (
