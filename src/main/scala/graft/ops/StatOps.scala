@@ -505,6 +505,49 @@ object StatOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Lorenz curve coordinates (the 10-point readout behind
+    // agg_gini_wealth's single number): customers ranked by revenue
+    // ascending, decile = (rank−1)·10 div n, each decile's customer
+    // count, cents and cumulative share ppm — "the bottom 50 % hold
+    // X % of revenue". SCALE PATH: ranks from the same TWO-PHASE
+    // bucket rank as agg_gini_wealth ($10k-grid bucket + per-bucket
+    // row_number + grid-histogram prefix sum), never a global
+    // single-partition rank window; the cohort size crosses as the
+    // standard broadcast 1-row scalar gate (BNL-allowlisted); the
+    // cumulative window rides the 10-row decile frame.
+    "agg_lorenz_points" -> ((s, dir) => {
+      val rev = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val b = rev.withColumn("bucket", expr("cents div 1000000"))
+      val hist = b.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .withColumn("cum_before",
+          expr("coalesce(sum(bn) OVER (ORDER BY bucket " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
+        .select(col("bucket"), col("cum_before"))
+      val tot = rev.agg(count(lit(1)).as("n_total"),
+        sum(col("cents")).as("cents_total"))
+      val win = Window.partitionBy(col("bucket"))
+        .orderBy(col("cents"), col("o_custkey"))
+      b.withColumn("rk_in", row_number().over(win).cast("long"))
+        .join(hist, "bucket")
+        .withColumn("i", col("cum_before") + col("rk_in"))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((i - 1) * 10) div n_total"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("cents"),
+          max(col("cents_total")).as("ct"))
+        .withColumn("cum_cents", sum(col("cents")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n_customers"), col("cents"),
+          expr("CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) " +
+            "div ct AS BIGINT)").as("cum_share_ppm"))
+        .orderBy(col("decile"))
+    }),
+
     // Herfindahl–Hirschman concentration index per brand (the
     // antitrust-standard market-power audit; rank-free complement of
     // agg_gini_wealth): HHI_ppm = Σ share_i² = Σ cents_i²·10⁶ div
@@ -585,6 +628,35 @@ object StatOps extends OpPack {
         |    (m4 * n_items * 1000) // (m2 * m2) END AS BIGINT)
         |    AS kurt_milli
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "agg_lorenz_points" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT count(*) AS n_total,
+        |        CAST(sum(cents) AS HUGEINT) AS cents_total FROM rev),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS i
+        |  FROM rev),
+        |d AS (
+        |  SELECT ((i - 1) * 10) // n_total AS decile, cents
+        |  FROM r, t),
+        |g AS (
+        |  SELECT decile, count(*) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM d GROUP BY decile),
+        |c AS (
+        |  SELECT *, sum(cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_cents
+        |  FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers, cents,
+        |  CAST((CAST(cum_cents AS HUGEINT) * 1000000) // cents_total
+        |    AS BIGINT) AS cum_share_ppm
+        |FROM c, t ORDER BY decile""".stripMargin,
 
     "agg_hhi" ->
       """WITH j AS (

@@ -335,7 +335,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "llm_ngram_coverage",
       // llm_surprisal crosses the broadcast 1-row corpus token total
       // (the llm_unigram_lm scalar-gate shape).
-      "llm_surprisal")
+      "llm_surprisal",
+      // agg_lorenz_points crosses the broadcast 1-row cohort
+      // size/total gate (the composite_q11 scalar-subquery shape).
+      "agg_lorenz_points")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
@@ -402,6 +405,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hr.contains("BroadcastHashJoin") &&
       !hr.contains("SortMergeJoin"),
       s"hier_rollup dims must broadcast:\n$hr")
+    // agg_hhi's part dimension must broadcast onto the fact scan.
+    val hhi = plan("agg_hhi")
+    assert(hhi.contains("BroadcastHashJoin") &&
+      !hhi.contains("SortMergeJoin"),
+      s"agg_hhi part dim must broadcast:\n$hhi")
     // The sweep/series/cell windows must stay PARTITIONED — no
     // partition-less window may ever touch fact-proportional rows in
     // these (ts_concurrency's date-bucketed sweep is exactly the

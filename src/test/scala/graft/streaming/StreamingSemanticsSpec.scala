@@ -644,6 +644,52 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(popcount("buy") === 1L)   // {7}
   }
 
+  test("streaming histogram maintenance: additive partials merge to " +
+      "the batch histogram; batchId-keyed state makes replay a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of agg_hist / diag_dist_drift: bucket counts
+    // are ADDITIVE partials, so per-batch histograms sum to the batch
+    // histogram under any boundary placement — but unlike the max/OR/
+    // union/top-k pins, addition is NOT idempotent, so at-least-once
+    // redelivery WOULD double-count. The contract is therefore
+    // (batchId, bucket)-keyed UPSERT state: a replayed batch
+    // overwrites its own partial instead of adding a second one —
+    // foreachBatch's batchId is exactly the dedup key Spark
+    // guarantees stable across restarts.
+    val input = MemoryStream[Long] // cents
+    val perBatch = scala.collection.concurrent.TrieMap[(Long, Long),
+      Long]()
+    val q = input.toDF().toDF("cents")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        df.groupBy(expr("cents div 1000").as("b"))
+          .agg(count(lit(1)).as("n")).collect()
+          .foreach { r =>
+            perBatch((bid, r.getAs[Long]("b"))) = r.getAs[Long]("n")
+          }
+        ()
+      }
+      .start()
+    val batches = Seq(
+      Seq(100L, 1500L, 1700L, 2500L),
+      Seq(900L, 1100L, 2600L),
+      Seq(150L, 2900L, 2950L, 999L))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def merged: Map[Long, Long] = perBatch.toSeq
+      .groupBy { case ((_, bucket), _) => bucket }
+      .map { case (b, xs) => b -> xs.map(_._2).sum }
+    val batchHist = batches.flatten.groupBy(_ / 1000)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    assert(merged === batchHist)
+    // redelivery: re-upserting batch 0's recorded partials under the
+    // same batchId must not change the merged histogram
+    val replay = perBatch.toSeq.filter { case ((bid, _), _) => bid == 0L }
+    replay.foreach { case (k, v) => perBatch(k) = v }
+    assert(merged === batchHist)
+  }
+
   test("streaming HLL register maintenance: max-merged micro-batch " +
       "registers equal the batch registers exactly") {
     import spark.implicits._
