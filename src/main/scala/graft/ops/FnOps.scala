@@ -235,6 +235,34 @@ object FnOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Order-independent whole-table checksum: per-row md5 of the
+    // '|'-delimited serialized row (these columns are non-null by
+    // data contract; a nullable column would need a sentinel —
+    // concat_ws silently drops nulls, colliding (1,NULL,2) with
+    // (1,2,NULL)), truncated to 60 bits and SUMMED mod 2^60 —
+    // addition commutes, so the checksum is independent of
+    // partitioning, ordering, and merge order, and two clusters can
+    // compare a 100 TB table by exchanging ONE number from a
+    // scan-speed map + map-side-combined agg (the cross-engine "are
+    // these tables identical" primitive whose row-by-row sibling is
+    // diff_snapshot). The per-segment breakdown localizes any
+    // mismatch; sums ride DECIMAL(38,0)/HUGEINT before the mod.
+    "fn_table_checksum" -> ((s, dir) => {
+      val rowHash = expr("CAST(conv(substring(md5(concat_ws('|', " +
+        "CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), " +
+        "o_orderstatus, " +
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
+        "CAST(o_orderdate AS STRING), o_orderpriority)), 1, 15), " +
+        "16, 10) AS BIGINT)")
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), rowHash.as("rh"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(rh AS DECIMAL(38,0))) % " +
+            "1152921504606846976 AS BIGINT)").as("checksum"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Struct (nested-record) surface: build a named struct, filter and
     // project through dotted field access. Catalyst collapses the
     // build-then-extract into plain column references (no struct is
@@ -541,6 +569,24 @@ object FnOps extends OpPack {
         |  CAST(length(text) AS INT) AS len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "fn_table_checksum" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      CAST(o_custkey AS VARCHAR) || '|' ||
+        |      o_orderstatus || '|' ||
+        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |        AS VARCHAR) || '|' ||
+        |      CAST(o_orderdate AS VARCHAR) || '|' ||
+        |      o_orderpriority), 1, 15)) AS BIGINT) AS rh
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(rh AS HUGEINT)) % 1152921504606846976
+        |    AS BIGINT) AS checksum
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "fn_struct" ->
       """SELECT rec.k AS k, rec.st AS st, rec.v AS v

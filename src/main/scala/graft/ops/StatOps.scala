@@ -505,6 +505,31 @@ object StatOps extends OpPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Histogram mode detection (bimodality screen — a mean/stddev
+    // summary silently averages two populations into a value neither
+    // has): $5000-bucket counts of order totals, a bucket is a mode
+    // iff strictly above both neighbors AND above max_count/20 (the
+    // integer noise floor that keeps one-row wiggles out). One
+    // two-phase hash agg compresses the fact to the bounded bucket
+    // grid; the neighbor lags and the global max ride that ~27-row
+    // frame. Emits the mode rows themselves (bucket, bounds, count).
+    "diag_bimodality" -> ((s, dir) => {
+      val hist = Tables(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) " +
+          "div 500000").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("bucket"))
+      hist
+        .withColumn("pn", coalesce(lag(col("n"), 1).over(w), lit(0L)))
+        .withColumn("nn", coalesce(lead(col("n"), 1).over(w), lit(0L)))
+        .withColumn("mx", max(col("n")).over(Window.partitionBy()))
+        .filter(col("n") > col("pn") && col("n") > col("nn") &&
+          col("n") * 20 >= col("mx"))
+        .select(col("bucket"), (col("bucket") * 500000L).as("lo_cents"),
+          col("n").as("n_orders"))
+        .orderBy(col("bucket"))
+    }),
+
     // Lorenz curve coordinates (the 10-point readout behind
     // agg_gini_wealth's single number): customers ranked by revenue
     // ascending, decile = (rank−1)·10 div n, each decile's customer
@@ -628,6 +653,23 @@ object StatOps extends OpPack {
         |    (m4 * n_items * 1000) // (m2 * m2) END AS BIGINT)
         |    AS kurt_milli
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "diag_bimodality" ->
+      """WITH h AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 500000
+        |    AS bucket, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT bucket, n,
+        |    coalesce(lag(n, 1) OVER (ORDER BY bucket), 0) AS pn,
+        |    coalesce(lead(n, 1) OVER (ORDER BY bucket), 0) AS nn,
+        |    max(n) OVER () AS mx
+        |  FROM h)
+        |SELECT bucket, bucket * 500000 AS lo_cents,
+        |  n AS n_orders
+        |FROM w
+        |WHERE n > pn AND n > nn AND n * 20 >= mx
+        |ORDER BY bucket""".stripMargin,
 
     "agg_lorenz_points" ->
       """WITH rev AS (

@@ -303,6 +303,59 @@ object TsOps extends OpPack {
         .orderBy(col("day"))
     }),
 
+    // Seasonal index by calendar month (the retail-planning readout;
+    // ts_seasonal holds the day-of-week sibling over events): each
+    // month's revenue ×12 vs the all-months total in ppm — 10⁶ = an
+    // average month, the multiplier inventory/staffing plans scale
+    // by. ONE map-side-combined hash agg to 12 rows; the total
+    // window rides that bounded frame; products in DECIMAL(38,0)/
+    // HUGEINT.
+    "ts_month_index" -> ((s, dir) => {
+      val m = Tables(s, dir, "orders")
+        .groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+      m.withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        .select(col("m"), col("n_orders"), col("cents"),
+          expr("CAST((CAST(cents AS DECIMAL(38,0)) * 12000000) " +
+            "div total AS BIGINT)").as("index_ppm"))
+        .orderBy(col("m"))
+    }),
+
+    // Telemetry downsampling by max-deviation-per-bucket (the
+    // deterministic LTTB-lite every plotting pipeline ships): each
+    // user's series splits into 10 equal-count buckets by event
+    // order, and each bucket keeps its single most extreme point
+    // (max |cents − bucket mean|, tie to the earliest event) — peaks
+    // and troughs survive where naive every-Nth sampling flattens
+    // them. All windows (count, rank, bucket mean, keep-rank)
+    // partition on user_id / (user_id, bucket) — per-series state,
+    // never a global pass; the bucket mean is an integer floor both
+    // engines share.
+    "ts_downsample" -> ((s, dir) => {
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rn", row_number().over(byU).cast("long"))
+        .withColumn("nu",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("b", expr("((rn - 1) * 10) div nu"))
+      val byB = Window.partitionBy(col("user_id"), col("b"))
+      e.withColumn("bmean", expr("sum(cents) OVER " +
+          "(PARTITION BY user_id, b) div count(1) OVER " +
+          "(PARTITION BY user_id, b)"))
+        .withColumn("dev", abs(col("cents") - col("bmean")))
+        .withColumn("rk", row_number().over(
+          byB.orderBy(desc("dev"), asc("event_id"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("b"), col("event_id"),
+          col("cents"), col("dev"))
+        .orderBy(col("user_id"), col("b"))
+    }),
+
     // Strict local-maximum peak detection per user series (the alert
     // candidates a threshold-free monitor surfaces): a row is a peak
     // iff both neighbors exist and are strictly lower. lag+lead share
@@ -491,6 +544,50 @@ object TsOps extends OpPack {
     "ts_holt" -> holtSql("//", "events"),
 
     "composite_forecast_backtest" -> backtestSql("//", "events"),
+
+    "ts_month_index" ->
+      """WITH m AS (
+        |  SELECT CAST(month(o_orderdate) AS INT) AS m,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT *, sum(cents) OVER () AS total FROM m)
+        |SELECT m, n_orders, cents,
+        |  CAST((CAST(cents AS HUGEINT) * 12000000) // total AS BIGINT)
+        |    AS index_ppm
+        |FROM t ORDER BY m""".stripMargin,
+
+    "ts_downsample" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nu
+        |  FROM c),
+        |b AS (
+        |  SELECT user_id, event_id, cents,
+        |    ((rn - 1) * 10) // nu AS b
+        |  FROM r),
+        |m AS (
+        |  SELECT user_id, event_id, cents, b,
+        |    sum(cents) OVER (PARTITION BY user_id, b)
+        |      // count(*) OVER (PARTITION BY user_id, b) AS bmean
+        |  FROM b),
+        |k AS (
+        |  SELECT user_id, event_id, cents, b,
+        |    abs(cents - bmean) AS dev,
+        |    row_number() OVER (PARTITION BY user_id, b
+        |      ORDER BY abs(cents - bmean) DESC, event_id) AS rk
+        |  FROM m)
+        |SELECT user_id, CAST(b AS BIGINT) AS b, event_id, cents,
+        |  CAST(dev AS BIGINT) AS dev
+        |FROM k WHERE rk = 1
+        |ORDER BY user_id, b""".stripMargin,
 
     "ts_peak_detect" ->
       """WITH c AS (
