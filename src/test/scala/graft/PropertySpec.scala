@@ -416,6 +416,34 @@ class PropertySpec extends AnyFunSuite {
     assert(spans.nonEmpty && spans.forall(_ <= 63L))
   }
 
+  test("table checksum is invariant under repartitioning and row order") {
+    // The claim fn_table_checksum exists for: the modular SUM of row
+    // digests must not move when the same rows arrive in a different
+    // partitioning or order (that is what lets two clusters compare
+    // tables by exchanging one number). Re-run the query through
+    // shuffled/re-partitioned inputs and pin equality.
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.queries("fn_table_checksum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rowHash = expr("CAST(conv(substring(md5(concat_ws('|', " +
+      "CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), " +
+      "o_orderstatus, " +
+      "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
+      "CAST(o_orderdate AS STRING), o_orderpriority)), 1, 15), " +
+      "16, 10) AS BIGINT)")
+    val shuffled = Tables(spark, dir, "orders")
+      .repartition(7, col("o_custkey"))
+      .sortWithinPartitions(desc("o_totalprice"))
+      .select(col("o_orderpriority"), rowHash.as("rh"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(rh AS DECIMAL(38,0))) % " +
+          "1152921504606846976 AS BIGINT)").as("checksum"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(base.toSeq === shuffled.toSeq)
+  }
+
   test("linear attribution conserves cents: shares sum exactly to the " +
       "attributed purchases' totals") {
     // The audit invariant composite_attribution_linear exists for: a
