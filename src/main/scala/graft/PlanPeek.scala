@@ -6,6 +6,7 @@ object PlanPeek {
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosKey, "true")
+      .config(Tables.NtzKey, "false")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println(SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")

@@ -21,34 +21,51 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read natively; this legacy flag reads it as long nanos (truncated
-    * to µs TimestampType below). There is no per-reader option for it,
-    * so it must be a session conf: the graft entry points (Verify,
-    * Bench, TimeOne, PlanPeek, the test session) set it at session
-    * build; for a foreign session this sets it once on first touch of
-    * the events table rather than on every load. */
-  private def ensureNanosConf(spark: SparkSession): Unit =
+  /** events.ts has shipped as two physical parquet types; both session
+    * confs below make it come out of the scan as zone-aware
+    * TimestampType µs with NO projection over the scan:
+    *
+    *  - TIMESTAMP(NANOS), which Spark 4 refuses to read natively:
+    *    [[NanosKey]] reads it as long nanos (converted to µs below —
+    *    the one legacy shape that still needs a Project).
+    *  - plain µs with isAdjustedToUTC=false, which Spark infers as
+    *    TIMESTAMP_NTZ by default: [[NtzKey]]=false restores the
+    *    pre-3.4 inference (TimestampType) so the scan itself yields
+    *    LTZ µs. Under the UTC session zone these are the same
+    *    instants, and — unlike the earlier `withColumn(cast)`
+    *    normalization — literal ts predicates still reach
+    *    `PushedFilters` for row-group pruning (pinned by
+    *    PlanShapeSpec / `scan_events_pushdown`).
+    *
+    * There is no per-reader option for either, so they must be session
+    * confs: the graft entry points (Verify, Bench, TimeOne, PlanPeek,
+    * the test session) set them at session build; for a foreign
+    * session this sets them once on first touch of the events table
+    * rather than on every load. */
+  private def ensureEventsConfs(spark: SparkSession): Unit = {
     if (!spark.conf.getOption(NanosKey).contains("true"))
       spark.conf.set(NanosKey, "true")
+    if (!spark.conf.getOption(NtzKey).contains("false"))
+      spark.conf.set(NtzKey, "false")
+  }
   val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  val NtzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // See ensureNanosConf: ns parquet → long nanos → µs timestamp
+      // See ensureEventsConfs: ns parquet → long nanos → µs timestamp
       // (the DuckDB oracle keeps ns — testdata guarantees ts is
-      // monotone in event_id, so every ordering/trunc agrees).
-      ensureNanosConf(spark)
+      // monotone in event_id, so every ordering/trunc agrees);
+      // µs parquet → TimestampType straight from the scan.
+      ensureEventsConfs(spark)
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
-          // Driver testdata switched from TIMESTAMP(NANOS) to plain
-          // µs parquet (isAdjustedToUTC=false ⇒ Spark reads NTZ).
-          // Normalize to TimestampType under the UTC session zone so
-          // unix_micros()/zone-aware functions keep working and the
-          // values are the SAME instants the nanos path produced.
+          // Only reachable if a foreign session pinned NtzKey=true
+          // itself; keep the (pushdown-blocking but correct) cast as
+          // the fallback rather than fighting the user's conf.
           df.withColumn("ts",
             col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => df

@@ -557,10 +557,15 @@ object DedupOps extends OpPack {
         .filter(col("n_members") >= 2)
       cl.withColumn("m",
           least(least(length(col("tmin")), length(col("tmax"))), lit(64)))
+        // m = 0 (empty witness string) must yield lcp 0: DuckDB's
+        // range(1, m + 1) is empty there, but Spark's sequence(1, 0)
+        // steps DOWN to [1, 0] — gate the branch and clamp the bound
+        // so the operator is safe outside the non-empty-text contract.
         .withColumn("lcp_len",
-          expr("CAST(size(filter(sequence(1, m), " +
+          expr("CASE WHEN m = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(size(filter(sequence(1, greatest(m, 1)), " +
             "i -> substring(tmin, 1, i) = substring(tmax, 1, i))) " +
-            "AS BIGINT)"))
+            "AS BIGINT) END"))
         .select(col("cluster_id").cast("long").as("cluster_id"),
           col("n_members"), col("lcp_len"),
           expr("substring(tmin, 1, CAST(lcp_len AS INT))")

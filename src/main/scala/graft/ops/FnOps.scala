@@ -236,10 +236,13 @@ object FnOps extends OpPack {
     }),
 
     // Order-independent whole-table checksum: per-row md5 of the
-    // '|'-delimited serialized row (these columns are non-null by
-    // data contract; a nullable column would need a sentinel —
-    // concat_ws silently drops nulls, colliding (1,NULL,2) with
-    // (1,2,NULL)), truncated to 60 bits and SUMMED mod 2^60 —
+    // '|'-delimited serialized row — every column routed through
+    // coalesce(CAST(col AS STRING), '<NULL>') so the serialization is
+    // null-safe even outside the testdata's non-null contract
+    // (concat_ws silently DROPS nulls, which would collide (1,NULL,2)
+    // with (1,2,NULL), and DuckDB's || would instead propagate NULL —
+    // the sentinel keeps both engines identical on nullable rows),
+    // truncated to 60 bits and SUMMED mod 2^60 —
     // addition commutes, so the checksum is independent of
     // partitioning, ordering, and merge order, and two clusters can
     // compare a 100 TB table by exchanging ONE number from a
@@ -248,11 +251,12 @@ object FnOps extends OpPack {
     // diff_snapshot). The per-segment breakdown localizes any
     // mismatch; sums ride DECIMAL(38,0)/HUGEINT before the mod.
     "fn_table_checksum" -> ((s, dir) => {
+      def nz(e: String) = s"coalesce(CAST($e AS STRING), '<NULL>')"
       val rowHash = expr("CAST(conv(substring(md5(concat_ws('|', " +
-        "CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), " +
-        "o_orderstatus, " +
-        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
-        "CAST(o_orderdate AS STRING), o_orderpriority)), 1, 15), " +
+        s"${nz("o_orderkey")}, ${nz("o_custkey")}, " +
+        s"${nz("o_orderstatus")}, " +
+        s"${nz("CAST(round(o_totalprice * 100) AS BIGINT)")}, " +
+        s"${nz("o_orderdate")}, ${nz("o_orderpriority")})), 1, 15), " +
         "16, 10) AS BIGINT)")
       Tables(s, dir, "orders")
         .select(col("o_orderpriority"), rowHash.as("rh"))
@@ -574,13 +578,14 @@ object FnOps extends OpPack {
       """WITH r AS (
         |  SELECT o_orderpriority,
         |    CAST(('0x' || substr(md5(
-        |      CAST(o_orderkey AS VARCHAR) || '|' ||
-        |      CAST(o_custkey AS VARCHAR) || '|' ||
-        |      o_orderstatus || '|' ||
-        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-        |        AS VARCHAR) || '|' ||
-        |      CAST(o_orderdate AS VARCHAR) || '|' ||
-        |      o_orderpriority), 1, 15)) AS BIGINT) AS rh
+        |      coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+        |      coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+        |      coalesce(o_orderstatus, '<NULL>') || '|' ||
+        |      coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |        AS VARCHAR), '<NULL>') || '|' ||
+        |      coalesce(CAST(o_orderdate AS VARCHAR), '<NULL>') || '|' ||
+        |      coalesce(o_orderpriority, '<NULL>')), 1, 15))
+        |      AS BIGINT) AS rh
         |  FROM orders)
         |SELECT o_orderpriority, count(*) AS n_rows,
         |  CAST(sum(CAST(rh AS HUGEINT)) % 1152921504606846976

@@ -202,6 +202,36 @@ object LlmOps extends OpPack {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // Exact-mode sibling of llm_ann_ivf: nprobe = numCells probes
+    // EVERY cell, so the IVF plumbing degenerates to exact global
+    // top-k — deterministic and hash-oracle-able against DuckDB's
+    // brute-force cosine ranking (the cross-engine check the approx
+    // mode can't have by rule ③; recall pins for approx mode stay in
+    // AnnIvfSpec). The k-means `cell` column is index-dependent, so
+    // the oracle-facing output is rank + id only.
+    "llm_ann_ivf_exact" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val idx = ivfIndex(s, dir, numCells = 16)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding"))
+      graft.operators.AnnIvf.query(idx, probe, "vec_id", "embedding",
+          k = 10, nprobe = 16)
+        .select(col("rank"), col("vec_id"))
+        .orderBy(col("rank"))
+    }),
+
+    // Exact-mode sibling of llm_ann_knn: every probe scans all 16
+    // cells, so the cell-routed join covers the full corpus and the
+    // result equals brute-force kNN — hash-checked against DuckDB.
+    // The candidate frame is corpus² here BY CONSTRUCTION (that is
+    // what exact verification means); production keeps nprobe ≪
+    // numCells, which is the llm_ann_knn entry.
+    "llm_ann_knn_exact" -> ((s, dir) => {
+      val idx = ivfIndex(s, dir, numCells = 16)
+      graft.operators.AnnIvf.knnJoin(idx, "vec_id", "embedding",
+          k = 3, nprobe = 16)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     // with LEARNED blocking — the IVF index's k-means cells replace
     // llm_dedup_embed's label blocks, so near-duplicates are found
@@ -491,6 +521,31 @@ object LlmOps extends OpPack {
         |  WHERE e.vec_id <> 0)
         |QUALIFY rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    // Probe vec_id=0 ranks FIRST (sim(p,p)=1): the probe is part of the
+    // indexed corpus and exact mode must return exactly what a full
+    // scan returns — including self.
+    "llm_ann_ivf_exact" ->
+      """SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)
+        |    AS rank, vec_id
+        |FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding, p.embedding) AS sim
+        |  FROM embeddings e, (SELECT embedding FROM embeddings
+        |                      WHERE vec_id = 0) p)
+        |QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin,
+
+    "llm_ann_knn_exact" ->
+      """SELECT probe_id, rank, nbr_id FROM (
+        |  SELECT l.vec_id AS probe_id,
+        |    CAST(row_number() OVER (PARTITION BY l.vec_id
+        |      ORDER BY list_cosine_similarity(l.embedding, r.embedding) DESC,
+        |               r.vec_id ASC) AS INT) AS rank,
+        |    r.vec_id AS nbr_id
+        |  FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id)
+        |WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
 
     "llm_knn_join" ->
       """SELECT vec_id, rank, nbr_id FROM (

@@ -266,7 +266,10 @@ object ReportOps extends OpPack {
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey").cast("long").as("k"),
           col("o_custkey").cast("long").as("c"))
-      val mx = o.agg(max(col("k")).as("mk"), max(col("c")).as("mc"))
+      // coalesce: an empty orders table yields (0, 0) bounds and an
+      // empty result, not an NPE from reading a NULL max.
+      val mx = o.agg(coalesce(max(col("k")), lit(0L)).as("mk"),
+          coalesce(max(col("c")), lit(0L)).as("mc"))
         .collect()(0)
       val wk = mx.getLong(0) / 32 + 1
       val wc = mx.getLong(1) / 32 + 1

@@ -241,6 +241,21 @@ object ScanOps extends OpPack {
       s.sql(hilbertSql("div", "orders_hilbert"))
     }),
 
+    // Literal time-range scan on the events fact table — THE 100 TB
+    // access pattern for a CDC-fed log (read five days out of years).
+    // Exists to pin that the ts type normalization in graft.Tables
+    // (ns-legacy / µs-NTZ parquet → TimestampType) never costs the
+    // pushdown: the range must reach `PushedFilters` on the scan for
+    // row-group pruning (PlanShapeSpec "scan_events_pushdown").
+    "scan_events_pushdown" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                col("ts") <  lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("event_id"), col("ts_us"))
+    }),
+
     // Row-level lineage from the parquet reader's hidden `_metadata`
     // struct — file name + in-file row index with ZERO bookkeeping
     // cost (computed from scan offsets, no join against any index).
@@ -335,6 +350,13 @@ object ScanOps extends OpPack {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate <  TIMESTAMP '1997-07-01'
         |ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
+
+    "scan_events_pushdown" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id, ts_us""".stripMargin,
 
     "scan_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey

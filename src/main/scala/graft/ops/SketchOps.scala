@@ -353,6 +353,55 @@ object SketchOps extends OpPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Derandomized quantile sketch with a REAL oracle, completing the
+    // _det family (hll/bloom/cms → kll): KLL's randomness is the
+    // compaction coin, so the deterministic stand-in is an equi-width
+    // cell-count summary — the cumsum-cuts machinery of
+    // agg_hist_eqdepth run as a sketch: ONE map-side-combined hash agg
+    // of (flag, cents div W) counts (mergeable: counts add; state
+    // bounded by value-range/W ≈ 110 cells here, declared resolution
+    // W = $1000), cumulative sum over the bounded cell frame, and the
+    // q-quantile estimate = upper bound of the first cell whose
+    // cumulative count crosses ⌈q·n⌉. Quantile contract: value error
+    // < W and one-sided rank excess < the crossing cell's count —
+    // both EXACT integer statements, so estimate AND the audited rank
+    // of each estimate hash-check against DuckDB (unlike
+    // agg_sketch_kll's datasketches compactor, whose coin only Spark
+    // can flip). The rank audit is a second pass by construction —
+    // same est-vs-exact report shape as agg_sketch_hll_det.
+    "agg_sketch_kll_det" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 100000L // cents per cell = $1000 value resolution
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val cum = li
+        .groupBy(col("l_returnflag"), expr(s"cents div $W").as("cell"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("cell"))))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("l_returnflag"))))
+      def estQ(q: Int) =
+        min(when(col("cum") * 100 >= col("n") * q,
+          (col("cell") + 1) * W - 1)).as(s"p${q}_est")
+      val est = cum.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_items"), estQ(50), estQ(90), estQ(99))
+      li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n_items")).as("n_items"),
+          max(col("p50_est")).as("p50_est"),
+          max(col("p90_est")).as("p90_est"),
+          max(col("p99_est")).as("p99_est"),
+          sum(when(col("cents") <= col("p50_est"), 1L).otherwise(0L))
+            .as("rank_p50"),
+          sum(when(col("cents") <= col("p90_est"), 1L).otherwise(0L))
+            .as("rank_p90"),
+          sum(when(col("cents") <= col("p99_est"), 1L).otherwise(0L))
+            .as("rank_p99"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Derandomized Count-Min with a REAL oracle: d=4 rows × w=256
     // md5-bucketed counters built in one 4×-exploded map-side-
     // combined hash agg (1024 cells of state at any scale); the
@@ -475,6 +524,41 @@ object SketchOps extends OpPack {
         |    ELSE 0 END) AS BIGINT) AS n_false_positive
         |FROM pr LEFT JOIN wo USING (c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_sketch_kll_det" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT l_returnflag, cents // 100000 AS cell, count(*) AS c
+        |  FROM li GROUP BY l_returnflag, cell),
+        |cum AS (
+        |  SELECT l_returnflag, cell, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY cell) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM cells),
+        |est AS (
+        |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_items,
+        |    min(CASE WHEN cum * 100 >= n * 50
+        |      THEN (cell + 1) * 100000 - 1 END) AS p50_est,
+        |    min(CASE WHEN cum * 100 >= n * 90
+        |      THEN (cell + 1) * 100000 - 1 END) AS p90_est,
+        |    min(CASE WHEN cum * 100 >= n * 99
+        |      THEN (cell + 1) * 100000 - 1 END) AS p99_est
+        |  FROM cum GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, max(n_items) AS n_items,
+        |  max(p50_est) AS p50_est, max(p90_est) AS p90_est,
+        |  max(p99_est) AS p99_est,
+        |  CAST(sum(CASE WHEN cents <= p50_est THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rank_p50,
+        |  CAST(sum(CASE WHEN cents <= p90_est THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rank_p90,
+        |  CAST(sum(CASE WHEN cents <= p99_est THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rank_p99
+        |FROM li JOIN est ON li.l_returnflag = est.l_returnflag
+        |GROUP BY li.l_returnflag
+        |ORDER BY li.l_returnflag""".stripMargin,
 
     "agg_sketch_cms_det" ->
       """WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),

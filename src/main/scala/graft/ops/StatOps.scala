@@ -621,7 +621,10 @@ object StatOps extends OpPack {
           min(col("bits")).as("min_bits"),
           sum(col("bits")).as("sum_bits"))
         .select(col("k"), col("max_cents"),
-          expr("((sum_bits - k * min_bits) * 1000) div (k - 1)")
+          // k <= 1 has no excess statistics — declared NULL in both
+          // engines rather than a div-by-zero artifact.
+          expr("CASE WHEN k > 1 THEN " +
+            "((sum_bits - k * min_bits) * 1000) div (k - 1) END")
             .as("hill_inv_alpha_milli_bits"))
     })
   )
@@ -721,8 +724,10 @@ object StatOps extends OpPack {
         |  FROM orders
         |  ORDER BY cents DESC, o_orderkey ASC LIMIT 256)
         |SELECT count(*) AS k, max(cents) AS max_cents,
-        |  CAST(((sum(bits) - count(*) * min(bits)) * 1000)
-        |    // (count(*) - 1) AS BIGINT) AS hill_inv_alpha_milli_bits
+        |  CAST(CASE WHEN count(*) > 1 THEN
+        |    ((sum(bits) - count(*) * min(bits)) * 1000)
+        |      // (count(*) - 1) END AS BIGINT)
+        |    AS hill_inv_alpha_milli_bits
         |FROM top""".stripMargin,
     "ts_theilsen" ->
       """WITH c AS (

@@ -12,6 +12,7 @@ object LocalSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosKey, "true")
+      .config(Tables.NtzKey, "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

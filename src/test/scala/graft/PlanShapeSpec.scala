@@ -32,6 +32,20 @@ class PlanShapeSpec extends AnyFunSuite {
         || l.contains("LessThan")))
   }
 
+  test("scan_events_pushdown pushes the ts range through the type normalization") {
+    // graft.Tables normalizes events.ts (ns-legacy long / µs-NTZ
+    // parquet) to TimestampType. The normalization must NOT sit as a
+    // Project between the filter and the scan: a literal time range on
+    // the one fact table where 100 TB time-range scans live has to
+    // reach PushedFilters for row-group pruning.
+    val p = plan("scan_events_pushdown")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty)
+    assert(pushed.exists(l => l.contains("GreaterThanOrEqual(ts")
+      && l.contains("LessThan(ts")),
+      s"ts range not pushed to the parquet scan:\n${pushed.mkString("\n")}")
+  }
+
   test("join_broadcast plans a BroadcastHashJoin with no fact-side shuffle") {
     val p = plan("join_broadcast")
     assert(p.contains("BroadcastHashJoin"))
@@ -338,7 +352,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "llm_surprisal",
       // agg_lorenz_points crosses the broadcast 1-row cohort
       // size/total gate (the composite_q11 scalar-subquery shape).
-      "agg_lorenz_points")
+      "agg_lorenz_points",
+      // the exact-mode ANN siblings ride the same broadcast 1-row
+      // probe / numCells×dim centroid crosses as llm_ann_ivf/knn.
+      "llm_ann_ivf_exact", "llm_ann_knn_exact")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>

@@ -259,6 +259,21 @@ class SketchSpec extends AnyFunSuite {
       assert(err <= 260L,
         s"hll_det error ${err} permille outside the m=64 band")
     }
+    // kll_det: each estimate's audited rank crosses ⌈q·n⌉ from above
+    // (one-sided by construction — the crossing-cell upper bound) and
+    // the estimates are quantile-monotone.
+    val kll = SparkEntry.queries("agg_sketch_kll_det")(spark, dir)
+      .collect()
+    assert(kll.nonEmpty)
+    kll.foreach { r =>
+      val n = r.getAs[Long]("n_items")
+      for (q <- Seq(50, 90, 99))
+        assert(r.getAs[Long](s"rank_p$q") * 100 >= n * q,
+          s"kll_det p$q rank below target in flag ${r.get(0)}")
+      assert(r.getAs[Long]("p50_est") <= r.getAs[Long]("p90_est") &&
+        r.getAs[Long]("p90_est") <= r.getAs[Long]("p99_est"),
+        s"kll_det estimates not monotone in flag ${r.get(0)}")
+    }
   }
 
   test("kll_sketch_agg and freq_items_agg are registered as SQL functions") {

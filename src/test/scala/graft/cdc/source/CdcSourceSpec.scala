@@ -23,6 +23,21 @@ class CdcSourceSpec extends AnyFunSuite {
   private def dml(seq: Int, id: Int, eventType: String = "insert") =
     s"""{"domain": 0, "server_id": 3000, "sequence": $seq, "event_number": 1, "timestamp": 170000000$seq, "event_type": "$eventType", "table_name": "tests", "table_schema": "test", "id": $id}"""
 
+  /** Simulate a crash between planInputPartitions and commit: remove
+    * the newest commits/N entry (offsets/N stays), INCLUDING Hadoop's
+    * hidden .N.crc checksum sibling — a stale crc makes the recovery
+    * rewrite of commits/N fail its atomic rename, which Spark
+    * misreports as a concurrent-query conflict. */
+  private def uncommitLatest(ckptDir: java.nio.file.Path): Unit = {
+    val commits = ckptDir.resolve("commits")
+    val latest = Files.list(commits).toArray.map(_.toString)
+      .filter(_.matches(".*/\\d+$")).maxBy(p =>
+        p.substring(p.lastIndexOf('/') + 1).toInt)
+    val f = java.nio.file.Paths.get(latest)
+    Files.delete(f)
+    Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
+  }
+
   private def runStream(options: Map[String, String],
       queryName: String): org.apache.spark.sql.DataFrame = {
     val reader = spark.readStream.format("maxscale-cdc")
@@ -152,6 +167,116 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(out.filter(col("event_type") === "ddl").count() == 2,
       "reconnection re-delivers the schema record (at-least-once)")
     assert(out.count() == 6)
+  }
+
+  test("replay: crash after offset WAL, before commit — batch re-executes exactly-once") {
+    // The mid-batch crash window: the engine has written offsets/N
+    // (the WAL entry planInputPartitions ran against) but died before
+    // commits/N. Deleting the newest commit file reproduces exactly
+    // that state. On restart the engine MUST re-execute batch N over
+    // the SAME offset range (deterministic replay from the GTID
+    // offsets) and the file sink's metadata log must dedupe the
+    // re-written batch — no duplicate and no lost sequence.
+    val f = Files.createTempFile("cdc-crash", ".ndjson")
+    val ckptDir = Files.createTempDirectory("cdc-crash-ckpt")
+    val sink = Files.createTempDirectory("cdc-crash-sink").toString
+    Files.write(f, (Seq(ddl) ++ Seq(dml(7, 1), dml(8, 2))).mkString("\n")
+      .getBytes(UTF_8))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("replayFile", f.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run() // batch 0: ddl + 7,8
+    Files.write(f, ("\n" + Seq(dml(9, 3), dml(10, 4)).mkString("\n"))
+      .getBytes(UTF_8), java.nio.file.StandardOpenOption.APPEND)
+    run() // batch 1: 9,10 — committed cleanly…
+
+    // …now un-commit it: offsets/1 stays, commits/1 vanishes — the
+    // precise crash-between-planInputPartitions-and-commit state.
+    uncommitLatest(ckptDir)
+
+    // more data lands while the stream is down: recovery must both
+    // re-run batch 1 AND continue past it without losing a GTID
+    Files.write(f, ("\n" + dml(11, 5)).getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    run() // re-executes batch 1 from its WAL range, then batch 2
+
+    val out = spark.read.parquet(sink)
+    val seqs = out.filter(col("event_type") =!= "ddl")
+      .select("sequence").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(7L, 8L, 9L, 10L, 11L),
+      s"crash recovery must deliver every DML exactly once, got $seqs")
+  }
+
+  test("replay: DDL version bump straddling the crash survives restart") {
+    // Same crash window, but the un-committed batch carries a schema
+    // change: the v2 DDL + its first v2 row. Recovery must re-deliver
+    // BOTH (the registry would otherwise lose version 2), exactly
+    // once, and v2 payloads must still project through the evolved
+    // schema.
+    val ddlV2 = ddl
+      .replace(""""version": 1""", """"version": 2""")
+      .replace(
+        """{"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}""",
+        """{"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}, {"name": "note", "type": ["null", "varchar"], "real_type": "varchar", "length": 40}""")
+    def dmlV2(seq: Int, id: Int, note: String) =
+      s"""{"domain": 0, "server_id": 3000, "sequence": $seq, "event_number": 1, "timestamp": 170000000$seq, "event_type": "insert", "table_name": "tests", "table_schema": "test", "id": $id, "note": "$note"}"""
+    val f = Files.createTempFile("cdc-crash-ddl", ".ndjson")
+    val ckptDir = Files.createTempDirectory("cdc-crash-ddl-ckpt")
+    val sink = Files.createTempDirectory("cdc-crash-ddl-sink").toString
+    Files.write(f, (Seq(ddl) ++ Seq(dml(7, 1))).mkString("\n")
+      .getBytes(UTF_8))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("replayFile", f.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run() // batch 0: v1 schema + row 7
+    Files.write(f, ("\n" + Seq(ddlV2, dmlV2(8, 2, "altered")).mkString("\n"))
+      .getBytes(UTF_8), java.nio.file.StandardOpenOption.APPEND)
+    run() // batch 1: the ALTER + first v2 row — committed, then un-commit
+    uncommitLatest(ckptDir)
+
+    Files.write(f, ("\n" + dmlV2(9, 3, "post-crash")).getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    run() // re-runs the straddled batch, then the post-crash row
+
+    val out = spark.read.parquet(sink)
+    val seqs = out.filter(col("event_type") =!= "ddl")
+      .select("sequence").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(7L, 8L, 9L),
+      s"every DML exactly once across the straddled ALTER, got $seqs")
+    // the registry recovers both versions from the sink alone — the
+    // re-delivered v2 DDL was not lost with the crashed commit
+    val registry = out.filter(col("event_type") === "ddl")
+      .select("raw").collect().map(_.getString(0)).distinct
+      .map(graft.cdc.Protocol.decodeDdlEvent)
+      .map(d => (d.database, d.table, d.version) ->
+        graft.cdc.CdcModel.toStructType(d)).toMap
+    assert(registry.keySet == Set(("test", "tests", 1), ("test", "tests", 2)))
+    val projected = out.filter(col("event_type") =!= "ddl")
+      .withColumn("payload",
+        from_json(col("raw"), registry(("test", "tests", 2))))
+      .select(col("sequence"), col("payload.note"))
+      .orderBy("sequence").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(projected == Seq((7L, None), (8L, Some("altered")),
+      (9L, Some("post-crash"))))
   }
 
   test("replay: maxLinesPerBatch splits a backlog into bounded micro-batches") {
