@@ -17,8 +17,8 @@ object TimeOne {
     Tables.all.foreach { t => try Tables(spark, dir, t).limit(1).count() catch { case _: Throwable => } }
     for (name <- names; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      println(f"$name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"$name run$i ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }
