@@ -241,6 +241,26 @@ object ScanOps extends OpPack {
       s.sql(hilbertSql("div", "orders_hilbert"))
     }),
 
+    // DSv2 WRITE path roundtrip: the graft-manifest atomic sink
+    // (graft.sources.ManifestSink — task-unique data files + ONE
+    // atomically-renamed manifest; visibility is manifest-gated, so
+    // failed/speculative attempts are invisible by construction).
+    // The oracle reads the original parquet: a pass proves the full
+    // connector commit protocol (writer factory → task commit
+    // messages → driver publish → per-file checksummed read-back)
+    // loses and corrupts nothing. Commit/abort/orphan/corruption
+    // semantics pinned in ManifestSinkSpec.
+    "sink_manifest" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-supplier"
+      Tables(s, dir, "supplier").write.mode("overwrite")
+        .format("graft-manifest").save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Literal time-range scan on the events fact table — THE 100 TB
     // access pattern for a CDC-fed log (read five days out of years).
     // Exists to pin that the ts type normalization in graft.Tables
@@ -350,6 +370,10 @@ object ScanOps extends OpPack {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate <  TIMESTAMP '1997-07-01'
         |ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
+
+    "sink_manifest" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "scan_events_pushdown" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.util
+import java.util.UUID
+import java.util.zip.CRC32
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft-manifest` — a DSv2 WRITE path (the library's sink-side
+  * counterpart of the maxscale-cdc source): an atomic, manifest-gated
+  * table format implementing the full connector commit protocol.
+  *
+  * Write: every task writes a uniquely-named data file (length-prefixed
+  * UnsafeRow pages + running CRC32) and reports (file, rows, crc) in
+  * its WriterCommitMessage; the DRIVER's `BatchWrite.commit` then
+  * atomically publishes `_graft_manifest.json` (schema DDL + committed
+  * file list) via write-temp-then-rename. Visibility is manifest-gated:
+  * a reader lists the manifest, never the directory — so half-written
+  * files from failed/speculative task attempts are invisible by
+  * construction, `abort` only has to delete named files, and two
+  * engines can hand a table over by exchanging one JSON document.
+  * This is the commit design of production table formats (the
+  * Iceberg/Delta snapshot idea reduced to a single manifest), and at
+  * 100 TB it is what makes a distributed write all-or-nothing without
+  * a rename-per-file commit storm: N data files, ONE atomic publish.
+  *
+  * Read: one InputPartition per manifest entry (reads parallelize per
+  * file), each reader re-checksums its file and fails loudly on
+  * corruption — the read-repair hook a fleet needs.
+  *
+  * Cited scope: the reference (SURVEY Part R) has no write path at
+  * all; this is an engine addition declared in SURVEY §2.2.
+  */
+final class ManifestSinkProvider extends TableProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = ManifestSink.requirePath(options.asScala.toMap)
+    StructType.fromDDL(ManifestSink.readManifest(path).schemaDdl)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestTable(schema,
+      ManifestSink.requirePath(properties.asScala.toMap))
+}
+
+object ManifestSink {
+  val ManifestFile = "_graft_manifest.json"
+  val DataSuffix = ".graftrows"
+
+  final case class Entry(name: String, rows: Long, crc: Long)
+  final case class Manifest(schemaDdl: String, files: Seq[Entry])
+
+  def requirePath(opts: Map[String, String]): String =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-manifest requires a 'path' option"))
+
+  private def mapper = new ObjectMapper()
+
+  /** Atomic publish: temp file + rename (same-directory rename is the
+    * atomicity primitive every local/HDFS-like FS guarantees). */
+  def writeManifest(dir: String, m: Manifest): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("schemaDdl", m.schemaDdl)
+    val arr = root.putArray("files")
+    m.files.foreach { e =>
+      val n = arr.addObject()
+      n.put("name", e.name); n.put("rows", e.rows); n.put("crc", e.crc)
+    }
+    val tmp = new File(dir, s".$ManifestFile.${UUID.randomUUID()}.tmp")
+    val out = new FileOutputStream(tmp)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+    val dst = new File(dir, ManifestFile)
+    if (!tmp.renameTo(dst)) {
+      // a concurrent committer won the rename — this job loses cleanly
+      tmp.delete()
+      throw new IllegalStateException(
+        s"graft-manifest: concurrent commit detected at $dst")
+    }
+  }
+
+  def readManifest(dir: String): Manifest = {
+    val f = new File(dir, ManifestFile)
+    if (!f.exists()) throw new IllegalArgumentException(
+      s"graft-manifest: no $ManifestFile under $dir — nothing committed")
+    val root = mapper.readTree(f)
+    val files = root.get("files").elements().asScala.map { n =>
+      Entry(n.get("name").asText(), n.get("rows").asLong(),
+        n.get("crc").asLong())
+    }.toSeq
+    Manifest(root.get("schemaDdl").asText(), files)
+  }
+}
+
+final class ManifestTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-manifest:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ManifestScan(tableSchema, path)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestWriteBuilder(info.schema(), path)
+}
+
+final class ManifestWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ManifestBatchWrite(schema, path, truncateFirst)
+  }
+}
+
+final class ManifestBatchWrite(schema: StructType, path: String,
+    truncateFirst: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    if (!dir.exists()) dir.mkdirs()
+    new ManifestWriterFactory(schema.toDDL, path)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case m: ManifestCommitMessage =>
+      ManifestSink.Entry(m.name, m.rows, m.crc) }.toSeq
+    val dir = new File(path)
+    val keep = entries.map(_.name).toSet
+    if (truncateFirst) {
+      // overwrite semantics: the NEW manifest lists only this job's
+      // files; prior data files become unreferenced and are removed
+      // after the publish (readers only ever follow the manifest, so
+      // the order is safe).
+      ManifestSink.writeManifest(path, ManifestSink.Manifest(
+        schema.toDDL, entries))
+      dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
+        && !keep(f.getName)).foreach(_.delete())
+    } else {
+      // append: merge with whatever a previous commit published
+      val prior =
+        if (new File(dir, ManifestSink.ManifestFile).exists())
+          ManifestSink.readManifest(path).files
+        else Seq.empty
+      ManifestSink.writeManifest(path, ManifestSink.Manifest(
+        schema.toDDL, prior ++ entries))
+      // orphaned attempt files (task retries that lost) are safe to
+      // sweep: they are not referenced by either manifest generation
+      val all = (prior ++ entries).map(_.name).toSet
+      dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
+        && !all(f.getName)).foreach(_.delete())
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: ManifestCommitMessage =>
+      new File(path, m.name).delete() }
+}
+
+final case class ManifestCommitMessage(name: String, rows: Long, crc: Long)
+    extends WriterCommitMessage
+
+final class ManifestWriterFactory(schemaDdl: String, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(StructType.fromDDL(schemaDdl), path, partitionId,
+      taskId)
+}
+
+/** Streams length-prefixed UnsafeRow bytes with a running CRC32 —
+  * every attempt writes a UNIQUE file name, so speculative or retried
+  * attempts can never collide; only the committed name reaches the
+  * driver. */
+final class ManifestDataWriter(schema: StructType, path: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val name =
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}${ManifestSink.DataSuffix}"
+  private val file = new File(path, name)
+  private val out = new DataOutputStream(new BufferedOutputStream(
+    new FileOutputStream(file)))
+  private val toUnsafe = UnsafeProjection.create(schema)
+  private val crc = new CRC32()
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val u = toUnsafe(record)
+    val bytes = u.getBytes
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    crc.update(bytes)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ManifestCommitMessage(name, rows, crc.getValue)
+  }
+
+  override def abort(): Unit = { out.close(); file.delete() }
+  override def close(): Unit = out.close()
+}
+
+final class ManifestScan(schema: StructType, path: String) extends Scan {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ManifestSink.readManifest(path).files.map(e =>
+        ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc)
+          .asInstanceOf[InputPartition]).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ManifestReaderFactory(schema.length)
+  }
+}
+
+final case class ManifestInputPartition(file: String, rows: Long, crc: Long)
+    extends InputPartition
+
+final class ManifestReaderFactory(numFields: Int)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ManifestInputPartition]
+    new ManifestPartitionReader(p, numFields)
+  }
+}
+
+final class ManifestPartitionReader(p: ManifestInputPartition, numFields: Int)
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(new BufferedInputStream(
+    new FileInputStream(p.file)))
+  private val crc = new CRC32()
+  private val row = new UnsafeRow(numFields)
+  private var bytes: Array[Byte] = _
+  private var seen = 0L
+
+  override def next(): Boolean = {
+    val len = try in.readInt() catch { case _: java.io.EOFException => -1 }
+    if (len < 0) {
+      // end of file: the manifest's row count and checksum must match
+      // what was actually read — fail loudly on corruption
+      if (seen != p.rows || crc.getValue != p.crc)
+        throw new java.io.IOException(
+          s"graft-manifest checksum mismatch in ${p.file}: " +
+            s"read $seen rows crc ${crc.getValue}, " +
+            s"manifest says ${p.rows} rows crc ${p.crc}")
+      false
+    } else {
+      bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      crc.update(bytes)
+      seen += 1
+      true
+    }
+  }
+
+  override def get(): InternalRow = {
+    row.pointTo(bytes, bytes.length)
+    row
+  }
+
+  override def close(): Unit = in.close()
+}
