@@ -19,6 +19,8 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory,
+  StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,7 +57,7 @@ final class ManifestSinkProvider extends TableProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = ManifestSink.requirePath(options.asScala.toMap)
-    StructType.fromDDL(ManifestSink.readManifest(path).schemaDdl)
+    StructType.fromDDL(ManifestSink.readAll(path).schemaDdl)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -68,8 +70,32 @@ object ManifestSink {
   val ManifestFile = "_graft_manifest.json"
   val DataSuffix = ".graftrows"
 
+  /** Streaming epochs publish `_graft_manifest-epoch<N>.json` each; a
+    * scan merges the batch manifest (if any) with every epoch
+    * manifest. The epoch file name IS the idempotence token: a
+    * re-delivered epoch (crash between the engine's offset WAL and its
+    * commit log) finds its manifest already published and discards the
+    * duplicate attempt's files instead of double-publishing. */
+  def epochManifestFile(epochId: Long) = s"_graft_manifest-epoch$epochId.json"
+
   final case class Entry(name: String, rows: Long, crc: Long)
   final case class Manifest(schemaDdl: String, files: Seq[Entry])
+
+  /** Every published manifest under `dir` (batch + streaming epochs). */
+  def listManifests(dir: String): Seq[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == ManifestFile ||
+        f.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+      .sortBy(_.getName).toSeq
+
+  /** Merged table state: union of all manifests' file lists. */
+  def readAll(dir: String): Manifest = {
+    val ms = listManifests(dir)
+    if (ms.isEmpty) throw new IllegalArgumentException(
+      s"graft-manifest: no manifest under $dir — nothing committed")
+    val parsed = ms.map(f => readManifestFile(f))
+    Manifest(parsed.head.schemaDdl, parsed.flatMap(_.files))
+  }
 
   def requirePath(opts: Map[String, String]): String =
     opts.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
@@ -80,7 +106,7 @@ object ManifestSink {
 
   /** Atomic publish: temp file + rename (same-directory rename is the
     * atomicity primitive every local/HDFS-like FS guarantees). */
-  def writeManifest(dir: String, m: Manifest): Unit = {
+  def writeManifestAs(dir: String, fileName: String, m: Manifest): Unit = {
     val root = mapper.createObjectNode()
     root.put("schemaDdl", m.schemaDdl)
     val arr = root.putArray("files")
@@ -88,12 +114,12 @@ object ManifestSink {
       val n = arr.addObject()
       n.put("name", e.name); n.put("rows", e.rows); n.put("crc", e.crc)
     }
-    val tmp = new File(dir, s".$ManifestFile.${UUID.randomUUID()}.tmp")
+    val tmp = new File(dir, s".$fileName.${UUID.randomUUID()}.tmp")
     val out = new FileOutputStream(tmp)
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(root))
     finally out.close()
-    val dst = new File(dir, ManifestFile)
+    val dst = new File(dir, fileName)
     if (!tmp.renameTo(dst)) {
       // a concurrent committer won the rename — this job loses cleanly
       tmp.delete()
@@ -102,16 +128,23 @@ object ManifestSink {
     }
   }
 
-  def readManifest(dir: String): Manifest = {
-    val f = new File(dir, ManifestFile)
-    if (!f.exists()) throw new IllegalArgumentException(
-      s"graft-manifest: no $ManifestFile under $dir — nothing committed")
+  def writeManifest(dir: String, m: Manifest): Unit =
+    writeManifestAs(dir, ManifestFile, m)
+
+  def readManifestFile(f: File): Manifest = {
     val root = mapper.readTree(f)
     val files = root.get("files").elements().asScala.map { n =>
       Entry(n.get("name").asText(), n.get("rows").asLong(),
         n.get("crc").asLong())
     }.toSeq
     Manifest(root.get("schemaDdl").asText(), files)
+  }
+
+  def readManifest(dir: String): Manifest = {
+    val f = new File(dir, ManifestFile)
+    if (!f.exists()) throw new IllegalArgumentException(
+      s"graft-manifest: no $ManifestFile under $dir — nothing committed")
+    readManifestFile(f)
   }
 }
 
@@ -121,7 +154,7 @@ final class ManifestTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -139,7 +172,58 @@ final class ManifestWriteBuilder(schema: StructType, path: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ManifestBatchWrite(schema, path, truncateFirst)
+    override def toStreaming: StreamingWrite =
+      new ManifestStreamingWrite(schema, path)
   }
+}
+
+/** Streaming (append-mode) manifest sink: each epoch publishes its own
+  * `_graft_manifest-epoch<N>.json`, and the publish is IDEMPOTENT on
+  * the epoch id — the exactly-once half the engine cannot provide
+  * alone. When a crash lands between the offset WAL and the engine's
+  * commit log, the batch is re-executed and this sink is handed the
+  * SAME epoch again with freshly-named data files; finding the epoch
+  * manifest already published, it deletes the duplicate attempt's
+  * files instead of double-publishing (the file-sink metadata-log
+  * trick, one manifest per epoch instead of one global log).
+  */
+final class ManifestStreamingWrite(schema: StructType, path: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val dir = new File(path)
+    if (!dir.exists()) dir.mkdirs()
+    new ManifestStreamingWriterFactory(schema.toDDL, path)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case m: ManifestCommitMessage =>
+      ManifestSink.Entry(m.name, m.rows, m.crc) }.toSeq
+    val epochFile = new File(path, ManifestSink.epochManifestFile(epochId))
+    if (epochFile.exists()) {
+      // re-delivered epoch: the first publish won; drop the duplicates
+      entries.foreach(e => new File(path, e.name).delete())
+    } else {
+      ManifestSink.writeManifestAs(path,
+        ManifestSink.epochManifestFile(epochId),
+        ManifestSink.Manifest(schema.toDDL, entries))
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: ManifestCommitMessage =>
+      new File(path, m.name).delete() }
+}
+
+final class ManifestStreamingWriterFactory(schemaDdl: String, path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(StructType.fromDDL(schemaDdl), path, partitionId,
+      taskId)
 }
 
 final class ManifestBatchWrite(schema: StructType, path: String,
@@ -156,18 +240,21 @@ final class ManifestBatchWrite(schema: StructType, path: String,
     val entries = messages.collect { case m: ManifestCommitMessage =>
       ManifestSink.Entry(m.name, m.rows, m.crc) }.toSeq
     val dir = new File(path)
-    val keep = entries.map(_.name).toSet
     if (truncateFirst) {
-      // overwrite semantics: the NEW manifest lists only this job's
-      // files; prior data files become unreferenced and are removed
-      // after the publish (readers only ever follow the manifest, so
-      // the order is safe).
+      // overwrite semantics: drop every prior manifest generation
+      // (including streaming epochs — overwrite replaces the TABLE),
+      // publish the new base manifest, then sweep the now-
+      // unreferenced data files (readers only ever follow manifests,
+      // so the order is safe).
+      ManifestSink.listManifests(path).foreach(_.delete())
       ManifestSink.writeManifest(path, ManifestSink.Manifest(
         schema.toDDL, entries))
+      val keep = entries.map(_.name).toSet
       dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
         && !keep(f.getName)).foreach(_.delete())
     } else {
-      // append: merge with whatever a previous commit published
+      // append: merge into the base manifest; streaming epoch
+      // manifests stay their own generations
       val prior =
         if (new File(dir, ManifestSink.ManifestFile).exists())
           ManifestSink.readManifest(path).files
@@ -175,10 +262,10 @@ final class ManifestBatchWrite(schema: StructType, path: String,
       ManifestSink.writeManifest(path, ManifestSink.Manifest(
         schema.toDDL, prior ++ entries))
       // orphaned attempt files (task retries that lost) are safe to
-      // sweep: they are not referenced by either manifest generation
-      val all = (prior ++ entries).map(_.name).toSet
+      // sweep: files referenced by NO manifest generation
+      val referenced = ManifestSink.readAll(path).files.map(_.name).toSet
       dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
-        && !all(f.getName)).foreach(_.delete())
+        && !referenced(f.getName)).foreach(_.delete())
     }
   }
 
@@ -235,7 +322,7 @@ final class ManifestScan(schema: StructType, path: String) extends Scan {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ManifestSink.readManifest(path).files.map(e =>
+      ManifestSink.readAll(path).files.map(e =>
         ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc)
           .asInstanceOf[InputPartition]).toArray
     override def createReaderFactory(): PartitionReaderFactory =

@@ -89,6 +89,97 @@ class ManifestSinkSpec extends AnyFunSuite {
     }
   }
 
+  private val cdcDdl =
+    """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record", "name": "ChangeRecord", "table": "tests", "database": "test", "version": 1, "gtid": "0-3000-6", "fields": [{"name": "domain", "type": "int"}, {"name": "server_id", "type": "int"}, {"name": "sequence", "type": "int"}, {"name": "event_number", "type": "int"}, {"name": "timestamp", "type": "int"}, {"name": "event_type", "type": {"type": "enum", "name": "EVENT_TYPES", "symbols": ["insert", "update_before", "update_after", "delete"]}}, {"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}]}"""
+  private def cdcDml(seq: Int, id: Int) =
+    s"""{"domain": 0, "server_id": 3000, "sequence": $seq, "event_number": 1, "timestamp": 170000000$seq, "event_type": "insert", "table_name": "tests", "table_schema": "test", "id": $id}"""
+
+  test("streaming: CDC source -> manifest sink is exactly-once across restart") {
+    // end-to-end over BOTH custom connectors: the maxscale-cdc DSv2
+    // source feeding the graft-manifest DSv2 streaming sink, each
+    // epoch published as its own manifest generation.
+    val f = Files.createTempFile("cdc-ms", ".ndjson")
+    val ckpt = Files.createTempDirectory("cdc-ms-ckpt").toString
+    val dir = scratch("stream")
+    Files.write(f, (Seq(cdcDdl) ++ Seq(cdcDml(7, 1), cdcDml(8, 2)))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("replayFile", f.toString)
+        .load()
+        .writeStream.format("graft-manifest")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run()
+    Files.write(f, ("\n" + Seq(cdcDml(9, 3), cdcDml(10, 4)).mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    run()
+    val out = spark.read.format("graft-manifest").load(dir)
+    val seqs = out.filter(col("event_type") =!= "ddl")
+      .select("sequence").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(7L, 8L, 9L, 10L),
+      s"every DML exactly once through the manifest sink, got $seqs")
+  }
+
+  test("streaming: re-delivered epoch is dropped — the epoch manifest is the idempotence token") {
+    // The crash window the CDC suite pins on the ENGINE side, now
+    // pinned on the SINK side: offsets/N written, engine commits/N
+    // lost, batch N re-executed — the sink already published
+    // _graft_manifest-epochN.json, so the duplicate attempt's files
+    // are discarded, not double-published.
+    val f = Files.createTempFile("cdc-ms2", ".ndjson")
+    val ckptDir = Files.createTempDirectory("cdc-ms2-ckpt")
+    val dir = scratch("epoch-idem")
+    Files.write(f, (Seq(cdcDdl) ++ Seq(cdcDml(7, 1)))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("replayFile", f.toString)
+        .load()
+        .writeStream.format("graft-manifest")
+        .option("path", dir)
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run() // epoch 0
+    Files.write(f, ("\n" + cdcDml(8, 2))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    run() // epoch 1 — committed on both sides, then lose the ENGINE commit
+    val commits = ckptDir.resolve("commits")
+    val latest = Files.list(commits).toArray.map(_.toString)
+      .filter(_.matches(".*/\\d+$")).maxBy(p =>
+        p.substring(p.lastIndexOf('/') + 1).toInt)
+    val lf = java.nio.file.Paths.get(latest)
+    Files.delete(lf)
+    Files.deleteIfExists(lf.resolveSibling("." + lf.getFileName + ".crc"))
+
+    run() // re-executes epoch 1; the sink must dedupe it
+    val out = spark.read.format("graft-manifest").load(dir)
+    val seqs = out.filter(col("event_type") =!= "ddl")
+      .select("sequence").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(7L, 8L),
+      s"re-delivered epoch must not double-publish, got $seqs")
+    // exactly one manifest per epoch, and no orphaned duplicate files
+    val manifests = ManifestSink.listManifests(dir).map(_.getName)
+    assert(manifests.count(_.startsWith("_graft_manifest-epoch")) >= 2)
+    val referenced = ManifestSink.readAll(dir).files.map(_.name).toSet
+    val onDisk = new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix)).map(_.getName)
+    assert(onDisk.toSet === referenced,
+      s"duplicate attempt files must be discarded: ${onDisk.mkString(", ")}")
+  }
+
   test("corrupted data file fails the read loudly with a checksum error") {
     val dir = scratch("crc")
     graft.Tables(spark, sf, "region").write.mode("overwrite")
