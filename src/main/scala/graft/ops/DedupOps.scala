@@ -328,6 +328,37 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Same BFS semantics, computed by the engine's OWN recursive-CTE
+    // machinery (Catalyst UnionLoop, `WITH RECURSIVE` — SQL:1999
+    // surface a migrating warehouse user expects): depth-bounded
+    // UNION ALL walk + min(depth) per node ≡ BFS level. The bounded
+    // depth (< 3 hops) makes the recursion terminate under UNION ALL
+    // even though the near-dup graph has cycles; each iteration is
+    // one join of the frontier against the bounded edge frame. Same
+    // oracle as llm_graph_bfs (DuckDB runs its own recursion) — two
+    // engines' recursive evaluators cross-checked row for row. SCALE
+    // NOTE: recursion materializes per-iteration frontiers like the
+    // checkpointed loop in llm_graph_bfs; for diameter-unbounded
+    // closure the log-round llm_cc_bigstar remains the declared path.
+    "llm_graph_bfs_recursive" -> ((s, dir) => {
+      val e0 = nearDupPairs(s, dir)
+      e0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e0.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .createOrReplaceTempView("ndp_edges_rec")
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .createOrReplaceTempView("docs_rec")
+      s.sql("""
+        WITH RECURSIVE walk(id, dist) AS (
+          SELECT doc_id AS id, 0 AS dist FROM docs_rec WHERE doc_id % 97 = 0
+          UNION ALL
+          SELECT e.v AS id, w.dist + 1
+          FROM walk w JOIN ndp_edges_rec e ON e.u = w.id
+          WHERE w.dist < 3
+        )
+        SELECT id AS doc_id, CAST(min(dist) AS INT) AS dist
+        FROM walk GROUP BY id ORDER BY id""")
+    }),
+
     // Same cluster assignment, computed by large-star/small-star
     // contraction ([[graft.operators.BigStarCC]]) instead of label
     // propagation: O(log n) rounds independent of component diameter —
@@ -1058,6 +1089,20 @@ object DedupOps extends OpPack {
         |  CAST(1000000 // csize AS BIGINT) AS weight_ppm
         |FROM asg JOIN cs USING (cluster_id)
         |ORDER BY doc_id""".stripMargin),
+
+    // llm_graph_bfs_recursive: SAME declared semantics, so the SAME
+    // oracle text — DuckDB evaluates its own recursion over the edge
+    // closure (the llm_cc_bigstar same-oracle precedent).
+    "llm_graph_bfs_recursive" -> (closureCtes + ",\n" +
+      """seeds AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+        |rwalk(id, dist) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.v, r.dist + 1 FROM rwalk r JOIN edge e ON e.u = r.id
+        |  WHERE r.dist < 3)
+        |SELECT id AS doc_id, CAST(min(dist) AS INT) AS dist
+        |FROM rwalk GROUP BY id ORDER BY doc_id""".stripMargin),
 
     "llm_graph_bfs" -> (closureCtes + ",\n" +
       """seeds AS (

@@ -428,6 +428,23 @@ object TsOps extends OpPack {
         .orderBy(col("event_type"), col("d"))
     }),
 
+    // Single change-point detection (binary segmentation's first
+    // split, AMOC): the day k maximizing the CUSUM deviation
+    // |n·S_k − k·S_n| of the daily-revenue prefix sums — the point
+    // where the series' mean level shifts most. The statistic is the
+    // classic max-CUSUM form with the 1/n scaling cleared by
+    // cross-multiplication, so every comparison is integer-exact
+    // (products ride DECIMAL(38,0)/HUGEINT); ties break to the
+    // earliest day via the filter-to-max + min(day) construction —
+    // the SAME generated SQL text runs in both engines (only the
+    // wide-integer type token differs, the holtSql convention).
+    // SCALE: the daily agg is map-side combined; every window runs on
+    // the calendar-bounded (type, day) frame, never the raw log.
+    "ts_changepoint" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_changepoint")
+      s.sql(changepointSql("DECIMAL(38,0)", "events_changepoint"))
+    }),
+
     "ts_ewma" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events_ewma")
       val (num, den) = ewmaTerms()
@@ -534,6 +551,39 @@ object TsOps extends OpPack {
        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** AMOC change-point as ONE generated SQL text (dual-engine, the
+    * holtSql convention — here even the div token is unnecessary, only
+    * the wide-integer type differs): daily cent totals → prefix sums →
+    * dev_k = |n·S_k − k·S_n| for every interior split → argmax with
+    * earliest-day tie-break via filter-to-max + min(day). */
+  private[graft] def changepointSql(wide: String, table: String): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+       |  FROM $table GROUP BY event_type, CAST(ts AS DATE)),
+       |cum AS (
+       |  SELECT event_type, day, c,
+       |    row_number() OVER w AS i,
+       |    sum(c) OVER w AS s,
+       |    count(*) OVER (PARTITION BY event_type) AS n,
+       |    sum(c) OVER (PARTITION BY event_type) AS sn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |scored AS (
+       |  SELECT event_type, day, i, n,
+       |    abs(CAST(n AS $wide) * s - CAST(i AS $wide) * sn) AS dev
+       |  FROM cum WHERE i < n),
+       |m AS (SELECT event_type, max(dev) AS mx
+       |      FROM scored GROUP BY event_type)
+       |SELECT scored.event_type,
+       |  CAST(max(scored.n) AS BIGINT) AS n_days,
+       |  min(scored.day) AS cp_day,
+       |  CAST(max(scored.dev) AS BIGINT) AS dev_scaled
+       |FROM scored JOIN m ON scored.event_type = m.event_type
+       |  AND scored.dev = m.mx
+       |GROUP BY scored.event_type
+       |ORDER BY scored.event_type""".stripMargin
+
   /** ACF ratio in permille over the decimal moment sums: NULL when the
     * series has zero variance (constant series have no defined ACF) —
     * both engines yield NULL through the same CASE. */
@@ -541,6 +591,7 @@ object TsOps extends OpPack {
     expr(s"CAST(CASE WHEN s0 > 0 THEN ($c * 1000) div s0 END AS BIGINT)")
 
   def oracle: Map[String, String] = Map(
+    "ts_changepoint" -> changepointSql("HUGEINT", "events"),
     "ts_holt" -> holtSql("//", "events"),
 
     "composite_forecast_backtest" -> backtestSql("//", "events"),
