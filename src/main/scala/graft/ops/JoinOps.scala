@@ -462,6 +462,43 @@ object JoinOps extends OpPack {
         .orderBy(col("arm"))
     }),
 
+    // A/B conversion lift + significance, integer-exact (the decision
+    // statistic composite_ab_srm's sanity check gates): arms by
+    // user_id parity, conversion = user had a purchase ≥ $200; the
+    // two-proportion z² clears every denominator by cross-
+    // multiplication — z² = D²·N div (n0·n1·X·(N−X)) with
+    // D = x1·n0 − x0·n1, X = x0+x1, N = n0+n1 — so lift (ppm) and
+    // z² (milli, compare vs 3841 for 95 %) are exact integers in both
+    // engines; degenerate splits (X=0 or X=N) are declared NULL.
+    // Products ride DECIMAL(38,0)/HUGEINT (D²·N ≤ 10³⁰ at 10⁶ users
+    // per arm — headroom declared). One map-side-combined per-user
+    // agg + one 2-row rollup; never a user-level shuffle of raw
+    // events.
+    "composite_ab_lift" -> ((s, dir) => {
+      val conv = Tables(s, dir, "events")
+        .groupBy(expr("user_id % 2").as("arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= 200, 1L).otherwise(0L)).as("c"))
+      conv.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("x"))
+        .agg(sum(when(col("arm") === 0, col("n"))).as("n0"),
+          sum(when(col("arm") === 0, col("x"))).as("x0"),
+          sum(when(col("arm") === 1, col("n"))).as("n1"),
+          sum(when(col("arm") === 1, col("x"))).as("x1"))
+        .select(col("n0"), col("x0"), col("n1"), col("x1"),
+          expr("CASE WHEN x0 > 0 THEN " +
+            "(CAST(x1 AS DECIMAL(38,0)) * n0 - CAST(x0 AS DECIMAL(38,0)) * n1) " +
+            "* 1000000 div (CAST(x0 AS DECIMAL(38,0)) * n1) END")
+            .cast("long").as("lift_ppm"),
+          expr("CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN " +
+            "((CAST(x1 AS DECIMAL(38,0)) * n0 - CAST(x0 AS DECIMAL(38,0)) * n1) " +
+            "* (CAST(x1 AS DECIMAL(38,0)) * n0 - CAST(x0 AS DECIMAL(38,0)) * n1) " +
+            "* (n0 + n1) * 1000) div " +
+            "(CAST(n0 AS DECIMAL(38,0)) * n1 * (x0 + x1) " +
+            "* (n0 + n1 - x0 - x1)) END")
+            .cast("long").as("z2_milli"))
+    }),
+
     // Market-basket affinity (association-rule mining, the top-100
     // report): distinct (order, part) items self-joined ON THE SAME
     // orderkey shuffle key (co-partitioned — pair expansion is
@@ -906,6 +943,36 @@ object JoinOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "composite_ab_lift" ->
+      """WITH conv AS (
+        |  SELECT user_id % 2 AS arm, user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 200
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY arm, user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n, sum(c) AS x
+        |  FROM conv GROUP BY arm),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x1
+        |  FROM arms)
+        |SELECT n0, x0, n1, x1,
+        |  CAST(CASE WHEN x0 > 0 THEN
+        |    (CAST(x1 AS HUGEINT) * n0 - CAST(x0 AS HUGEINT) * n1)
+        |    * 1000000 // (CAST(x0 AS HUGEINT) * n1) END
+        |    AS BIGINT) AS lift_ppm,
+        |  CAST(CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+        |    ((CAST(x1 AS HUGEINT) * n0 - CAST(x0 AS HUGEINT) * n1)
+        |     * (CAST(x1 AS HUGEINT) * n0 - CAST(x0 AS HUGEINT) * n1)
+        |     * (n0 + n1) * 1000) //
+        |    (CAST(n0 AS HUGEINT) * n1 * (x0 + x1)
+        |     * (n0 + n1 - x0 - x1)) END
+        |    AS BIGINT) AS z2_milli
+        |FROM s""".stripMargin,
+
     "composite_ab_srm" ->
       """WITH a AS (
         |  SELECT CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)),

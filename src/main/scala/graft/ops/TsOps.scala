@@ -428,6 +428,22 @@ object TsOps extends OpPack {
         .orderBy(col("event_type"), col("d"))
     }),
 
+    // Seasonality STRENGTH (variance explained by the day-of-week
+    // profile, the scalar summary next to ts_month_index's per-bucket
+    // index): 1000·(1 − SS_dow/SS_total) over daily order revenue,
+    // with both sums of squares anchored at INTEGER means (sum div n
+    // — the agg_skew_kurt anchor doctrine: a declared, cross-engine-
+    // exact variant of the textbook statistic). Day-of-week is
+    // days-since-epoch mod 7 (engine DOW builtins disagree on the
+    // week origin; epoch arithmetic is origin-free). Daily agg
+    // map-side combined; every window runs on the calendar-bounded
+    // daily frame.
+    "ts_seasonal_strength" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_sstr")
+      s.sql(seasonStrengthSql("DECIMAL(38,0)", "div",
+        d => s"unix_date($d)", "orders_sstr"))
+    }),
+
     // Single change-point detection (binary segmentation's first
     // split, AMOC): the day k maximizing the CUSUM deviation
     // |n·S_k − k·S_n| of the daily-revenue prefix sums — the point
@@ -551,6 +567,35 @@ object TsOps extends OpPack {
        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Seasonality-strength as ONE generated SQL text: daily cent
+    * totals → global and per-DOW integer-anchored sums of squares →
+    * strength_permille = 1000 − SS_dow·1000 div SS_total (NULL on a
+    * constant series). Tokens: wide-integer type, integer-div
+    * operator, and a days-since-epoch function (Spark `unix_date`,
+    * DuckDB `datediff`). */
+  private[graft] def seasonStrengthSql(wide: String, divOp: String,
+      daysFn: String => String, table: String): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+       |  FROM $table GROUP BY CAST(o_orderdate AS DATE)),
+       |d2 AS (
+       |  SELECT day, c, ${daysFn("day")} % 7 AS dow FROM daily),
+       |anch AS (SELECT sum(c) $divOp count(*) AS a FROM d2),
+       |danch AS (
+       |  SELECT dow, sum(c) $divOp count(*) AS aw FROM d2 GROUP BY dow),
+       |ss AS (
+       |  SELECT count(*) AS n_days,
+       |    sum(CAST(c - a AS $wide) * (c - a)) AS ss_total,
+       |    sum(CAST(c - aw AS $wide) * (c - aw)) AS ss_dow
+       |  FROM d2 CROSS JOIN anch
+       |  JOIN danch ON d2.dow = danch.dow)
+       |SELECT CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(CASE WHEN ss_total > 0 THEN
+       |    1000 - ss_dow * 1000 $divOp ss_total END AS BIGINT)
+       |    AS strength_permille
+       |FROM ss""".stripMargin
+
   /** AMOC change-point as ONE generated SQL text (dual-engine, the
     * holtSql convention — here even the div token is unnecessary, only
     * the wide-integer type differs): daily cent totals → prefix sums →
@@ -592,6 +637,8 @@ object TsOps extends OpPack {
 
   def oracle: Map[String, String] = Map(
     "ts_changepoint" -> changepointSql("HUGEINT", "events"),
+    "ts_seasonal_strength" -> seasonStrengthSql("HUGEINT", "//",
+      d => s"datediff('day', DATE '1970-01-01', $d)", "orders"),
     "ts_holt" -> holtSql("//", "events"),
 
     "composite_forecast_backtest" -> backtestSql("//", "events"),

@@ -473,4 +473,26 @@ class PropertySpec extends AnyFunSuite {
     assert(attributed === expected,
       s"attributed $attributed != touched-purchase total $expected")
   }
+  test("ts_changepoint recovers a planted mean shift exactly") {
+    // Synthetic series with a known level shift: 20 days at 100 cents,
+    // then 20 days at 500 cents, one event per day per type. The CUSUM
+    // argmax must land exactly on the last pre-shift day, for every
+    // series. Runs the SAME generated SQL the registered query uses.
+    val rows = for {
+      typ <- Seq("a", "b")
+      d <- 0 until 40
+    } yield (typ, java.sql.Timestamp.valueOf(
+        f"2024-03-${d / 2 + 1}%02d ${12 * (d % 2)}%02d:00:00"),
+      if (d < 20) 1.00 else 5.00)
+    // two observations per calendar day -> 20 days, shift after day 10
+    rows.toDF("event_type", "ts", "value")
+      .createOrReplaceTempView("events_changepoint")
+    val out = spark.sql(graft.ops.TsOps.changepointSql(
+        "DECIMAL(38,0)", "events_changepoint"))
+      .collect().map(r => (r.getString(0), r.getDate(2).toString)).toMap
+    // d < 20 -> first 10 calendar days are low; CUSUM max at the last
+    // low day (2024-03-10) for both series
+    assert(out === Map("a" -> "2024-03-10", "b" -> "2024-03-10"))
+  }
+
 }

@@ -421,6 +421,50 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(batches.map(_._2) == Seq(3L, 2L))
   }
 
+  test("foreachBatch drift monitor: per-batch total-variation vs a static " +
+      "baseline, integer-exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The operational shape of diag_dist_drift as a STREAM: each
+    // micro-batch's category distribution is scored against a static
+    // baseline inside foreachBatch (the hook that hands the monitor a
+    // REUSABLE DataFrame + batchId), total-variation distance in ppm
+    // with pure integer arithmetic — the alerting sidecar a CDC-fed
+    // warehouse runs next to ingestion. Scores are asserted exactly:
+    // the same math on the same batches must reproduce them.
+    val baseline = Map("a" -> 500000L, "b" -> 500000L)
+    val input = MemoryStream[String]
+    val scores = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = input.toDF().toDF("cat")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val n = df.count()
+        if (n > 0) {
+          val got = df.groupBy("cat").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val cats = baseline.keySet ++ got.keySet
+          val l1 = cats.toSeq.map { c =>
+            math.abs(got.getOrElse(c, 0L) * 1000000L / n -
+              baseline.getOrElse(c, 0L))
+          }.sum
+          scores.add(batchId -> l1 / 2)
+        }
+        ()
+      }
+      .start()
+    input.addData("a", "a", "a", "b") // 750k/250k vs 500k/500k → TV 250k
+    q.processAllAvailable()
+    input.addData("b", "b")           // 0/1000k vs 500k/500k → TV 500k
+    q.processAllAvailable()
+    input.addData("a", "b", "c", "d") // 250k,250k,250k,250k → TV 500k
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = scores.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(got == Seq(250000L, 500000L, 500000L),
+      s"drift series must be integer-exact per batch, got $got")
+  }
+
   test("streaming session windows merge across micro-batches and close " +
       "at the watermark") {
     import spark.implicits._
