@@ -7,7 +7,7 @@ import graft.cdc.Protocol
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -94,13 +94,46 @@ final class MaxScaleCdcTable(properties: util.Map[String, String])
       s"${opts.getOrElse("table", opts.getOrElse("replayfile", "?"))}"
   override def schema(): StructType = MaxScaleCdcSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = MaxScaleCdcSource.Schema
+
         override def toMicroBatchStream(loc: String): MicroBatchStream =
           new MaxScaleCdcMicroBatchStream(opts)
+
+        /** Batch read of a CAPTURED log (`spark.read.format(
+          * "maxscale-cdc").option("replayFile", …)`): drains the
+          * replay transport once — same decode path, same GTID-resume
+          * option, no checkpoint machinery. Only meaningful for
+          * bounded captures, so live socket feeds are refused: a
+          * socket stream has no end for a batch to stop at. */
+        override def toBatch: Batch = {
+          require(opts.contains("replayfile"),
+            "maxscale-cdc batch read requires the 'replayFile' option " +
+              "— live socket feeds are streaming-only (readStream)")
+          new Batch {
+            override def planInputPartitions(): Array[InputPartition] = {
+              val t = MaxScaleCdcSource.transportFor(opts)
+              val lines = ArrayBuffer[String]()
+              try {
+                t.start()
+                var got = t.poll()
+                while (got.nonEmpty) { lines ++= got; got = t.poll() }
+              } finally t.close()
+              Array(CdcInputPartition(lines.toArray))
+            }
+            override def createReaderFactory(): PartitionReaderFactory =
+              new PartitionReaderFactory {
+                override def createReader(
+                    p: InputPartition): PartitionReader[InternalRow] =
+                  new CdcPartitionReader(
+                    p.asInstanceOf[CdcInputPartition].lines)
+              }
+          }
+        }
       }
     }
 }

@@ -169,6 +169,35 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(out.count() == 6)
   }
 
+  test("batch read of a captured log equals the streamed content; GTID resume works; sockets refused") {
+    // spark.read (not readStream) over a replay capture: same decode
+    // path and schema, no checkpoint machinery — the way a user runs
+    // plain SQL over a bounded CDC log extract.
+    val f = Files.createTempFile("cdc-batch", ".ndjson")
+    Files.write(f, (Seq(ddl) ++ Seq(dml(7, 1), dml(8, 2))).mkString("\n")
+      .getBytes(UTF_8))
+    val batch = spark.read.format("maxscale-cdc")
+      .option("replayFile", f.toString).load()
+    assert(batch.schema === MaxScaleCdcSource.Schema)
+    assert(batch.count() === 3)
+    val streamed = runStream(Map("replayFile" -> f.toString), "cdc_b_ref")
+    assert(batch.orderBy("sequence").collect().toSeq ===
+      streamed.orderBy("sequence").collect().toSeq)
+    // GTID seek applies to batch reads too (schema + suffix only)
+    val resumed = spark.read.format("maxscale-cdc")
+      .option("replayFile", f.toString).option("gtid", "0-3000-8").load()
+    assert(resumed.filter(col("event_type") =!= "ddl")
+      .select("sequence").collect().map(_.getLong(0)).toSeq === Seq(8L))
+    // a live socket feed has no end for a batch to stop at
+    val e = intercept[Exception] {
+      spark.read.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", "4001")
+        .option("database", "test").option("table", "tests")
+        .load().count()
+    }
+    assert(e.getMessage.contains("streaming-only"))
+  }
+
   test("replay: crash after offset WAL, before commit — batch re-executes exactly-once") {
     // The mid-batch crash window: the engine has written offsets/N
     // (the WAL entry planInputPartitions ran against) but died before
