@@ -56,8 +56,14 @@ final class ManifestSinkProvider extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = ManifestSink.requirePath(options.asScala.toMap)
-    StructType.fromDDL(ManifestSink.readAll(path).schemaDdl)
+    val opts = options.asScala.toMap
+    val path = ManifestSink.requirePath(opts)
+    val asOf = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("asOfVersion") => v.toLong }
+    // time travel resolves the SNAPSHOT's schema — a table whose
+    // schema evolved across versions reads each version in its own
+    // shape
+    StructType.fromDDL(ManifestSink.readAsOf(path, asOf).schemaDdl)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -79,7 +85,46 @@ object ManifestSink {
   def epochManifestFile(epochId: Long) = s"_graft_manifest-epoch$epochId.json"
 
   final case class Entry(name: String, rows: Long, crc: Long)
-  final case class Manifest(schemaDdl: String, files: Seq[Entry])
+  final case class Manifest(schemaDdl: String, files: Seq[Entry],
+      version: Long = 0L)
+
+  /** Archived snapshot manifests: every BATCH commit first copies the
+    * current base manifest to `_graft_manifest.v<N>.json`, so the
+    * table's history is a chain of immutable snapshot documents and
+    * `option("asOfVersion", N)` time-travels the read (the Iceberg
+    * snapshot-log idea at single-document scale). The data-file sweep
+    * only removes files referenced by NO manifest — base, archive, or
+    * epoch — so archived versions stay READABLE until [[vacuum]]
+    * prunes them. */
+  def archiveManifestFile(version: Long) = s"_graft_manifest.v$version.json"
+
+  /** Drop archived snapshots older than `keepVersions` behind the
+    * current base, then sweep data files no remaining manifest
+    * references — the retention knob that bounds time-travel storage. */
+  def vacuum(dir: String, keepVersions: Int): Unit = {
+    val base = readManifest(dir)
+    val cutoff = base.version - keepVersions
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.matches("_graft_manifest\\.v\\d+\\.json") &&
+          f.getName.stripPrefix("_graft_manifest.v")
+            .stripSuffix(".json").toLong < cutoff
+      }.foreach(_.delete())
+    val referenced = listAllManifests(dir)
+      .flatMap(f => readManifestFile(f).files.map(_.name)).toSet
+    new File(dir).listFiles()
+      .filter(f => f.getName.endsWith(DataSuffix) && !referenced(f.getName))
+      .foreach(_.delete())
+  }
+
+  /** Every manifest document under `dir`: base, archived snapshots,
+    * and streaming epochs. */
+  def listAllManifests(dir: String): Seq[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == ManifestFile ||
+        f.getName.matches("_graft_manifest\\.v\\d+\\.json") ||
+        f.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+      .sortBy(_.getName).toSeq
 
   /** Every published manifest under `dir` (batch + streaming epochs). */
   def listManifests(dir: String): Seq[File] =
@@ -109,6 +154,7 @@ object ManifestSink {
   def writeManifestAs(dir: String, fileName: String, m: Manifest): Unit = {
     val root = mapper.createObjectNode()
     root.put("schemaDdl", m.schemaDdl)
+    root.put("version", m.version)
     val arr = root.putArray("files")
     m.files.foreach { e =>
       val n = arr.addObject()
@@ -137,8 +183,28 @@ object ManifestSink {
       Entry(n.get("name").asText(), n.get("rows").asLong(),
         n.get("crc").asLong())
     }.toSeq
-    Manifest(root.get("schemaDdl").asText(), files)
+    val v = if (root.has("version")) root.get("version").asLong() else 0L
+    Manifest(root.get("schemaDdl").asText(), files, v)
   }
+
+  /** Snapshot read: the current table (base + streaming epochs) by
+    * default, or exactly one archived/base snapshot for
+    * `asOfVersion` (streaming epochs are excluded from time travel —
+    * the version chain tracks BATCH commits, declared). */
+  def readAsOf(dir: String, asOfVersion: Option[Long]): Manifest =
+    asOfVersion match {
+      case None => readAll(dir)
+      case Some(v) =>
+        val base = readManifest(dir)
+        if (base.version == v) base
+        else {
+          val f = new File(dir, archiveManifestFile(v))
+          if (!f.exists()) throw new IllegalArgumentException(
+            s"graft-manifest: no snapshot v$v under $dir — vacuumed or " +
+              s"never committed (current is v${base.version})")
+          readManifestFile(f)
+        }
+    }
 
   def readManifest(dir: String): Manifest = {
     val f = new File(dir, ManifestFile)
@@ -158,7 +224,8 @@ final class ManifestTable(tableSchema: StructType, path: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new ManifestScan(tableSchema, path)
+      private val asOf = Option(options.get("asOfVersion")).map(_.toLong)
+      override def build(): Scan = new ManifestScan(tableSchema, path, asOf)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -240,33 +307,40 @@ final class ManifestBatchWrite(schema: StructType, path: String,
     val entries = messages.collect { case m: ManifestCommitMessage =>
       ManifestSink.Entry(m.name, m.rows, m.crc) }.toSeq
     val dir = new File(path)
-    if (truncateFirst) {
-      // overwrite semantics: drop every prior manifest generation
-      // (including streaming epochs — overwrite replaces the TABLE),
-      // publish the new base manifest, then sweep the now-
-      // unreferenced data files (readers only ever follow manifests,
-      // so the order is safe).
-      ManifestSink.listManifests(path).foreach(_.delete())
-      ManifestSink.writeManifest(path, ManifestSink.Manifest(
-        schema.toDDL, entries))
-      val keep = entries.map(_.name).toSet
-      dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
-        && !keep(f.getName)).foreach(_.delete())
-    } else {
-      // append: merge into the base manifest; streaming epoch
-      // manifests stay their own generations
-      val prior =
-        if (new File(dir, ManifestSink.ManifestFile).exists())
-          ManifestSink.readManifest(path).files
-        else Seq.empty
-      ManifestSink.writeManifest(path, ManifestSink.Manifest(
-        schema.toDDL, prior ++ entries))
-      // orphaned attempt files (task retries that lost) are safe to
-      // sweep: files referenced by NO manifest generation
-      val referenced = ManifestSink.readAll(path).files.map(_.name).toSet
-      dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
-        && !referenced(f.getName)).foreach(_.delete())
+    // Every batch commit is a SNAPSHOT: archive the current base
+    // manifest (immutable history → time travel via asOfVersion),
+    // bump the version, publish. Overwrite starts the new snapshot's
+    // file list empty; append carries the prior list forward. Old
+    // versions' data files stay on disk until vacuum() prunes them.
+    val prior =
+      if (new File(dir, ManifestSink.ManifestFile).exists())
+        Some(ManifestSink.readManifest(path))
+      else None
+    prior.foreach { p =>
+      ManifestSink.writeManifestAs(path,
+        ManifestSink.archiveManifestFile(p.version), p)
     }
+    val version = prior.map(_.version + 1).getOrElse(1L)
+    val files = if (truncateFirst) entries
+      else prior.map(_.files).getOrElse(Seq.empty) ++ entries
+    if (truncateFirst) {
+      // overwrite also retires streaming epoch generations from the
+      // CURRENT view (they belong to the replaced table state); their
+      // files remain referenced by nothing and are swept unless an
+      // archive still lists them
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+        .foreach(_.delete())
+    }
+    ManifestSink.writeManifest(path,
+      ManifestSink.Manifest(schema.toDDL, files, version))
+    // sweep only what NO manifest — base, archive, or epoch — lists
+    // (failed/speculative attempt files, replaced-and-unarchived data)
+    val referenced = ManifestSink.listAllManifests(path)
+      .flatMap(f => ManifestSink.readManifestFile(f).files.map(_.name))
+      .toSet
+    dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
+      && !referenced(f.getName)).foreach(_.delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -318,11 +392,12 @@ final class ManifestDataWriter(schema: StructType, path: String,
   override def close(): Unit = out.close()
 }
 
-final class ManifestScan(schema: StructType, path: String) extends Scan {
+final class ManifestScan(schema: StructType, path: String,
+    asOfVersion: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ManifestSink.readAll(path).files.map(e =>
+      ManifestSink.readAsOf(path, asOfVersion).files.map(e =>
         ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc)
           .asInstanceOf[InputPartition]).toArray
     override def createReaderFactory(): PartitionReaderFactory =

@@ -355,7 +355,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "agg_lorenz_points",
       // the exact-mode ANN siblings ride the same broadcast 1-row
       // probe / numCells×dim centroid crosses as llm_ann_ivf/knn.
-      "llm_ann_ivf_exact", "llm_ann_knn_exact")
+      "llm_ann_ivf_exact", "llm_ann_knn_exact",
+      // ts_seasonal_strength crosses the broadcast 1-row global-mean
+      // anchor against the calendar-bounded daily frame (the
+      // llm_unigram_lm scalar-gate shape).
+      "ts_seasonal_strength")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>

@@ -42,20 +42,52 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(spark.read.format("graft-manifest").load(dir).count() === n)
   }
 
-  test("overwrite truncates: the new manifest replaces the old file set") {
+  test("overwrite truncates the current view; the replaced snapshot stays time-travelable") {
     val dir = scratch("trunc")
-    graft.Tables(spark, sf, "nation").write.mode("overwrite")
-      .format("graft-manifest").save(dir)
+    val nations = graft.Tables(spark, sf, "nation")
+    nations.write.mode("overwrite").format("graft-manifest").save(dir)
     val regions = graft.Tables(spark, sf, "region")
     regions.write.mode("overwrite").format("graft-manifest").save(dir)
+    // current view = the overwrite
     val back = spark.read.format("graft-manifest").load(dir)
     assert(back.schema === regions.schema)
     assert(back.count() === regions.count())
-    // unreferenced data files from the first write are swept
-    val manifest = ManifestSink.readManifest(dir)
+    // data files on disk = every snapshot's files (retention until
+    // vacuum), never MORE than that (attempt orphans swept)
+    val referenced = ManifestSink.listAllManifests(dir)
+      .flatMap(f => ManifestSink.readManifestFile(f).files.map(_.name)).toSet
     val onDisk = new File(dir).listFiles()
       .filter(_.getName.endsWith(ManifestSink.DataSuffix)).map(_.getName)
-    assert(onDisk.toSet === manifest.files.map(_.name).toSet)
+    assert(onDisk.toSet === referenced)
+  }
+
+  test("time travel: asOfVersion reads the archived snapshot in its OWN schema; vacuum prunes it") {
+    val dir = scratch("tt")
+    val nations = graft.Tables(spark, sf, "nation")
+    nations.write.mode("overwrite").format("graft-manifest").save(dir) // v1
+    val regions = graft.Tables(spark, sf, "region")
+    regions.write.mode("overwrite").format("graft-manifest").save(dir) // v2
+    // v1 readable with the v1 SCHEMA even though the table evolved
+    val v1 = spark.read.format("graft-manifest")
+      .option("asOfVersion", "1").load(dir)
+    assert(v1.schema === nations.schema)
+    assert(v1.orderBy("n_nationkey").collect().toSeq ===
+      nations.orderBy("n_nationkey").collect().toSeq)
+    // asOfVersion = current version resolves to the base manifest
+    val v2 = spark.read.format("graft-manifest")
+      .option("asOfVersion", "2").load(dir)
+    assert(v2.count() === regions.count())
+    // vacuum with zero retention prunes the archive AND its files …
+    ManifestSink.vacuum(dir, 0)
+    val e = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("asOfVersion", "1").load(dir).count()
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      Option(e.getCause).exists(_.getMessage.contains("vacuumed")))
+    // … while the current view is untouched
+    assert(spark.read.format("graft-manifest").load(dir).count()
+      === regions.count())
   }
 
   test("append merges manifests: both writes' rows are visible") {
