@@ -462,6 +462,34 @@ object JoinOps extends OpPack {
         .orderBy(col("arm"))
     }),
 
+    // Blocked fuzzy string join (entity resolution's workhorse — the
+    // JOIN-shaped sibling of llm_dedup_edit): probe tokens (part-name
+    // first words with the last character dropped — a deterministic
+    // typo model derived from the data itself) matched back to the
+    // vocabulary at edit distance ≤ 1. The join is NEVER all-pairs:
+    // candidates must share the first character AND land within ±1
+    // length (both are edit-1 NECESSARY conditions for this probe
+    // model — a dropped last char keeps the first char and shrinks
+    // length by 1, so blocking loses nothing), then the Levenshtein
+    // verify runs only inside blocks. At 100 TB: equi-keyed block
+    // join on (first-char) with a length band, candidates bounded by
+    // block sizes; the quadratic stays inside (letter, length) cells.
+    "join_fuzzy" -> ((s, dir) => {
+      val vocab = Tables(s, dir, "part")
+        .select(expr("element_at(split(p_name, ' '), 1)").as("w"))
+        .distinct()
+      val probes = vocab.filter(length(col("w")) > 3)
+        .select(expr("substring(w, 1, length(w) - 1)").as("p"))
+        .distinct()
+      probes.join(vocab,
+          expr("substring(p, 1, 1) = substring(w, 1, 1)") &&
+            abs(length(col("p")) - length(col("w"))) <= 1 &&
+            levenshtein(col("p"), col("w")) <= 1)
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n_matches"), min(col("w")).as("first_match"))
+        .orderBy(col("p"))
+    }),
+
     // A/B conversion lift + significance, integer-exact (the decision
     // statistic composite_ab_srm's sanity check gates): arms by
     // user_id parity, conversion = user had a purchase ≥ $200; the
@@ -943,6 +971,20 @@ object JoinOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_fuzzy" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT string_split(p_name, ' ')[1] AS w FROM part),
+        |probes AS (
+        |  SELECT DISTINCT substring(w, 1, length(w) - 1) AS p
+        |  FROM vocab WHERE length(w) > 3)
+        |SELECT p, count(*) AS n_matches, min(w) AS first_match
+        |FROM probes JOIN vocab
+        |  ON substring(p, 1, 1) = substring(w, 1, 1)
+        | AND abs(length(p) - length(w)) <= 1
+        | AND levenshtein(p, w) <= 1
+        |GROUP BY p
+        |ORDER BY p""".stripMargin,
+
     "composite_ab_lift" ->
       """WITH conv AS (
         |  SELECT user_id % 2 AS arm, user_id,
