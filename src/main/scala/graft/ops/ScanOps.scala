@@ -261,6 +261,65 @@ object ScanOps extends OpPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Column pruning through the graft-manifest connector: the paged
+    // COLUMNAR file layout + SupportsPushDownRequiredColumns turn a
+    // 2-of-6-column read into genuinely skipped bytes (the reader
+    // seeks past unreferenced column blocks — ManifestSinkSpec pins
+    // both the pruned physical readSchema and the skip-IO behavior).
+    // The oracle reads the original parquet, so a pass proves the
+    // pruned decode path loses nothing.
+    "sink_manifest_pruned" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-orders"
+      Tables(s, dir, "orders").write.mode("overwrite")
+        .format("graft-manifest").save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Snapshot DIFF over the manifest sink's version chain: two batch
+    // commits to the same table, then `asOfVersion` time-travel reads
+    // of BOTH snapshots anti-joined into a symmetric added/removed
+    // report — the audit query a versioned table format exists to
+    // answer ("what changed between v1 and v2?"). The two snapshots
+    // are modulo-defined subsets of orders, so the oracle derives the
+    // same diff from the parquet with pure predicates.
+    "sink_manifest_diff" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-diff"
+      // fresh table per run: asOfVersion below names versions 1 and 2
+      // absolutely, so the version chain must start from empty
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      val orders = Tables(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 3 =!= 0).write.mode("overwrite")
+        .format("graft-manifest").save(scratch) // v1
+      orders.filter(col("o_orderkey") % 5 =!= 0).write.mode("overwrite")
+        .format("graft-manifest").save(scratch) // v2
+      val v1 = s.read.format("graft-manifest")
+        .option("asOfVersion", "1").load(scratch)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val v2 = s.read.format("graft-manifest")
+        .option("asOfVersion", "2").load(scratch)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val added = v2.join(v1.select("o_orderkey"), Seq("o_orderkey"),
+        "left_anti").withColumn("change", lit("added"))
+      val removed = v1.join(v2.select("o_orderkey"), Seq("o_orderkey"),
+        "left_anti").withColumn("change", lit("removed"))
+      added.unionAll(removed)
+        .groupBy(col("change"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("change"), col("o_orderstatus"))
+    }),
+
     // Literal time-range scan on the events fact table — THE 100 TB
     // access pattern for a CDC-fed log (read five days out of years).
     // Exists to pin that the ts type normalization in graft.Tables
@@ -374,6 +433,29 @@ object ScanOps extends OpPack {
     "sink_manifest" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "sink_manifest_pruned" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_manifest_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |            WHERE o_orderkey % 3 <> 0),
+        |     v2 AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |            WHERE o_orderkey % 5 <> 0),
+        |     d AS (
+        |  SELECT 'added' AS change, o_orderstatus, o_orderkey FROM v2
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+        |  UNION ALL
+        |  SELECT 'removed' AS change, o_orderstatus, o_orderkey FROM v1
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2))
+        |SELECT change, o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM d GROUP BY change, o_orderstatus
+        |ORDER BY change, o_orderstatus""".stripMargin,
 
     "scan_events_pushdown" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

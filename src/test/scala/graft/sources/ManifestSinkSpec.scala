@@ -212,7 +212,10 @@ class ManifestSinkSpec extends AnyFunSuite {
       s"duplicate attempt files must be discarded: ${onDisk.mkString(", ")}")
   }
 
-  test("corrupted data file fails the read loudly with a checksum error") {
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+
+  test("corrupted data file fails a full read loudly with a checksum error") {
     val dir = scratch("crc")
     graft.Tables(spark, sf, "region").write.mode("overwrite")
       .format("graft-manifest").save(dir)
@@ -222,11 +225,69 @@ class ManifestSinkSpec extends AnyFunSuite {
     bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7f).toByte
     Files.write(dataFile.toPath, bytes)
     val e = intercept[Exception] {
-      spark.read.format("graft-manifest").load(dir).count()
+      // full-schema read: every column block passes through the reader,
+      // so both the block CRC and the whole-file CRC see the flip
+      spark.read.format("graft-manifest").load(dir).collect()
     }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
     assert(chain(e).exists(m => m != null && m.contains("checksum")),
       s"expected a checksum failure, got: ${chain(e).mkString(" | ")}")
+  }
+
+  test("column pruning reaches the scan: pruned readSchema, skipped blocks, correct values") {
+    val dir = scratch("prune")
+    val src = graft.Tables(spark, sf, "customer")
+    src.write.mode("overwrite").format("graft-manifest").save(dir)
+    val pruned = spark.read.format("graft-manifest").load(dir)
+      .select("c_custkey", "c_mktsegment")
+    // the PHYSICAL scan carries only the two requested columns — the
+    // pruning reached the connector, it is not a post-scan Project
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScanExec")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq ===
+      Seq("c_custkey", "c_mktsegment"))
+    // and the pruned values round-trip exactly
+    val a = src.select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey").collect().toSeq
+    assert(pruned.orderBy("c_custkey").collect().toSeq === a)
+  }
+
+  test("pruned read skips unreferenced column blocks: corruption there is not its failure") {
+    // The parquet contract: a read that never touches a column block
+    // must not pay for (or fail on) it. Corrupt ONE byte somewhere in
+    // the file, then show that SOME single-column projection still
+    // succeeds while the full read fails — i.e. the flipped block was
+    // genuinely seeked past, not read-and-ignored.
+    val dir = scratch("prune-crc")
+    graft.Tables(spark, sf, "nation").write.mode("overwrite")
+      .format("graft-manifest").save(dir)
+    val dataFile = new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix)).head
+    val bytes = Files.readAllBytes(dataFile.toPath)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7f).toByte
+    Files.write(dataFile.toPath, bytes)
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir).collect()
+    }
+    // the LAST column's block (n_regionkey) holds the flipped byte;
+    // earlier columns seek past it
+    val ok = spark.read.format("graft-manifest").load(dir)
+      .select("n_nationkey", "n_name").collect()
+    assert(ok.length === 25)
+    val e = intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir)
+        .select("n_regionkey").collect()
+    }
+    assert(chain(e).exists(m => m != null && m.contains("checksum")),
+      s"got: ${chain(e).mkString(" | ")}")
+  }
+
+  test("zero-column read (count) touches only page headers and stays exact") {
+    val dir = scratch("count")
+    val src = graft.Tables(spark, sf, "orders")
+    src.write.mode("overwrite").format("graft-manifest").save(dir)
+    assert(spark.read.format("graft-manifest").load(dir).count()
+      === src.count())
   }
 }
