@@ -268,6 +268,37 @@ object AggOps extends OpPack {
     // via yyyy-MM-dd, money via cents — raw double/timestamp casts
     // render differently across engines). n_rows rides each leg's
     // count(*) — no extra pass.
+    // Class-balance diagnostic per corpus source (the label-skew
+    // report a training-data curator reads before sampling weights):
+    // per source, the majority language + its share in ppm, and the
+    // Gini IMPURITY of the language mix in ppm — impurity =
+    // 1 − Σ(c/n)² cleared to (n² − Σc²)·10⁶ div n², exact integers
+    // (contrast agg_gini_wealth's Lorenz-based inequality index).
+    // One (source × lang) hash agg — the per-source frame is bounded
+    // by the label vocabulary, so the majority window is tiny.
+    "diag_class_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val per = c.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sum_c2"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("lang"))
+      val top = c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("c").as("top_c"))
+      per.join(top, "source")
+        .select(col("source"), col("n_docs"), col("top_lang"),
+          expr("CAST(CAST(top_c AS DECIMAL(38,0)) * 1000000 div n_docs " +
+            "AS BIGINT)").as("top_share_ppm"),
+          expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs - sum_c2) " +
+            "* 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) " +
+            "AS BIGINT)").as("impurity_ppm"))
+        .orderBy(col("source"))
+    }),
+
     "diag_profile" -> ((s, dir) => {
       def leg(df: org.apache.spark.sql.DataFrame, cn: String) =
         df.agg(count(lit(1)).as("n_rows"),
@@ -891,6 +922,29 @@ object AggOps extends OpPack {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "diag_class_balance" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY source, lang),
+        |per AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    sum(CAST(c AS HUGEINT) * c) AS sum_c2
+        |  FROM c GROUP BY source),
+        |top AS (
+        |  SELECT source, lang AS top_lang, c AS top_c
+        |  FROM (SELECT source, lang, c, row_number() OVER
+        |          (PARTITION BY source ORDER BY c DESC, lang) AS rn
+        |        FROM c)
+        |  WHERE rn = 1)
+        |SELECT per.source, n_docs, top_lang,
+        |  CAST(CAST(top_c AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+        |    AS top_share_ppm,
+        |  CAST((CAST(n_docs AS HUGEINT) * n_docs - sum_c2) * 1000000 //
+        |    (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        |    AS impurity_ppm
+        |FROM per JOIN top ON per.source = top.source
+        |ORDER BY per.source""".stripMargin,
 
     "diag_profile" ->
       """WITH t AS (

@@ -527,6 +527,84 @@ object JoinOps extends OpPack {
             .cast("long").as("z2_milli"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov D between the A/B arms' purchase-
+    // value DISTRIBUTIONS (the drift test composite_ab_lift's mean
+    // comparison can't see): D = max |F0 − F1| over the binned value
+    // grid, every fraction cleared by cross-multiplication —
+    // dev = |f0·n1 − f1·n0| is exact integer, D in permille =
+    // dev·1000 div (n0·n1). Values bin to whole currency units, so
+    // the CDF frame is bounded by the price RANGE (~hundreds of rows
+    // at any corpus size — the declared partition-less-window
+    // contract), and the 1-row (n0,n1) frame broadcasts (allowlisted
+    // scalar-gate shape). Products ride DECIMAL(38,0)/HUGEINT.
+    "composite_ab_ks" -> ((s, dir) => {
+      val sdf = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(expr("CAST(user_id % 2 AS BIGINT)").as("arm"),
+          expr("CAST(floor(value) AS BIGINT)").as("bin"))
+      val pts = sdf.groupBy(col("bin"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        .rowsBetween(Long.MinValue, 0)
+      val cum = pts.select(col("bin"), sum(col("c0")).over(w).as("f0"),
+        sum(col("c1")).over(w).as("f1"))
+      val n = sdf.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      val d = cum.crossJoin(broadcast(n))
+        .withColumn("dev", expr(
+          "abs(CAST(f0 AS DECIMAL(38,0)) * n1 - CAST(f1 AS DECIMAL(38,0)) * n0)"))
+      val mx = d.agg(max(col("dev")).as("mx"))
+      d.join(broadcast(mx), col("dev") === col("mx"))
+        .groupBy(col("n0"), col("n1"))
+        .agg(min(col("bin")).as("ks_bin"),
+          expr("CASE WHEN max(n0) * max(n1) > 0 THEN " +
+            "CAST((max(dev) * 1000) div " +
+            "(CAST(max(n0) AS DECIMAL(38,0)) * max(n1)) AS BIGINT) END")
+            .as("d_permille"))
+        .select(col("n0"), col("n1"), col("ks_bin"), col("d_permille"))
+        .orderBy(col("n0"))
+    }),
+
+    // Probability-of-superiority / AUC between the A/B arms (the
+    // Mann-Whitney U statistic in exact integers): over the same
+    // binned purchase-value grid, 2·R1 = Σ c1·(2·below + ties + 1)
+    // (average-rank tie handling with every half cleared by the
+    // factor 2), 2·U1 = 2·R1 − n1·(n1+1), and AUC in ppm =
+    // 2U1·10⁶ div (2·n0·n1) — the nonparametric "how often does arm 1
+    // beat arm 0" decision statistic, no distributional assumption.
+    // Same bounded-grid + broadcast-scalar shape as composite_ab_ks.
+    "composite_ab_auc" -> ((s, dir) => {
+      val sdf = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(expr("CAST(user_id % 2 AS BIGINT)").as("arm"),
+          expr("CAST(floor(value) AS BIGINT)").as("bin"))
+      val pts = sdf.groupBy(col("bin"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        .rowsBetween(Long.MinValue, -1)
+      val cum = pts
+        .withColumn("below", coalesce(sum(col("c0") + col("c1")).over(w),
+          lit(0L)))
+        .withColumn("ties", col("c0") + col("c1"))
+      val n = sdf.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      cum.agg(sum(expr(
+          "CAST(c1 AS DECIMAL(38,0)) * (2 * below + ties + 1)"))
+          .as("two_r1"))
+        .crossJoin(broadcast(n))
+        .select(col("n0"), col("n1"),
+          expr("CAST(two_r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) " +
+            "AS BIGINT)").as("two_u1"),
+          expr("CASE WHEN n0 * n1 > 0 THEN " +
+            "CAST(((two_r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) " +
+            "* 1000000) div (2 * CAST(n0 AS DECIMAL(38,0)) * n1) " +
+            "AS BIGINT) END").as("auc_ppm"))
+    }),
+
     // Market-basket affinity (association-rule mining, the top-100
     // report): distinct (order, part) items self-joined ON THE SAME
     // orderkey shuffle key (co-partitioned — pair expansion is
@@ -1014,6 +1092,71 @@ object JoinOps extends OpPack {
         |     * (n0 + n1 - x0 - x1)) END
         |    AS BIGINT) AS z2_milli
         |FROM s""".stripMargin,
+
+    "composite_ab_ks" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+        |    CAST(floor(value) AS BIGINT) AS bin
+        |  FROM events WHERE event_type = 'purchase'),
+        |pts AS (
+        |  SELECT bin, sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM s GROUP BY bin),
+        |cum AS (
+        |  SELECT bin, sum(c0) OVER w AS f0, sum(c1) OVER w AS f1
+        |  FROM pts
+        |  WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nn AS (
+        |  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM s),
+        |d AS (
+        |  SELECT bin,
+        |    abs(CAST(f0 AS HUGEINT) * n1 - CAST(f1 AS HUGEINT) * n0) AS dev,
+        |    n0, n1
+        |  FROM cum CROSS JOIN nn),
+        |m AS (SELECT max(dev) AS mxv FROM d)
+        |SELECT CAST(d.n0 AS BIGINT) AS n0, CAST(d.n1 AS BIGINT) AS n1,
+        |  min(bin) AS ks_bin,
+        |  CASE WHEN d.n0 * d.n1 > 0 THEN
+        |    CAST((max(dev) * 1000) //
+        |      (CAST(d.n0 AS HUGEINT) * d.n1) AS BIGINT) END AS d_permille
+        |FROM d JOIN m ON d.dev = m.mxv
+        |GROUP BY d.n0, d.n1
+        |ORDER BY n0""".stripMargin,
+
+    "composite_ab_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+        |    CAST(floor(value) AS BIGINT) AS bin
+        |  FROM events WHERE event_type = 'purchase'),
+        |pts AS (
+        |  SELECT bin, sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM s GROUP BY bin),
+        |cum AS (
+        |  SELECT bin, c0, c1,
+        |    coalesce(sum(c0 + c1) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below,
+        |    c0 + c1 AS ties
+        |  FROM pts),
+        |nn AS (
+        |  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM s),
+        |r AS (
+        |  SELECT sum(CAST(c1 AS HUGEINT) * (2 * below + ties + 1))
+        |    AS two_r1
+        |  FROM cum)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+        |    AS two_u1,
+        |  CASE WHEN n0 * n1 > 0 THEN
+        |    CAST(((two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000) //
+        |      (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT) END AS auc_ppm
+        |FROM r CROSS JOIN nn""".stripMargin,
 
     "composite_ab_srm" ->
       """WITH a AS (

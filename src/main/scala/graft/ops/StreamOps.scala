@@ -57,6 +57,37 @@ object StreamOps extends OpPack {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Time-bounded self-join — the batch-equivalent form of the
+    // stream-stream interval join StreamingSemanticsSpec pins
+    // ("time-bounded inner join emits matched pairs, watermark bounds
+    // state"): every (click, purchase) pair by the same user with the
+    // purchase inside the hour after the click. The equi-key is
+    // user_id (ONE shuffle spine at any scale — the range predicate
+    // rides the join as a post-condition, it never degrades to a
+    // cross product); under streaming the same predicate is what lets
+    // the watermark evict join state. Timestamps floor to whole
+    // seconds so the bound is integer-exact in both engines.
+    "stream_join_interval" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("tsec").as("c_sec"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("tsec").as("p_sec"))
+      clicks.join(purchases, Seq("user_id"))
+        .filter(col("p_sec") >= col("c_sec") &&
+          col("p_sec") < col("c_sec") + 3600)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks_matched"),
+          min(col("purchase_id")).as("first_purchase"),
+          max(col("purchase_id")).as("last_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       // Exactly-once projection of an at-least-once feed: re-deliver
       // every 10th event, then dropDuplicates on the event key (the
@@ -107,6 +138,24 @@ object StreamOps extends OpPack {
         |  min(event_id) AS first_event, max(event_id) AS last_event
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_join_interval" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tsec AS c_sec
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tsec AS p_sec
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT click_id) AS n_clicks_matched,
+        |  min(purchase_id) AS first_purchase,
+        |  max(purchase_id) AS last_purchase
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_sec >= c.c_sec AND p.p_sec < c.c_sec + 3600
+        |GROUP BY c.user_id
+        |ORDER BY c.user_id""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM (

@@ -359,7 +359,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // ts_seasonal_strength crosses the broadcast 1-row global-mean
       // anchor against the calendar-bounded daily frame (the
       // llm_unigram_lm scalar-gate shape).
-      "ts_seasonal_strength")
+      "ts_seasonal_strength",
+      // the A/B distribution tests cross the broadcast 1-row
+      // (n0, n1) arm totals against the price-range-bounded CDF
+      // grid (scalar-gate shape); composite_ab_ks additionally joins
+      // the broadcast 1-row max-deviation gate.
+      "composite_ab_ks", "composite_ab_auc")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
