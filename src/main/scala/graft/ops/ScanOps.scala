@@ -320,6 +320,31 @@ object ScanOps extends OpPack {
         .orderBy(col("change"), col("o_orderstatus"))
     }),
 
+    // Zone-map file pruning through the graft-manifest connector:
+    // every committed file carries per-column min/max for integral
+    // columns in the manifest (Iceberg's lower/upper bounds at
+    // single-document scale), and SupportsPushDownFilters prunes
+    // whole files the stats prove empty BEFORE any partition is
+    // planned — with a range-clustered write, a key-range read opens
+    // a fraction of the files at any table size. Pruning is
+    // conservative (file-granular, every filter stays
+    // engine-applied), so results are provably unchanged — which is
+    // exactly what the oracle on the original parquet checks.
+    // File-skip behavior pinned in ManifestSinkSpec.
+    "sink_manifest_zonemap" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-zonemap"
+      Tables(s, dir, "orders")
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .filter(col("o_orderkey") < 200)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Literal time-range scan on the events fact table — THE 100 TB
     // access pattern for a CDC-fed log (read five days out of years).
     // Exists to pin that the ts type normalization in graft.Tables
@@ -439,6 +464,13 @@ object ScanOps extends OpPack {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_manifest_zonemap" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey < 200
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
     "sink_manifest_diff" ->

@@ -18,7 +18,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
@@ -98,9 +99,56 @@ object ManifestSink {
     * duplicate attempt's files instead of double-publishing. */
   def epochManifestFile(epochId: Long) = s"_graft_manifest-epoch$epochId.json"
 
-  final case class Entry(name: String, rows: Long, crc: Long)
+  /** Per-file zone map for one integral-typed column (long/int/
+    * short/byte/date/timestamp, all carried as Long): the min/max a
+    * filtered scan prunes whole files against — Iceberg's
+    * lower_bounds/upper_bounds at single-document scale. */
+  final case class ColStat(col: String, min: Long, max: Long)
+  final case class Entry(name: String, rows: Long, crc: Long,
+      stats: Seq[ColStat] = Nil)
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
       version: Long = 0L)
+
+  /** Conservative zone-map test: may `f` match any row of a file with
+    * these stats? Unknown columns/shapes answer true (no pruning);
+    * only provably-empty files are skipped, so pruning can never
+    * change results — the engine still applies every filter. */
+  def mayMatch(stats: Seq[ColStat], f: sources.Filter): Boolean = {
+    def stat(col: String) = stats.find(_.col == col)
+    def lit(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    f match {
+      case sources.EqualTo(c, v) =>
+        (stat(c), lit(v)) match {
+          case (Some(s), Some(l)) => s.min <= l && l <= s.max
+          case _ => true
+        }
+      case sources.GreaterThan(c, v) =>
+        (stat(c), lit(v)) match {
+          case (Some(s), Some(l)) => s.max > l
+          case _ => true
+        }
+      case sources.GreaterThanOrEqual(c, v) =>
+        (stat(c), lit(v)) match {
+          case (Some(s), Some(l)) => s.max >= l
+          case _ => true
+        }
+      case sources.LessThan(c, v) =>
+        (stat(c), lit(v)) match {
+          case (Some(s), Some(l)) => s.min < l
+          case _ => true
+        }
+      case sources.LessThanOrEqual(c, v) =>
+        (stat(c), lit(v)) match {
+          case (Some(s), Some(l)) => s.min <= l
+          case _ => true
+        }
+      case sources.And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+      case _ => true
+    }
+  }
 
   /** Archived snapshot manifests: every BATCH commit first copies the
     * current base manifest to `_graft_manifest.v<N>.json`, so the
@@ -173,6 +221,13 @@ object ManifestSink {
     m.files.foreach { e =>
       val n = arr.addObject()
       n.put("name", e.name); n.put("rows", e.rows); n.put("crc", e.crc)
+      if (e.stats.nonEmpty) {
+        val st = n.putArray("stats")
+        e.stats.foreach { cs =>
+          val o = st.addObject()
+          o.put("col", cs.col); o.put("min", cs.min); o.put("max", cs.max)
+        }
+      }
     }
     val tmp = new File(dir, s".$fileName.${UUID.randomUUID()}.tmp")
     val out = new FileOutputStream(tmp)
@@ -194,8 +249,14 @@ object ManifestSink {
   def readManifestFile(f: File): Manifest = {
     val root = mapper.readTree(f)
     val files = root.get("files").elements().asScala.map { n =>
+      val stats = if (n.has("stats"))
+        n.get("stats").elements().asScala.map { o =>
+          ColStat(o.get("col").asText(), o.get("min").asLong(),
+            o.get("max").asLong())
+        }.toSeq
+      else Nil
       Entry(n.get("name").asText(), n.get("rows").asLong(),
-        n.get("crc").asLong())
+        n.get("crc").asLong(), stats)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
     Manifest(root.get("schemaDdl").asText(), files, v)
@@ -237,17 +298,30 @@ final class ManifestTable(tableSchema: StructType, path: String)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private val asOf = Option(options.get("asOfVersion")).map(_.toLong)
       private var required: StructType = tableSchema
+      private var zoneFilters: Array[sources.Filter] = Array.empty
       // Catalyst hands down the projected column set; the paged
       // columnar file layout turns this into TRUE skipped bytes (the
       // reader seeks past unreferenced column blocks) — at 100 TB a
       // 2-column read of a 20-column table does ~10% of the IO.
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // Zone-map pruning is FILE-granular and conservative, so every
+      // filter stays engine-applied (all filters returned as
+      // residual); the comparisons are additionally used to skip
+      // whole files whose manifest min/max prove them empty — the
+      // Iceberg manifest-pruning idea at single-document scale.
+      override def pushFilters(
+          filters: Array[sources.Filter]): Array[sources.Filter] = {
+        zoneFilters = filters
+        filters
+      }
+      override def pushedFilters(): Array[sources.Filter] = zoneFilters
       override def build(): Scan =
-        new ManifestScan(tableSchema, required, path, asOf)
+        new ManifestScan(tableSchema, required, path, asOf, zoneFilters)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -289,7 +363,7 @@ final class ManifestStreamingWrite(schema: StructType, path: String)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: ManifestCommitMessage =>
-      ManifestSink.Entry(m.name, m.rows, m.crc) }.toSeq
+      ManifestSink.Entry(m.name, m.rows, m.crc, m.stats) }.toSeq
     val epochFile = new File(path, ManifestSink.epochManifestFile(epochId))
     if (epochFile.exists()) {
       // re-delivered epoch: the first publish won; drop the duplicates
@@ -327,7 +401,7 @@ final class ManifestBatchWrite(schema: StructType, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: ManifestCommitMessage =>
-      ManifestSink.Entry(m.name, m.rows, m.crc) }.toSeq
+      ManifestSink.Entry(m.name, m.rows, m.crc, m.stats) }.toSeq
     val dir = new File(path)
     // Every batch commit is a SNAPSHOT: archive the current base
     // manifest (immutable history → time travel via asOfVersion),
@@ -370,8 +444,8 @@ final class ManifestBatchWrite(schema: StructType, path: String,
       new File(path, m.name).delete() }
 }
 
-final case class ManifestCommitMessage(name: String, rows: Long, crc: Long)
-    extends WriterCommitMessage
+final case class ManifestCommitMessage(name: String, rows: Long, crc: Long,
+    stats: Seq[ManifestSink.ColStat] = Nil) extends WriterCommitMessage
 
 final class ManifestWriterFactory(schemaDdl: String, path: String)
     extends DataWriterFactory {
@@ -413,6 +487,28 @@ final class ManifestDataWriter(schema: StructType, path: String,
   private val colCrcs = Array.fill(schema.length)(new CRC32())
   private val colOuts = colBufs.zip(colCrcs).map { case (b, c) =>
     new DataOutputStream(new CheckedOutputStream(b, c)) }
+  // zone-map accumulators for integral-typed columns (all carried as
+  // Long; the getter matches the physical accessor per type)
+  private val statGet: Array[InternalRow => Long] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          (r: InternalRow) => r.getLong(i)
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType =>
+          (r: InternalRow) => r.getInt(i).toLong
+        case org.apache.spark.sql.types.ShortType =>
+          (r: InternalRow) => r.getShort(i).toLong
+        case org.apache.spark.sql.types.ByteType =>
+          (r: InternalRow) => r.getByte(i).toLong
+        case _ => null
+      }
+    }
+  private val statMin = Array.fill(schema.length)(Long.MaxValue)
+  private val statMax = Array.fill(schema.length)(Long.MinValue)
+  private val statSeen = Array.fill(schema.length)(false)
   private var pageRows = 0
   private var rows = 0L
 
@@ -423,6 +519,12 @@ final class ManifestDataWriter(schema: StructType, path: String,
       val b = u.getBytes
       colOuts(i).writeInt(b.length)
       colOuts(i).write(b)
+      if (statGet(i) != null && !record.isNullAt(i)) {
+        val v = statGet(i)(record)
+        if (v < statMin(i)) statMin(i) = v
+        if (v > statMax(i)) statMax(i) = v
+        statSeen(i) = true
+      }
       i += 1
     }
     pageRows += 1
@@ -454,7 +556,11 @@ final class ManifestDataWriter(schema: StructType, path: String,
   override def commit(): WriterCommitMessage = {
     if (pageRows > 0) flushPage()
     out.close()
-    ManifestCommitMessage(name, rows, fileCrc.getValue)
+    val stats = schema.fields.indices.collect {
+      case i if statSeen(i) =>
+        ManifestSink.ColStat(schema(i).name, statMin(i), statMax(i))
+    }
+    ManifestCommitMessage(name, rows, fileCrc.getValue, stats)
   }
 
   override def abort(): Unit = { out.close(); file.delete() }
@@ -462,13 +568,17 @@ final class ManifestDataWriter(schema: StructType, path: String,
 }
 
 final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
-    path: String, asOfVersion: Option[Long] = None) extends Scan {
+    path: String, asOfVersion: Option[Long] = None,
+    zoneFilters: Array[sources.Filter] = Array.empty) extends Scan {
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ManifestSink.readAsOf(path, asOfVersion).files.map(e =>
-        ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc)
-          .asInstanceOf[InputPartition]).toArray
+      ManifestSink.readAsOf(path, asOfVersion).files
+        .filter(e => zoneFilters.forall(f =>
+          ManifestSink.mayMatch(e.stats, f)))
+        .map(e =>
+          ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc)
+            .asInstanceOf[InputPartition]).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new ManifestReaderFactory(fullSchema.toDDL,
         prunedSchema.fieldNames.map(fullSchema.fieldIndex))

@@ -283,6 +283,32 @@ class ManifestSinkSpec extends AnyFunSuite {
       s"got: ${chain(e).mkString(" | ")}")
   }
 
+  test("zone maps prune whole files: a key-range read plans fewer partitions") {
+    val dir = scratch("zonemap")
+    val src = graft.Tables(spark, sf, "orders")
+    src.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").format("graft-manifest").save(dir)
+    // four range-disjoint files, each with o_orderkey min/max in the
+    // manifest
+    val entries = ManifestSink.readManifest(dir).files
+    assert(entries.size === 4)
+    assert(entries.forall(_.stats.exists(_.col === "o_orderkey")))
+    // a low-key read must PLAN only the file(s) whose range can match
+    val q = spark.read.format("graft-manifest").load(dir)
+      .filter(col("o_orderkey") < 10)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val planned = scans.head.inputRDD.getNumPartitions
+    assert(planned < 4, s"zone maps should skip files, planned $planned")
+    assert(planned >= 1)
+    // and pruning never changes results
+    val a = src.filter(col("o_orderkey") < 10)
+      .orderBy("o_orderkey").select("o_orderkey").collect().toSeq
+    assert(q.orderBy("o_orderkey").select("o_orderkey").collect().toSeq === a)
+  }
+
   test("zero-column read (count) touches only page headers and stays exact") {
     val dir = scratch("count")
     val src = graft.Tables(spark, sf, "orders")
