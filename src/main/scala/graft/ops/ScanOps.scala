@@ -345,6 +345,40 @@ object ScanOps extends OpPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Small-file compaction on the manifest table (the lakehouse
+    // OPTIMIZE verb — a streaming CDC sink accretes one file per
+    // task per epoch; compaction is what keeps the file count, and
+    // with it planning cost, bounded): two appends leave 8 files,
+    // compact() rewrites the current state into 2 and commits it as
+    // just another snapshot (old layout stays time-travelable until
+    // vacuum). The oracle reads the original parquet, proving the
+    // rewrite loses and corrupts nothing; file counts + version
+    // chain pinned in ManifestSinkSpec.
+    "sink_manifest_compact" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-compact"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("price_cents"))
+      li.filter(col("l_orderkey") % 2 === 0).repartition(4)
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      li.filter(col("l_orderkey") % 2 =!= 0).repartition(4)
+        .write.mode("append").format("graft-manifest").save(scratch)
+      graft.sources.ManifestSink.compact(s, scratch, 2)
+      s.read.format("graft-manifest").load(scratch)
+        .groupBy(expr("l_orderkey % 7").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          sum(col("price_cents")).as("sum_cents"))
+        .orderBy(col("bucket"))
+    }),
+
     // Literal time-range scan on the events fact table — THE 100 TB
     // access pattern for a CDC-fed log (read five days out of years).
     // Exists to pin that the ts type normalization in graft.Tables
@@ -472,6 +506,15 @@ object ScanOps extends OpPack {
         |FROM orders WHERE o_orderkey < 200
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_manifest_compact" ->
+      """SELECT l_orderkey % 7 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "sink_manifest_diff" ->
       """WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders

@@ -160,6 +160,20 @@ object ManifestSink {
     * prunes them. */
   def archiveManifestFile(version: Long) = s"_graft_manifest.v$version.json"
 
+  /** Small-file compaction (the lakehouse OPTIMIZE verb): rewrite the
+    * CURRENT table state into `targetFiles` files and commit it as a
+    * new snapshot. Safe against itself by the commit protocol alone:
+    * the read plan lists the old manifest's files, the new files get
+    * task-unique names, and the overwrite commit archives the old
+    * manifest (which still references the old files, so the sweep
+    * keeps them) — compaction is just another snapshot, time travel
+    * to the pre-compaction layout keeps working until vacuum. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int): Unit =
+    spark.read.format("graft-manifest").load(dir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").format("graft-manifest").save(dir)
+
   /** Drop archived snapshots older than `keepVersions` behind the
     * current base, then sweep data files no remaining manifest
     * references — the retention knob that bounds time-travel storage. */

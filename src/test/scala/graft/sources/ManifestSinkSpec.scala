@@ -309,6 +309,39 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(q.orderBy("o_orderkey").select("o_orderkey").collect().toSeq === a)
   }
 
+  test("compaction rewrites the current state as a new snapshot; the old layout stays time-travelable") {
+    val dir = scratch("compact")
+    val src = graft.Tables(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    src.filter(col("c_custkey") % 2 === 0).repartition(4)
+      .write.mode("overwrite").format("graft-manifest").save(dir) // v1
+    src.filter(col("c_custkey") % 2 =!= 0).repartition(4)
+      .write.mode("append").format("graft-manifest").save(dir)    // v2
+    assert(ManifestSink.readManifest(dir).files.size === 8)
+    ManifestSink.compact(spark, dir, 2)                           // v3
+    val m = ManifestSink.readManifest(dir)
+    assert(m.version === 3L)
+    assert(m.files.size === 2, s"compaction target, got ${m.files.size}")
+    // identical data through the rewrite
+    val a = src.orderBy("c_custkey").collect().toSeq
+    assert(spark.read.format("graft-manifest").load(dir)
+      .orderBy("c_custkey").collect().toSeq === a)
+    // pre-compaction layout still readable at v2 — 8 files, same rows
+    val v2 = spark.read.format("graft-manifest")
+      .option("asOfVersion", "2").load(dir)
+    assert(v2.count() === src.count())
+    assert(ManifestSink.readManifestFile(
+      new File(dir, ManifestSink.archiveManifestFile(2))).files.size === 8)
+    // vacuum(0) retires the old layout, current view untouched
+    ManifestSink.vacuum(dir, 0)
+    assert(spark.read.format("graft-manifest").load(dir).count()
+      === src.count())
+    val onDisk = new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+    assert(onDisk.length === 2,
+      s"vacuum should leave only the compacted files, got ${onDisk.length}")
+  }
+
   test("zero-column read (count) touches only page headers and stays exact") {
     val dir = scratch("count")
     val src = graft.Tables(spark, sf, "orders")
