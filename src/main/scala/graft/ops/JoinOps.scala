@@ -527,6 +527,59 @@ object JoinOps extends OpPack {
             .cast("long").as("z2_milli"))
     }),
 
+    // CUPED variance-reduced lift (industry-standard experiment
+    // readout): per-user covariate x (even-event spend) and metric y
+    // (odd-event spend), θ = cov(x,y)/var(x) POOLED, and the
+    // adjusted arm delta Δ_adj = (ȳ1−ȳ0) − θ(x̄1−x̄0) with EVERY
+    // fraction cleared by cross-multiplication — Δ_adj rides
+    // (tden·(Y1n0−Y0n1) − tnum·(X1n0−X0n1))·1000 div (n0·n1·tden),
+    // exact integers end to end (tden ≥ 0 by Cauchy-Schwarz;
+    // degenerate splits and zero-variance covariates declared NULL).
+    // ONE per-user map-side-combined agg + a 1-row moment rollup —
+    // the 100 TB shape is a single shuffle on user_id.
+    "composite_ab_cuped" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_id") % 2 === 0,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_id") % 2 =!= 0,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm", expr("CAST(user_id % 2 AS BIGINT)"))
+      per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("x"))).as("x0"),
+          sum(when(col("arm") === 1, col("x"))).as("x1"),
+          sum(when(col("arm") === 0, col("y"))).as("y0"),
+          sum(when(col("arm") === 1, col("y"))).as("y1"))
+        .withColumn("tnum", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("tden", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .select(col("n0"), col("n1"),
+          expr("CASE WHEN tden <> 0 THEN " +
+            "CAST((tnum * 1000) div tden AS BIGINT) END").as("theta_milli"),
+          expr("CASE WHEN n0 * n1 > 0 THEN " +
+            "CAST(((CAST(y1 AS DECIMAL(38,0)) * n0 - " +
+            "CAST(y0 AS DECIMAL(38,0)) * n1) * 1000) div " +
+            "(CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT) END")
+            .as("delta_milli"),
+          expr("CASE WHEN n0 * n1 > 0 AND tden <> 0 THEN " +
+            "CAST(((tden * (CAST(y1 AS DECIMAL(38,0)) * n0 - " +
+            "CAST(y0 AS DECIMAL(38,0)) * n1) - " +
+            "tnum * (CAST(x1 AS DECIMAL(38,0)) * n0 - " +
+            "CAST(x0 AS DECIMAL(38,0)) * n1)) * 1000) div " +
+            "(CAST(n0 AS DECIMAL(38,0)) * n1 * tden) AS BIGINT) END")
+            .as("delta_adj_milli"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov D between the A/B arms' purchase-
     // value DISTRIBUTIONS (the drift test composite_ab_lift's mean
     // comparison can't see): D = max |F0 − F1| over the binned value
@@ -1092,6 +1145,46 @@ object JoinOps extends OpPack {
         |     * (n0 + n1 - x0 - x1)) END
         |    AS BIGINT) AS z2_milli
         |FROM s""".stripMargin,
+
+    "composite_ab_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+        |    sum(CASE WHEN event_id % 2 = 0
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_id % 2 <> 0
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN arm = 0 THEN x END) AS x0,
+        |    sum(CASE WHEN arm = 1 THEN x END) AS x1,
+        |    sum(CASE WHEN arm = 0 THEN y END) AS y0,
+        |    sum(CASE WHEN arm = 1 THEN y END) AS y1
+        |  FROM per),
+        |t AS (
+        |  SELECT *, n * sxy - sx * sy AS tnum,
+        |    n * sxx - sx * sx AS tden
+        |  FROM g)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CASE WHEN tden <> 0 THEN
+        |    CAST((tnum * 1000) // tden AS BIGINT) END AS theta_milli,
+        |  CASE WHEN n0 * n1 > 0 THEN
+        |    CAST(((CAST(y1 AS HUGEINT) * n0 - CAST(y0 AS HUGEINT) * n1)
+        |      * 1000) // (CAST(n0 AS HUGEINT) * n1) AS BIGINT) END
+        |    AS delta_milli,
+        |  CASE WHEN n0 * n1 > 0 AND tden <> 0 THEN
+        |    CAST(((tden * (CAST(y1 AS HUGEINT) * n0
+        |                   - CAST(y0 AS HUGEINT) * n1)
+        |         - tnum * (CAST(x1 AS HUGEINT) * n0
+        |                   - CAST(x0 AS HUGEINT) * n1)) * 1000) //
+        |      (CAST(n0 AS HUGEINT) * n1 * tden) AS BIGINT) END
+        |    AS delta_adj_milli
+        |FROM t""".stripMargin,
 
     "composite_ab_ks" ->
       """WITH s AS (

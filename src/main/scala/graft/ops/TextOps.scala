@@ -81,7 +81,81 @@ object TextOps extends OpPack {
     * the byte-level merges (kept regex-only so both engines agree). */
   private val bpeIsh = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** 5-round BPE merge training as ONE generated SQL text that runs
+    * in both engines (the changepointSql doctrine at tokenizer
+    * scale). Words render as individually-bracketed char tokens
+    * `(a)(b)(c)` — token boundaries share no characters, so
+    * `replace` of `(a)(b)` with `(ab)` is the exact left-to-right
+    * non-overlapping merge BPE specifies (a plain space-separated
+    * rendering would drop back-to-back matches through the shared
+    * delimiter). Per round: adjacent-pair counts weighted by word
+    * frequency, best pair by (count DESC, pair ASC — the
+    * deterministic tie-break), merge applied to the vocabulary.
+    * Scale: the corpus is touched ONCE (the word-frequency agg); all
+    * 5 rounds run over the VOCABULARY frame (bounded by distinct
+    * words), and each round's 1-row best-pair frame broadcasts
+    * (allowlisted scalar-gate shape). */
+  private[graft] def bpeTrainSql(spark: Boolean, table: String): String = {
+    val rounds = 5
+    val tokcol =
+      if (spark) "explode(split(text, ' '))"
+      else "unnest(string_split(text, ' '))"
+    // Spark split() keeps a trailing empty element (Java split limit
+    // -1); filter it or the terminal token becomes '()'
+    val charseg =
+      if (spark)
+        "concat_ws('', transform(filter(split(word, ''), c -> c <> ''), " +
+          "c -> concat('(', c, ')')))"
+      else
+        "array_to_string(list_transform(string_split(word, ''), " +
+          "c -> '(' || c || ')'), '')"
+    def splitToks(s0: String) =
+      if (spark) s"split(substring($s0, 2, length($s0) - 2), '\\\\)\\\\(')"
+      else s"string_split(substr($s0, 2, length($s0) - 2), ')(')"
+    def elem(a: String, i: String) =
+      if (spark) s"element_at($a, $i)" else s"$a[$i]"
+    val lat =
+      if (spark) "LATERAL VIEW explode(sequence(1, size(arr) - 1)) ex AS i"
+      else ", unnest(range(1, len(arr))) AS ex(i)"
+    val szArr = if (spark) "size(arr)" else "len(arr)"
+    val cnt = if (spark) "sum(freq)" else "CAST(sum(freq) AS BIGINT)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""arr$r AS (
+         |  SELECT * FROM (
+         |    SELECT freq, ${splitToks("seg")} AS arr FROM seg${r - 1}) t$r
+         |  WHERE $szArr >= 2),
+         |pairs$r AS (
+         |  SELECT freq, ${elem("arr", "i")} AS a, ${elem("arr", "i + 1")} AS b
+         |  FROM arr$r $lat),
+         |best$r AS (
+         |  SELECT a, b, $cnt AS cnt FROM pairs$r GROUP BY a, b
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg$r AS (
+         |  SELECT freq,
+         |    replace(seg, '(' || a || ')(' || b || ')',
+         |      '(' || a || b || ')') AS seg
+         |  FROM seg${r - 1} CROSS JOIN best$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS merge_left, " +
+        s"b AS merge_right, cnt FROM best$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT $tokcol AS word FROM $table) t0
+       |  WHERE word <> '' GROUP BY word),
+       |seg0 AS (SELECT freq, $charseg AS seg FROM words),
+       |$roundCtes
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "llm_bpe_train" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("docs_bpe")
+      s.sql(bpeTrainSql(spark = true, "docs_bpe"))
+    }),
+
     // Two-pass n-gram/stopword language-ID: pass 1 builds a top-5
     // token profile per language from the corpus itself; pass 2 scores
     // each doc by profile hits and takes the argmax (ties → lang asc).
@@ -710,6 +784,8 @@ object TextOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_bpe_train" -> bpeTrainSql(spark = false, "documents"),
+
     "llm_length_pctile" ->
       """WITH r AS (
         |  SELECT doc_id, lang, source, n_chars,

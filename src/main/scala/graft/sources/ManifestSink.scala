@@ -321,8 +321,12 @@ final class ManifestTable(tableSchema: StructType, path: String)
       // columnar file layout turns this into TRUE skipped bytes (the
       // reader seeks past unreferenced column blocks) — at 100 TB a
       // 2-column read of a 20-column table does ~10% of the IO.
+      // Pruning is TOP-LEVEL only: a nested-pruned struct (st.y of
+      // st(x,y)) is widened back to the stored field, because column
+      // blocks encode whole top-level values — Spark projects the
+      // nested path above the scan.
       override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
+        required = StructType(requiredSchema.fieldNames.map(tableSchema(_)))
       // Zone-map pruning is FILE-granular and conservative, so every
       // filter stays engine-applied (all filters returned as
       // residual); the comparisons are additionally used to skip

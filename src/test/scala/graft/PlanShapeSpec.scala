@@ -364,7 +364,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // (n0, n1) arm totals against the price-range-bounded CDF
       // grid (scalar-gate shape); composite_ab_ks additionally joins
       // the broadcast 1-row max-deviation gate.
-      "composite_ab_ks", "composite_ab_auc")
+      "composite_ab_ks", "composite_ab_auc",
+      // llm_bpe_train crosses each round's broadcast 1-row best-pair
+      // frame against the vocabulary-bounded segmentation (five
+      // scalar-gate crosses, one per merge round).
+      "llm_bpe_train")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>

@@ -342,6 +342,37 @@ class ManifestSinkSpec extends AnyFunSuite {
       s"vacuum should leave only the compacted files, got ${onDisk.length}")
   }
 
+  test("columnar encoding roundtrips every type family: nested, decimal, null-heavy") {
+    // the per-column single-field UnsafeRow encoding must be generic
+    // over the full type lattice, not just primitives
+    val dir = scratch("types")
+    val src = spark.sql(
+      """SELECT id,
+        |  CASE WHEN id % 3 = 0 THEN NULL ELSE concat('s', id) END AS s,
+        |  CAST(id AS DOUBLE) / 8 AS d,
+        |  CAST(id AS DECIMAL(20, 4)) * 1.5 AS dec,
+        |  id % 2 = 0 AS b,
+        |  date_from_unix_date(CAST(id AS INT)) AS dt,
+        |  timestamp_seconds(id * 1000) AS ts,
+        |  array(id, id + 1, NULL) AS arr,
+        |  named_struct('x', id, 'y', concat('y', id)) AS st,
+        |  map(concat('k', id), id) AS m,
+        |  CAST(concat('b', id) AS BINARY) AS bin
+        |FROM range(0, 257)""".stripMargin)
+    src.write.mode("overwrite").format("graft-manifest").save(dir)
+    val back = spark.read.format("graft-manifest").load(dir)
+    // the manifest stores schema as DDL, which normalizes nullability
+    // flags (e.g. map valueContainsNull) — names and types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ===
+      src.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    val key = col("id")
+    assert(back.orderBy(key).collect().toSeq ===
+      src.orderBy(key).collect().toSeq)
+    // pruned nested read too
+    assert(back.select("st.y", "arr").orderBy("y").collect().toSeq ===
+      src.select("st.y", "arr").orderBy("y").collect().toSeq)
+  }
+
   test("zero-column read (count) touches only page headers and stays exact") {
     val dir = scratch("count")
     val src = graft.Tables(spark, sf, "orders")
