@@ -136,6 +136,51 @@ class CountsFromSnapshot extends StatefulProcessorWithInitialState[
   }
 }
 
+/** As-of join emission: the trade plus the latest quote px at-or-
+  * before its timestamp (px = -1 when no quote precedes it). */
+case class AsofOut(user: Long, tradeTs: Long, qty: Long, px: Long)
+
+/** Stream-stream AS-OF join via arbitrary state — the operator
+  * Structured Streaming lacks natively (its interval join needs a
+  * two-sided bound; as-of wants "LATEST quote ≤ trade ts"): quotes
+  * and trades arrive as ONE tagged union keyed by user; each key
+  * keeps its quote book in a ListState (entries packed ts·10⁶+px),
+  * trades probe the book for the max quote ts ≤ trade ts. Join
+  * knowledge is as-of ARRIVAL (a quote arriving later than a trade
+  * was emitted does not retro-update that trade, but IS visible to
+  * every later trade — the standard streaming as-of contract, same
+  * as the batch `join_asof` run incrementally). At scale the book
+  * per key is bounded by quote retention, state lives partitioned on
+  * the RocksDB store.
+  */
+class StreamAsofJoin
+    extends StatefulProcessor[Long, (Long, String, Long, Long), AsofOut] {
+  @transient private var book: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    book = getHandle.getListState[Long]("book", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, String, Long, Long)],
+      timers: TimerValues): Iterator[AsofOut] = {
+    // within a batch, process in event order (quotes before trades at
+    // equal ts) so same-batch quotes are visible to same-batch trades
+    val batch = rows.toSeq.sortBy(r => (r._3, if (r._2 == "q") 0 else 1))
+    var entries = book.get().toSeq
+    val out = Seq.newBuilder[AsofOut]
+    batch.foreach {
+      case (_, "q", ts, px) => entries = entries :+ (ts * 1000000L + px)
+      case (_, _, ts, qty) =>
+        val best = entries.filter(_ / 1000000L <= ts)
+        out += AsofOut(key, ts, qty,
+          if (best.isEmpty) -1L else best.max % 1000000L)
+    }
+    book.put(entries.toArray)
+    out.result().iterator
+  }
+}
+
 /** Pins the Spark 4 `transformWithState` arbitrary-state operator
   * end-to-end on the RocksDB state store (the only provider the API
   * supports): value + list state carried across micro-batches, one
@@ -143,6 +188,47 @@ class CountsFromSnapshot extends StatefulProcessorWithInitialState[
   */
 class TransformWithStateSpec extends AnyFunSuite {
   private lazy val spark = LocalSpark.spark
+
+  test("stream-stream AS-OF join via transformWithState: each trade joins " +
+      "the latest quote at-or-before it, across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new StreamAsofJoin, TimeMode.None(),
+          OutputMode.Append())
+      val q = out.writeStream.format("memory").queryName("tws_asof")
+        .outputMode("append").start()
+      // batch 1: quotes at ts 10 (px 100) and 20 (px 110); a trade at
+      // 15 sees only the ts-10 quote; a trade at 5 precedes every
+      // quote
+      input.addData((1L, "q", 10L, 100L), (1L, "q", 20L, 110L),
+        (1L, "t", 15L, 5L), (1L, "t", 5L, 9L))
+      q.processAllAvailable()
+      // batch 2: a LATE quote at ts 12 joins the persisted book and is
+      // visible to the later trades; trade at 25 takes the ts-20 quote,
+      // trade at 13 takes the late ts-12 quote
+      input.addData((1L, "q", 12L, 105L), (1L, "t", 25L, 7L),
+        (1L, "t", 13L, 2L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_asof").as[AsofOut].collect()
+        .map(r => (r.tradeTs, r.qty, r.px)).toSet
+      assert(rows === Set((15L, 5L, 100L), (5L, 9L, -1L),
+        (25L, 7L, 110L), (13L, 2L, 105L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 
   test("transformWithState carries value+list state across micro-batches " +
       "on the RocksDB store") {
