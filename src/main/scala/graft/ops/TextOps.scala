@@ -122,7 +122,8 @@ object TextOps extends OpPack {
     val roundCtes = (1 to rounds).map { r =>
       s"""arr$r AS (
          |  SELECT * FROM (
-         |    SELECT freq, ${splitToks("seg")} AS arr FROM seg${r - 1}) t$r
+         |    SELECT word, freq, ${splitToks("seg")} AS arr
+         |    FROM seg${r - 1}) t$r
          |  WHERE $szArr >= 2),
          |pairs$r AS (
          |  SELECT freq, ${elem("arr", "i")} AS a, ${elem("arr", "i + 1")} AS b
@@ -131,7 +132,7 @@ object TextOps extends OpPack {
          |  SELECT a, b, $cnt AS cnt FROM pairs$r GROUP BY a, b
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |seg$r AS (
-         |  SELECT freq,
+         |  SELECT word, freq,
          |    replace(seg, '(' || a || ')(' || b || ')',
          |      '(' || a || b || ')') AS seg
          |  FROM seg${r - 1} CROSS JOIN best$r)""".stripMargin
@@ -144,16 +145,59 @@ object TextOps extends OpPack {
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT $tokcol AS word FROM $table) t0
        |  WHERE word <> '' GROUP BY word),
-       |seg0 AS (SELECT freq, $charseg AS seg FROM words),
+       |seg0 AS (SELECT word, freq, $charseg AS seg FROM words),
        |$roundCtes
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** Tokenizer INFERENCE over the same learned merges: re-derives
+    * llm_bpe_train's 5-round chain (one generated SQL — the training
+    * CTEs are shared text), then applies the final segmentation to
+    * every (lang, word) occurrence and reports per-language token
+    * compression — tokens after merging vs raw chars, permille. The
+    * vocabulary-keyed equi-join (wl ⋈ seg5 on word) broadcasts at any
+    * corpus size; the corpus itself is touched once per tokenization. */
+  private[graft] def bpeApplySql(spark: Boolean, table: String): String = {
+    val train = bpeTrainSql(spark, table)
+    val trainCtes = train.substring(0, train.lastIndexOf("SELECT CAST(1"))
+      .trim.stripSuffix(",")
+    val tokLang =
+      if (spark) "lang, explode(split(text, ' ')) AS word"
+      else "lang, unnest(string_split(text, ' ')) AS word"
+    def splitToks(s0: String) =
+      if (spark) s"split(substring($s0, 2, length($s0) - 2), '\\\\)\\\\(')"
+      else s"string_split(substr($s0, 2, length($s0) - 2), ')(')"
+    val szArr = if (spark) "size(arr)" else "len(arr)"
+    def big(e: String) =
+      if (spark) s"CAST($e AS BIGINT)" else s"CAST($e AS BIGINT)"
+    val div = if (spark) "div" else "//"
+    s"""$trainCtes,
+       |wl AS (
+       |  SELECT lang, word, count(*) AS freql FROM (
+       |    SELECT $tokLang FROM $table) tl
+       |  WHERE word <> '' GROUP BY lang, word),
+       |sv AS (
+       |  SELECT word, ${splitToks("seg")} AS arr FROM seg5)
+       |SELECT lang, ${big("sum(freql)")} AS n_words,
+       |  ${big("sum(freql * length(word))")} AS n_chars,
+       |  ${big(s"sum(freql * $szArr)")} AS n_tokens,
+       |  ${big(s"(sum(freql * $szArr) * 1000) $div " +
+            "sum(freql * length(word))")} AS tokens_per_kchar
+       |FROM wl JOIN sv USING (word)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
   }
 
   def queries: Map[String, Q] = Map(
     "llm_bpe_train" -> ((s, dir) => {
       Tables(s, dir, "documents").createOrReplaceTempView("docs_bpe")
       s.sql(bpeTrainSql(spark = true, "docs_bpe"))
+    }),
+
+    "llm_bpe_apply" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("docs_bpe_apply")
+      s.sql(bpeApplySql(spark = true, "docs_bpe_apply"))
     }),
 
     // Two-pass n-gram/stopword language-ID: pass 1 builds a top-5
@@ -785,6 +829,7 @@ object TextOps extends OpPack {
 
   def oracle: Map[String, String] = Map(
     "llm_bpe_train" -> bpeTrainSql(spark = false, "documents"),
+    "llm_bpe_apply" -> bpeApplySql(spark = false, "documents"),
 
     "llm_length_pctile" ->
       """WITH r AS (

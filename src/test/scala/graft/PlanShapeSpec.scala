@@ -365,10 +365,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // grid (scalar-gate shape); composite_ab_ks additionally joins
       // the broadcast 1-row max-deviation gate.
       "composite_ab_ks", "composite_ab_auc",
-      // llm_bpe_train crosses each round's broadcast 1-row best-pair
-      // frame against the vocabulary-bounded segmentation (five
-      // scalar-gate crosses, one per merge round).
-      "llm_bpe_train")
+      // llm_bpe_train/apply cross each round's broadcast 1-row
+      // best-pair frame against the vocabulary-bounded segmentation
+      // (five scalar-gate crosses, one per merge round).
+      "llm_bpe_train", "llm_bpe_apply")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
