@@ -322,6 +322,43 @@ object SampleOps extends OpPack {
     // epochs·available) exposes the shortfall the cap leaves. All
     // integer arithmetic over the tiny per-source domain — one
     // two-phase agg + window total, engine-exact.
+    // Greedy mixture optimization under a token budget — the
+    // data-mixing decision corpus assembly runs before sampling
+    // weights exist: rank sources by lexical-diversity quality
+    // (distinct words per 1000 tokens, integer), take whole sources
+    // in rank order while they fit the budget (half the corpus),
+    // give the marginal source the fractional weight that exactly
+    // exhausts it, zero after. Every quantity is integer (permille
+    // weights via div); the per-source frame is bounded by the
+    // source vocabulary, so the rank/cumsum windows are tiny and the
+    // 1-row total broadcasts (allowlisted scalar-gate shape). ONE
+    // corpus-scale (source, word) agg at any size.
+    "sample_mixture_budget" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val per = tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("tokens"),
+          countDistinct(col("w")).as("n_distinct"))
+        .withColumn("quality_milli",
+          expr("n_distinct * 1000 div tokens"))
+      val tot = per.agg(sum(col("tokens")).as("total_tokens"))
+      val w = Window.orderBy(col("quality_milli").desc, col("source"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_before",
+          coalesce(sum(col("tokens")).over(
+            w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .withColumn("budget", expr("total_tokens div 2"))
+        .withColumn("weight_permille", expr(
+          "CAST(CASE WHEN cum_before + tokens <= budget THEN 1000 " +
+            "WHEN cum_before >= budget THEN 0 " +
+            "ELSE (budget - cum_before) * 1000 div tokens END AS BIGINT)"))
+        .select(col("rank"), col("source"), col("tokens"),
+          col("quality_milli"), col("weight_permille"))
+        .orderBy(col("rank"))
+    }),
+
     "sample_mix_epochs" -> ((s, dir) => {
       val budget = 100000L
       val w = Window.partitionBy(lit(1))
@@ -404,6 +441,40 @@ object SampleOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_mixture_budget" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE w <> ''),
+        |per AS (
+        |  SELECT source, count(*) AS tokens,
+        |    count(DISTINCT w) AS n_distinct
+        |  FROM t2 GROUP BY source),
+        |q AS (
+        |  SELECT source, tokens,
+        |    n_distinct * 1000 // tokens AS quality_milli
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens
+        |        FROM q),
+        |r AS (
+        |  SELECT q.*, total_tokens,
+        |    row_number() OVER w AS rank,
+        |    coalesce(CAST(sum(tokens) OVER (ORDER BY quality_milli DESC,
+        |      source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_before
+        |  FROM q CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY quality_milli DESC, source))
+        |SELECT CAST(rank AS BIGINT) AS rank, source,
+        |  CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(quality_milli AS BIGINT) AS quality_milli,
+        |  CAST(CASE WHEN cum_before + tokens <= total_tokens // 2
+        |         THEN 1000
+        |       WHEN cum_before >= total_tokens // 2 THEN 0
+        |       ELSE (total_tokens // 2 - cum_before) * 1000 // tokens
+        |       END AS BIGINT) AS weight_permille
+        |FROM r
+        |ORDER BY rank""".stripMargin,
+
     "sample_class_weight" ->
       """WITH lc AS (
         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

@@ -368,7 +368,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // llm_bpe_train/apply cross each round's broadcast 1-row
       // best-pair frame against the vocabulary-bounded segmentation
       // (five scalar-gate crosses, one per merge round).
-      "llm_bpe_train", "llm_bpe_apply")
+      "llm_bpe_train", "llm_bpe_apply",
+      // sample_mixture_budget crosses the broadcast 1-row corpus
+      // token total against the source-bounded quality frame.
+      "sample_mixture_budget")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
