@@ -18,7 +18,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
@@ -313,10 +314,33 @@ final class ManifestTable(tableSchema: StructType, path: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters
+        with SupportsPushDownAggregates {
       private val asOf = Option(options.get("asOfVersion")).map(_.toLong)
       private var required: StructType = tableSchema
       private var zoneFilters: Array[sources.Filter] = Array.empty
+      private var countPushed = false
+      // COUNT(*) with no grouping and no filters is answered from the
+      // manifest alone — the row counts are already durable metadata,
+      // so a 100 TB count opens ZERO data files. Anything else
+      // (filters, grouping, other aggregates) declines the pushdown
+      // and takes the normal scan path.
+      private def countOnly(
+          agg: org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation): Boolean =
+        agg.groupByExpressions().isEmpty && zoneFilters.isEmpty &&
+          agg.aggregateExpressions().length == 1 &&
+          agg.aggregateExpressions()(0).isInstanceOf[
+            org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation): Boolean = countOnly(agg)
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation): Boolean = {
+        countPushed = countOnly(agg)
+        countPushed
+      }
       // Catalyst hands down the projected column set; the paged
       // columnar file layout turns this into TRUE skipped bytes (the
       // reader seeks past unreferenced column blocks) — at 100 TB a
@@ -339,7 +363,8 @@ final class ManifestTable(tableSchema: StructType, path: String)
       }
       override def pushedFilters(): Array[sources.Filter] = zoneFilters
       override def build(): Scan =
-        new ManifestScan(tableSchema, required, path, asOf, zoneFilters)
+        if (countPushed) new ManifestCountScan(path, asOf)
+        else new ManifestScan(tableSchema, required, path, asOf, zoneFilters)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -605,6 +630,36 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
 
 final case class ManifestInputPartition(file: String, rows: Long, crc: Long)
     extends InputPartition
+
+/** Complete COUNT(*) pushdown: one partition, one row, computed from
+  * the manifest's durable per-file row counts — no data file is ever
+  * opened. */
+final class ManifestCountScan(path: String, asOfVersion: Option[Long])
+    extends Scan {
+  override def readSchema(): StructType =
+    StructType.fromDDL("count_star BIGINT")
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(ManifestCountPartition(
+        ManifestSink.readAsOf(path, asOfVersion).files.map(_.rows).sum))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(
+            partition: InputPartition): PartitionReader[InternalRow] = {
+          val total = partition.asInstanceOf[ManifestCountPartition].total
+          new PartitionReader[InternalRow] {
+            private var emitted = false
+            override def next(): Boolean =
+              if (emitted) false else { emitted = true; true }
+            override def get(): InternalRow = InternalRow(total)
+            override def close(): Unit = ()
+          }
+        }
+      }
+  }
+}
+
+final case class ManifestCountPartition(total: Long) extends InputPartition
 
 final class ManifestReaderFactory(fullSchemaDdl: String,
     needed: Array[Int]) extends PartitionReaderFactory {

@@ -380,4 +380,25 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(spark.read.format("graft-manifest").load(dir).count()
       === src.count())
   }
+
+  test("COUNT(*) is answered from the manifest alone: zero data files opened") {
+    val dir = scratch("countstar")
+    val src = graft.Tables(spark, sf, "orders")
+    src.write.mode("overwrite").format("graft-manifest").save(dir)
+    val n = src.count()
+    // truncate EVERY data file to nothing — any code path that opens
+    // one fails instantly; a manifest-metadata count does not
+    new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .foreach(f => Files.write(f.toPath, Array.empty[Byte]))
+    assert(spark.read.format("graft-manifest").load(dir).count() === n)
+    // a FILTERED count declines the aggregate pushdown (row counts in
+    // the manifest can't see predicates) and so must now fail on the
+    // truncated files — proving the unfiltered path really was
+    // metadata-only, not a lucky read
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir)
+        .filter(col("o_orderkey") >= 0).count()
+    }
+  }
 }
