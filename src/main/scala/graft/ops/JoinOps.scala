@@ -580,6 +580,51 @@ object JoinOps extends OpPack {
             .as("delta_adj_milli"))
     }),
 
+    // Difference-in-differences (the panel-data causal readout
+    // rounding out the A/B family: lift → CUPED → DiD): each user's
+    // event stream splits into a pre period (first half by event
+    // order) and a post period; DiD = (ȳ[1,post]−ȳ[1,pre]) −
+    // (ȳ[0,post]−ȳ[0,pre]) over the four cell means, cleared to the
+    // common denominator by cross-multiplication — exact integers,
+    // any empty cell declares NULL. One per-user window (partitioned,
+    // no global sort) + one 4-cell rollup: a single user_id shuffle
+    // at 100 TB.
+    "composite_ab_did" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .withColumn("period",
+          when(col("rn") <= expr("cnt div 2"), lit(0L)).otherwise(lit(1L)))
+        .withColumn("arm", expr("CAST(user_id % 2 AS BIGINT)"))
+      val cells = ev.groupBy(col("arm"), col("period"), col("user_id"))
+        .agg(sum(col("cents")).as("y"))
+        .groupBy(col("arm"), col("period"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("yy"))
+      cells.agg(
+          sum(when(col("arm") === 0 && col("period") === 0, col("n"))).as("n00"),
+          sum(when(col("arm") === 0 && col("period") === 1, col("n"))).as("n01"),
+          sum(when(col("arm") === 1 && col("period") === 0, col("n"))).as("n10"),
+          sum(when(col("arm") === 1 && col("period") === 1, col("n"))).as("n11"),
+          sum(when(col("arm") === 0 && col("period") === 0, col("yy"))).as("y00"),
+          sum(when(col("arm") === 0 && col("period") === 1, col("yy"))).as("y01"),
+          sum(when(col("arm") === 1 && col("period") === 0, col("yy"))).as("y10"),
+          sum(when(col("arm") === 1 && col("period") === 1, col("yy"))).as("y11"))
+        .select(col("n00"), col("n01"), col("n10"), col("n11"),
+          expr("CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 " +
+            "THEN CAST(((CAST(y11 AS DECIMAL(38,0)) * n10 - " +
+            "CAST(y10 AS DECIMAL(38,0)) * n11) * n00 * n01 - " +
+            "(CAST(y01 AS DECIMAL(38,0)) * n00 - " +
+            "CAST(y00 AS DECIMAL(38,0)) * n01) * n10 * n11) * 1000 div " +
+            "(CAST(n11 AS DECIMAL(38,0)) * n10 * n01 * n00) AS BIGINT) " +
+            "END").as("did_milli"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov D between the A/B arms' purchase-
     // value DISTRIBUTIONS (the drift test composite_ab_lift's mean
     // comparison can't see): D = max |F0 − F1| over the binned value
@@ -1145,6 +1190,46 @@ object JoinOps extends OpPack {
         |     * (n0 + n1 - x0 - x1)) END
         |    AS BIGINT) AS z2_milli
         |FROM s""".stripMargin,
+
+    "composite_ab_did" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT user_id, arm,
+        |    CASE WHEN rn <= cnt // 2 THEN 0 ELSE 1 END AS period,
+        |    cents
+        |  FROM ev),
+        |peru AS (
+        |  SELECT arm, period, user_id, CAST(sum(cents) AS BIGINT) AS y
+        |  FROM p GROUP BY arm, period, user_id),
+        |cells AS (
+        |  SELECT arm, period, count(*) AS n, CAST(sum(y) AS BIGINT) AS yy
+        |  FROM peru GROUP BY arm, period),
+        |g AS (
+        |  SELECT
+        |    sum(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n00,
+        |    sum(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n01,
+        |    sum(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n10,
+        |    sum(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n11,
+        |    sum(CASE WHEN arm = 0 AND period = 0 THEN yy END) AS y00,
+        |    sum(CASE WHEN arm = 0 AND period = 1 THEN yy END) AS y01,
+        |    sum(CASE WHEN arm = 1 AND period = 0 THEN yy END) AS y10,
+        |    sum(CASE WHEN arm = 1 AND period = 1 THEN yy END) AS y11
+        |  FROM cells)
+        |SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+        |    CAST(((CAST(y11 AS HUGEINT) * n10 - CAST(y10 AS HUGEINT)
+        |      * n11) * n00 * n01 - (CAST(y01 AS HUGEINT) * n00 -
+        |      CAST(y00 AS HUGEINT) * n01) * n10 * n11) * 1000 //
+        |      (CAST(n11 AS HUGEINT) * n10 * n01 * n00) AS BIGINT) END
+        |    AS did_milli
+        |FROM g""".stripMargin,
 
     "composite_ab_cuped" ->
       """WITH per AS (

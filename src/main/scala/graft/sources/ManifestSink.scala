@@ -17,9 +17,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
@@ -612,8 +612,29 @@ final class ManifestDataWriter(schema: StructType, path: String,
 
 final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     path: String, asOfVersion: Option[Long] = None,
-    zoneFilters: Array[sources.Filter] = Array.empty) extends Scan {
+    zoneFilters: Array[sources.Filter] = Array.empty)
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = prunedSchema
+
+  /** CBO feed: row count from the manifest (durable, exact after
+    * zone-map pruning of whole files) and on-disk bytes scaled by the
+    * column-pruning fraction — what lets Catalyst choose a broadcast
+    * join against a small manifest table without scanning it. */
+  override def estimateStatistics(): Statistics = {
+    val entries = ManifestSink.readAsOf(path, asOfVersion).files
+      .filter(e => zoneFilters.forall(f => ManifestSink.mayMatch(e.stats, f)))
+    val rows = entries.map(_.rows).sum
+    val bytes = entries.map(e =>
+      new File(s"$path/${e.name}").length()).sum
+    val frac = math.max(1, prunedSchema.length).toDouble /
+      math.max(1, fullSchema.length)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, (bytes * frac).toLong))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       ManifestSink.readAsOf(path, asOfVersion).files

@@ -381,6 +381,31 @@ class ManifestSinkSpec extends AnyFunSuite {
       === src.count())
   }
 
+  test("scan reports manifest statistics to the CBO: exact rows, pruning-scaled bytes") {
+    val dir = scratch("stats")
+    val src = graft.Tables(spark, sf, "customer")
+    src.write.mode("overwrite").format("graft-manifest").save(dir)
+    val full = spark.read.format("graft-manifest").load(dir)
+    val scans = full.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val st = scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    assert(st.numRows().getAsLong === src.count())
+    assert(st.sizeInBytes().getAsLong > 0)
+    // a pruned scan reports proportionally smaller bytes — the signal
+    // that lets Catalyst broadcast a narrow projection of a wide table
+    val pruned = spark.read.format("graft-manifest").load(dir)
+      .select("c_custkey")
+    val pst = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsReportStatistics].estimateStatistics()
+    assert(pst.sizeInBytes().getAsLong < st.sizeInBytes().getAsLong)
+    assert(pst.numRows().getAsLong === src.count())
+  }
+
   test("COUNT(*) is answered from the manifest alone: zero data files opened") {
     val dir = scratch("countstar")
     val src = graft.Tables(spark, sf, "orders")
