@@ -495,4 +495,41 @@ class PropertySpec extends AnyFunSuite {
     assert(out === Map("a" -> "2024-03-10", "b" -> "2024-03-10"))
   }
 
+  test("A/B statistics are bounded; the mixture budget is exactly exhausted") {
+    val dir = "/root/testdata/sf0.001"
+    // KS D is a normalized sup-distance: 0 ≤ D ≤ 1000 permille
+    val ks = SparkEntry.queries("composite_ab_ks")(spark, dir)
+      .collect().head
+    val d = ks.getAs[Long]("d_permille")
+    assert(d >= 0L && d <= 1000L, s"KS D out of range: $d")
+    // AUC is a probability: 0 ≤ AUC ≤ 10⁶ ppm
+    val auc = SparkEntry.queries("composite_ab_auc")(spark, dir)
+      .collect().head.getAs[Long]("auc_ppm")
+    assert(auc >= 0L && auc <= 1000000L, s"AUC out of range: $auc")
+    // DiD: all four cells populated on the testdata, estimate defined
+    val did = SparkEntry.queries("composite_ab_did")(spark, dir)
+      .collect().head
+    assert(!did.isNullAt(did.fieldIndex("did_milli")))
+    // mixture: weights in [0, 1000], non-increasing in rank order, and
+    // Σ tokens·weight = 1000·budget EXACTLY (the greedy takes whole
+    // sources then one exact fractional marginal — nothing is lost to
+    // rounding except inside the integer-div marginal itself, which
+    // the audit reconstructs)
+    val mix = SparkEntry.queries("sample_mixture_budget")(spark, dir)
+      .collect()
+    val weights = mix.map(_.getAs[Long]("weight_permille"))
+    assert(weights.forall(w => w >= 0L && w <= 1000L))
+    assert(weights.zip(weights.tail).forall { case (a, b) => a >= b },
+      "greedy weights must be non-increasing in rank")
+    val tokens = mix.map(_.getAs[Long]("tokens"))
+    val total = tokens.sum
+    val budget = total / 2
+    val spent = mix.map(r => r.getAs[Long]("tokens") *
+      r.getAs[Long]("weight_permille")).sum
+    // whole sources contribute tokens·1000; the marginal contributes
+    // (budget − cum)·1000 rounded DOWN by at most (tokens_marginal − 1)
+    assert(spent <= budget * 1000 && spent > budget * 1000 - tokens.max,
+      s"budget exhaustion violated: spent $spent vs budget $budget")
+  }
+
 }
