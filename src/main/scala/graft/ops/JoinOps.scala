@@ -580,6 +580,42 @@ object JoinOps extends OpPack {
             .as("delta_adj_milli"))
     }),
 
+    // Coarsened Exact Matching (Iacus/King/Porro — the matching
+    // estimator that needs NO nearest-neighbor search): users
+    // coarsen into covariate bins (pre-period spend, 10-dollar
+    // cells), bins lacking COMMON SUPPORT (either arm empty) are
+    // dropped — CEM's defining step — and the per-bin treated/control
+    // outcome gap reports in exact milli-cents, every fraction
+    // cleared by cross-multiplication. Pure hash aggregation: one
+    // user_id shuffle + one bounded-bin agg, no global sort and no
+    // pairwise matching at any scale.
+    "composite_ab_cem" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_id") % 2 === 0,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_id") % 2 =!= 0,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm", expr("CAST(user_id % 2 AS BIGINT)"))
+        .withColumn("bin", expr("x div 1000"))
+      per.groupBy(col("bin"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("y0"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("y1"))
+        .filter(col("n0") > 0 && col("n1") > 0)
+        .select(col("bin"), col("n0"), col("n1"),
+          expr("CAST((CAST(y1 AS DECIMAL(38,0)) * n0 - " +
+            "CAST(y0 AS DECIMAL(38,0)) * n1) * 1000 div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")
+            .as("delta_milli"))
+        .orderBy(col("bin"))
+    }),
+
     // Difference-in-differences (the panel-data causal readout
     // rounding out the A/B family: lift → CUPED → DiD): each user's
     // event stream splits into a pre period (first half by event
@@ -1190,6 +1226,29 @@ object JoinOps extends OpPack {
         |     * (n0 + n1 - x0 - x1)) END
         |    AS BIGINT) AS z2_milli
         |FROM s""".stripMargin,
+
+    "composite_ab_cem" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+        |    sum(CASE WHEN event_id % 2 = 0
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_id % 2 <> 0
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT x // 1000 AS bin,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS y0,
+        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS y1
+        |  FROM per GROUP BY bin)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(n1 AS BIGINT) AS n1,
+        |  CAST((CAST(y1 AS HUGEINT) * n0 - CAST(y0 AS HUGEINT) * n1)
+        |    * 1000 // (CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+        |    AS delta_milli
+        |FROM b WHERE n0 > 0 AND n1 > 0
+        |ORDER BY bin""".stripMargin,
 
     "composite_ab_did" ->
       """WITH ev AS (
