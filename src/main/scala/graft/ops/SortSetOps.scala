@@ -54,6 +54,24 @@ object SortSetOps extends OpPack {
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
+    // Top-k WITH TIES (SQL's FETCH FIRST k ROWS WITH TIES): rank()
+    // instead of row_number() keeps every row tied with the k-th —
+    // the report semantics a human expects from "top 3 balances"
+    // when balances repeat. Same WindowGroupLimit pushdown shape as
+    // topk_per_group (per-partition local top-k before the shuffle);
+    // ties only widen the k-th rank's group.
+    "topk_with_ties" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_nationkey"))
+      Tables(s, dir, "customer")
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
+          col("c_nationkey"))
+        .orderBy(col("c_mktsegment"), col("rk"), col("c_custkey"))
+    }),
+
     "set_union_all" -> ((s, dir) => {
       sliceA(s, dir).unionAll(sliceB(s, dir))
         .orderBy(col("o_orderkey"), col("o_totalprice"))
@@ -154,6 +172,16 @@ object SortSetOps extends OpPack {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "topk_with_ties" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_nationkey FROM (
+        |  SELECT c_mktsegment, c_custkey, c_nationkey,
+        |         CAST(rank() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_nationkey DESC) AS BIGINT)
+        |           AS rk
+        |  FROM customer) t
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk, c_custkey""".stripMargin,
 
     "topk_per_group" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (

@@ -86,6 +86,29 @@ object SubqueryOps extends OpPack {
     // LATERAL correlated subquery: per-customer top order. Catalyst
     // decorrelates the LIMIT-bearing lateral into a window top-k join
     // — never a per-row re-scan of orders.
+    // Quantified comparison — SQL's `> ALL (...)`: suppliers whose
+    // balance beats EVERY customer balance in their nation. Spark's
+    // grammar has no ALL, so the engine expresses the universal
+    // quantifier as its canonical decorrelated rewrite — per-nation
+    // max + one comparison (an aggregated join, never per-row
+    // re-execution); the ORACLE evaluates DuckDB's NATIVE `> ALL`
+    // against it, cross-checking the rewrite's semantics including
+    // the vacuous-truth case (nations with no customers keep their
+    // suppliers — the LEFT JOIN's NULL branch).
+    "sub_all" -> ((s, dir) => {
+      reg(s, dir, "supplier", "customer")
+      s.sql("""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier
+        LEFT JOIN (
+          SELECT c_nationkey, max(c_acctbal) AS mx
+          FROM customer WHERE c_acctbal IS NOT NULL
+          GROUP BY c_nationkey) m
+          ON m.c_nationkey = s_nationkey
+        WHERE m.mx IS NULL OR s_acctbal > m.mx
+        ORDER BY s_suppkey""")
+    }),
+
     "sub_lateral" -> ((s, dir) => {
       reg(s, dir, "customer", "orders")
       s.sql("""
@@ -141,6 +164,14 @@ object SubqueryOps extends OpPack {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 550000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "sub_all" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |WHERE s_acctbal > ALL (
+        |  SELECT c_acctbal FROM customer
+        |  WHERE c_nationkey = s_nationkey AND c_acctbal IS NOT NULL)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "sub_lateral" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
