@@ -36,6 +36,54 @@ object StatOps extends OpPack {
   }
 
   def queries: Map[String, Q] = Map(
+    // Two-feature OLS in EXACT integer arithmetic (agg_regression is
+    // the single-feature sibling): per-user features x1 = even-event
+    // spend (whole dollars — dollar granularity keeps the Cramer
+    // determinant inside DECIMAL(38,0) out to ~10⁶ users), x2 =
+    // event count; target z = odd-event spend. Central moments via
+    // cross-multiplication (n·Sab − Sa·Sb — exact, no mean
+    // subtraction), slopes by Cramer's rule on the 2×2 normal
+    // equations: β1 = (Myy·Mxz − Mxy·Myz)/det, det = Mxx·Myy − Mxy².
+    // Singular designs (det = 0) declared NULL. ONE per-user
+    // map-side-combined agg + a 1-row moment rollup.
+    "agg_regression_multi" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_id") % 2 === 0,
+            expr("CAST(round(value) AS BIGINT)")).otherwise(0L)).as("x"),
+          count(lit(1)).as("y"),
+          sum(when(col("event_id") % 2 =!= 0,
+            expr("CAST(round(value) AS BIGINT)")).otherwise(0L)).as("z"))
+      per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * z")).as("sxz"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * z")).as("syz"))
+        .withColumn("mxx", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("myy", expr(
+          "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+        .withColumn("mxy", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("mxz", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxz - CAST(sx AS DECIMAL(38,0)) * sz"))
+        .withColumn("myz", expr(
+          "CAST(n AS DECIMAL(38,0)) * syz - CAST(sy AS DECIMAL(38,0)) * sz"))
+        .withColumn("det", expr("mxx * myy - mxy * mxy"))
+        .select(col("n"),
+          expr("CASE WHEN det <> 0 THEN " +
+            "CAST((myy * mxz - mxy * myz) * 1000 div det AS BIGINT) END")
+            .as("beta1_milli"),
+          expr("CASE WHEN det <> 0 THEN " +
+            "CAST((mxx * myz - mxy * mxz) * 1000 div det AS BIGINT) END")
+            .as("beta2_milli"))
+    }),
+
     // Theil–Sen estimator: the median of all pairwise slopes — the
     // robust trend line (one gross outlier moves OLS arbitrarily,
     // moves the pairwise-slope median not at all). Slopes in integer
@@ -630,6 +678,42 @@ object StatOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_regression_multi" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_id % 2 = 0
+        |        THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS x,
+        |    count(*) AS y,
+        |    sum(CASE WHEN event_id % 2 <> 0
+        |        THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS z
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(z) AS HUGEINT) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM per),
+        |m AS (
+        |  SELECT n,
+        |    n * sxx - sx * sx AS mxx, n * syy - sy * sy AS myy,
+        |    n * sxy - sx * sy AS mxy, n * sxz - sx * sz AS mxz,
+        |    n * syz - sy * sz AS myz
+        |  FROM g),
+        |d AS (SELECT *, mxx * myy - mxy * mxy AS det FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN det <> 0 THEN
+        |    CAST((myy * mxz - mxy * myz) * 1000 // det AS BIGINT) END
+        |    AS beta1_milli,
+        |  CASE WHEN det <> 0 THEN
+        |    CAST((mxx * myz - mxy * mxz) * 1000 // det AS BIGINT) END
+        |    AS beta2_milli
+        |FROM d""".stripMargin,
+
     "agg_skew_kurt" ->
       """WITH li AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
