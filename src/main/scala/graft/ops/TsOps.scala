@@ -444,6 +444,12 @@ object TsOps extends OpPack {
         d => s"unix_date($d)", "orders_sstr"))
     }),
 
+    "ts_forecast_seasonal" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_sfc")
+      s.sql(seasonalForecastSql("div", d => s"unix_date($d)",
+        "events_sfc"))
+    }),
+
     // Single change-point detection (binary segmentation's first
     // split, AMOC): the day k maximizing the CUSUM deviation
     // |n·S_k − k·S_n| of the daily-revenue prefix sums — the point
@@ -596,6 +602,68 @@ object TsOps extends OpPack {
        |    AS strength_permille
        |FROM ss""".stripMargin
 
+  /** Seasonal decomposition forecast as ONE generated SQL text (the
+    * holtSql convention): per event_type, daily cents DESEASONALIZE
+    * by the integer day-of-week profile (dow = epoch-days mod 7 —
+    * engine DOW builtins disagree on week origin; adj = dow-mean −
+    * grand-mean, the additive seasonal index), Brown's double
+    * smoothing runs on the deseasonalized series, and the one-step
+    * forecast re-adds the NEXT day's seasonal index (LEFT JOIN: a
+    * dow never observed forecasts NULL in both engines). Every stage
+    * truncates via integer div identically — bit-exact end-to-end.
+    * Windows ride the calendar-bounded daily frame per type. */
+  private[graft] def seasonalForecastSql(divOp: String,
+      daysFn: String => String, table: String): String = {
+    val (n1, d1) = ewmaTerms("d_fp")
+    val (n2, d2) = ewmaTerms("s1")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+       |  FROM $table GROUP BY event_type, CAST(ts AS DATE)),
+       |dd AS (
+       |  SELECT event_type, day, c, ${daysFn("day")} % 7 AS dow
+       |  FROM daily),
+       |danch AS (
+       |  SELECT event_type, dow, sum(c) $divOp count(*) AS aw
+       |  FROM dd GROUP BY event_type, dow),
+       |ganch AS (
+       |  SELECT event_type, sum(c) $divOp count(*) AS g
+       |  FROM dd GROUP BY event_type),
+       |des AS (
+       |  SELECT dd.event_type, day, c, dd.dow,
+       |    CAST(aw - g AS BIGINT) AS adj,
+       |    CAST(c - (aw - g) AS BIGINT) AS d_fp
+       |  FROM dd
+       |  JOIN danch ON dd.event_type = danch.event_type
+       |    AND dd.dow = danch.dow
+       |  JOIN ganch ON dd.event_type = ganch.event_type),
+       |s1t AS (
+       |  SELECT event_type, day, c, dow, adj, d_fp,
+       |    CAST(($n1) $divOp ($d1) AS BIGINT) AS s1
+       |  FROM des
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |s2t AS (
+       |  SELECT event_type, day, c, dow, adj, d_fp, s1,
+       |    CAST(($n2) $divOp ($d2) AS BIGINT) AS s2
+       |  FROM s1t
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |nxt AS (
+       |  SELECT event_type, day, c, adj, dow,
+       |    3 * s1 - 2 * s2 AS base_fp,
+       |    (dow + 1) % 7 AS ndow
+       |  FROM s2t)
+       |SELECT nxt.event_type, day, CAST(c AS BIGINT) AS cents,
+       |  adj AS season_adj,
+       |  CAST(CASE WHEN na.aw IS NOT NULL
+       |    THEN base_fp + (na.aw - ng.g) END AS BIGINT)
+       |    AS forecast_cents
+       |FROM nxt
+       |LEFT JOIN danch na ON nxt.event_type = na.event_type
+       |  AND nxt.ndow = na.dow
+       |JOIN ganch ng ON nxt.event_type = ng.event_type
+       |ORDER BY nxt.event_type, day""".stripMargin
+  }
+
   /** AMOC change-point as ONE generated SQL text (dual-engine, the
     * holtSql convention — here even the div token is unnecessary, only
     * the wide-integer type differs): daily cent totals → prefix sums →
@@ -637,6 +705,8 @@ object TsOps extends OpPack {
 
   def oracle: Map[String, String] = Map(
     "ts_changepoint" -> changepointSql("HUGEINT", "events"),
+    "ts_forecast_seasonal" -> seasonalForecastSql("//",
+      d => s"datediff('day', DATE '1970-01-01', $d)", "events"),
     "ts_seasonal_strength" -> seasonStrengthSql("HUGEINT", "//",
       d => s"datediff('day', DATE '1970-01-01', $d)", "orders"),
     "ts_holt" -> holtSql("//", "events"),
