@@ -105,8 +105,14 @@ object ManifestSink {
     * filtered scan prunes whole files against — Iceberg's
     * lower_bounds/upper_bounds at single-document scale. */
   final case class ColStat(col: String, min: Long, max: Long)
+
+  /** `schemaDdl = None` means "written with the manifest's current
+    * schema"; `Some` records the file's OWN schema after the table
+    * evolved across appends — the reader resolves columns by NAME per
+    * file and fills missing ones with NULL (the parquet evolution
+    * contract, applied to this format). */
   final case class Entry(name: String, rows: Long, crc: Long,
-      stats: Seq[ColStat] = Nil)
+      stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None)
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
       version: Long = 0L)
 
@@ -210,13 +216,26 @@ object ManifestSink {
         f.getName.matches("_graft_manifest-epoch\\d+\\.json"))
       .sortBy(_.getName).toSeq
 
-  /** Merged table state: union of all manifests' file lists. */
+  /** Merged table state: union of all manifests' file lists. The
+    * BASE manifest's schema defines the table; entries from manifests
+    * written under a different schema are annotated with their own,
+    * so the reader can resolve columns by name per file. */
   def readAll(dir: String): Manifest = {
     val ms = listManifests(dir)
     if (ms.isEmpty) throw new IllegalArgumentException(
       s"graft-manifest: no manifest under $dir — nothing committed")
     val parsed = ms.map(f => readManifestFile(f))
-    Manifest(parsed.head.schemaDdl, parsed.flatMap(_.files))
+    val baseIdx = ms.indexWhere(_.getName == ManifestFile)
+    val mergedSchema =
+      if (baseIdx >= 0) parsed(baseIdx).schemaDdl else parsed.head.schemaDdl
+    val files = parsed.flatMap { m =>
+      m.files.map { e =>
+        if (e.schemaDdl.isEmpty && m.schemaDdl != mergedSchema)
+          e.copy(schemaDdl = Some(m.schemaDdl))
+        else e
+      }
+    }
+    Manifest(mergedSchema, files)
   }
 
   def requirePath(opts: Map[String, String]): String =
@@ -243,6 +262,7 @@ object ManifestSink {
           o.put("col", cs.col); o.put("min", cs.min); o.put("max", cs.max)
         }
       }
+      e.schemaDdl.foreach(d => n.put("schema", d))
     }
     val tmp = new File(dir, s".$fileName.${UUID.randomUUID()}.tmp")
     val out = new FileOutputStream(tmp)
@@ -271,7 +291,8 @@ object ManifestSink {
         }.toSeq
       else Nil
       Entry(n.get("name").asText(), n.get("rows").asLong(),
-        n.get("crc").asLong(), stats)
+        n.get("crc").asLong(), stats,
+        if (n.has("schema")) Some(n.get("schema").asText()) else None)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
     Manifest(root.get("schemaDdl").asText(), files, v)
@@ -460,8 +481,15 @@ final class ManifestBatchWrite(schema: StructType, path: String,
         ManifestSink.archiveManifestFile(p.version), p)
     }
     val version = prior.map(_.version + 1).getOrElse(1L)
-    val files = if (truncateFirst) entries
-      else prior.map(_.files).getOrElse(Seq.empty) ++ entries
+    // schema evolution on append: the NEW write's schema defines the
+    // table; carried-forward files written under the old schema are
+    // annotated with it so readers resolve their columns by name
+    val carried = prior.map(p => p.files.map { e =>
+      if (e.schemaDdl.isEmpty && p.schemaDdl != schema.toDDL)
+        e.copy(schemaDdl = Some(p.schemaDdl))
+      else e
+    }).getOrElse(Seq.empty)
+    val files = if (truncateFirst) entries else carried ++ entries
     if (truncateFirst) {
       // overwrite also retires streaming epoch generations from the
       // CURRENT view (they belong to the replaced table state); their
@@ -636,21 +664,23 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     }
   }
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      ManifestSink.readAsOf(path, asOfVersion).files
+    override def planInputPartitions(): Array[InputPartition] = {
+      val m = ManifestSink.readAsOf(path, asOfVersion)
+      m.files
         .filter(e => zoneFilters.forall(f =>
           ManifestSink.mayMatch(e.stats, f)))
         .map(e =>
-          ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc)
+          ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc,
+            e.schemaDdl.getOrElse(m.schemaDdl))
             .asInstanceOf[InputPartition]).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestReaderFactory(fullSchema.toDDL,
-        prunedSchema.fieldNames.map(fullSchema.fieldIndex))
+      new ManifestReaderFactory(fullSchema.toDDL, prunedSchema.fieldNames)
   }
 }
 
-final case class ManifestInputPartition(file: String, rows: Long, crc: Long)
-    extends InputPartition
+final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
+    fileSchemaDdl: String) extends InputPartition
 
 /** Complete COUNT(*) pushdown: one partition, one row, computed from
   * the manifest's durable per-file row counts — no data file is ever
@@ -682,12 +712,30 @@ final class ManifestCountScan(path: String, asOfVersion: Option[Long])
 
 final case class ManifestCountPartition(total: Long) extends InputPartition
 
-final class ManifestReaderFactory(fullSchemaDdl: String,
-    needed: Array[Int]) extends PartitionReaderFactory {
+final class ManifestReaderFactory(tableSchemaDdl: String,
+    prunedNames: Array[String]) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestInputPartition]
-    new ManifestPartitionReader(p, StructType.fromDDL(fullSchemaDdl), needed)
+    val tableSchema = StructType.fromDDL(tableSchemaDdl)
+    val fileSchema = StructType.fromDDL(p.fileSchemaDdl)
+    // schema evolution: requested columns resolve by NAME per file;
+    // a column the file predates reads as NULL. Type changes are not
+    // evolution — fail loudly rather than reinterpret bytes.
+    val neededIdx = prunedNames.map { nm =>
+      val i = fileSchema.fieldNames.indexOf(nm)
+      if (i >= 0 &&
+          fileSchema.fields(i).dataType != tableSchema(nm).dataType)
+        throw new java.io.IOException(
+          s"graft-manifest: column $nm type changed across appends " +
+            s"(file ${fileSchema.fields(i).dataType.sql} vs table " +
+            s"${tableSchema(nm).dataType.sql}) — type evolution is " +
+            "not supported")
+      i
+    }
+    val outTypes = prunedNames.map(nm =>
+      tableSchema(nm).dataType)
+    new ManifestPartitionReader(p, fileSchema, neededIdx, outTypes)
   }
 }
 
@@ -700,9 +748,13 @@ final class ManifestReaderFactory(fullSchemaDdl: String,
   * parquet gives (corruption in a column you never read is not your
   * failure). A zero-column read (`count()`) touches only page headers. */
 final class ManifestPartitionReader(p: ManifestInputPartition,
-    fullSchema: StructType, needed: Array[Int])
+    fileSchema: StructType, neededFileIdx: Array[Int],
+    outTypes: Array[org.apache.spark.sql.types.DataType])
     extends PartitionReader[InternalRow] {
-  private val pruned = needed.length < fullSchema.length
+  // pruned ⇔ some FILE column goes unread (whole-file CRC can't be
+  // verified); a column missing from the file (idx -1) reads nothing
+  private val pruned =
+    neededFileIdx.count(_ >= 0) < fileSchema.length
   private val fileCrc = new CRC32()
   private val in = new DataInputStream(if (pruned)
     new BufferedInputStream(new FileInputStream(p.file))
@@ -712,13 +764,13 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   // file-column-index → output slot (-1 = skipped); handles a pruned
   // schema whose field order differs from the file's column order
   private val slotOf: Array[Int] = {
-    val m = Array.fill(fullSchema.length)(-1)
-    needed.zipWithIndex.foreach { case (c, j) => m(c) = j }
+    val m = Array.fill(fileSchema.length)(-1)
+    neededFileIdx.zipWithIndex.foreach { case (c, j) =>
+      if (c >= 0) m(c) = j }
     m
   }
-  private val colTypes = needed.map(i => fullSchema(i).dataType)
-  private val oneCol = needed.map(_ => new UnsafeRow(1))
-  private val row = new GenericInternalRow(needed.length)
+  private val oneCol = neededFileIdx.map(_ => new UnsafeRow(1))
+  private val row = new GenericInternalRow(neededFileIdx.length)
   private var blocks: Array[Array[Byte]] = _
   private var offs: Array[Int] = _
   private var pageRows = 0
@@ -738,16 +790,16 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
       false
     } else {
       val nCols = in.readInt()
-      if (nCols != fullSchema.length) throw new java.io.IOException(
+      if (nCols != fileSchema.length) throw new java.io.IOException(
         s"graft-manifest page header corrupt in ${p.file}: " +
-          s"$nCols columns, schema has ${fullSchema.length}")
+          s"$nCols columns, file schema has ${fileSchema.length}")
       val lens = new Array[Int](nCols)
       val crcs = new Array[Long](nCols)
       var c = 0
       while (c < nCols) { lens(c) = in.readInt(); crcs(c) = in.readLong(); c += 1 }
       if (blocks == null) {
-        blocks = new Array[Array[Byte]](needed.length)
-        offs = new Array[Int](needed.length)
+        blocks = new Array[Array[Byte]](neededFileIdx.length)
+        offs = new Array[Int](neededFileIdx.length)
       }
       c = 0
       while (c < nCols) {
@@ -759,7 +811,7 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
           blockCrc.update(b)
           if (blockCrc.getValue != crcs(c)) throw new java.io.IOException(
             s"graft-manifest checksum mismatch in ${p.file}: column " +
-              s"block ${fullSchema(c).name} crc ${blockCrc.getValue}, " +
+              s"block ${fileSchema(c).name} crc ${blockCrc.getValue}, " +
               s"page header says ${crcs(c)}")
           blocks(j) = b
           offs(j) = 0
@@ -781,15 +833,20 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   override def next(): Boolean = {
     if (rowInPage == pageRows) { if (!nextPage()) return false }
     var j = 0
-    while (j < needed.length) {
-      val b = blocks(j)
-      val off = offs(j)
-      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-      oneCol(j).pointTo(b,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off + 4, len)
-      row.update(j, oneCol(j).get(0, colTypes(j)))
-      offs(j) = off + 4 + len
+    while (j < neededFileIdx.length) {
+      if (neededFileIdx(j) < 0) {
+        // column newer than this file: schema evolution reads NULL
+        row.update(j, null)
+      } else {
+        val b = blocks(j)
+        val off = offs(j)
+        val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        oneCol(j).pointTo(b,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off + 4, len)
+        row.update(j, oneCol(j).get(0, outTypes(j)))
+        offs(j) = off + 4 + len
+      }
       j += 1
     }
     rowInPage += 1

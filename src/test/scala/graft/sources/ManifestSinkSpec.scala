@@ -373,6 +373,36 @@ class ManifestSinkSpec extends AnyFunSuite {
       src.select("st.y", "arr").orderBy("y").collect().toSeq)
   }
 
+  test("schema evolution on append: old files read with NULL for the added column") {
+    val dir = scratch("evolve")
+    val base = graft.Tables(spark, sf, "orders")
+    base.select("o_orderkey", "o_orderstatus")
+      .filter(col("o_orderkey") < 100)
+      .write.mode("overwrite").format("graft-manifest").save(dir)   // v1
+    base.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+      .write.mode("append").format("graft-manifest").save(dir)      // v2
+    val back = spark.read.format("graft-manifest").load(dir)
+    // latest write defines the table: 3 columns
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    assert(back.count() === 200)
+    // pre-evolution rows surface NULL for the added column, by name
+    assert(back.filter(col("o_orderkey") < 100)
+      .filter(col("o_totalprice").isNull).count() === 100)
+    assert(back.filter(col("o_orderkey") >= 100)
+      .filter(col("o_totalprice").isNotNull).count() === 100)
+    // non-evolved columns read normally from BOTH generations,
+    // including pruned
+    assert(back.select("o_orderkey").distinct().count() === 200)
+    // time travel still reads v1 in its OWN (2-column) shape
+    val v1 = spark.read.format("graft-manifest")
+      .option("asOfVersion", "1").load(dir)
+    assert(v1.schema.fieldNames.toSeq === Seq("o_orderkey", "o_orderstatus"))
+    assert(v1.count() === 100)
+  }
+
   test("zero-column read (count) touches only page headers and stays exact") {
     val dir = scratch("count")
     val src = graft.Tables(spark, sf, "orders")
