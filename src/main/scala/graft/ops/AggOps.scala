@@ -268,6 +268,34 @@ object AggOps extends OpPack {
     // via yyyy-MM-dd, money via cents — raw double/timestamp casts
     // render differently across engines). n_rows rides each leg's
     // count(*) — no extra pass.
+    // Join fan-out pre-flight (the "will this join explode" check a
+    // query doctor runs BEFORE shuffling 100 TB — diag_skew_report
+    // profiles one table's key distribution; this PREDICTS the
+    // self-join's output size from it): per-key counts c on the join
+    // key, estimated pair output Σc² (exact — what
+    // lineitem⋈lineitem ON l_partkey would emit), amplification in
+    // milli (Σc²·1000 div Σc = expected fan-out per probe row), and
+    // the hottest key with max-count/min-key tie-break via the packed
+    // max_by both engines compute identically. One hash agg + a
+    // 1-row rollup; squared counts ride DECIMAL(38,0)/HUGEINT.
+    "diag_join_fanout" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ep"),
+          max(col("c")).as("hot_cnt"),
+          max_by(col("l_partkey"),
+            expr("c * 10000000000L + (9999999999L - l_partkey)"))
+            .as("hot_key"))
+        .select(col("n_keys"), col("n_rows"),
+          expr("CAST(ep AS BIGINT)").as("est_pairs"),
+          expr("CAST(ep * 1000 div n_rows AS BIGINT)")
+            .as("amplification_milli"),
+          col("hot_key"), col("hot_cnt"))
+    }),
+
     // Class-balance diagnostic per corpus source (the label-skew
     // report a training-data curator reads before sampling weights):
     // per source, the majority language + its share in ppm, and the
@@ -922,6 +950,19 @@ object AggOps extends OpPack {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "diag_join_fanout" ->
+      """WITH k AS (
+        |  SELECT l_partkey, count(*) AS c
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS est_pairs,
+        |  CAST(sum(CAST(c AS HUGEINT) * c) * 1000 //
+        |    CAST(sum(c) AS HUGEINT) AS BIGINT) AS amplification_milli,
+        |  arg_max(l_partkey,
+        |    c * 10000000000 + (9999999999 - l_partkey)) AS hot_key,
+        |  max(c) AS hot_cnt
+        |FROM k""".stripMargin,
 
     "diag_class_balance" ->
       """WITH c AS (
