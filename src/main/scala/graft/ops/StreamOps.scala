@@ -88,6 +88,27 @@ object StreamOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Per-window leaderboard — the batch-equivalent form of the
+    // pinned streaming top-k maintenance (StreamingSemanticsSpec
+    // "streaming top-k maintenance: per-micro-batch local top-k"):
+    // hourly windows, top-3 event types by count, deterministic
+    // (count DESC, type ASC) tie-break. The window agg is map-side
+    // combined; the rank window partitions per hour so the top-k
+    // never needs a global sort.
+    "stream_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("win_start"))
+        .orderBy(desc("n"), asc("event_type"))
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("win_start"), col("rk"))
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       // Exactly-once projection of an at-least-once feed: re-deliver
       // every 10th event, then dropDuplicates on the event key (the
@@ -156,6 +177,19 @@ object StreamOps extends OpPack {
         |  AND p.p_sec >= c.c_sec AND p.p_sec < c.c_sec + 3600
         |GROUP BY c.user_id
         |ORDER BY c.user_id""".stripMargin,
+
+    "stream_window_topk" ->
+      """SELECT win_start, event_type, n, rk FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |      AS win_start,
+        |    event_type, count(*) AS n,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY date_trunc('hour', ts)
+        |      ORDER BY count(*) DESC, event_type) AS BIGINT) AS rk
+        |  FROM events
+        |  GROUP BY date_trunc('hour', ts), event_type) t
+        |WHERE rk <= 3
+        |ORDER BY win_start, rk""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM (
