@@ -695,6 +695,38 @@ object DedupOps extends OpPack {
     // cluster survives, unclustered docs survive — per language. Rides
     // the same persisted pair graph + CC labels as the cluster
     // queries, so the marginal cost is one groupBy.
+    // URL canonicalization dedup — the CommonCrawl pipeline stage
+    // that runs BEFORE any content hashing (most crawl dups are the
+    // same page behind tracking params / scheme / www variants):
+    // data-derived URLs (the join_fuzzy probe-model convention) are
+    // canonicalized by stripping scheme and www and dropping utm_*
+    // tracking params while KEEPING meaningful ones, then exact-
+    // grouped. Entirely narrow per-row string expressions + ONE hash
+    // agg on the canonical key — scan-speed at any crawl size.
+    "llm_dedup_url" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit(".example.com/p/"), (col("doc_id") % 40).cast("string"),
+          lit("?id="), (col("doc_id") % 40).cast("string"),
+          lit("&utm_source=feed&utm_campaign=c"),
+          col("doc_id").cast("string")))
+        .withColumn("u", regexp_replace(
+          regexp_replace(col("url"), "^https?://", ""), "^www\\.", ""))
+        .withColumn("path",
+          expr("try_element_at(split(u, '\\\\?'), 1)"))
+        .withColumn("q",
+          expr("coalesce(try_element_at(split(u, '\\\\?'), 2), '')"))
+        .withColumn("kept", expr(
+          "array_join(filter(split(q, '&'), " +
+            "t -> NOT startswith(t, 'utm_')), '&')"))
+        .withColumn("canonical", expr(
+          "CASE WHEN kept = '' THEN path " +
+            "ELSE concat(path, '?', kept) END"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("canonical"))
+    }),
+
     "llm_dedup_keep" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -880,6 +912,34 @@ object DedupOps extends OpPack {
       |JOIN sz sb ON doc_b = sb.doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_dedup_url" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com/p/' ||
+        |    CAST(doc_id % 40 AS VARCHAR) || '?id=' ||
+        |    CAST(doc_id % 40 AS VARCHAR) ||
+        |    '&utm_source=feed&utm_campaign=c' ||
+        |    CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, regexp_replace(
+        |    regexp_replace(url, '^https?://', ''), '^www\.', '') AS u
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, string_split(u, '?')[1] AS path,
+        |    coalesce(string_split(u, '?')[2], '') AS q
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, path,
+        |    array_to_string(list_filter(string_split(q, '&'),
+        |      t -> NOT starts_with(t, 'utm_')), '&') AS kept
+        |  FROM p)
+        |SELECT CASE WHEN kept = '' THEN path
+        |  ELSE path || '?' || kept END AS canonical,
+        |  count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM k GROUP BY 1
+        |ORDER BY canonical""".stripMargin,
+
     "llm_novelty" ->
       """WITH t AS (
         |  SELECT doc_id,
