@@ -131,6 +131,41 @@ object LlmOps extends OpPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Preference-pair construction — RLHF/DPO data prep: within each
+    // prompt group (source × doc_id mod 25, the probe-model grouping
+    // convention), pair the highest-quality candidate (chosen)
+    // against the lowest (rejected) by the deterministic lexical-
+    // diversity metric (distinct words per 1000 tokens, integer);
+    // ties break on doc_id through the packed arg-max/arg-min both
+    // engines compute identically; singleton groups (nothing to
+    // pair) drop. ONE (doc, word) agg + one group rollup — a single
+    // shuffle spine at corpus scale.
+    "llm_pref_pairs" -> ((s, dir) => {
+      val q = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("toks"),
+          countDistinct(col("w")).as("nd"))
+        .withColumn("quality", expr("nd * 1000 div toks"))
+        .withColumn("pgroup", expr("doc_id % 25"))
+      q.groupBy(col("source"), col("pgroup"))
+        .agg(count(lit(1)).as("n_cands"),
+          max_by(col("doc_id"),
+            expr("quality * 10000000000L + (9999999999L - doc_id)"))
+            .as("chosen_id"),
+          min_by(col("doc_id"),
+            expr("quality * 10000000000L + doc_id")).as("rejected_id"),
+          max(col("quality")).as("q_max"),
+          min(col("quality")).as("q_min"))
+        .filter(col("n_cands") >= 2)
+        .select(col("source"), col("pgroup"), col("n_cands"),
+          col("chosen_id"), col("rejected_id"),
+          expr("q_max - q_min").as("margin_milli"))
+        .orderBy(col("source"), col("pgroup"))
+    }),
+
     "llm_text_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")))
@@ -469,6 +504,26 @@ object LlmOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_pref_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE w <> ''),
+        |q AS (
+        |  SELECT doc_id, source, count(*) AS toks,
+        |    count(DISTINCT w) AS nd,
+        |    count(DISTINCT w) * 1000 // count(*) AS quality,
+        |    doc_id % 25 AS pgroup
+        |  FROM t2 GROUP BY doc_id, source)
+        |SELECT source, pgroup, count(*) AS n_cands,
+        |  arg_max(doc_id,
+        |    quality * 10000000000 + (9999999999 - doc_id)) AS chosen_id,
+        |  arg_min(doc_id, quality * 10000000000 + doc_id) AS rejected_id,
+        |  CAST(max(quality) - min(quality) AS BIGINT) AS margin_milli
+        |FROM q GROUP BY source, pgroup
+        |HAVING count(*) >= 2
+        |ORDER BY source, pgroup""".stripMargin,
+
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents
