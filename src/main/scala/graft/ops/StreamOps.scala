@@ -88,6 +88,30 @@ object StreamOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // DYNAMIC-gap session windows (Spark's per-event gap expression —
+    // a purchase keeps its session alive for an hour, anything else
+    // 30 minutes; the adaptive-timeout sessionization real funnels
+    // use): a session's end is the running MAX of (event ts + that
+    // event's own gap), and the oracle reproduces exactly that with a
+    // cumulative-max window + strict-inequality break (the
+    // stream_session boundary doctrine: an event AT the end still
+    // merges). Second-floored timestamps keep the comparison
+    // integer-exact in both engines.
+    "stream_session_dynamic" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("tsec", timestamp_seconds(unix_timestamp(col("ts"))))
+        .groupBy(col("user_id"), session_window(col("tsec"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")).as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events"), col("first_event"), col("last_event"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Per-window leaderboard — the batch-equivalent form of the
     // pinned streaming top-k maintenance (StreamingSemanticsSpec
     // "streaming top-k maintenance: per-micro-batch local top-k"):
@@ -177,6 +201,36 @@ object StreamOps extends OpPack {
         |  AND p.p_sec >= c.c_sec AND p.p_sec < c.c_sec + 3600
         |GROUP BY c.user_id
         |ORDER BY c.user_id""".stripMargin,
+
+    "stream_session_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+        |    CASE WHEN event_type = 'purchase' THEN 3600
+        |      ELSE 1800 END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tsec, gap,
+        |    max(tsec + gap) OVER (PARTITION BY user_id
+        |      ORDER BY tsec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS cummax
+        |  FROM e),
+        |b AS (
+        |  SELECT *, CASE WHEN cummax IS NULL OR tsec > cummax
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |sid AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tsec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS sid
+        |  FROM b)
+        |SELECT user_id, min(tsec) AS session_start,
+        |  count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM sid GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "stream_window_topk" ->
       """SELECT win_start, event_type, n, rk FROM (
