@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, FreqItemsAgg, KllDoublesAgg, MinHashSignature, ThetaSketchAgg}
+import graft.functions.{DotProduct, FreqItemsAgg, KllDoublesAgg, L2DistanceSq, MinHashSignature, ThetaSketchAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"dot_product takes exactly 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("l2_distance_sq"),
+      new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_distance_sq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"l2_distance_sq takes exactly 2 arguments, got ${children.size}")
+        L2DistanceSq(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -99,8 +99,95 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Native codegen'd SQUARED Euclidean distance over two
+  * `array<float|double>` columns — the other half of the vector-
+  * similarity surface (cosine ranks by angle, L2 by magnitude-aware
+  * distance; IVF literature uses both). Squared deliberately: the
+  * sqrt is monotone, so rankings are identical without it, and the
+  * sum of squared diffs stays a single left-to-right double
+  * accumulation — the same evaluation-order discipline as
+  * [[DotProduct]]. Same null semantics: null side ⇒ null, ragged
+  * lengths ⇒ null, never a silent partial distance. */
+case class L2DistanceSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case other           => other
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if Seq(a, b).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val lf = elem(left) == FloatType
+    val rf = elem(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val a = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val b = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = a - b
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elem(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elem(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $d =
+         |      (double) $x.$lGet($i) - (double) $y.$rGet($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistanceSq =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "l2_distance_sq"
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
+
+  /** `Σ (a(i)−b(i))²` in double precision (native, codegen'd). */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(L2DistanceSq(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 
   /** `Σ a(i)·b(i)` in double precision (native, codegen'd). */
   def dotProduct(a: Column, b: Column): Column =

@@ -166,6 +166,31 @@ object LlmOps extends OpPack {
         .orderBy(col("source"), col("pgroup"))
     }),
 
+    // L2 nearest neighbors — the metric half llm_sim_cosine doesn't
+    // cover (cosine ranks by angle; L2 is magnitude-aware, the
+    // IVF-flat default): same broadcast-probe + TakeOrderedAndProject
+    // shape, distances through the native codegen'd `l2_distance_sq`
+    // expression (sqrt omitted — monotone, rankings identical, and
+    // the squared sum stays one left-to-right double accumulation
+    // matching DuckDB's evaluation order). Rank-only output (floats
+    // never escape).
+    "llm_sim_l2" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val top = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("dist", graft.functions.VectorFunctions
+          .l2DistanceSq(col("embedding"), col("probe_emb")))
+        .orderBy(asc("dist"), asc("vec_id"))
+        .limit(10)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(asc("dist"), asc("vec_id"))))
+        .select(col("rank"), col("vec_id"))
+        .orderBy(col("rank"))
+    }),
+
     "llm_text_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")))
@@ -564,6 +589,18 @@ object LlmOps extends OpPack {
          |FROM documents
          |GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
+
+    "llm_sim_l2" ->
+      """SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC)
+        |    AS INT) AS rank, vec_id
+        |FROM (
+        |  SELECT e.vec_id,
+        |    list_distance(e.embedding, p.embedding) AS dist
+        |  FROM embeddings e, (SELECT embedding FROM embeddings
+        |                      WHERE vec_id = 0) p
+        |  WHERE e.vec_id <> 0)
+        |QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     "llm_sim_cosine" ->
       """SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)

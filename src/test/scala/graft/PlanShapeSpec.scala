@@ -371,7 +371,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "llm_bpe_train", "llm_bpe_apply",
       // sample_mixture_budget crosses the broadcast 1-row corpus
       // token total against the source-bounded quality frame.
-      "sample_mixture_budget")
+      "sample_mixture_budget",
+      // llm_sim_l2 crosses the broadcast 1-row probe vector (the
+      // llm_sim_cosine shape).
+      "llm_sim_l2")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
