@@ -580,6 +580,12 @@ final class ManifestDataWriter(schema: StructType, path: String,
   private val statMin = Array.fill(schema.length)(Long.MaxValue)
   private val statMax = Array.fill(schema.length)(Long.MinValue)
   private val statSeen = Array.fill(schema.length)(false)
+  // per-PAGE zone maps (reset at every flush): the row-group-skip
+  // granularity — a filtered reader seeks past whole pages these
+  // bounds prove empty
+  private val pageMin = Array.fill(schema.length)(Long.MaxValue)
+  private val pageMax = Array.fill(schema.length)(Long.MinValue)
+  private val pageSeen = Array.fill(schema.length)(false)
   private var pageRows = 0
   private var rows = 0L
 
@@ -595,6 +601,9 @@ final class ManifestDataWriter(schema: StructType, path: String,
         if (v < statMin(i)) statMin(i) = v
         if (v > statMax(i)) statMax(i) = v
         statSeen(i) = true
+        if (v < pageMin(i)) pageMin(i) = v
+        if (v > pageMax(i)) pageMax(i) = v
+        pageSeen(i) = true
       }
       i += 1
     }
@@ -614,11 +623,27 @@ final class ManifestDataWriter(schema: StructType, path: String,
       out.writeLong(colCrcs(i).getValue)
       i += 1
     }
+    // page zone-map section: (colIdx, min, max) for every integral
+    // column that saw a non-null value in THIS page
+    val nStats = pageSeen.count(identity)
+    out.writeInt(nStats)
+    i = 0
+    while (i < colBufs.length) {
+      if (pageSeen(i)) {
+        out.writeInt(i)
+        out.writeLong(pageMin(i))
+        out.writeLong(pageMax(i))
+      }
+      i += 1
+    }
     i = 0
     while (i < colBufs.length) {
       colBufs(i).writeTo(out)
       colBufs(i).reset()
       colCrcs(i).reset()
+      pageMin(i) = Long.MaxValue
+      pageMax(i) = Long.MinValue
+      pageSeen(i) = false
       i += 1
     }
     pageRows = 0
@@ -675,7 +700,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
             .asInstanceOf[InputPartition]).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestReaderFactory(fullSchema.toDDL, prunedSchema.fieldNames)
+      new ManifestReaderFactory(fullSchema.toDDL, prunedSchema.fieldNames,
+        zoneFilters)
   }
 }
 
@@ -713,7 +739,9 @@ final class ManifestCountScan(path: String, asOfVersion: Option[Long])
 final case class ManifestCountPartition(total: Long) extends InputPartition
 
 final class ManifestReaderFactory(tableSchemaDdl: String,
-    prunedNames: Array[String]) extends PartitionReaderFactory {
+    prunedNames: Array[String],
+    zoneFilters: Array[sources.Filter] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestInputPartition]
@@ -735,7 +763,8 @@ final class ManifestReaderFactory(tableSchemaDdl: String,
     }
     val outTypes = prunedNames.map(nm =>
       tableSchema(nm).dataType)
-    new ManifestPartitionReader(p, fileSchema, neededIdx, outTypes)
+    new ManifestPartitionReader(p, fileSchema, neededIdx, outTypes,
+      zoneFilters)
   }
 }
 
@@ -749,12 +778,16 @@ final class ManifestReaderFactory(tableSchemaDdl: String,
   * failure). A zero-column read (`count()`) touches only page headers. */
 final class ManifestPartitionReader(p: ManifestInputPartition,
     fileSchema: StructType, neededFileIdx: Array[Int],
-    outTypes: Array[org.apache.spark.sql.types.DataType])
+    outTypes: Array[org.apache.spark.sql.types.DataType],
+    zoneFilters: Array[sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
-  // pruned ⇔ some FILE column goes unread (whole-file CRC can't be
-  // verified); a column missing from the file (idx -1) reads nothing
+  // pruned ⇔ some FILE column goes unread, or page-level zone maps
+  // may skip whole pages (either way the whole-file CRC can't be
+  // verified; per-block CRCs still cover everything read); a column
+  // missing from the file (idx -1) reads nothing
   private val pruned =
-    neededFileIdx.count(_ >= 0) < fileSchema.length
+    neededFileIdx.count(_ >= 0) < fileSchema.length ||
+      zoneFilters.nonEmpty
   private val fileCrc = new CRC32()
   private val in = new DataInputStream(if (pruned)
     new BufferedInputStream(new FileInputStream(p.file))
@@ -777,7 +810,11 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   private var rowInPage = 0
   private var seen = 0L
 
-  /** Reads the next page header + needed blocks; false at EOF. */
+  /** Reads the next page header + needed blocks; false at EOF.
+    * Pages whose zone maps prove the pushed filters can't match are
+    * SKIPPED whole — header read, every block seeked past, rows
+    * counted but never decoded (the parquet row-group-skip shape). */
+  @annotation.tailrec
   private def nextPage(): Boolean = {
     val nRows = try in.readInt() catch {
       case _: java.io.EOFException => -1 }
@@ -797,6 +834,33 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
       val crcs = new Array[Long](nCols)
       var c = 0
       while (c < nCols) { lens(c) = in.readInt(); crcs(c) = in.readLong(); c += 1 }
+      // page zone-map section
+      val nStats = in.readInt()
+      var pageStats: List[ManifestSink.ColStat] = Nil
+      var st = 0
+      while (st < nStats) {
+        val idx = in.readInt()
+        val mn = in.readLong()
+        val mx = in.readLong()
+        pageStats = ManifestSink.ColStat(fileSchema(idx).name, mn, mx) ::
+          pageStats
+        st += 1
+      }
+      val skipPage = zoneFilters.nonEmpty &&
+        !zoneFilters.forall(f => ManifestSink.mayMatch(pageStats, f))
+      if (skipPage) {
+        var c2 = 0
+        while (c2 < nCols) {
+          var toSkip = lens(c2).toLong
+          while (toSkip > 0) {
+            val sk = in.skip(toSkip)
+            if (sk <= 0) { in.readByte(); toSkip -= 1 } else toSkip -= sk
+          }
+          c2 += 1
+        }
+        seen += nRows
+        nextPage()
+      } else {
       if (blocks == null) {
         blocks = new Array[Array[Byte]](neededFileIdx.length)
         offs = new Array[Int](neededFileIdx.length)
@@ -827,6 +891,7 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
       pageRows = nRows
       rowInPage = 0
       true
+      }
     }
   }
 
