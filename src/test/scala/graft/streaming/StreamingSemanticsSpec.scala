@@ -583,6 +583,63 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       "zh" -> (1L, 4L)))
   }
 
+  test("streaming survival-curve maintenance: merged per-user lifespan " +
+      "partials equal the batch curve") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The streaming form of composite_survival: the curve needs each
+    // user's (first, last) event day — min/max partials are mergeable
+    // across micro-batches (min of mins, max of maxs — the
+    // cdc_incremental_agg contract), so the sink keeps ONE row per
+    // user and the curve recomputed from merged state equals the
+    // batch operator over the union, however arrivals were batched.
+    val input = MemoryStream[(Long, Long)] // (user_id, day)
+    val state = scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    val q = input.toDF().toDF("user_id", "day")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.groupBy(col("user_id"))
+          .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .collect()
+          .foreach { r =>
+            val u = r.getAs[Long]("user_id")
+            val (mn0, mx0) = state.getOrElse(u,
+              (Long.MaxValue, Long.MinValue))
+            state(u) = (math.min(mn0, r.getAs[Long]("mn")),
+              math.max(mx0, r.getAs[Long]("mx")))
+          }
+        ()
+      }
+      .start()
+    // user 1 spans 30 days ACROSS batches (0 then 30); user 2 spans 10
+    // within one batch; user 3 is a single-day user
+    input.addData((1L, 0L), (2L, 5L), (3L, 8L))
+    q.processAllAvailable()
+    input.addData((1L, 30L), (2L, 15L))
+    q.processAllAvailable()
+    q.stop()
+    // curve from merged state
+    val life = state.toSeq.map { case (u, (mn, mx)) => (u, mx - mn) }
+    val curve = Seq(0L, 7L, 14L, 21L, 28L).map(d =>
+      d -> life.count(_._2 >= d).toLong).toMap
+    // batch reference over the union of all arrivals
+    val all = Seq((1L, 0L), (2L, 5L), (3L, 8L), (1L, 30L), (2L, 15L))
+      .toDF("user_id", "day")
+    val ref = all.groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("life"))
+      .select(explode(expr("array(0, 7, 14, 21, 28)")).as("d"),
+        col("life"))
+      .filter(col("life") >= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("d").toLong ->
+        r.getAs[Long]("n")).toMap
+    assert(curve.filter(_._2 > 0) === ref)
+    // the numbers themselves: users 1,2,3 alive at 0; 1,2 at 7; 1 at
+    // 14/21/28
+    assert(curve === Map(0L -> 3L, 7L -> 2L, 14L -> 1L, 21L -> 1L,
+      28L -> 1L))
+  }
+
   test("streaming theta-sketch maintenance: merged micro-batch partials " +
       "equal the batch answer") {
     import spark.implicits._
