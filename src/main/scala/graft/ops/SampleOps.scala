@@ -359,6 +359,43 @@ object SampleOps extends OpPack {
         .orderBy(col("rank"))
     }),
 
+    // TIME-based train/test split + leakage audit (sample_split is
+    // the random sibling; temporal models must split on time or they
+    // train on the future): cutoff = the 80th-percentile event day
+    // (percentile_disc — an actual observed day, broadcast 1-row),
+    // train = days ≤ cutoff. The audit row counts users appearing in
+    // BOTH splits — for user-level models that overlap IS the
+    // leakage a random split silently accepts and a time split makes
+    // visible. One scan + two hash aggs; the cutoff is allowlisted
+    // scalar-gate broadcast.
+    "sample_time_split" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(ts AS DATE)").as("day"),
+          expr("unix_date(CAST(ts AS DATE))").as("dayn"))
+      // Spark's percentile_disc rejects DATE — rank over days-since-
+      // epoch (the ts_seasonal_strength dow token), same observed-day
+      // cutoff in both engines
+      val cut = e.agg(expr(
+        "percentile_disc(0.8) WITHIN GROUP (ORDER BY dayn)").as("cutoff"))
+      val tagged = e.crossJoin(broadcast(cut))
+        .withColumn("split",
+          when(col("dayn") <= col("cutoff"), "train").otherwise("test"))
+      val splits = tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      val leak = tagged.groupBy(col("user_id"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") === 2)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("leak_users_in_both").as("split"),
+          lit(null).cast("long").as("n_events"), col("n_users"),
+          lit(null).cast("date").as("min_day"),
+          lit(null).cast("date").as("max_day"))
+      splits.unionByName(leak).orderBy(col("split"))
+    }),
+
     "sample_mix_epochs" -> ((s, dir) => {
       val budget = 100000L
       val w = Window.partitionBy(lit(1))
@@ -441,6 +478,34 @@ object SampleOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_time_split" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS DATE) AS day,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn
+        |  FROM events),
+        |cut AS (
+        |  SELECT quantile_disc(dayn, 0.8) AS cutoff FROM e),
+        |tagged AS (
+        |  SELECT user_id, event_id, day,
+        |    CASE WHEN dayn <= cutoff THEN 'train' ELSE 'test' END AS split
+        |  FROM e CROSS JOIN cut),
+        |splits AS (
+        |  SELECT split, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users,
+        |    min(day) AS min_day, max(day) AS max_day
+        |  FROM tagged GROUP BY split),
+        |leak AS (
+        |  SELECT 'leak_users_in_both' AS split,
+        |    CAST(NULL AS BIGINT) AS n_events,
+        |    count(*) AS n_users,
+        |    CAST(NULL AS DATE) AS min_day, CAST(NULL AS DATE) AS max_day
+        |  FROM (SELECT user_id FROM tagged
+        |        GROUP BY user_id HAVING count(DISTINCT split) = 2) u)
+        |SELECT split, n_events, n_users, min_day, max_day FROM splits
+        |UNION ALL
+        |SELECT split, n_events, n_users, min_day, max_day FROM leak
+        |ORDER BY split""".stripMargin,
+
     "sample_mixture_budget" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS w

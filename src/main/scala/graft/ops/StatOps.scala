@@ -84,6 +84,58 @@ object StatOps extends OpPack {
             .as("beta2_milli"))
     }),
 
+    // Pairwise correlation structure of three per-user metrics
+    // (spend, activity, tenure) — the feature-redundancy report run
+    // before any model fit (agg_regression_multi then picks the
+    // de-correlated pair): R² in permille with EVERY fraction cleared
+    // — r² = (n·Sab − Sa·Sb)²·1000 div ((n·Saa − Sa²)·(n·Sbb − Sb²))
+    // — plus the covariance sign, exact integers in both engines.
+    // ONE per-user agg + a 1-row moment rollup unpivoted to the three
+    // pair rows (stack/UNION — no second pass over the corpus).
+    "agg_corr_pairs" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr("CAST(round(value) AS BIGINT)")).as("x"),
+          count(lit(1)).as("y"),
+          expr("CAST(datediff(max(ts), min(ts)) + 1 AS BIGINT)").as("z"))
+      val g = per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("szz"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * z")).as("sxz"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * z")).as("syz"))
+        .withColumn("mxx", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("myy", expr(
+          "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+        .withColumn("mzz", expr(
+          "CAST(n AS DECIMAL(38,0)) * szz - CAST(sz AS DECIMAL(38,0)) * sz"))
+        .withColumn("mxy", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("mxz", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxz - CAST(sx AS DECIMAL(38,0)) * sz"))
+        .withColumn("myz", expr(
+          "CAST(n AS DECIMAL(38,0)) * syz - CAST(sy AS DECIMAL(38,0)) * sz"))
+      def r2(cov: String, va: String, vb: String) =
+        s"CASE WHEN $va > 0 AND $vb > 0 THEN " +
+          s"CAST(($cov * $cov * 1000) div ($va * $vb) AS BIGINT) END"
+      def sgn(cov: String) =
+        s"CAST(CASE WHEN $cov > 0 THEN 1 WHEN $cov < 0 THEN -1 " +
+          "ELSE 0 END AS BIGINT)"
+      g.selectExpr(
+          s"stack(3, " +
+            s"'xy', ${r2("mxy", "mxx", "myy")}, ${sgn("mxy")}, " +
+            s"'xz', ${r2("mxz", "mxx", "mzz")}, ${sgn("mxz")}, " +
+            s"'yz', ${r2("myz", "myy", "mzz")}, ${sgn("myz")}) " +
+            "AS (pair, r2_permille, cov_sign)")
+        .orderBy(col("pair"))
+    }),
+
     // Theil–Sen estimator: the median of all pairwise slopes — the
     // robust trend line (one gross outlier moves OLS arbitrarily,
     // moves the pairwise-slope median not at all). Slopes in integer
@@ -678,6 +730,55 @@ object StatOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_corr_pairs" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS x,
+        |    count(*) AS y,
+        |    CAST(datediff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) + 1 AS BIGINT) AS z
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(z) AS HUGEINT) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM per),
+        |m AS (
+        |  SELECT n * sxx - sx * sx AS mxx, n * syy - sy * sy AS myy,
+        |    n * szz - sz * sz AS mzz, n * sxy - sx * sy AS mxy,
+        |    n * sxz - sx * sz AS mxz, n * syz - sy * sz AS myz
+        |  FROM g)
+        |SELECT pair, r2_permille, cov_sign FROM (
+        |  SELECT 'xy' AS pair,
+        |    CASE WHEN mxx > 0 AND myy > 0 THEN
+        |      CAST((mxy * mxy * 1000) // (mxx * myy) AS BIGINT) END
+        |      AS r2_permille,
+        |    CAST(CASE WHEN mxy > 0 THEN 1 WHEN mxy < 0 THEN -1
+        |      ELSE 0 END AS BIGINT) AS cov_sign
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'xz',
+        |    CASE WHEN mxx > 0 AND mzz > 0 THEN
+        |      CAST((mxz * mxz * 1000) // (mxx * mzz) AS BIGINT) END,
+        |    CAST(CASE WHEN mxz > 0 THEN 1 WHEN mxz < 0 THEN -1
+        |      ELSE 0 END AS BIGINT)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'yz',
+        |    CASE WHEN myy > 0 AND mzz > 0 THEN
+        |      CAST((myz * myz * 1000) // (myy * mzz) AS BIGINT) END,
+        |    CAST(CASE WHEN myz > 0 THEN 1 WHEN myz < 0 THEN -1
+        |      ELSE 0 END AS BIGINT)
+        |  FROM m) t
+        |ORDER BY pair""".stripMargin,
+
     "agg_regression_multi" ->
       """WITH per AS (
         |  SELECT user_id,

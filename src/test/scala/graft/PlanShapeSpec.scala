@@ -374,7 +374,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "sample_mixture_budget",
       // llm_sim_l2 crosses the broadcast 1-row probe vector (the
       // llm_sim_cosine shape).
-      "llm_sim_l2")
+      "llm_sim_l2",
+      // sample_time_split crosses the broadcast 1-row percentile
+      // cutoff (scalar-gate shape).
+      "sample_time_split")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
