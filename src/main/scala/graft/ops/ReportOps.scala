@@ -196,6 +196,46 @@ object ReportOps extends OpPack {
     // threshold explode and the denominator window run on the
     // per-user frame and a 5-row aggregate respectively (d=0 row IS
     // the cohort size — no second global count pass).
+    // Period-over-period rank movers (the "trending" report): each
+    // event type's revenue rank in the calendar FIRST half of the
+    // data vs the second (split at the midpoint day computed from the
+    // broadcast min/max bounds — no percentile pass), with the rank
+    // delta as the mover score. Absent-in-a-period types rank AFTER
+    // every present one (revenue 0 — declared). One scan + a
+    // type-bounded rank frame; the 1-row bounds broadcast
+    // (allowlisted scalar-gate shape).
+    "composite_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_date(CAST(ts AS DATE))").as("dayn"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val bounds = e.agg(min(col("dayn")).as("d0"), max(col("dayn")).as("d1"))
+      val tagged = e.crossJoin(broadcast(bounds))
+        .withColumn("half",
+          when(col("dayn") <= expr("(d0 + d1) div 2"), 0L).otherwise(1L))
+      val byHalf = tagged.groupBy(col("event_type"), col("half"))
+        .agg(sum(col("cents")).as("rev"))
+      val w = Window.partitionBy(col("half"))
+        .orderBy(desc("rev"), asc("event_type"))
+      val ranked = byHalf
+        .withColumn("rk", row_number().over(w).cast("long"))
+      val a = ranked.filter(col("half") === 0)
+        .select(col("event_type"), col("rev").as("rev_h1"),
+          col("rk").as("rk_h1"))
+      val b = ranked.filter(col("half") === 1)
+        .select(col("event_type"), col("rev").as("rev_h2"),
+          col("rk").as("rk_h2"))
+      a.join(b, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("rev_h1"), lit(0L)).as("rev_h1"),
+          coalesce(col("rev_h2"), lit(0L)).as("rev_h2"),
+          col("rk_h1"), col("rk_h2"),
+          expr("coalesce(rk_h1, 999) - coalesce(rk_h2, 999)")
+            .as("rank_gain"))
+        .orderBy(desc("rank_gain"), asc("event_type"))
+    }),
+
     "composite_survival" -> ((s, dir) => {
       val life = Tables(s, dir, "events")
         .groupBy(col("user_id"))
@@ -293,6 +333,37 @@ object ReportOps extends OpPack {
     }))
 
   def oracle: Map[String, String] = Map(
+    "composite_trending" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |bounds AS (SELECT min(dayn) AS d0, max(dayn) AS d1 FROM e),
+        |tagged AS (
+        |  SELECT event_type,
+        |    CASE WHEN dayn <= (d0 + d1) // 2 THEN 0 ELSE 1 END AS half,
+        |    cents
+        |  FROM e CROSS JOIN bounds),
+        |byhalf AS (
+        |  SELECT event_type, half, CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM tagged GROUP BY event_type, half),
+        |ranked AS (
+        |  SELECT event_type, half, rev,
+        |    CAST(row_number() OVER (PARTITION BY half
+        |      ORDER BY rev DESC, event_type) AS BIGINT) AS rk
+        |  FROM byhalf),
+        |a AS (SELECT event_type, rev AS rev_h1, rk AS rk_h1
+        |      FROM ranked WHERE half = 0),
+        |b AS (SELECT event_type, rev AS rev_h2, rk AS rk_h2
+        |      FROM ranked WHERE half = 1)
+        |SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |  coalesce(rev_h1, 0) AS rev_h1, coalesce(rev_h2, 0) AS rev_h2,
+        |  rk_h1, rk_h2,
+        |  coalesce(rk_h1, 999) - coalesce(rk_h2, 999) AS rank_gain
+        |FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+        |ORDER BY rank_gain DESC, event_type""".stripMargin,
+
     "composite_survival" ->
       """WITH life AS (
         |  SELECT user_id,

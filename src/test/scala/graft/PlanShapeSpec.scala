@@ -377,7 +377,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "llm_sim_l2",
       // sample_time_split crosses the broadcast 1-row percentile
       // cutoff (scalar-gate shape).
-      "sample_time_split")
+      "sample_time_split",
+      // composite_trending crosses the broadcast 1-row date bounds
+      // (scalar-gate shape).
+      "composite_trending")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
