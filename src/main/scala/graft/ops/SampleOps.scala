@@ -359,6 +359,26 @@ object SampleOps extends OpPack {
         .orderBy(col("rank"))
     }),
 
+    // GROUP-aware k-fold (sample_kfold folds documents; this folds
+    // USERS — the leakage-safe CV for user-level models, where any
+    // row-level fold puts one user's events on both sides): the fold
+    // is the md5 coin of the USER id computed per event row, so
+    // every event of a user lands in the same fold BY CONSTRUCTION —
+    // no user table, no join, narrow-only until the per-fold balance
+    // agg. Report: per-fold user/event/spend balance (the check that
+    // hash-folding didn't skew the covariates).
+    "sample_group_kfold" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("fold", expr(
+          "CAST(conv(substring(md5(concat('gcv', CAST(user_id AS " +
+            "STRING))), 1, 2), 16, 10) AS BIGINT) % 5"))
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("spend_cents"))
+        .orderBy(col("fold"))
+    }),
+
     // TIME-based train/test split + leakage audit (sample_split is
     // the random sibling; temporal models must split on time or they
     // train on the future): cutoff = the 80th-percentile event day
@@ -478,6 +498,15 @@ object SampleOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_group_kfold" ->
+      """SELECT CAST('0x' || substring(md5('gcv' ||
+        |    CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 5 AS fold,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS spend_cents
+        |FROM events GROUP BY fold
+        |ORDER BY fold""".stripMargin,
+
     "sample_time_split" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS DATE) AS day,
