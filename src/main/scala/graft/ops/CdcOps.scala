@@ -403,6 +403,29 @@ object CdcOps extends OpPack {
     // arrival, which is cdc_gap_detect's job. One hash agg on the
     // (domain, sequence) key, map-side combined — the audit of a
     // 100 TB log shuffles |transactions| partial rows, not events.
+    // Tamper-evident audit chain over each user's event stream (the
+    // hash-chained ledger a compliance pipeline keeps NEXT to the CDC
+    // log — any reorder, drop or edit anywhere in a user's history
+    // changes that user's final link): chain = fold of
+    // md5(acc || event) over the event-id-ordered serialization,
+    // seeded at 'genesis'. Sequential by definition, yet ONE hash agg
+    // + a per-row array fold: the chain folds WITHIN the bounded
+    // per-user list (the collect contract), users in parallel. Event
+    // ids zero-pad so string sort = numeric order in both engines;
+    // md5 hex is byte-identical cross-engine (repo doctrine).
+    "cdc_hash_chain" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("sort_array(collect_list(concat(" +
+            "lpad(CAST(event_id AS STRING), 12, '0'), ':', event_type)))")
+            .as("evs"))
+        .withColumn("chain", expr(
+          "aggregate(evs, 'genesis', (acc, x) -> md5(concat(acc, x)))"))
+        .select(col("user_id"), col("n_events"), col("chain"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc_txn_stats" -> ((s, dir) => {
       Tables(s, dir, "events")
         .filter(col("event_id") % 97 =!= 0)
@@ -521,6 +544,16 @@ object CdcOps extends OpPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "cdc_hash_chain" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(
+        |    list_prepend('genesis', list_sort(list(
+        |      lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' ||
+        |      event_type))),
+        |    (x, y) -> md5(x || y)) AS chain
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "cdc_classify" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 10 = 0 THEN 'ddl' ELSE 'dml' END AS kind
