@@ -121,6 +121,33 @@ object GeoOps extends OpPack {
     // WindowGroupLimit, so no candidate list ever materializes past
     // the per-partition top-1 heap. Ties break on id ascending:
     // deterministic in both engines.
+    // Per-entity trajectory length (fleet/telemetry mileage report):
+    // each user's events become an ordered path on the integer plane
+    // (md5-derived coords joined back to the event stream), and the
+    // path length is Σ L1 hop distances via one lag window — exact
+    // integers, no floats. Shape: the window rides ONE user_id
+    // exchange; at 100 TB trajectory length is a windowed scan, never
+    // a self-join.
+    "geo_trajectory" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("y"))
+        .withColumn("hop", expr(
+          "abs(x - lag(x) OVER (PARTITION BY user_id ORDER BY event_id))" +
+            " + abs(y - lag(y) OVER (PARTITION BY user_id ORDER BY " +
+            "event_id))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("hop")).as("path_l1"),
+          max(col("hop")).as("max_hop"))
+        .orderBy(col("user_id"))
+    }),
+
     "geo_nearest" -> ((s, dir) => {
       val D = 60
       val c = custPoints(s, dir)
@@ -220,6 +247,25 @@ object GeoOps extends OpPack {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "geo_trajectory" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS x,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 10000 AS y
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id,
+        |    abs(x - lag(x) OVER w) + abs(y - lag(y) OVER w) AS hop
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, count(*) AS n_points,
+        |  CAST(sum(hop) AS BIGINT) AS path_l1,
+        |  CAST(max(hop) AS BIGINT) AS max_hop
+        |FROM h GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // The oracle runs the PLAIN theta containment join (DuckDB plans
     // its IEJoin) — same result, different algorithm: the point of the
     // grid plan is avoiding exactly this at scale.
