@@ -379,6 +379,56 @@ object ScanOps extends OpPack {
         .orderBy(col("bucket"))
     }),
 
+    // Hidden partitioning on the manifest sink (Iceberg's transform
+    // idea): `.option("partitionedBy", "days(ts)")` routes rows to
+    // one file per day at WRITE time, records the day in each
+    // manifest entry, and the SCAN prunes whole files against pushed
+    // ts predicates — day-grain partition elimination with zero
+    // reader-side bookkeeping. The oracle reads the original parquet,
+    // proving pruning is pure elimination (never drops a matching
+    // row). File-skip proof (pruned files truncated to nothing, read
+    // still exact) pinned in ManifestSinkSpec "days(ts) partitioning".
+    "sink_manifest_partitioned" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-partitioned"
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+        .repartition(expr("CAST(ts AS DATE)")) // align tasks with days
+        .write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "days(ts)").save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(expr("CAST(ts AS DATE)").as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_ev"),
+          max(col("event_id")).as("max_ev"))
+        .orderBy(col("day"))
+    }),
+
+    // Bucket partitioning on the manifest sink: `bucket(8, key)`
+    // hash-scatters rows at write time and equality/IN predicates
+    // prune to the literal's bucket at read time — the pruning case
+    // zone maps fundamentally cannot serve (a hashed key's min/max
+    // spans every file). The write-side and prune-side share one
+    // pinned hash (ManifestSink.bucketOf — the on-disk contract, like
+    // Iceberg pinning murmur3). Equality-opens-one-bucket proof in
+    // ManifestSinkSpec "bucket(n, key) partitioning".
+    "sink_manifest_bucket" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-bucket"
+      Tables(s, dir, "customer").write.mode("overwrite")
+        .format("graft-manifest")
+        .option("partitionedBy", "bucket(8, c_custkey)").save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .filter(col("c_custkey").isin(42L, 57L, 101L))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Literal time-range scan on the events fact table — THE 100 TB
     // access pattern for a CDC-fed log (read five days out of years).
     // Exists to pin that the ts type normalization in graft.Tables
@@ -531,6 +581,21 @@ object ScanOps extends OpPack {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM d GROUP BY change, o_orderstatus
         |ORDER BY change, o_orderstatus""".stripMargin,
+
+    "sink_manifest_partitioned" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
+
+    "sink_manifest_bucket" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer WHERE c_custkey IN (42, 57, 101)
+        |ORDER BY c_custkey""".stripMargin,
 
     "scan_events_pushdown" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

@@ -110,22 +110,163 @@ object ManifestSink {
     * schema"; `Some` records the file's OWN schema after the table
     * evolved across appends — the reader resolves columns by NAME per
     * file and fills missing ones with NULL (the parquet evolution
-    * contract, applied to this format). */
+    * contract, applied to this format). `part`/`pspec` record the
+    * file's partition value under the transform it was WRITTEN with
+    * (per-entry, so appends that change the partition spec never
+    * mis-prune old files). */
   final case class Entry(name: String, rows: Long, crc: Long,
-      stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None)
+      stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None,
+      part: Option[Long] = None, pspec: Option[String] = None)
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
       version: Long = 0L)
+
+  // ---- Partition transforms (Iceberg-style hidden partitioning) ----
+
+  /** Every row of a NULL-partition file has NULL in the partition
+    * column (the transform can't produce this value: days/identity of
+    * real data never reach Long.MinValue, bucket ids are >= 0). */
+  val NullPart: Long = Long.MinValue
+  val MicrosPerDay: Long = 86400000000L
+
+  /** A write-path partition transform, declared via
+    * `.option("partitionedBy", "days(ts)" | "bucket(16, user_id)" |
+    * "identity(col)")`. Rows route to one data file per distinct
+    * transform value per task; the value is recorded in the manifest
+    * entry and the SCAN prunes whole files against pushed filters:
+    * `days` gives day-grain time-range pruning, `identity` exact
+    * value pruning, and `bucket` hash-scatter pruning on equality —
+    * the case zone maps fundamentally cannot serve (a hashed key's
+    * min/max spans every file). Integral-typed columns only
+    * (long/int/short/byte/date/timestamp), declared: the testbed's
+    * partition keys are keys and timestamps, and a conservative
+    * no-prune answer is always available for anything else. */
+  sealed trait PartSpec {
+    def col: String
+    def describe: String
+    /** Transform of a non-null column value (timestamps as micros). */
+    def apply(v: Long): Long
+  }
+  final case class IdentityPart(col: String) extends PartSpec {
+    def describe = s"identity($col)"
+    def apply(v: Long): Long = v
+  }
+  final case class DaysPart(col: String) extends PartSpec {
+    def describe = s"days($col)"
+    def apply(v: Long): Long = Math.floorDiv(v, MicrosPerDay)
+  }
+  final case class BucketPart(n: Int, col: String) extends PartSpec {
+    def describe = s"bucket($n, $col)"
+    def apply(v: Long): Long = bucketOf(v, n).toLong
+  }
+
+  /** The write-time and prune-time sides MUST share this hash —
+    * it is part of the on-disk contract (like Iceberg's bucket
+    * transform pinning murmur3). Finalizer of splitmix64: full
+    * avalanche, so consecutive keys scatter. */
+  def bucketOf(v: Long, n: Int): Int = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    Math.floorMod(z ^ (z >>> 31), n.toLong).toInt
+  }
+
+  def parsePartSpec(s: String): PartSpec = {
+    val t = s.trim
+    val ident = "([A-Za-z_][A-Za-z0-9_]*)"
+    val days = s"days\\s*\\(\\s*$ident\\s*\\)".r
+    val bucket = s"bucket\\s*\\(\\s*(\\d+)\\s*,\\s*$ident\\s*\\)".r
+    val id = s"identity\\s*\\(\\s*$ident\\s*\\)".r
+    t match {
+      case days(c) => DaysPart(c)
+      case bucket(n, c) => BucketPart(n.toInt, c)
+      case id(c) => IdentityPart(c)
+      case bare if bare.matches(ident) => IdentityPart(bare)
+      case _ => throw new IllegalArgumentException(
+        s"graft-manifest: cannot parse partitionedBy '$s' — expected " +
+          "days(col), bucket(n, col), or identity(col)")
+    }
+  }
+
+  /** May a file whose partition value is `part` under `spec` contain
+    * a row matching `f`? Conservative: unknown filter shapes answer
+    * true. A non-null partition proves the column non-null file-wide
+    * (IsNull prunes); the null partition proves it null file-wide
+    * (every value predicate prunes). */
+  def partMayMatch(spec: PartSpec, part: Long, f: sources.Filter): Boolean = {
+    val c = spec.col
+    if (part == NullPart) f match {
+      case sources.IsNull(`c`) => true
+      case sources.IsNotNull(`c`) => false
+      case sources.EqualTo(`c`, _) => false
+      case sources.GreaterThan(`c`, _) => false
+      case sources.GreaterThanOrEqual(`c`, _) => false
+      case sources.LessThan(`c`, _) => false
+      case sources.LessThanOrEqual(`c`, _) => false
+      case sources.In(`c`, _) => false
+      case sources.And(l, r) =>
+        partMayMatch(spec, part, l) && partMayMatch(spec, part, r)
+      case _ => true
+    } else spec match {
+      case IdentityPart(_) => f match {
+        case sources.IsNull(`c`) => false
+        case sources.And(l, r) =>
+          partMayMatch(spec, part, l) && partMayMatch(spec, part, r)
+        case _ => mayMatch(Seq(ColStat(c, part, part)), f)
+      }
+      case DaysPart(_) => f match {
+        case sources.IsNull(`c`) => false
+        case sources.And(l, r) =>
+          partMayMatch(spec, part, l) && partMayMatch(spec, part, r)
+        case _ =>
+          // a day-partition file holds micros in [d*day, (d+1)*day)
+          mayMatch(Seq(ColStat(c, part * MicrosPerDay,
+            part * MicrosPerDay + MicrosPerDay - 1)), f)
+      }
+      case BucketPart(n, _) => f match {
+        case sources.IsNull(`c`) => false
+        case sources.EqualTo(`c`, v) =>
+          litLong(v).forall(l => bucketOf(l, n).toLong == part)
+        case sources.In(`c`, vs) =>
+          // prune only when EVERY value parses and none hits this bucket
+          val ls = vs.toSeq.map(litLong)
+          !ls.forall(_.isDefined) ||
+            ls.flatten.exists(l => bucketOf(l, n).toLong == part)
+        case sources.And(l, r) =>
+          partMayMatch(spec, part, l) && partMayMatch(spec, part, r)
+        case _ => true
+      }
+    }
+  }
 
   /** Conservative zone-map test: may `f` match any row of a file with
     * these stats? Unknown columns/shapes answer true (no pruning);
     * only provably-empty files are skipped, so pruning can never
     * change results — the engine still applies every filter. */
+  /** Filter literal as the Long the zone maps/partitions carry:
+    * integrals as-is, timestamp shapes as epoch micros (matching the
+    * writer's physical getLong on Timestamp[NTZ] columns), dates as
+    * epoch days. Unknown shapes answer None → no pruning. */
+  def litLong(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(i))
+    case l: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(l))
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
   def mayMatch(stats: Seq[ColStat], f: sources.Filter): Boolean = {
     def stat(col: String) = stats.find(_.col == col)
-    def lit(v: Any): Option[Long] = v match {
-      case n: java.lang.Number => Some(n.longValue())
-      case _ => None
-    }
+    def lit(v: Any): Option[Long] = litLong(v)
     f match {
       case sources.EqualTo(c, v) =>
         (stat(c), lit(v)) match {
@@ -156,6 +297,22 @@ object ManifestSink {
       case _ => true
     }
   }
+
+  /** May this manifest entry's file contain any row matching every
+    * pushed filter? Zone maps AND the file's own partition transform
+    * both get a veto; either answering "provably empty" skips the
+    * file. An unparseable/absent pspec never prunes (conservative). */
+  def entryMayMatch(e: Entry, filters: Seq[sources.Filter]): Boolean =
+    filters.forall(f => mayMatch(e.stats, f)) && {
+      (e.pspec, e.part) match {
+        case (Some(ps), Some(p)) =>
+          try {
+            val spec = parsePartSpec(ps)
+            filters.forall(f => partMayMatch(spec, p, f))
+          } catch { case _: IllegalArgumentException => true }
+        case _ => true
+      }
+    }
 
   /** Archived snapshot manifests: every BATCH commit first copies the
     * current base manifest to `_graft_manifest.v<N>.json`, so the
@@ -263,6 +420,8 @@ object ManifestSink {
         }
       }
       e.schemaDdl.foreach(d => n.put("schema", d))
+      e.part.foreach(p => n.put("part", p))
+      e.pspec.foreach(sp => n.put("pspec", sp))
     }
     val tmp = new File(dir, s".$fileName.${UUID.randomUUID()}.tmp")
     val out = new FileOutputStream(tmp)
@@ -292,7 +451,9 @@ object ManifestSink {
       else Nil
       Entry(n.get("name").asText(), n.get("rows").asLong(),
         n.get("crc").asLong(), stats,
-        if (n.has("schema")) Some(n.get("schema").asText()) else None)
+        if (n.has("schema")) Some(n.get("schema").asText()) else None,
+        if (n.has("part")) Some(n.get("part").asLong()) else None,
+        if (n.has("pspec")) Some(n.get("pspec").asText()) else None)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
     Manifest(root.get("schemaDdl").asText(), files, v)
@@ -389,18 +550,52 @@ final class ManifestTable(tableSchema: StructType, path: String)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ManifestWriteBuilder(info.schema(), path)
+    new ManifestWriteBuilder(info.schema(), path,
+      Option(info.options.get("partitionedBy")))
 }
 
-final class ManifestWriteBuilder(schema: StructType, path: String)
+final class ManifestWriteBuilder(schema: StructType, path: String,
+    partitionedBy: Option[String])
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new ManifestBatchWrite(schema, path, truncateFirst)
-    override def toStreaming: StreamingWrite =
-      new ManifestStreamingWrite(schema, path)
+  override def build(): Write = {
+    // validate the partition transform on the DRIVER, before any task
+    // runs: the spec must parse and name an integral-typed column
+    partitionedBy.foreach { s =>
+      val spec = ManifestSink.parsePartSpec(s)
+      val f = schema.fields.find(_.name == spec.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-manifest: partitionedBy column '${spec.col}' not in " +
+            s"write schema ${schema.fieldNames.mkString("(", ", ", ")")}"))
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             TimestampType | TimestampNTZType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft-manifest: partitionedBy column '${spec.col}' has " +
+            s"unsupported type ${dt.sql} — integral/date/timestamp only")
+      }
+      spec match {
+        case ManifestSink.DaysPart(_) =>
+          if (f.dataType != TimestampType &&
+              f.dataType != TimestampNTZType)
+            throw new IllegalArgumentException(
+              "graft-manifest: days(...) needs a timestamp column " +
+                s"('${spec.col}' is ${f.dataType.sql}; use identity " +
+                "for dates — they are already day-grained)")
+        case ManifestSink.BucketPart(n, _) =>
+          if (n <= 0) throw new IllegalArgumentException(
+            s"graft-manifest: bucket count must be positive, got $n")
+        case _ => ()
+      }
+    }
+    new Write {
+      override def toBatch: BatchWrite =
+        new ManifestBatchWrite(schema, path, truncateFirst, partitionedBy)
+      override def toStreaming: StreamingWrite =
+        new ManifestStreamingWrite(schema, path, partitionedBy)
+    }
   }
 }
 
@@ -414,20 +609,21 @@ final class ManifestWriteBuilder(schema: StructType, path: String)
   * files instead of double-publishing (the file-sink metadata-log
   * trick, one manifest per epoch instead of one global log).
   */
-final class ManifestStreamingWrite(schema: StructType, path: String)
+final class ManifestStreamingWrite(schema: StructType, path: String,
+    partitionedBy: Option[String] = None)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
-    new ManifestStreamingWriterFactory(schema.toDDL, path)
+    new ManifestStreamingWriterFactory(schema.toDDL, path, partitionedBy)
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: ManifestCommitMessage =>
-      ManifestSink.Entry(m.name, m.rows, m.crc, m.stats) }.toSeq
+      m.files }.toSeq.flatten
     val epochFile = new File(path, ManifestSink.epochManifestFile(epochId))
     if (epochFile.exists()) {
       // re-delivered epoch: the first publish won; drop the duplicates
@@ -442,30 +638,32 @@ final class ManifestStreamingWrite(schema: StructType, path: String)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: ManifestCommitMessage =>
-      new File(path, m.name).delete() }
+      m.files.foreach(e => new File(path, e.name).delete()) }
 }
 
-final class ManifestStreamingWriterFactory(schemaDdl: String, path: String)
+final class ManifestStreamingWriterFactory(schemaDdl: String, path: String,
+    partitionedBy: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(StructType.fromDDL(schemaDdl), path, partitionId,
-      taskId)
+      taskId, partitionedBy)
 }
 
 final class ManifestBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, partitionedBy: Option[String] = None)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
-    new ManifestWriterFactory(schema.toDDL, path)
+    new ManifestWriterFactory(schema.toDDL, path, partitionedBy)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: ManifestCommitMessage =>
-      ManifestSink.Entry(m.name, m.rows, m.crc, m.stats) }.toSeq
+      m.files }.toSeq.flatten
     val dir = new File(path)
     // Every batch commit is a SNAPSHOT: archive the current base
     // manifest (immutable history → time travel via asOfVersion),
@@ -512,18 +710,22 @@ final class ManifestBatchWrite(schema: StructType, path: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: ManifestCommitMessage =>
-      new File(path, m.name).delete() }
+      m.files.foreach(e => new File(path, e.name).delete()) }
 }
 
-final case class ManifestCommitMessage(name: String, rows: Long, crc: Long,
-    stats: Seq[ManifestSink.ColStat] = Nil) extends WriterCommitMessage
+/** One message per task; `files` has one entry per data file the task
+  * produced — exactly one unpartitioned, one per distinct partition
+  * value under a partition transform. */
+final case class ManifestCommitMessage(files: Seq[ManifestSink.Entry])
+    extends WriterCommitMessage
 
-final class ManifestWriterFactory(schemaDdl: String, path: String)
+final class ManifestWriterFactory(schemaDdl: String, path: String,
+    partitionedBy: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(StructType.fromDDL(schemaDdl), path, partitionId,
-      taskId)
+      taskId, partitionedBy)
 }
 
 /** Writes the paged COLUMNAR layout: rows buffer per column until the
@@ -540,7 +742,62 @@ final class ManifestWriterFactory(schemaDdl: String, path: String)
   * attempts can never collide; only the committed name reaches the
   * driver. */
 final class ManifestDataWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, partitionedBy: Option[String] = None)
+    extends DataWriter[InternalRow] {
+  private val spec = partitionedBy.map(ManifestSink.parsePartSpec)
+  // partition-value extractor: timestamps read as micros, dates as
+  // days — the same physical getLong/getInt access the zone maps use
+  private val partGet: InternalRow => Long = spec.map { sp =>
+    val i = schema.fieldNames.indexOf(sp.col)
+    val get: InternalRow => Long = schema.fields(i).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        (r: InternalRow) => r.getLong(i)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType =>
+        (r: InternalRow) => r.getInt(i).toLong
+      case org.apache.spark.sql.types.ShortType =>
+        (r: InternalRow) => r.getShort(i).toLong
+      case _ => (r: InternalRow) => r.getByte(i).toLong
+    }
+    (r: InternalRow) =>
+      if (r.isNullAt(i)) ManifestSink.NullPart else sp(get(r))
+  }.getOrElse((_: InternalRow) => 0L)
+  // one open file per distinct partition value seen by THIS task.
+  // Writer memory is bounded by (open partitions) × (page buffer);
+  // at scale the caller aligns tasks with the transform first
+  // (repartition on the partition expression — then each task sees
+  // ~1 partition value), exactly Spark's dynamic-partition-write
+  // contract. Insertion order keeps commit deterministic per task.
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Long, ManifestFileWriter]
+
+  private def writerFor(part: Long): ManifestFileWriter =
+    writers.getOrElseUpdate(part,
+      new ManifestFileWriter(schema, path, partitionId, taskId,
+        if (spec.isEmpty) None else Some(part),
+        spec.map(_.describe)))
+
+  override def write(record: InternalRow): Unit =
+    writerFor(partGet(record)).write(record)
+
+  override def commit(): WriterCommitMessage = {
+    // an empty unpartitioned task still publishes its (empty) file —
+    // the pre-partitioning behavior; a partitioned task that saw no
+    // rows publishes nothing
+    if (spec.isEmpty && writers.isEmpty) writerFor(0L)
+    ManifestCommitMessage(writers.values.map(_.finish()).toSeq)
+  }
+
+  override def abort(): Unit = writers.values.foreach(_.abortDelete())
+  override def close(): Unit = writers.values.foreach(_.close())
+}
+
+/** The per-file writing core (one instance per produced data file). */
+final class ManifestFileWriter(schema: StructType, path: String,
+    partitionId: Int, taskId: Long, part: Option[Long],
+    pspec: Option[String]) {
   private val name =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}${ManifestSink.DataSuffix}"
   private val file = new File(path, name)
@@ -589,7 +846,7 @@ final class ManifestDataWriter(schema: StructType, path: String,
   private var pageRows = 0
   private var rows = 0L
 
-  override def write(record: InternalRow): Unit = {
+  def write(record: InternalRow): Unit = {
     var i = 0
     while (i < fieldProj.length) {
       val u = fieldProj(i)(record)
@@ -649,18 +906,19 @@ final class ManifestDataWriter(schema: StructType, path: String,
     pageRows = 0
   }
 
-  override def commit(): WriterCommitMessage = {
+  def finish(): ManifestSink.Entry = {
     if (pageRows > 0) flushPage()
     out.close()
     val stats = schema.fields.indices.collect {
       case i if statSeen(i) =>
         ManifestSink.ColStat(schema(i).name, statMin(i), statMax(i))
     }
-    ManifestCommitMessage(name, rows, fileCrc.getValue, stats)
+    ManifestSink.Entry(name, rows, fileCrc.getValue, stats, None, part,
+      pspec)
   }
 
-  override def abort(): Unit = { out.close(); file.delete() }
-  override def close(): Unit = out.close()
+  def abortDelete(): Unit = { out.close(); file.delete() }
+  def close(): Unit = out.close()
 }
 
 final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
@@ -675,7 +933,7 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * join against a small manifest table without scanning it. */
   override def estimateStatistics(): Statistics = {
     val entries = ManifestSink.readAsOf(path, asOfVersion).files
-      .filter(e => zoneFilters.forall(f => ManifestSink.mayMatch(e.stats, f)))
+      .filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
     val rows = entries.map(_.rows).sum
     val bytes = entries.map(e =>
       new File(s"$path/${e.name}").length()).sum
@@ -692,8 +950,7 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     override def planInputPartitions(): Array[InputPartition] = {
       val m = ManifestSink.readAsOf(path, asOfVersion)
       m.files
-        .filter(e => zoneFilters.forall(f =>
-          ManifestSink.mayMatch(e.stats, f)))
+        .filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
         .map(e =>
           ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc,
             e.schemaDdl.getOrElse(m.schemaDdl))

@@ -491,4 +491,153 @@ class ManifestSinkSpec extends AnyFunSuite {
         .filter(col("o_orderkey") >= 0).count()
     }
   }
+
+  test("days(ts) partitioning: a time-range read opens only that range's files") {
+    val dir = scratch("days")
+    val src = graft.Tables(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    src.repartition(expr("CAST(ts AS DATE)")) // align tasks with days
+      .write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "days(ts)").save(dir)
+    val entries = ManifestSink.readManifest(dir).files
+    assert(entries.forall(_.pspec.contains("days(ts)")))
+    // one file per day (the repartition aligned tasks with days only
+    // approximately — but every entry must carry a real day value)
+    assert(entries.forall(e => e.part.exists(_ > 19000)),
+      "every file must carry a plausible epoch-day partition value")
+    // pick a 2-day window starting at the second-lowest day present
+    val days = entries.flatMap(_.part).distinct.sorted
+    assert(days.size > 4, s"need several day partitions, got $days")
+    val d1 = days(1)
+    val usPerDay = ManifestSink.MicrosPerDay
+    val t1 = timestamp_micros(lit(d1 * usPerDay))
+    val t2 = timestamp_micros(lit((d1 + 2) * usPerDay))
+    val expected = src.filter(col("ts") >= t1 && col("ts") < t2)
+      .orderBy("event_id").collect().toSeq
+    // truncate every file OUTSIDE the window: any plan that opens one
+    // dies instantly, so a passing read proves partition pruning
+    val keep = Set(d1, d1 + 1)
+    entries.filterNot(e => e.part.exists(keep)).foreach { e =>
+      Files.write(new File(dir, e.name).toPath, Array.empty[Byte]) }
+    val got = spark.read.format("graft-manifest").load(dir)
+      .filter(col("ts") >= t1 && col("ts") < t2)
+      .orderBy("event_id").collect().toSeq
+    assert(got === expected)
+    // and the unfiltered read DOES hit the truncated files
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir).collect()
+    }
+  }
+
+  test("bucket(n, key) partitioning: equality prunes to the key's hash bucket — the case zone maps cannot serve") {
+    val dir = scratch("bucket")
+    val src = graft.Tables(spark, sf, "customer")
+    src.write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "bucket(8, c_custkey)").save(dir)
+    val entries = ManifestSink.readManifest(dir).files
+    assert(entries.forall(_.pspec.contains("bucket(8, c_custkey)")))
+    val k = 42L
+    val kb = ManifestSink.bucketOf(k, 8).toLong
+    // zone maps are USELESS here by construction: every bucket file
+    // spans nearly the full key range (hash scatter)
+    // truncate every file not in k's bucket …
+    entries.filterNot(_.part.contains(kb)).foreach { e =>
+      Files.write(new File(dir, e.name).toPath, Array.empty[Byte]) }
+    // … equality on k still reads its exact row
+    val got = spark.read.format("graft-manifest").load(dir)
+      .filter(col("c_custkey") === k).collect()
+    assert(got.toSeq === src.filter(col("c_custkey") === k).collect().toSeq)
+    // IN-lists prune to the union of value buckets
+    val inKeys = Seq(k, k + 8, k + 16).filter(v =>
+      ManifestSink.bucketOf(v, 8).toLong == kb)
+    if (inKeys.size > 1) {
+      val inGot = spark.read.format("graft-manifest").load(dir)
+        .filter(col("c_custkey").isin(inKeys: _*))
+        .orderBy("c_custkey").collect().toSeq
+      assert(inGot === src.filter(col("c_custkey").isin(inKeys: _*))
+        .orderBy("c_custkey").collect().toSeq)
+    }
+    // a key in ANY other bucket must now fail — proving the pruning,
+    // not luck, kept the first read alive
+    val other = (k + 1 to k + 16)
+      .find(v => ManifestSink.bucketOf(v, 8).toLong != kb).get
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir)
+        .filter(col("c_custkey") === other).collect()
+    }
+  }
+
+  test("null partition: IsNull reads only the null file; value predicates never open it") {
+    import spark.implicits._
+    val dir = scratch("nullpart")
+    val df = Seq((Option(1L), "a"), (Option(2L), "b"),
+      (Option.empty[Long], "n1"), (Option.empty[Long], "n2"),
+      (Option(5L), "e"))
+      .toDF("k", "v")
+    df.coalesce(1).write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "identity(k)").save(dir)
+    val entries = ManifestSink.readManifest(dir).files
+    val nullEntry = entries.filter(_.part.contains(ManifestSink.NullPart))
+    assert(nullEntry.size === 1, "nulls route to ONE null-partition file")
+    assert(nullEntry.head.rows === 2)
+    // value predicate with the null file truncated: never opened
+    Files.write(new File(dir, nullEntry.head.name).toPath,
+      Array.empty[Byte])
+    assert(spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") === 2L).collect().map(_.getString(1)).toSeq ===
+      Seq("b"))
+    assert(spark.read.format("graft-manifest").load(dir)
+      .filter(col("k").isNotNull).count() === 3)
+    // IsNull with every NON-null file truncated: only the null file
+    // (restored) is opened
+    val dir2 = scratch("nullpart2")
+    df.coalesce(1).write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "identity(k)").save(dir2)
+    ManifestSink.readManifest(dir2).files
+      .filterNot(_.part.contains(ManifestSink.NullPart)).foreach { e =>
+        Files.write(new File(dir2, e.name).toPath, Array.empty[Byte]) }
+    assert(spark.read.format("graft-manifest").load(dir2)
+      .filter(col("k").isNull).collect().map(_.getString(1)).sorted
+      .toSeq === Seq("n1", "n2"))
+  }
+
+  test("append under a different partition spec never mis-prunes: per-entry transforms") {
+    val dir = scratch("mixedspec")
+    val src = graft.Tables(spark, sf, "nation")
+    src.filter(col("n_nationkey") < 12)
+      .write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "bucket(4, n_nationkey)").save(dir)
+    // the append is UNPARTITIONED — its entries carry no transform and
+    // must survive every filter
+    src.filter(col("n_nationkey") >= 12)
+      .write.mode("append").format("graft-manifest").save(dir)
+    val back = spark.read.format("graft-manifest").load(dir)
+    assert(back.filter(col("n_nationkey") === 20).count() === 1)
+    assert(back.filter(col("n_nationkey") === 3).count() === 1)
+    assert(back.count() === src.count())
+    val entries = ManifestSink.readManifest(dir).files
+    assert(entries.exists(_.pspec.isEmpty) &&
+      entries.exists(_.pspec.nonEmpty))
+  }
+
+  test("partitionedBy rejects bad specs on the driver, before any task runs") {
+    val dir = scratch("badspec")
+    val src = graft.Tables(spark, sf, "region")
+    intercept[Exception] { // unknown column
+      src.write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "days(no_such_col)").save(dir)
+    }
+    intercept[Exception] { // non-timestamp days
+      src.write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "days(r_regionkey)").save(dir)
+    }
+    intercept[Exception] { // string column
+      src.write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "identity(r_name)").save(dir)
+    }
+    intercept[Exception] { // unparseable
+      src.write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "years(ts)").save(dir)
+    }
+  }
 }
