@@ -416,6 +416,30 @@ object AggOps extends OpPack {
         .orderBy(col("check"))
     }),
 
+    // k-anonymity / l-diversity governance audit (the privacy
+    // pre-flight a training-data release runs): group the population
+    // by its quasi-identifiers (nation × market segment), then report
+    // how many groups — and how many PEOPLE — fall below k, plus the
+    // worst-group l-diversity of a bucketed sensitive attribute
+    // (account balance in 1k bands). Two-phase hash agg over ≤125
+    // quasi-groups then a 1-row rollup: auditing 100 TB costs one
+    // scan with map-side combine. A release gate reads one row:
+    // groups_lt5 > 0 ⇒ generalize or suppress before shipping.
+    "diag_kanon" -> ((s, dir) => {
+      val g = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+            .as("l_div"))
+      g.agg(count(lit(1)).as("n_groups"),
+        min(col("sz")).as("min_group"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("groups_lt5"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+          .as("persons_at_risk5"),
+        sum(when(col("sz") < 2, 1L).otherwise(0L)).as("groups_lt2"),
+        min(col("l_div")).as("min_l_diversity"))
+    }),
+
     // Deterministic mode: most frequent order priority per status,
     // ties broken lexicographically (the built-in `mode()` leaves tie
     // order engine-defined, so it is composed from count + top-1 here
@@ -890,6 +914,23 @@ object AggOps extends OpPack {
         |  SELECT 'null_events_props', CAST(count(*) AS BIGINT)
         |  FROM events WHERE props IS NULL)
         |ORDER BY "check"""".stripMargin,
+
+    "diag_kanon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |      AS l_div
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(sz) AS BIGINT) AS min_group,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt5,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS persons_at_risk5,
+        |  CAST(sum(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt2,
+        |  CAST(min(l_div) AS BIGINT) AS min_l_diversity
+        |FROM g""".stripMargin,
 
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (

@@ -315,6 +315,40 @@ object CdcOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental JOIN-view maintenance (IVM) from CDC deltas — the
+    // delta-join algebra: for view V = A ⋈ B and arriving deltas,
+    // ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, merged into V's mergeable
+    // aggregate state (count + exact decimal sum). The point at
+    // 100 TB: maintaining the view touches only delta-sized joins —
+    // ΔA⋈B broadcasts the dim, A⋈ΔB broadcasts the delta — never the
+    // full fact re-join the oracle brute-forces. Partials carry
+    // DECIMAL(28,2) so the four-way merge equals the full recompute
+    // bit-for-bit (the cdc_incremental_agg doctrine, extended from a
+    // keyed agg to a two-sided join view).
+    "cdc_ivm_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(28, 2)).as("price"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      // the CDC cut: 20% of facts and 10% of dim rows arrive as deltas
+      val aOld = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val aDel = orders.filter(col("o_orderkey") % 5 === 0)
+      val bOld = cust.filter(col("c_custkey") % 10 =!= 0)
+      val bDel = cust.filter(col("c_custkey") % 10 === 0)
+      def part(a: DataFrame, b: DataFrame) =
+        a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("sp"))
+      part(aOld, bOld).unionAll(part(aDel, bOld))
+        .unionAll(part(aOld, bDel)).unionAll(part(aDel, bDel))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n")).as("n_orders"),
+          round(sum(col("sp")).cast("double"), 2).as("sum_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Composite: the CDC warehouse path end to end — current state
     // (latest per key), deletes dropped, joined to the customer
     // dimension and rolled up per market segment. One snapshot window
@@ -741,6 +775,15 @@ object CdcOps extends OpPack {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // the oracle is the FULL recompute the incremental path replaces
+    "cdc_ivm_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+        |    AS DOUBLE), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "cdc_gap_detect" ->
       """WITH e AS (

@@ -120,6 +120,61 @@ object ReportOps extends OpPack {
         .orderBy(col("yq"))
     }),
 
+    // Weekly stickiness (DAU/WAU) — the engagement ratio every
+    // telemetry dashboard leads with. One distinct (day, user) pass
+    // (map-side combined), then two bounded rollups: DAU per day,
+    // WAU per week-of-month bucket ((dom-1) div 7 — engine week
+    // numberings disagree at year bounds, day-of-month math does
+    // not), stickiness = Σdau·1000 div (n_days·wau) in integer
+    // permille. At 100 TB the only fact-proportional work is the
+    // distinct; everything after is |days|-bounded.
+    "composite_stickiness" -> ((s, dir) => {
+      val d = Tables(s, dir, "events")
+        .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+        .distinct()
+        .withColumn("week",
+          expr("CAST(year(day) * 10000 + month(day) * 100 + " +
+            "(day(day) - 1) div 7 AS INT)"))
+      val byWeek = d.groupBy(col("week"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val wau = d.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      byWeek.join(wau, Seq("week"))
+        .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+          expr("sum_dau * 1000 div (n_days * wau)")
+            .as("stickiness_permille"))
+        .orderBy(col("week"))
+    }),
+
+    // Sequence-pattern detection over per-user event streams (the
+    // MATCH_RECOGNIZE shape, reduced to its scalable core): each
+    // user's ordered event types collapse to a compact symbol string
+    // (one groupBy — collect_list(struct(event_id, ch)) sorted
+    // in-array, so ordering costs an array_sort per user, never a
+    // global sort), then conversion paths (signup → browse* →
+    // purchase) and error bursts are counted by non-overlapping
+    // greedy regex — identical find-all semantics in Java regex and
+    // RE2. State per user is its event count: safe unless one key is
+    // pathological, the same bound as any sessionization.
+    "composite_seq_pattern" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("event_id"), col("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("int").as("n_events"),
+          size(expr("regexp_extract_all(seq, 's[cv]*p', 0)"))
+            .cast("bigint").as("n_conversions"),
+          size(expr("regexp_extract_all(seq, 'ee+', 0)"))
+            .cast("bigint").as("n_error_bursts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Range-partitioner boundary planning: the 31 interior split
     // points that divide orders by total price into 32 equal-count
     // ranges — what a sorted/bucketed writer (sink_partitioned's
@@ -510,6 +565,42 @@ object ReportOps extends OpPack {
         |  CAST((CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS HUGEINT)
         |    * 1000000) // count(*) AS BIGINT) AS repeat_ppm
         |FROM per GROUP BY yq ORDER BY yq""".stripMargin,
+
+    "composite_stickiness" ->
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |w AS (
+        |  SELECT day, user_id,
+        |    CAST(year(day) * 10000 + month(day) * 100 +
+        |      (day(day) - 1) // 7 AS INT) AS week
+        |  FROM d),
+        |per_day AS (
+        |  SELECT week, day, count(*) AS dau FROM w GROUP BY week, day),
+        |by_week AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau
+        |  FROM per_day GROUP BY week),
+        |wau AS (
+        |  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM w GROUP BY week)
+        |SELECT b.week, b.n_days, b.sum_dau, u.wau,
+        |  CAST(b.sum_dau * 1000 // (b.n_days * u.wau) AS BIGINT)
+        |    AS stickiness_permille
+        |FROM by_week b JOIN wau u ON b.week = u.week
+        |ORDER BY b.week""".stripMargin,
+
+    "composite_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY event_id)
+        |      AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT)
+        |    AS n_conversions,
+        |  CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+        |    AS n_error_bursts
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "layout_range_bounds" ->
       s"""WITH c AS (
