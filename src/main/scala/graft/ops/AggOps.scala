@@ -416,6 +416,39 @@ object AggOps extends OpPack {
         .orderBy(col("check"))
     }),
 
+    // Mergeable moment shards — the pre-aggregation doctrine stated
+    // as a query: each shard keeps (n, Σx, Σx², min, max) and the
+    // global mean/variance derive from MERGED partials, never a
+    // second data pass. Everything exact: cents through
+    // DECIMAL(38,0) (Σx² at 10^12 rows × (5·10^7)² ≈ 10^27 — BIGINT
+    // dies at 10^19, decimal does not), variance by the
+    // cross-multiplied integral form (n·Σx² − (Σx)²) div n². The
+    // oracle computes the same moments in ONE un-sharded pass —
+    // a pass proves merge-equals-recompute bit-for-bit, which is
+    // what makes tiered rollups (hour→day→month) trustworthy.
+    "agg_merge_moments" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables(s, dir, "lineitem")
+        .select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(l_orderkey % 4 AS INT)").as("shard"))
+      li.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("s"),
+          sum((col("cents").cast(DecimalType(38, 0)) * col("cents"))
+            .cast(DecimalType(38, 0))).as("ss"),
+          min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(col("s")).as("s"), sum(col("ss")).as("ss"),
+          min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
+        .select(col("n_rows"),
+          expr("CAST(s div n_rows AS BIGINT)").as("mean_cents"),
+          expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * ss - s * s) div " +
+            "(CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)")
+            .as("var_cents2"),
+          col("min_cents"), col("max_cents"))
+    }),
+
     // k-anonymity / l-diversity governance audit (the privacy
     // pre-flight a training-data release runs): group the population
     // by its quasi-identifiers (nation × market segment), then report
@@ -914,6 +947,23 @@ object AggOps extends OpPack {
         |  SELECT 'null_events_props', CAST(count(*) AS BIGINT)
         |  FROM events WHERE props IS NULL)
         |ORDER BY "check"""".stripMargin,
+
+    // ONE un-sharded pass — merge-equals-recompute is the claim
+    "agg_merge_moments" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(cents AS HUGEINT)) AS s,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS ss,
+        |    min(cents) AS mn, max(cents) AS mx
+        |  FROM c)
+        |SELECT n_rows, CAST(s // n_rows AS BIGINT) AS mean_cents,
+        |  CAST((n_rows * ss - s * s) //
+        |    (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS var_cents2,
+        |  mn AS min_cents, mx AS max_cents
+        |FROM a""".stripMargin,
 
     "diag_kanon" ->
       """WITH g AS (

@@ -620,6 +620,38 @@ class ManifestSinkSpec extends AnyFunSuite {
       entries.exists(_.pspec.nonEmpty))
   }
 
+  test("streaming write with partitionedBy: epoch files carry partition values, pruning works on the streamed table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = scratch("stream-part")
+    val ckpt = Files.createTempDirectory("stream-part-ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("k", "v")
+      .writeStream.format("graft-manifest")
+      .option("path", dir)
+      .option("partitionedBy", "bucket(4, k)")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((4L, "d"), (5L, "e"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val entries = ManifestSink.readAll(dir).files
+    assert(entries.forall(_.pspec.contains("bucket(4, k)")))
+    assert(entries.forall(e => e.part.exists(p => p >= 0 && p < 4)))
+    // equality pruning holds across epoch manifests: truncate every
+    // file outside key 5's bucket, the equality read survives
+    val kb = ManifestSink.bucketOf(5L, 4).toLong
+    entries.filterNot(_.part.contains(kb)).foreach { e =>
+      Files.write(new File(dir, e.name).toPath, Array.empty[Byte]) }
+    assert(spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") === 5L).collect().map(_.getString(1)).toSeq ===
+      Seq("e"))
+  }
+
   test("partitionedBy rejects bad specs on the driver, before any task runs") {
     val dir = scratch("badspec")
     val src = graft.Tables(spark, sf, "region")
