@@ -126,6 +126,40 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental corpus-ingestion dedup — the production shape: a
+    // new shard ("tonight's crawl", doc_id % 10 == 0 as the stand-in)
+    // is deduped against the ALREADY-INDEXED corpus without ever
+    // re-joining the old corpus against itself. Candidates come from
+    // the df-capped inverted shingle index restricted to postings
+    // that touch a NEW doc, so shuffle volume is |new postings| ×
+    // bounded df — the nightly cost tracks the INGEST size, not the
+    // corpus size (old×old pairs, the quadratic bulk, are never
+    // generated). Same J≥0.05 similarity space as llm_dedup_ngram;
+    // new↔new pairs surface in both directions by declared contract
+    // (each new doc reports everything it collides with). The oracle
+    // brute-forces the same restricted join.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      val sh = shinglesCapped(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_new"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_other"),
+        col("sh").as("sh_b"))
+      a.join(b, col("sh") === col("sh_b") &&
+          col("doc_new") =!= col("doc_other"))
+        .groupBy(col("doc_new"), col("doc_other"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_new"),
+          col("n_sh").as("n_a")), "doc_new")
+        .join(sizes.select(col("doc_id").as("doc_other"),
+          col("n_sh").as("n_b")), "doc_other")
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .filter(col("n_inter") * 20 >= col("n_union"))
+        .select(col("doc_new"), col("doc_other"), col("n_inter"),
+          col("n_union"))
+        .orderBy(col("doc_new"), col("doc_other"))
+    }),
+
     // SimHash(64-bit) + pigeonhole segment join, verified to exact
     // token-set equality (n_inter == n_union ⇔ J = 1).
     "llm_dedup_simhash" -> ((s, dir) => {
@@ -988,6 +1022,38 @@ object DedupOps extends OpPack {
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE n_inter * 2 >= sa.n_sh + sb.n_sh - n_inter
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_incremental" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_other,
+        |    count(*) AS n_inter
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 10 = 0
+        |  GROUP BY doc_new, doc_other)
+        |SELECT doc_new, doc_other, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union
+        |FROM pair
+        |JOIN sz sa ON doc_new = sa.doc_id
+        |JOIN sz sb ON doc_other = sb.doc_id
+        |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
+        |ORDER BY doc_new, doc_other""".stripMargin,
 
     "llm_dedup_simhash" ->
       s"""SELECT doc_a, doc_b FROM ($tokPairSql
