@@ -345,6 +345,40 @@ object ScanOps extends OpPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Per-file BLOOM-FILTER file skipping through the graft-manifest
+    // connector: `.option("bloomFilterColumns", "o_custkey")` makes
+    // every committed file carry an 8 KiB bloom of its non-null key
+    // set (parquet bloom pages / Iceberg puffin blobs at
+    // single-document scale), and equality/IN filters prune whole
+    // files the bloom proves empty BEFORE planning. This is the
+    // point-lookup case zone maps fundamentally cannot serve: the
+    // write below HASH-scatters o_custkey, so every file's min/max
+    // spans the whole key range (zone maps prune nothing), yet each
+    // custkey's rows land in exactly ONE file — the bloom skips the
+    // rest. Conservative (blooms only prove absence; every filter
+    // stays engine-applied), so results are provably unchanged —
+    // which is what the oracle on the original parquet checks.
+    // File-skip behavior + string-key blooms pinned in
+    // ManifestSinkSpec.
+    "sink_manifest_bloom" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-bloom"
+      Tables(s, dir, "orders")
+        .repartition(4, col("o_custkey"))
+        .write.mode("overwrite").format("graft-manifest")
+        .option("bloomFilterColumns", "o_custkey")
+        .save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .filter(col("o_custkey").isin(1, 2, 4, 7))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("price_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Small-file compaction on the manifest table (the lakehouse
     // OPTIMIZE verb — a streaming CDC sink accretes one file per
     // task per epoch; compaction is what keeps the file count, and
@@ -556,6 +590,15 @@ object ScanOps extends OpPack {
         |FROM orders WHERE o_orderkey < 200
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_manifest_bloom" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey IN (1, 2, 4, 7)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "sink_manifest_compact" ->
       """SELECT l_orderkey % 7 AS bucket, count(*) AS n,

@@ -106,6 +106,119 @@ object ManifestSink {
     * lower_bounds/upper_bounds at single-document scale. */
   final case class ColStat(col: String, min: Long, max: Long)
 
+  /** Per-file bloom filter for one column, declared at write time via
+    * `.option("bloomFilterColumns", "a,b")` — the file-skip structure
+    * for POINT lookups on scattered keys, the case zone maps
+    * fundamentally cannot serve (a hash-distributed key's min/max
+    * spans every file; its bloom does not). Parquet/Iceberg ship the
+    * same idea (parquet bloom pages / puffin blobs). Conservative by
+    * construction: a bloom can only prove ABSENCE, so pruning can
+    * never change results; every filter stays engine-applied.
+    * Integral/date/timestamp columns key on the same physical Long
+    * the zone maps carry; STRING columns (which zone maps skip
+    * entirely) key on FNV-1a64 of the UTF-8 bytes. The hash scheme is
+    * part of the on-disk contract, like Iceberg pinning murmur3. */
+  final case class ColBloom(col: String, k: Int, bits: Int,
+      data: Array[Byte]) {
+    def mightContain(key: Long): Boolean = {
+      val h1 = mix64(key)
+      val h2 = mix64(key + 0x9E3779B97F4A7C15L) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Long
+          .remainderUnsigned(h1 + i.toLong * h2, bits.toLong).toInt
+        if ((data(pos >>> 3) & (1 << (pos & 7))) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Default bloom geometry: 64 Ki bits (8 KiB) per column per file,
+    * 7 probes — ~1 % false-positive rate at ~6.5 k distinct keys per
+    * file, and still useful well past that (a saturated bloom only
+    * stops pruning, never mis-prunes). `bloomFilterBits` overrides
+    * per write for known file cardinalities. */
+  val BloomBits: Int = 1 << 16
+  val BloomK: Int = 7
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix (public domain
+    * constant set; same family as [[bucketOf]]). */
+  def mix64(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Writer-side insert: same probe positions as
+    * [[ColBloom.mightContain]]. */
+  def bloomSet(data: Array[Byte], bits: Int, k: Int, key: Long): Unit = {
+    val h1 = mix64(key)
+    val h2 = mix64(key + 0x9E3779B97F4A7C15L) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Long
+        .remainderUnsigned(h1 + i.toLong * h2, bits.toLong).toInt
+      data(pos >>> 3) = (data(pos >>> 3) | (1 << (pos & 7))).toByte
+      i += 1
+    }
+  }
+
+  /** Probe-time canonical key for a pushed filter literal: integral
+    * shapes via [[litLong]] (the writer's physical Long), strings via
+    * the writer's FNV-1a64-of-UTF-8. Unknown shapes answer None → no
+    * pruning. */
+  def bloomKey(v: Any): Option[Long] = v match {
+    case s: String =>
+      Some(fnv64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some(fnv64(u.getBytes))
+    case other => litLong(other)
+  }
+
+  /** May `f` match any row of a file with these blooms? Only equality
+    * shapes consult a bloom (EqualTo / null-safe equality / In —
+    * membership is all a bloom answers); everything else is
+    * conservative true. Blooms index NON-NULL values only, so null
+    * predicates never prune here. */
+  def bloomMayMatch(blooms: Seq[ColBloom], f: sources.Filter): Boolean = {
+    def bf(c: String) = blooms.find(_.col == c)
+    f match {
+      case sources.EqualTo(c, v) => (bf(c), bloomKey(v)) match {
+        case (Some(b), Some(key)) => b.mightContain(key)
+        case _ => true
+      }
+      case sources.EqualNullSafe(c, v) if v != null =>
+        (bf(c), bloomKey(v)) match {
+          case (Some(b), Some(key)) => b.mightContain(key)
+          case _ => true
+        }
+      case sources.In(c, vs) => bf(c) match {
+        case Some(b) =>
+          // prune only when EVERY value canonicalizes and none is
+          // possibly present
+          val ks = vs.toSeq.map(bloomKey)
+          !ks.forall(_.isDefined) || ks.flatten.exists(b.mightContain)
+        case None => true
+      }
+      case sources.And(l, r) =>
+        bloomMayMatch(blooms, l) && bloomMayMatch(blooms, r)
+      case _ => true
+    }
+  }
+
   /** `schemaDdl = None` means "written with the manifest's current
     * schema"; `Some` records the file's OWN schema after the table
     * evolved across appends — the reader resolves columns by NAME per
@@ -116,7 +229,8 @@ object ManifestSink {
     * mis-prune old files). */
   final case class Entry(name: String, rows: Long, crc: Long,
       stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None,
-      part: Option[Long] = None, pspec: Option[String] = None)
+      part: Option[Long] = None, pspec: Option[String] = None,
+      blooms: Seq[ColBloom] = Nil)
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
       version: Long = 0L)
 
@@ -303,7 +417,8 @@ object ManifestSink {
     * both get a veto; either answering "provably empty" skips the
     * file. An unparseable/absent pspec never prunes (conservative). */
   def entryMayMatch(e: Entry, filters: Seq[sources.Filter]): Boolean =
-    filters.forall(f => mayMatch(e.stats, f)) && {
+    filters.forall(f => mayMatch(e.stats, f)) &&
+      filters.forall(f => bloomMayMatch(e.blooms, f)) && {
       (e.pspec, e.part) match {
         case (Some(ps), Some(p)) =>
           try {
@@ -422,6 +537,14 @@ object ManifestSink {
       e.schemaDdl.foreach(d => n.put("schema", d))
       e.part.foreach(p => n.put("part", p))
       e.pspec.foreach(sp => n.put("pspec", sp))
+      if (e.blooms.nonEmpty) {
+        val bl = n.putArray("blooms")
+        e.blooms.foreach { b =>
+          val o = bl.addObject()
+          o.put("col", b.col); o.put("k", b.k); o.put("bits", b.bits)
+          o.put("data", java.util.Base64.getEncoder.encodeToString(b.data))
+        }
+      }
     }
     val tmp = new File(dir, s".$fileName.${UUID.randomUUID()}.tmp")
     val out = new FileOutputStream(tmp)
@@ -449,11 +572,19 @@ object ManifestSink {
             o.get("max").asLong())
         }.toSeq
       else Nil
+      val blooms = if (n.has("blooms"))
+        n.get("blooms").elements().asScala.map { o =>
+          ColBloom(o.get("col").asText(), o.get("k").asInt(),
+            o.get("bits").asInt(),
+            java.util.Base64.getDecoder.decode(o.get("data").asText()))
+        }.toSeq
+      else Nil
       Entry(n.get("name").asText(), n.get("rows").asLong(),
         n.get("crc").asLong(), stats,
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
         if (n.has("part")) Some(n.get("part").asLong()) else None,
-        if (n.has("pspec")) Some(n.get("pspec").asText()) else None)
+        if (n.has("pspec")) Some(n.get("pspec").asText()) else None,
+        blooms)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
     Manifest(root.get("schemaDdl").asText(), files, v)
@@ -551,15 +682,45 @@ final class ManifestTable(tableSchema: StructType, path: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(info.schema(), path,
-      Option(info.options.get("partitionedBy")))
+      Option(info.options.get("partitionedBy")),
+      Option(info.options.get("bloomFilterColumns")),
+      Option(info.options.get("bloomFilterBits")))
 }
 
 final class ManifestWriteBuilder(schema: StructType, path: String,
-    partitionedBy: Option[String])
+    partitionedBy: Option[String],
+    bloomFilterColumns: Option[String] = None,
+    bloomFilterBits: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
+    // validate the bloom declaration on the DRIVER, before any task
+    // runs: named columns must exist and be string/integral-shaped
+    val bloomCols: Seq[String] = bloomFilterColumns
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val bloomBits: Int = bloomFilterBits.map(_.trim.toInt)
+      .getOrElse(ManifestSink.BloomBits)
+    if (bloomBits <= 0 || bloomBits % 8 != 0)
+      throw new IllegalArgumentException(
+        s"graft-manifest: bloomFilterBits must be a positive multiple " +
+          s"of 8, got $bloomBits")
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-manifest: bloomFilterColumns column '$c' not in " +
+            s"write schema ${schema.fieldNames.mkString("(", ", ", ")")}"))
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             TimestampType | TimestampNTZType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft-manifest: bloomFilterColumns column '$c' has " +
+            s"unsupported type ${dt.sql} — integral/date/timestamp/" +
+            "string only")
+      }
+    }
     // validate the partition transform on the DRIVER, before any task
     // runs: the spec must parse and name an integral-typed column
     partitionedBy.foreach { s =>
@@ -592,9 +753,11 @@ final class ManifestWriteBuilder(schema: StructType, path: String,
     }
     new Write {
       override def toBatch: BatchWrite =
-        new ManifestBatchWrite(schema, path, truncateFirst, partitionedBy)
+        new ManifestBatchWrite(schema, path, truncateFirst, partitionedBy,
+          bloomCols, bloomBits)
       override def toStreaming: StreamingWrite =
-        new ManifestStreamingWrite(schema, path, partitionedBy)
+        new ManifestStreamingWrite(schema, path, partitionedBy,
+          bloomCols, bloomBits)
     }
   }
 }
@@ -610,14 +773,17 @@ final class ManifestWriteBuilder(schema: StructType, path: String,
   * trick, one manifest per epoch instead of one global log).
   */
 final class ManifestStreamingWrite(schema: StructType, path: String,
-    partitionedBy: Option[String] = None)
+    partitionedBy: Option[String] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = ManifestSink.BloomBits)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
-    new ManifestStreamingWriterFactory(schema.toDDL, path, partitionedBy)
+    new ManifestStreamingWriterFactory(schema.toDDL, path, partitionedBy,
+      bloomCols, bloomBits)
   }
 
   override def commit(epochId: Long,
@@ -642,23 +808,28 @@ final class ManifestStreamingWrite(schema: StructType, path: String,
 }
 
 final class ManifestStreamingWriterFactory(schemaDdl: String, path: String,
-    partitionedBy: Option[String] = None)
+    partitionedBy: Option[String] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = ManifestSink.BloomBits)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(StructType.fromDDL(schemaDdl), path, partitionId,
-      taskId, partitionedBy)
+      taskId, partitionedBy, bloomCols, bloomBits)
 }
 
 final class ManifestBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean, partitionedBy: Option[String] = None)
+    truncateFirst: Boolean, partitionedBy: Option[String] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = ManifestSink.BloomBits)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
-    new ManifestWriterFactory(schema.toDDL, path, partitionedBy)
+    new ManifestWriterFactory(schema.toDDL, path, partitionedBy,
+      bloomCols, bloomBits)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -720,12 +891,14 @@ final case class ManifestCommitMessage(files: Seq[ManifestSink.Entry])
     extends WriterCommitMessage
 
 final class ManifestWriterFactory(schemaDdl: String, path: String,
-    partitionedBy: Option[String] = None)
+    partitionedBy: Option[String] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = ManifestSink.BloomBits)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(StructType.fromDDL(schemaDdl), path, partitionId,
-      taskId, partitionedBy)
+      taskId, partitionedBy, bloomCols, bloomBits)
 }
 
 /** Writes the paged COLUMNAR layout: rows buffer per column until the
@@ -742,7 +915,9 @@ final class ManifestWriterFactory(schemaDdl: String, path: String,
   * attempts can never collide; only the committed name reaches the
   * driver. */
 final class ManifestDataWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long, partitionedBy: Option[String] = None)
+    partitionId: Int, taskId: Long, partitionedBy: Option[String] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = ManifestSink.BloomBits)
     extends DataWriter[InternalRow] {
   private val spec = partitionedBy.map(ManifestSink.parsePartSpec)
   // partition-value extractor: timestamps read as micros, dates as
@@ -777,7 +952,7 @@ final class ManifestDataWriter(schema: StructType, path: String,
     writers.getOrElseUpdate(part,
       new ManifestFileWriter(schema, path, partitionId, taskId,
         if (spec.isEmpty) None else Some(part),
-        spec.map(_.describe)))
+        spec.map(_.describe), bloomCols, bloomBits))
 
   override def write(record: InternalRow): Unit =
     writerFor(partGet(record)).write(record)
@@ -797,7 +972,8 @@ final class ManifestDataWriter(schema: StructType, path: String,
 /** The per-file writing core (one instance per produced data file). */
 final class ManifestFileWriter(schema: StructType, path: String,
     partitionId: Int, taskId: Long, part: Option[Long],
-    pspec: Option[String]) {
+    pspec: Option[String], bloomCols: Seq[String] = Nil,
+    bloomBits: Int = ManifestSink.BloomBits) {
   private val name =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}${ManifestSink.DataSuffix}"
   private val file = new File(path, name)
@@ -837,6 +1013,29 @@ final class ManifestFileWriter(schema: StructType, path: String,
   private val statMin = Array.fill(schema.length)(Long.MaxValue)
   private val statMax = Array.fill(schema.length)(Long.MinValue)
   private val statSeen = Array.fill(schema.length)(false)
+  // per-file bloom accumulators for the declared columns: integral
+  // shapes key on the same physical Long the zone maps carry, strings
+  // on FNV-1a64 of the UTF-8 bytes (nulls never enter a bloom)
+  private val bloomIdx: Array[Int] =
+    bloomCols.map(c => schema.fieldNames.indexOf(c)).toArray
+  private val bloomGet: Array[InternalRow => Long] = bloomIdx.map { i =>
+    schema.fields(i).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        (r: InternalRow) => ManifestSink.fnv64(r.getUTF8String(i).getBytes)
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        (r: InternalRow) => r.getLong(i)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType =>
+        (r: InternalRow) => r.getInt(i).toLong
+      case org.apache.spark.sql.types.ShortType =>
+        (r: InternalRow) => r.getShort(i).toLong
+      case _ => (r: InternalRow) => r.getByte(i).toLong
+    }
+  }
+  private val bloomData: Array[Array[Byte]] =
+    bloomIdx.map(_ => new Array[Byte](bloomBits / 8))
   // per-PAGE zone maps (reset at every flush): the row-group-skip
   // granularity — a filtered reader seeks past whole pages these
   // bounds prove empty
@@ -863,6 +1062,13 @@ final class ManifestFileWriter(schema: StructType, path: String,
         pageSeen(i) = true
       }
       i += 1
+    }
+    var bi = 0
+    while (bi < bloomIdx.length) {
+      if (!record.isNullAt(bloomIdx(bi)))
+        ManifestSink.bloomSet(bloomData(bi), bloomBits, ManifestSink.BloomK,
+          bloomGet(bi)(record))
+      bi += 1
     }
     pageRows += 1
     rows += 1
@@ -913,8 +1119,11 @@ final class ManifestFileWriter(schema: StructType, path: String,
       case i if statSeen(i) =>
         ManifestSink.ColStat(schema(i).name, statMin(i), statMax(i))
     }
+    val blooms = bloomCols.indices.map(bi =>
+      ManifestSink.ColBloom(bloomCols(bi), ManifestSink.BloomK, bloomBits,
+        bloomData(bi)))
     ManifestSink.Entry(name, rows, fileCrc.getValue, stats, None, part,
-      pspec)
+      pspec, blooms)
   }
 
   def abortDelete(): Unit = { out.close(); file.delete() }

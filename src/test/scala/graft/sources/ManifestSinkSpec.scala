@@ -309,6 +309,52 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(q.orderBy("o_orderkey").select("o_orderkey").collect().toSeq === a)
   }
 
+  test("bloom filters prune files on hash-scattered keys where zone maps cannot") {
+    val dir = scratch("bloom")
+    import spark.implicits._
+    // 4 hash-partitioned files: every file's key min/max spans the
+    // range (zone maps prune nothing), but each key lives in ONE file
+    val src = (1L to 4000L).map(k => (k, s"name-$k")).toDF("k", "nm")
+    src.repartition(4, col("k"))
+      .write.mode("overwrite").format("graft-manifest")
+      .option("bloomFilterColumns", "k,nm").save(dir)
+    val entries = ManifestSink.readManifest(dir).files
+    assert(entries.size === 4)
+    assert(entries.forall(_.blooms.exists(_.col === "k")))
+    assert(entries.forall(_.blooms.exists(_.col === "nm")))
+    // zone maps alone CANNOT prune this equality (ranges overlap)
+    val kStats = entries.map(_.stats.find(_.col === "k").get)
+    assert(kStats.forall(s => s.min <= 42 && s.max >= 42))
+    // a long-key equality plans ONLY the file whose bloom may hold it
+    val q = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") === 42L)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val planned = scans.head.inputRDD.getNumPartitions
+    assert(planned < 4, s"bloom should skip files, planned $planned")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(42L))
+    // STRING keys prune too — the case zone maps skip entirely
+    val qs = spark.read.format("graft-manifest").load(dir)
+      .filter(col("nm") === "name-2042")
+    val sScans = qs.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(sScans.head.inputRDD.getNumPartitions < 4)
+    assert(qs.collect().map(_.getString(1)).toSeq === Seq("name-2042"))
+    // a key in NO file plans zero partitions but still answers
+    val q0 = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") === 999999L)
+    assert(q0.collect().isEmpty)
+    // and a bloom can never LOSE rows: IN over scattered keys matches
+    // the source exactly
+    val got = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k").isin(7L, 1007L, 3999L))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(7L, 1007L, 3999L))
+  }
+
   test("compaction rewrites the current state as a new snapshot; the old layout stays time-travelable") {
     val dir = scratch("compact")
     val src = graft.Tables(spark, sf, "customer")
