@@ -379,6 +379,43 @@ object ScanOps extends OpPack {
         .orderBy(col("o_custkey"))
     }),
 
+    // Row-level DELETE on the manifest table, merge-on-read
+    // (Iceberg's positional-delete / delete-vector design at
+    // single-document scale): `ManifestSink.delete(dir, predicate)`
+    // writes tiny per-file positional delete files from EXECUTORS and
+    // commits them in ONE atomic manifest snapshot — no data file is
+    // rewritten, so at 100 TB a GDPR-delete costs kilobytes of delete
+    // vectors instead of terabytes of rewrite. Two stacked deletes
+    // compose (the scan hides already-deleted rows, so position sets
+    // are disjoint and live counts stay exact — COUNT(*) pushdown
+    // included); the read back applies the vectors. The oracle
+    // applies the same two predicates to the original parquet,
+    // proving merge-on-read masking loses and leaks nothing.
+    // Mask/compose/compact/travel/corruption behavior pinned in
+    // ManifestSinkSpec.
+    "sink_manifest_mor" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-mor"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      Tables(s, dir, "orders")
+        .repartition(4)
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      graft.sources.ManifestSink.delete(s, scratch, "o_orderkey % 7 = 0")
+      graft.sources.ManifestSink.delete(s, scratch, "o_custkey % 5 = 1")
+      s.read.format("graft-manifest").load(scratch)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("price_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Small-file compaction on the manifest table (the lakehouse
     // OPTIMIZE verb — a streaming CDC sink accretes one file per
     // task per epoch; compaction is what keeps the file count, and
@@ -599,6 +636,16 @@ object ScanOps extends OpPack {
         |FROM orders WHERE o_custkey IN (1, 2, 4, 7)
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "sink_manifest_mor" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_custkey % 5 <> 1
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "sink_manifest_compact" ->
       """SELECT l_orderkey % 7 AS bucket, count(*) AS n,

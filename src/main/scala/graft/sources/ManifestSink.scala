@@ -72,7 +72,19 @@ final class ManifestSinkProvider extends TableProvider
     // time travel resolves the SNAPSHOT's schema — a table whose
     // schema evolved across versions reads each version in its own
     // shape
-    StructType.fromDDL(ManifestSink.readAsOf(path, asOf).schemaDdl)
+    val base =
+      StructType.fromDDL(ManifestSink.readAsOf(path, asOf).schemaDdl)
+    // `withRowMeta` appends the physical row-address columns
+    // (file name + row ordinal) — what row-level DELETE computes
+    // positions from (Iceberg's _file/_pos metadata columns)
+    if (opts.exists { case (k, v) =>
+        k.equalsIgnoreCase("withRowMeta") && v.toBoolean })
+      StructType(base.fields
+        :+ org.apache.spark.sql.types.StructField(ManifestSink.MetaFileCol,
+          org.apache.spark.sql.types.StringType, nullable = false)
+        :+ org.apache.spark.sql.types.StructField(ManifestSink.MetaPosCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -84,6 +96,13 @@ final class ManifestSinkProvider extends TableProvider
 object ManifestSink {
   val ManifestFile = "_graft_manifest.json"
   val DataSuffix = ".graftrows"
+  val DelSuffix = ".graftdel"
+
+  /** Hidden row-address metadata columns exposed by
+    * `.option("withRowMeta", "true")` — the physical (file, ordinal)
+    * identity row-level DELETE is computed against. */
+  val MetaFileCol = "_graft_file"
+  val MetaPosCol = "_graft_pos"
 
   /** Columnar page bounds: a page closes at this many rows or this
     * many buffered encoded bytes, whichever first — bounds writer
@@ -219,6 +238,16 @@ object ManifestSink {
     }
   }
 
+  /** A positional delete file attached to one data file (the
+    * merge-on-read half of row-level DELETE — Iceberg's positional
+    * delete / delete-vector idea at single-document scale): `n`
+    * physical row ordinals of the data file, written
+    * `[n:int][pos:long]*`, CRC32'd. Multiple delete files on one
+    * entry are disjoint by construction (a later DELETE only sees
+    * live rows), so their counts are additive and the live row count
+    * stays exact metadata. */
+  final case class DelFile(name: String, n: Long, crc: Long)
+
   /** `schemaDdl = None` means "written with the manifest's current
     * schema"; `Some` records the file's OWN schema after the table
     * evolved across appends — the reader resolves columns by NAME per
@@ -230,7 +259,11 @@ object ManifestSink {
   final case class Entry(name: String, rows: Long, crc: Long,
       stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None,
       part: Option[Long] = None, pspec: Option[String] = None,
-      blooms: Seq[ColBloom] = Nil)
+      blooms: Seq[ColBloom] = Nil, deletes: Seq[DelFile] = Nil) {
+    /** Live rows after merge-on-read deletes — exact, because delete
+      * files on one entry never overlap. */
+    def liveRows: Long = rows - deletes.map(_.n).sum
+  }
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
       version: Long = 0L)
 
@@ -453,6 +486,109 @@ object ManifestSink {
       .repartition(targetFiles)
       .write.mode("overwrite").format("graft-manifest").save(dir)
 
+  /** Row-level DELETE, merge-on-read (the Iceberg positional-delete /
+    * delete-vector design at single-document scale): rows matching
+    * `condition` (a SQL predicate over the table's columns) are NOT
+    * rewritten out of their data files — each task writes a tiny
+    * positional delete file (`[n:int][ordinal:long]*`, CRC32'd) next
+    * to the data file it masks, and ONE atomic manifest commit
+    * attaches them. At 100 TB this is the difference between a
+    * GDPR-delete touching kilobytes of delete vectors and rewriting
+    * terabytes of data; [[compact]] later materializes the deletes
+    * (its reader applies them, its writer emits clean files, and the
+    * overwrite snapshot drops the delete refs).
+    *
+    * Mechanics: the scan's hidden `withRowMeta` columns give every
+    * live row its physical (file, ordinal) address; the filtered
+    * addresses are shuffled per-file and written from EXECUTORS
+    * (positions-per-file is bounded by file row count — the same
+    * boundedness argument as Iceberg DVs); only (file, count, crc)
+    * metadata reaches the driver commit. Because the scan hides
+    * already-deleted rows, successive DELETEs produce DISJOINT
+    * position sets — counts stay additive, and the manifest's live
+    * row count stays exact (COUNT(*) pushdown included). The commit
+    * archives the prior snapshot first, so time travel still reads
+    * the pre-delete state; streaming epoch manifests are folded into
+    * the new base and left behind as EMPTY tombstones (the epoch-id
+    * idempotence token survives — a crash-replayed epoch still finds
+    * its manifest and discards its duplicate files, but can no longer
+    * double-count the folded rows).
+    *
+    * Returns the number of rows deleted (0 → no-op, no new
+    * snapshot). */
+  def delete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      condition: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val merged = readAll(dir)
+    val hits = spark.read.format("graft-manifest")
+      .option("withRowMeta", "true").load(dir)
+      .filter(condition)
+      .select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2"))
+    import spark.implicits._
+    val written: Array[(String, String, Long, Long)] = hits.as[(String, Long)]
+      .repartition(col("_1"))
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { case (f, p) =>
+          byFile.getOrElseUpdate(f,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += p
+        }
+        byFile.iterator.map { case (dataFile, ps) =>
+          val name = s"$dataFile.${UUID.randomUUID()}$DelSuffix"
+          val crc = new CRC32()
+          val out = new DataOutputStream(new CheckedOutputStream(
+            new BufferedOutputStream(
+              new FileOutputStream(new File(dir, name))), crc))
+          try {
+            out.writeInt(ps.size)
+            ps.sorted.foreach(out.writeLong)
+          } finally out.close()
+          (dataFile, name, ps.size.toLong, crc.getValue)
+        }
+      }.collect()
+    if (written.isEmpty) return 0L
+    val prior =
+      if (new File(dir, ManifestFile).exists()) Some(readManifest(dir))
+      else None
+    prior.foreach(p =>
+      writeManifestAs(dir, archiveManifestFile(p.version), p))
+    val version = prior.map(_.version + 1).getOrElse(1L)
+    val byData = written.groupBy(_._1)
+    val entries = merged.files.map { e =>
+      byData.get(e.name) match {
+        case Some(ws) => e.copy(deletes =
+          e.deletes ++ ws.map(w => DelFile(w._2, w._3, w._4)))
+        case None => e
+      }
+    }
+    writeManifest(dir, Manifest(merged.schemaDdl, entries, version))
+    // fold streaming epochs: their entries now live in the base; the
+    // epoch manifests stay as EMPTY tombstones so the epoch-id
+    // idempotence check keeps working after a crash replay
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+      .foreach { f =>
+        val m = readManifestFile(f)
+        if (m.files.nonEmpty)
+          writeManifestAs(dir, f.getName, Manifest(m.schemaDdl, Nil))
+      }
+    sweepDeleteFiles(dir)
+    written.map(_._3).sum
+  }
+
+  /** Remove delete files no manifest — base, archive, or epoch —
+    * references (a DELETE that lost a concurrent commit race, or
+    * refs retired by compaction + vacuum). */
+  def sweepDeleteFiles(dir: String): Unit = {
+    val referenced = listAllManifests(dir)
+      .flatMap(f => readManifestFile(f).files.flatMap(_.deletes.map(_.name)))
+      .toSet
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(DelSuffix) && !referenced(f.getName))
+      .foreach(_.delete())
+  }
+
   /** Drop archived snapshots older than `keepVersions` behind the
     * current base, then sweep data files no remaining manifest
     * references — the retention knob that bounds time-travel storage. */
@@ -470,6 +606,7 @@ object ManifestSink {
     new File(dir).listFiles()
       .filter(f => f.getName.endsWith(DataSuffix) && !referenced(f.getName))
       .foreach(_.delete())
+    sweepDeleteFiles(dir)
   }
 
   /** Every manifest document under `dir`: base, archived snapshots,
@@ -545,6 +682,13 @@ object ManifestSink {
           o.put("data", java.util.Base64.getEncoder.encodeToString(b.data))
         }
       }
+      if (e.deletes.nonEmpty) {
+        val dl = n.putArray("deletes")
+        e.deletes.foreach { d =>
+          val o = dl.addObject()
+          o.put("name", d.name); o.put("n", d.n); o.put("crc", d.crc)
+        }
+      }
     }
     val tmp = new File(dir, s".$fileName.${UUID.randomUUID()}.tmp")
     val out = new FileOutputStream(tmp)
@@ -579,12 +723,18 @@ object ManifestSink {
             java.util.Base64.getDecoder.decode(o.get("data").asText()))
         }.toSeq
       else Nil
+      val deletes = if (n.has("deletes"))
+        n.get("deletes").elements().asScala.map { o =>
+          DelFile(o.get("name").asText(), o.get("n").asLong(),
+            o.get("crc").asLong())
+        }.toSeq
+      else Nil
       Entry(n.get("name").asText(), n.get("rows").asLong(),
         n.get("crc").asLong(), stats,
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
         if (n.has("part")) Some(n.get("part").asLong()) else None,
         if (n.has("pspec")) Some(n.get("pspec").asText()) else None,
-        blooms)
+        blooms, deletes)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
     Manifest(root.get("schemaDdl").asText(), files, v)
@@ -877,6 +1027,7 @@ final class ManifestBatchWrite(schema: StructType, path: String,
       .toSet
     dir.listFiles().filter(f => f.getName.endsWith(ManifestSink.DataSuffix)
       && !referenced(f.getName)).foreach(_.delete())
+    ManifestSink.sweepDeleteFiles(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1143,7 +1294,7 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
   override def estimateStatistics(): Statistics = {
     val entries = ManifestSink.readAsOf(path, asOfVersion).files
       .filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
-    val rows = entries.map(_.rows).sum
+    val rows = entries.map(_.liveRows).sum
     val bytes = entries.map(e =>
       new File(s"$path/${e.name}").length()).sum
     val frac = math.max(1, prunedSchema.length).toDouble /
@@ -1162,7 +1313,7 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
         .filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
         .map(e =>
           ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc,
-            e.schemaDdl.getOrElse(m.schemaDdl))
+            e.schemaDdl.getOrElse(m.schemaDdl), e.deletes)
             .asInstanceOf[InputPartition]).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -1172,7 +1323,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
 }
 
 final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
-    fileSchemaDdl: String) extends InputPartition
+    fileSchemaDdl: String,
+    deletes: Seq[ManifestSink.DelFile] = Nil) extends InputPartition
 
 /** Complete COUNT(*) pushdown: one partition, one row, computed from
   * the manifest's durable per-file row counts — no data file is ever
@@ -1184,7 +1336,7 @@ final class ManifestCountScan(path: String, asOfVersion: Option[Long])
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(ManifestCountPartition(
-        ManifestSink.readAsOf(path, asOfVersion).files.map(_.rows).sum))
+        ManifestSink.readAsOf(path, asOfVersion).files.map(_.liveRows).sum))
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(
@@ -1216,16 +1368,22 @@ final class ManifestReaderFactory(tableSchemaDdl: String,
     // schema evolution: requested columns resolve by NAME per file;
     // a column the file predates reads as NULL. Type changes are not
     // evolution — fail loudly rather than reinterpret bytes.
+    // Sentinels: -2 = the hidden file-name column, -3 = the hidden
+    // physical-row-ordinal column (withRowMeta).
     val neededIdx = prunedNames.map { nm =>
-      val i = fileSchema.fieldNames.indexOf(nm)
-      if (i >= 0 &&
-          fileSchema.fields(i).dataType != tableSchema(nm).dataType)
-        throw new java.io.IOException(
-          s"graft-manifest: column $nm type changed across appends " +
-            s"(file ${fileSchema.fields(i).dataType.sql} vs table " +
-            s"${tableSchema(nm).dataType.sql}) — type evolution is " +
-            "not supported")
-      i
+      if (nm == ManifestSink.MetaFileCol) -2
+      else if (nm == ManifestSink.MetaPosCol) -3
+      else {
+        val i = fileSchema.fieldNames.indexOf(nm)
+        if (i >= 0 &&
+            fileSchema.fields(i).dataType != tableSchema(nm).dataType)
+          throw new java.io.IOException(
+            s"graft-manifest: column $nm type changed across appends " +
+              s"(file ${fileSchema.fields(i).dataType.sql} vs table " +
+              s"${tableSchema(nm).dataType.sql}) — type evolution is " +
+              "not supported")
+        i
+      }
     }
     val outTypes = prunedNames.map(nm =>
       tableSchema(nm).dataType)
@@ -1275,6 +1433,36 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   private var pageRows = 0
   private var rowInPage = 0
   private var seen = 0L
+  // merge-on-read: physical ordinals masked by this file's delete
+  // files (CRC + count verified at load; disjoint by the DELETE
+  // contract). `seen` IS the current physical ordinal.
+  private val delBits: java.util.BitSet =
+    if (p.deletes.isEmpty) null
+    else {
+      val bs = new java.util.BitSet()
+      val parent = new File(p.file).getParentFile
+      p.deletes.foreach { d =>
+        val crc = new CRC32()
+        val din = new DataInputStream(new CheckedInputStream(
+          new BufferedInputStream(
+            new FileInputStream(new File(parent, d.name))), crc))
+        val n = try {
+          val n0 = din.readInt()
+          var i = 0
+          while (i < n0) { bs.set(din.readLong().toInt); i += 1 }
+          n0
+        } finally din.close()
+        if (n != d.n || crc.getValue != d.crc)
+          throw new java.io.IOException(
+            s"graft-manifest: delete file ${d.name} corrupt " +
+              s"(read $n positions crc ${crc.getValue}, manifest says " +
+              s"${d.n} crc ${d.crc})")
+      }
+      bs
+    }
+  private val fileNameUtf8 =
+    org.apache.spark.unsafe.types.UTF8String
+      .fromString(new File(p.file).getName)
 
   /** Reads the next page header + needed blocks; false at EOF.
     * Pages whose zone maps prove the pushed filters can't match are
@@ -1361,28 +1549,59 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
     }
   }
 
-  override def next(): Boolean = {
-    if (rowInPage == pageRows) { if (!nextPage()) return false }
+  /** Advance every buffered column block past the current row
+    * WITHOUT decoding — the merge-on-read skip for deleted rows. */
+  private def skipRowBytes(): Unit = {
     var j = 0
     while (j < neededFileIdx.length) {
-      if (neededFileIdx(j) < 0) {
-        // column newer than this file: schema evolution reads NULL
-        row.update(j, null)
-      } else {
+      if (neededFileIdx(j) >= 0) {
         val b = blocks(j)
         val off = offs(j)
         val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
           ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-        oneCol(j).pointTo(b,
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off + 4, len)
-        row.update(j, oneCol(j).get(0, outTypes(j)))
         offs(j) = off + 4 + len
       }
       j += 1
     }
-    rowInPage += 1
-    seen += 1
-    true
+  }
+
+  @annotation.tailrec
+  override def next(): Boolean = {
+    if (rowInPage == pageRows) { if (!nextPage()) return false }
+    if (delBits != null && delBits.get(seen.toInt)) {
+      // row is deleted: advance the buffers, never materialize it
+      skipRowBytes()
+      rowInPage += 1
+      seen += 1
+      next()
+    } else {
+      val phys = seen
+      var j = 0
+      while (j < neededFileIdx.length) {
+        neededFileIdx(j) match {
+          case -2 => row.update(j, fileNameUtf8)
+          case -3 => row.update(j, phys)
+          case i if i < 0 =>
+            // column newer than this file: schema evolution reads NULL
+            row.update(j, null)
+          case _ =>
+            val b = blocks(j)
+            val off = offs(j)
+            val len = ((b(off) & 0xff) << 24) |
+              ((b(off + 1) & 0xff) << 16) |
+              ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+            oneCol(j).pointTo(b,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off + 4,
+              len)
+            row.update(j, oneCol(j).get(0, outTypes(j)))
+            offs(j) = off + 4 + len
+        }
+        j += 1
+      }
+      rowInPage += 1
+      seen += 1
+      true
+    }
   }
 
   override def get(): InternalRow = row

@@ -355,6 +355,108 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(got === Seq(7L, 1007L, 3999L))
   }
 
+  test("row-level delete is merge-on-read: delete vectors mask rows, count stays exact, time travel sees pre-delete state") {
+    val dir = scratch("mor")
+    val src = graft.Tables(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    src.repartition(4).write.mode("overwrite")
+      .format("graft-manifest").save(dir) // v1
+    val total = src.count()
+    // DELETE writes positional delete files, not rewritten data
+    val dataBefore = new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix)).map(_.getName).toSet
+    val n1 = ManifestSink.delete(spark, dir, "c_custkey % 3 = 0") // v2
+    assert(n1 > 0)
+    val dataAfter = new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix)).map(_.getName).toSet
+    assert(dataAfter === dataBefore, "merge-on-read must not rewrite data files")
+    assert(new File(dir).listFiles().exists(_.getName.endsWith(ManifestSink.DelSuffix)))
+    // the read applies the delete vectors
+    val live = spark.read.format("graft-manifest").load(dir)
+    val expect = src.filter(col("c_custkey") % 3 =!= 0)
+    assert(live.orderBy("c_custkey").collect().toSeq ===
+      expect.orderBy("c_custkey").collect().toSeq)
+    // COUNT(*) pushdown answers from metadata and stays EXACT
+    assert(live.count() === expect.count())
+    // a second delete composes (positions are disjoint by contract)
+    val n2 = ManifestSink.delete(spark, dir, "c_nationkey = 5") // v3
+    val expect2 = expect.filter(col("c_nationkey") =!= 5)
+    val live2 = spark.read.format("graft-manifest").load(dir)
+    assert(live2.count() === expect2.count())
+    assert(n1 + n2 + live2.count() === total)
+    assert(live2.orderBy("c_custkey").collect().toSeq ===
+      expect2.orderBy("c_custkey").collect().toSeq)
+    // time travel reads the PRE-delete snapshots
+    assert(spark.read.format("graft-manifest").option("asOfVersion", "1")
+      .load(dir).count() === total)
+    assert(spark.read.format("graft-manifest").option("asOfVersion", "2")
+      .load(dir).count() === expect.count())
+    // deleting nothing is a no-op: no new snapshot
+    val v = ManifestSink.readManifest(dir).version
+    assert(ManifestSink.delete(spark, dir, "c_custkey < 0") === 0L)
+    assert(ManifestSink.readManifest(dir).version === v)
+  }
+
+  test("compaction materializes delete vectors; vacuum retires them") {
+    val dir = scratch("mor-compact")
+    val src = graft.Tables(spark, sf, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    src.repartition(4).write.mode("overwrite")
+      .format("graft-manifest").save(dir)
+    ManifestSink.delete(spark, dir, "s_suppkey % 2 = 0")
+    val expect = src.filter(col("s_suppkey") % 2 =!= 0)
+    graft.sources.ManifestSink.compact(spark, dir, 2)
+    // the compacted snapshot carries NO delete refs — deletes are
+    // materialized into clean files
+    val m = ManifestSink.readManifest(dir)
+    assert(m.files.nonEmpty && m.files.forall(_.deletes.isEmpty))
+    assert(spark.read.format("graft-manifest").load(dir)
+      .orderBy("s_suppkey").collect().toSeq ===
+      expect.orderBy("s_suppkey").collect().toSeq)
+    // the delete files survive for time travel, then vacuum retires them
+    assert(new File(dir).listFiles()
+      .exists(_.getName.endsWith(ManifestSink.DelSuffix)))
+    ManifestSink.vacuum(dir, 0)
+    assert(!new File(dir).listFiles()
+      .exists(_.getName.endsWith(ManifestSink.DelSuffix)))
+    assert(spark.read.format("graft-manifest").load(dir).count() ===
+      expect.count())
+  }
+
+  test("corrupted delete file fails a read loudly with a checksum error") {
+    val dir = scratch("mor-corrupt")
+    val src = graft.Tables(spark, sf, "region")
+    src.write.mode("overwrite").format("graft-manifest").save(dir)
+    ManifestSink.delete(spark, dir, "r_regionkey = 0")
+    val del = new File(dir).listFiles()
+      .find(_.getName.endsWith(ManifestSink.DelSuffix)).get
+    val bytes = Files.readAllBytes(del.toPath)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x01).toByte
+    Files.write(del.toPath, bytes)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-manifest").load(dir).collect()
+    }
+    assert(Option(ex.getMessage).toSeq.mkString.contains("graftdel") ||
+      ex.getCause != null)
+  }
+
+  test("withRowMeta exposes physical row addresses; deleted ordinals stay gapped") {
+    val dir = scratch("mor-meta")
+    import spark.implicits._
+    (0L until 100L).map(i => (i, i % 10)).toDF("id", "grp")
+      .coalesce(1)
+      .write.mode("overwrite").format("graft-manifest").save(dir)
+    ManifestSink.delete(spark, dir, "id % 4 = 1")
+    val meta = spark.read.format("graft-manifest")
+      .option("withRowMeta", "true").load(dir)
+      .select(col("id"), col(ManifestSink.MetaPosCol).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // one file written in id order: physical ordinal == id, and the
+    // deleted ordinals are ABSENT (positions are physical, so later
+    // deletes compose against the original addresses)
+    assert(meta === (0L until 100L).filter(_ % 4 != 1).map(i => (i, i)))
+  }
+
   test("compaction rewrites the current state as a new snapshot; the old layout stays time-travelable") {
     val dir = scratch("compact")
     val src = graft.Tables(spark, sf, "customer")
