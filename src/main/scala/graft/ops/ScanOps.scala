@@ -416,6 +416,76 @@ object ScanOps extends OpPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Row-level UPDATE on the manifest table: matched rows are masked
+    // with delete vectors and their rewritten versions appended —
+    // copy-on-write of exactly the touched rows, with the matched set
+    // frozen (localCheckpoint) so the rewrite can never re-read the
+    // table it is masking. A 100 TB point-update costs one pruned
+    // scan + the rewritten rows. Oracle applies the same CASE to the
+    // original parquet.
+    "sink_manifest_update" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-update"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("price_cents"))
+        .repartition(4)
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      graft.sources.ManifestSink.update(s, scratch,
+        "o_orderkey % 4 = 2",
+        Map("price_cents" -> "price_cents * 2 + 1",
+          "o_orderstatus" -> "'U'"))
+      s.read.format("graft-manifest").load(scratch)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // MERGE / upsert on the manifest table, built from the format's
+    // two primitives: matched target keys are MASKED with delete
+    // vectors (merge-on-read, no rewrite), then the whole source
+    // APPENDS — WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    // INSERT semantics in two snapshots whose intermediate state
+    // never shows a duplicate key. The CDC-warehouse shape: tonight's
+    // changed-rows feed upserted into a 100 TB table at the cost of
+    // delete vectors + the new rows. Oracle recomputes the merge
+    // relationally on the original parquet.
+    "sink_manifest_merge" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-merge"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("price_cents"))
+      base.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      val source = base.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price_cents", col("price_cents") + lit(7L))
+      graft.sources.ManifestSink.merge(s, scratch, source,
+        Seq("o_orderkey"))
+      s.read.format("graft-manifest").load(scratch)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Small-file compaction on the manifest table (the lakehouse
     // OPTIMIZE verb — a streaming CDC sink accretes one file per
     // task per epoch; compaction is what keeps the file count, and
@@ -645,6 +715,39 @@ object ScanOps extends OpPack {
         |FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_custkey % 5 <> 1
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_manifest_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 4 = 2 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 4 = 2
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2 + 1
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+        |      AS price_cents
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM base GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_manifest_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, price_cents + 7 AS price_cents
+        |  FROM base WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, price_cents
+        |  FROM base WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
     "sink_manifest_compact" ->

@@ -519,11 +519,90 @@ object ManifestSink {
   def delete(spark: org.apache.spark.sql.SparkSession, dir: String,
       condition: String): Long = {
     import org.apache.spark.sql.functions.col
-    val merged = readAll(dir)
-    val hits = spark.read.format("graft-manifest")
+    commitDeletes(spark, dir,
+      spark.read.format("graft-manifest")
+        .option("withRowMeta", "true").load(dir)
+        .filter(condition)
+        .select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2")))
+  }
+
+  /** MERGE / upsert: every target row whose key matches a source row
+    * is masked with a delete vector, then the WHOLE source is
+    * appended — matched keys get the source's version, new keys
+    * insert (the WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    * INSERT core of SQL MERGE, built from the two primitives this
+    * format already has). Two snapshots (delete, then append) rather
+    * than one, declared: the intermediate state is the
+    * delete-applied table, so NO reader ever observes a duplicate
+    * key — and both states are time-travelable. The source must be
+    * key-unique (the Delta/Iceberg MERGE cardinality contract;
+    * duplicate source keys would both insert), and must NOT read the
+    * target table itself (the source plan is lazily re-evaluated
+    * after the delete snapshot commits — a self-referential source
+    * would see its own rows masked; feed it a materialized frame
+    * instead). Returns (rows updated-in-place i.e. masked, rows
+    * appended). */
+  def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.read.format("graft-manifest")
+      .option("withRowMeta", "true").load(dir)
+    val addr = meta
+      .join(source.select(keyCols.map(col): _*).distinct(), keyCols,
+        "left_semi")
+      .select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2"))
+    val nDel = commitDeletes(spark, dir, addr)
+    val nIns = source.count()
+    source.write.mode("append").format("graft-manifest").save(dir)
+    (nDel, nIns)
+  }
+
+  /** Row-level UPDATE, merge-on-read: rows matching `condition` are
+    * masked with delete vectors and their REWRITTEN versions (each
+    * `set` entry is `column -> SQL expression`, evaluated against the
+    * old row) are appended — copy-on-write of exactly the matched
+    * rows, nothing else. The matched set (data columns + row
+    * addresses) is materialized EAGERLY via `localCheckpoint` in ONE
+    * scan before anything commits: both the delete addresses and the
+    * appended payload derive from that frozen frame, so the rewrite
+    * can never re-read the table it is masking (the self-referential
+    * hazard [[merge]] documents) and pays one scan, not two.
+    * Update volume — not table volume — bounds the materialization.
+    * Returns the number of rows updated. */
+  def update(spark: org.apache.spark.sql.SparkSession, dir: String,
+      condition: String, set: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val schema = StructType.fromDDL(readAll(dir).schemaDdl)
+    set.keys.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"graft-manifest: UPDATE sets unknown column '$c' (table has " +
+            s"${schema.fieldNames.mkString("(", ", ", ")")})")
+    }
+    val matched = spark.read.format("graft-manifest")
       .option("withRowMeta", "true").load(dir)
       .filter(condition)
-      .select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2"))
+      .localCheckpoint() // freeze: addresses + payload from ONE scan
+    val n = commitDeletes(spark, dir,
+      matched.select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2")))
+    if (n > 0) {
+      val rewritten = matched.select(schema.fields.map { f =>
+        set.get(f.name)
+          .map(e => expr(e).cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+      rewritten.write.mode("append").format("graft-manifest").save(dir)
+    }
+    n
+  }
+
+  /** Shared DELETE commit core: `hits` is a frame of (_1 = data file
+    * name, _2 = physical row ordinal) addresses to mask. */
+  private def commitDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, hits: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val merged = readAll(dir)
     import spark.implicits._
     val written: Array[(String, String, Long, Long)] = hits.as[(String, Long)]
       .repartition(col("_1"))

@@ -397,6 +397,62 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestSink.readManifest(dir).version === v)
   }
 
+  test("merge upserts: matched keys masked + source appended, no duplicate key ever visible") {
+    val dir = scratch("merge")
+    import spark.implicits._
+    (0L until 10L).map(k => (k, k)).toDF("k", "v")
+      .repartition(2)
+      .write.mode("overwrite").format("graft-manifest").save(dir) // v1
+    val source = (5L until 15L).map(k => (k, k * 100)).toDF("k", "v")
+    val (nUpd, nIns) = ManifestSink.merge(spark, dir, source, Seq("k"))
+    assert(nUpd === 5L) // keys 5..9 existed and were masked
+    assert(nIns === 10L)
+    val got = spark.read.format("graft-manifest").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expect = (0L until 5L).map(k => (k, k)) ++
+      (5L until 15L).map(k => (k, k * 100))
+    assert(got === expect.sorted)
+    // keys stayed unique through the merge, and counts are exact
+    assert(spark.read.format("graft-manifest").load(dir).count() === 15L)
+    // pre-merge state is still time-travelable (v1 = original table)
+    val v1 = spark.read.format("graft-manifest").option("asOfVersion", "1")
+      .load(dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(v1 === (0L until 10L).map(k => (k, k)).sorted)
+  }
+
+  test("update rewrites only matched rows; the frozen source never re-reads the masked table") {
+    val dir = scratch("update")
+    import spark.implicits._
+    (0L until 100L).map(k => (k, k)).toDF("k", "v")
+      .repartition(2)
+      .write.mode("overwrite").format("graft-manifest").save(dir) // v1
+    // the update's SOURCE is the target table itself — exactly the
+    // self-referential shape merge() forbids; update() freezes the
+    // matched rows first, so this is safe by construction
+    val n = ManifestSink.update(spark, dir, "k % 10 = 3",
+      Map("v" -> "v * 1000"))
+    assert(n === 10L)
+    val got = spark.read.format("graft-manifest").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expect = (0L until 100L)
+      .map(k => (k, if (k % 10 == 3) k * 1000 else k)).sorted
+    assert(got === expect)
+    assert(spark.read.format("graft-manifest").load(dir).count() === 100L)
+    // unknown SET column fails on the driver before any commit
+    intercept[IllegalArgumentException] {
+      ManifestSink.update(spark, dir, "k = 1", Map("nope" -> "1"))
+    }
+    // pre-update state is still time-travelable
+    val v1 = spark.read.format("graft-manifest").option("asOfVersion", "1")
+      .load(dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(v1 === (0L until 100L).map(k => (k, k)).sorted)
+    // updating nothing is a no-op: no new snapshot, nothing appended
+    val ver = ManifestSink.readManifest(dir).version
+    assert(ManifestSink.update(spark, dir, "k < 0",
+      Map("v" -> "0")) === 0L)
+    assert(ManifestSink.readManifest(dir).version === ver)
+  }
+
   test("compaction materializes delete vectors; vacuum retires them") {
     val dir = scratch("mor-compact")
     val src = graft.Tables(spark, sf, "supplier")
