@@ -416,6 +416,76 @@ object ScanOps extends OpPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Metadata tables on the manifest sink (Iceberg's `files` table):
+    // `.option("metadata", "files")` reads the table's OWN manifests
+    // as a DataFrame — layout inspection of a 100 TB table (file row
+    // counts, partition values, delete-vector masking) without
+    // opening one data file. The write routes one file per region
+    // (identity transform) and a DELETE masks odd nation keys, so
+    // the metadata's (part, rows, live_rows, n_deleted) is fully
+    // determined by the DATA — which is exactly what the oracle
+    // recomputes from the parquet. History table pinned in
+    // ManifestSinkSpec.
+    "sink_manifest_files" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-files"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        .repartition(1)
+        .write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "identity(n_regionkey)")
+        .save(scratch)
+      graft.sources.ManifestSink.delete(s, scratch, "n_nationkey % 2 = 1")
+      s.read.format("graft-manifest").option("metadata", "files")
+        .load(scratch)
+        .select(col("part"), col("rows").as("n_rows"),
+          col("live_rows"), col("n_deleted"))
+        .orderBy(col("part"))
+    }),
+
+    // EQUALITY deletes on the manifest table (Iceberg v2's second
+    // delete flavor): `ManifestSink.deleteEq(dir, col, values)` is
+    // pure manifest surgery — NO table scan, NO data IO, the
+    // O(metadata) DELETE for a 100 TB table. Rows with matching keys
+    // in files committed BEFORE the delete are masked at READ time;
+    // the sequence-number bound keeps a LATER re-insert of the same
+    // keys visible (appended here with transformed prices, exactly
+    // the Iceberg semantics). Oracle recomputes the final state
+    // relationally from the parquet.
+    "sink_manifest_eqdelete" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-eqdel"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("price_cents"))
+      base.repartition(4)
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      graft.sources.ManifestSink.deleteEq(scratch, "o_orderkey",
+        (1L to 50L).map(Long.box))
+      base.filter(col("o_orderkey").between(1, 25))
+        .withColumn("price_cents", col("price_cents") * 3 + 1)
+        .repartition(2)
+        .write.mode("append").format("graft-manifest").save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Row-level UPDATE on the manifest table: matched rows are masked
     // with delete vectors and their rewritten versions appended —
     // copy-on-write of exactly the touched rows, with the matched set
@@ -715,6 +785,32 @@ object ScanOps extends OpPack {
         |FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_custkey % 5 <> 1
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_manifest_files" ->
+      """SELECT n_regionkey AS part, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS live_rows,
+        |  CAST(sum(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_deleted
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY part""".stripMargin,
+
+    "sink_manifest_eqdelete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT o_orderkey, o_orderstatus, price_cents FROM base
+        |  WHERE o_orderkey NOT BETWEEN 1 AND 50
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, price_cents * 3 + 1
+        |  FROM base WHERE o_orderkey BETWEEN 1 AND 25)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
     "sink_manifest_update" ->

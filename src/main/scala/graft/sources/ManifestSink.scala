@@ -69,6 +69,16 @@ final class ManifestSinkProvider extends TableProvider
     val path = ManifestSink.requirePath(opts)
     val asOf = opts.collectFirst {
       case (k, v) if k.equalsIgnoreCase("asOfVersion") => v.toLong }
+    // `metadata` reads the table's own manifests as a DataFrame
+    // (Iceberg's files/history metadata tables): inspect a 100 TB
+    // table's layout without opening one data file
+    opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("metadata") => v.toLowerCase
+    } match {
+      case Some(kind) =>
+        return ManifestMetadataTable.schemaFor(kind)
+      case None => ()
+    }
     // time travel resolves the SNAPSHOT's schema — a table whose
     // schema evolved across versions reads each version in its own
     // shape
@@ -88,9 +98,18 @@ final class ManifestSinkProvider extends TableProvider
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ManifestTable(schema,
-      ManifestSink.requirePath(properties.asScala.toMap))
+      properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    val path = ManifestSink.requirePath(opts)
+    opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("metadata") => v.toLowerCase
+    } match {
+      case Some(kind) => new ManifestMetadataTable(path, kind,
+        opts.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("asOfVersion") => v.toLong })
+      case None => new ManifestTable(schema, path)
+    }
+  }
 }
 
 object ManifestSink {
@@ -259,13 +278,30 @@ object ManifestSink {
   final case class Entry(name: String, rows: Long, crc: Long,
       stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None,
       part: Option[Long] = None, pspec: Option[String] = None,
-      blooms: Seq[ColBloom] = Nil, deletes: Seq[DelFile] = Nil) {
-    /** Live rows after merge-on-read deletes — exact, because delete
-      * files on one entry never overlap. */
+      blooms: Seq[ColBloom] = Nil, deletes: Seq[DelFile] = Nil,
+      seq: Option[Long] = None) {
+    /** Live rows after merge-on-read POSITIONAL deletes — exact,
+      * because delete files on one entry never overlap. (Equality
+      * deletes are not counted here: their match count is unknown
+      * until read — that is the price of their O(metadata) write.) */
     def liveRows: Long = rows - deletes.map(_.n).sum
   }
+
+  /** An EQUALITY delete (Iceberg v2's second delete flavor): "every
+    * row whose `col` is in `values`, in any data file committed at a
+    * sequence number BELOW `seq`, is deleted". Writing one is pure
+    * manifest surgery — no table scan, no data IO: the O(metadata)
+    * DELETE for a 100 TB table, at the cost of read-time filtering
+    * and an unknown match count (COUNT(*) pushdown declines while
+    * any equality delete is live; compaction re-exactifies). The
+    * sequence bound is what makes later re-inserts of the same key
+    * visible — exactly Iceberg's sequence-number semantics. Values
+    * are canonicalized like the zone maps/blooms: integral shapes as
+    * their physical Long, strings as-is. */
+  final case class EqDelete(col: String, seq: Long, values: Seq[String])
+
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
-      version: Long = 0L)
+      version: Long = 0L, eqDeletes: Seq[EqDelete] = Nil)
 
   // ---- Partition transforms (Iceberg-style hidden partitioning) ----
 
@@ -597,6 +633,65 @@ object ManifestSink {
     n
   }
 
+  /** EQUALITY delete: pure manifest surgery, NO table scan and NO
+    * data IO — the O(metadata) DELETE (Iceberg v2 equality deletes).
+    * Every row whose `col` equals one of `values`, in any file
+    * committed BEFORE this delete (sequence-number bound), is masked
+    * at READ time; files appended afterwards are untouched, so a
+    * later re-insert of the same key is visible — Iceberg's
+    * sequence-number semantics. Trade-off vs the positional
+    * [[delete]]: zero write cost, but the match count is unknown
+    * until read (COUNT(*) pushdown declines while any equality
+    * delete is live) and every read pays a set-membership filter;
+    * [[compact]] materializes and re-exactifies. Integral/date/
+    * timestamp/string key columns only (same canonicalization as
+    * zone maps and blooms). */
+  def deleteEq(dir: String, col: String, values: Seq[Any]): Unit = {
+    val merged = readAll(dir)
+    val schema = StructType.fromDDL(merged.schemaDdl)
+    val f = schema.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-manifest: deleteEq column '$col' not in table schema " +
+          schema.fieldNames.mkString("(", ", ", ")")))
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType | StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"graft-manifest: deleteEq column '$col' has unsupported type " +
+          s"${dt.sql} — integral/date/timestamp/string only")
+    }
+    val canon: Seq[String] = values.map {
+      case s: String => s
+      case other => litLong(other).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-manifest: deleteEq value '$other' cannot be " +
+            "canonicalized")).toString
+    }
+    val prior =
+      if (new File(dir, ManifestFile).exists()) Some(readManifest(dir))
+      else None
+    prior.foreach(p =>
+      writeManifestAs(dir, archiveManifestFile(p.version), p))
+    val version = prior.map(_.version + 1).getOrElse(1L)
+    writeManifest(dir, Manifest(merged.schemaDdl, merged.files, version,
+      merged.eqDeletes :+ EqDelete(col, version, canon)))
+    foldEpochTombstones(dir)
+  }
+
+  /** Fold streaming epoch manifests into the base after a DELETE-type
+    * commit absorbed their entries: the epoch files stay as EMPTY
+    * tombstones so the epoch-id idempotence token survives crash
+    * replay without double-counting. */
+  def foldEpochTombstones(dir: String): Unit =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+      .foreach { f =>
+        val m = readManifestFile(f)
+        if (m.files.nonEmpty)
+          writeManifestAs(dir, f.getName, Manifest(m.schemaDdl, Nil))
+      }
+
   /** Shared DELETE commit core: `hits` is a frame of (_1 = data file
     * name, _2 = physical row ordinal) addresses to mask. */
   private def commitDeletes(spark: org.apache.spark.sql.SparkSession,
@@ -641,17 +736,9 @@ object ManifestSink {
         case None => e
       }
     }
-    writeManifest(dir, Manifest(merged.schemaDdl, entries, version))
-    // fold streaming epochs: their entries now live in the base; the
-    // epoch manifests stay as EMPTY tombstones so the epoch-id
-    // idempotence check keeps working after a crash replay
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("_graft_manifest-epoch\\d+\\.json"))
-      .foreach { f =>
-        val m = readManifestFile(f)
-        if (m.files.nonEmpty)
-          writeManifestAs(dir, f.getName, Manifest(m.schemaDdl, Nil))
-      }
+    writeManifest(dir, Manifest(merged.schemaDdl, entries, version,
+      merged.eqDeletes))
+    foldEpochTombstones(dir)
     sweepDeleteFiles(dir)
     written.map(_._3).sum
   }
@@ -723,7 +810,11 @@ object ManifestSink {
         else e
       }
     }
-    Manifest(mergedSchema, files)
+    // equality deletes live on the BASE manifest only (epoch entries
+    // carry no sequence number, so a live equality delete masks them
+    // too — conservative, declared)
+    val eq = if (baseIdx >= 0) parsed(baseIdx).eqDeletes else Nil
+    Manifest(mergedSchema, files, eqDeletes = eq)
   }
 
   def requirePath(opts: Map[String, String]): String =
@@ -767,6 +858,16 @@ object ManifestSink {
           val o = dl.addObject()
           o.put("name", d.name); o.put("n", d.n); o.put("crc", d.crc)
         }
+      }
+      e.seq.foreach(sq => n.put("seq", sq))
+    }
+    if (m.eqDeletes.nonEmpty) {
+      val ed = root.putArray("eqDeletes")
+      m.eqDeletes.foreach { d =>
+        val o = ed.addObject()
+        o.put("col", d.col); o.put("seq", d.seq)
+        val va = o.putArray("values")
+        d.values.foreach(va.add)
       }
     }
     val tmp = new File(dir, s".$fileName.${UUID.randomUUID()}.tmp")
@@ -813,10 +914,17 @@ object ManifestSink {
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
         if (n.has("part")) Some(n.get("part").asLong()) else None,
         if (n.has("pspec")) Some(n.get("pspec").asText()) else None,
-        blooms, deletes)
+        blooms, deletes,
+        if (n.has("seq")) Some(n.get("seq").asLong()) else None)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
-    Manifest(root.get("schemaDdl").asText(), files, v)
+    val eqDeletes = if (root.has("eqDeletes"))
+      root.get("eqDeletes").elements().asScala.map { o =>
+        EqDelete(o.get("col").asText(), o.get("seq").asLong(),
+          o.get("values").elements().asScala.map(_.asText()).toSeq)
+      }.toSeq
+    else Nil
+    Manifest(root.get("schemaDdl").asText(), files, v, eqDeletes)
   }
 
   /** Snapshot read: the current table (base + streaming epochs) by
@@ -873,7 +981,12 @@ final class ManifestTable(tableSchema: StructType, path: String)
         agg.groupByExpressions().isEmpty && zoneFilters.isEmpty &&
           agg.aggregateExpressions().length == 1 &&
           agg.aggregateExpressions()(0).isInstanceOf[
-            org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+            org.apache.spark.sql.connector.expressions.aggregate
+              .CountStar] &&
+          // a live EQUALITY delete makes the metadata count an upper
+          // bound, not the answer — decline and let the scan count
+          // (positional deletes keep exact counts and don't decline)
+          ManifestSink.readAsOf(path, asOf).eqDeletes.isEmpty
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate
             .Aggregation): Boolean = countOnly(agg)
@@ -1087,7 +1200,17 @@ final class ManifestBatchWrite(schema: StructType, path: String,
         e.copy(schemaDdl = Some(p.schemaDdl))
       else e
     }).getOrElse(Seq.empty)
-    val files = if (truncateFirst) entries else carried ++ entries
+    // new files enter at THIS commit's sequence number — what keeps
+    // them out of reach of earlier equality deletes (re-inserts stay
+    // visible); carried files keep the seq they entered with
+    val stamped = entries.map(_.copy(seq = Some(version)))
+    val files = if (truncateFirst) stamped else carried ++ stamped
+    // truncate starts a fresh table state → equality deletes of the
+    // replaced state are dropped (compaction materializes them this
+    // way: its reader applied them, its writer emitted clean files);
+    // append carries them — they still mask the carried files
+    val carriedEq =
+      if (truncateFirst) Nil else prior.map(_.eqDeletes).getOrElse(Nil)
     if (truncateFirst) {
       // overwrite also retires streaming epoch generations from the
       // CURRENT view (they belong to the replaced table state); their
@@ -1098,7 +1221,7 @@ final class ManifestBatchWrite(schema: StructType, path: String,
         .foreach(_.delete())
     }
     ManifestSink.writeManifest(path,
-      ManifestSink.Manifest(schema.toDDL, files, version))
+      ManifestSink.Manifest(schema.toDDL, files, version, carriedEq))
     // sweep only what NO manifest — base, archive, or epoch — lists
     // (failed/speculative attempt files, replaced-and-unarchived data)
     val referenced = ManifestSink.listAllManifests(path)
@@ -1392,7 +1515,10 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
         .filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
         .map(e =>
           ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc,
-            e.schemaDdl.getOrElse(m.schemaDdl), e.deletes)
+            e.schemaDdl.getOrElse(m.schemaDdl), e.deletes,
+            // only equality deletes committed AFTER this file entered
+            // apply to it (sequence-number bound; pre-seq files = 0)
+            m.eqDeletes.filter(_.seq > e.seq.getOrElse(0L)))
             .asInstanceOf[InputPartition]).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -1403,7 +1529,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
 
 final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
     fileSchemaDdl: String,
-    deletes: Seq[ManifestSink.DelFile] = Nil) extends InputPartition
+    deletes: Seq[ManifestSink.DelFile] = Nil,
+    eqDels: Seq[ManifestSink.EqDelete] = Nil) extends InputPartition
 
 /** Complete COUNT(*) pushdown: one partition, one row, computed from
   * the manifest's durable per-file row counts — no data file is ever
@@ -1542,6 +1669,88 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   private val fileNameUtf8 =
     org.apache.spark.unsafe.types.UTF8String
       .fromString(new File(p.file).getName)
+  // equality-delete masks: value sets per mask, reading their key
+  // columns even when the projection doesn't (a mask column the file
+  // predates is NULL file-wide and never matches — dropped here).
+  // Masks on one column share that column's block buffer.
+  private val eqMasks: Array[(Int, java.util.HashSet[Object])] =
+    p.eqDels.flatMap { d =>
+      val i = fileSchema.fieldNames.indexOf(d.col)
+      if (i < 0) None
+      else {
+        val set = new java.util.HashSet[Object]()
+        fileSchema.fields(i).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            d.values.foreach(v => set.add(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+          case _ =>
+            d.values.foreach(v => set.add(Long.box(v.toLong)))
+        }
+        Some((i, set))
+      }
+    }.toArray
+  // distinct file columns the masks need, with their own read buffers
+  private val maskCols: Array[Int] = eqMasks.map(_._1).distinct
+  private val maskColPos: Array[Int] = {
+    val m = Array.fill(fileSchema.length)(-1)
+    maskCols.zipWithIndex.foreach { case (c, i) => m(c) = i }
+    m
+  }
+  private val maskBlocks = new Array[Array[Byte]](maskCols.length)
+  private val maskOffs = new Array[Int](maskCols.length)
+  private val maskOne = maskCols.map(_ => new UnsafeRow(1))
+  // physical-Long extractor per mask column (strings handled apart)
+  private val maskGet: Array[UnsafeRow => Object] = maskCols.map { c =>
+    fileSchema.fields(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        (u: UnsafeRow) => u.getUTF8String(0)
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        (u: UnsafeRow) => Long.box(u.getLong(0))
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType =>
+        (u: UnsafeRow) => Long.box(u.getInt(0).toLong)
+      case org.apache.spark.sql.types.ShortType =>
+        (u: UnsafeRow) => Long.box(u.getShort(0).toLong)
+      case _ => (u: UnsafeRow) => Long.box(u.getByte(0).toLong)
+    }
+  }
+
+  /** Peek the current row's mask-column values (no offset advance):
+    * true iff some applicable equality delete matches. NULL key
+    * values never match (SQL equality semantics). */
+  private def eqMaskedPeek(): Boolean = {
+    if (eqMasks.isEmpty) return false
+    var mi = 0
+    while (mi < eqMasks.length) {
+      val (c, set) = eqMasks(mi)
+      val pos = maskColPos(c)
+      val b = maskBlocks(pos)
+      val off = maskOffs(pos)
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      maskOne(pos).pointTo(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off + 4, len)
+      if (!maskOne(pos).isNullAt(0) &&
+          set.contains(maskGet(pos)(maskOne(pos)))) return true
+      mi += 1
+    }
+    false
+  }
+
+  /** Advance every mask-column buffer past the current row. */
+  private def advanceMasks(): Unit = {
+    var i = 0
+    while (i < maskCols.length) {
+      val b = maskBlocks(i)
+      val off = maskOffs(i)
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      maskOffs(i) = off + 4 + len
+      i += 1
+    }
+  }
 
   /** Reads the next page header + needed blocks; false at EOF.
     * Pages whose zone maps prove the pushed filters can't match are
@@ -1601,7 +1810,8 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
       c = 0
       while (c < nCols) {
         val j = slotOf(c)
-        if (j >= 0) {
+        val mj = if (c < maskColPos.length) maskColPos(c) else -1
+        if (j >= 0 || mj >= 0) {
           val b = new Array[Byte](lens(c))
           in.readFully(b)
           val blockCrc = new CRC32()
@@ -1610,8 +1820,9 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
             s"graft-manifest checksum mismatch in ${p.file}: column " +
               s"block ${fileSchema(c).name} crc ${blockCrc.getValue}, " +
               s"page header says ${crcs(c)}")
-          blocks(j) = b
-          offs(j) = 0
+          if (j >= 0) { blocks(j) = b; offs(j) = 0 }
+          // a masked column shares the bytes under its own offset
+          if (mj >= 0) { maskBlocks(mj) = b; maskOffs(mj) = 0 }
         } else {
           var toSkip = lens(c).toLong
           while (toSkip > 0) {
@@ -1642,13 +1853,15 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
       }
       j += 1
     }
+    advanceMasks()
   }
 
   @annotation.tailrec
   override def next(): Boolean = {
     if (rowInPage == pageRows) { if (!nextPage()) return false }
-    if (delBits != null && delBits.get(seen.toInt)) {
-      // row is deleted: advance the buffers, never materialize it
+    if ((delBits != null && delBits.get(seen.toInt)) || eqMaskedPeek()) {
+      // row is deleted (positional vector or equality mask): advance
+      // the buffers, never materialize it
       skipRowBytes()
       rowInPage += 1
       seen += 1
@@ -1677,6 +1890,7 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
         }
         j += 1
       }
+      advanceMasks()
       rowInPage += 1
       seen += 1
       true
@@ -1687,3 +1901,110 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
 
   override def close(): Unit = in.close()
 }
+
+/** Metadata tables (the Iceberg `files` / `history` idea): the
+  * table's own manifests exposed as a DataFrame via
+  * `.option("metadata", "files" | "history")` — layout inspection,
+  * small-file audits, and snapshot forensics over a 100 TB table
+  * without opening a single data file. Rows are computed on the
+  * DRIVER at plan time (manifests are kilobyte documents by design)
+  * and shipped in one partition.
+  *
+  *  - `files`: one row per data file of the (optionally
+  *    `asOfVersion`-selected) snapshot — physical rows, live rows
+  *    after delete vectors, CRC, partition transform + value, delete
+  *    file count, bloom columns.
+  *  - `history`: one row per snapshot in the version chain (archives
+  *    + current base) — file count, physical/live rows, total delete
+  *    files; what vacuum retention trades away.
+  */
+object ManifestMetadataTable {
+  def schemaFor(kind: String): StructType = kind match {
+    case "files" => StructType.fromDDL(
+      "file_name STRING, rows BIGINT, live_rows BIGINT, crc BIGINT, " +
+        "part BIGINT, pspec STRING, n_delete_files INT, " +
+        "n_deleted BIGINT, bloom_cols STRING")
+    case "history" => StructType.fromDDL(
+      "version BIGINT, n_files BIGINT, n_rows BIGINT, n_live BIGINT, " +
+        "n_delete_files BIGINT")
+    case other => throw new IllegalArgumentException(
+      s"graft-manifest: unknown metadata table '$other' — " +
+        "expected files or history")
+  }
+
+  def rowsFor(path: String, kind: String,
+      asOf: Option[Long]): Seq[Seq[Any]] = kind match {
+    case "files" =>
+      ManifestSink.readAsOf(path, asOf).files.map { e =>
+        Seq[Any](e.name, e.rows, e.liveRows, e.crc,
+          e.part.map(Long.box).orNull, e.pspec.orNull,
+          e.deletes.size, e.deletes.map(_.n).sum,
+          if (e.blooms.isEmpty) null
+          else e.blooms.map(_.col).mkString(","))
+      }
+    case "history" =>
+      val dir = new java.io.File(path)
+      val snaps =
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("_graft_manifest\\.v\\d+\\.json"))
+          .map(f => ManifestSink.readManifestFile(f)).toSeq ++
+          (if (new java.io.File(dir, ManifestSink.ManifestFile).exists())
+            Seq(ManifestSink.readManifest(path))
+          else Nil)
+      snaps.sortBy(_.version).map { m =>
+        Seq[Any](m.version, m.files.size.toLong, m.files.map(_.rows).sum,
+          m.files.map(_.liveRows).sum,
+          m.files.map(_.deletes.size.toLong).sum)
+      }
+    case other => throw new IllegalArgumentException(
+      s"graft-manifest: unknown metadata table '$other'")
+  }
+}
+
+final class ManifestMetadataTable(path: String, kind: String,
+    asOf: Option[Long]) extends Table with SupportsRead {
+  override def name(): String = s"graft-manifest:$path#$kind"
+  override def schema(): StructType = ManifestMetadataTable.schemaFor(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType =
+        ManifestMetadataTable.schemaFor(kind)
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(ManifestMetadataPartition(
+            ManifestMetadataTable.rowsFor(path, kind, asOf)))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                partition: InputPartition): PartitionReader[InternalRow] = {
+              val rows =
+                partition.asInstanceOf[ManifestMetadataPartition].rows
+              new PartitionReader[InternalRow] {
+                private val it = rows.iterator
+                private var cur: InternalRow = _
+                override def next(): Boolean =
+                  if (!it.hasNext) false
+                  else {
+                    cur = InternalRow.fromSeq(it.next().map {
+                      case s: String =>
+                        org.apache.spark.unsafe.types.UTF8String
+                          .fromString(s)
+                      case v => v
+                    })
+                    true
+                  }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+  }
+}
+
+final case class ManifestMetadataPartition(rows: Seq[Seq[Any]])
+    extends InputPartition

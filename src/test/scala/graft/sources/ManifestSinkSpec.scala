@@ -453,6 +453,95 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestSink.readManifest(dir).version === ver)
   }
 
+  test("metadata tables: files reflects the snapshot's layout, history walks the version chain") {
+    val dir = scratch("metadata")
+    import spark.implicits._
+    (0L until 100L).map(k => (k, k % 4)).toDF("k", "g")
+      .repartition(1)
+      .write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "identity(g)").save(dir) // v1: 4 files
+    ManifestSink.delete(spark, dir, "k % 2 = 0")        // v2: masked
+    (100L until 110L).map(k => (k, 9L)).toDF("k", "g")
+      .repartition(1)
+      .write.mode("append").format("graft-manifest")
+      .option("partitionedBy", "identity(g)").save(dir) // v3: +1 file
+    val files = spark.read.format("graft-manifest")
+      .option("metadata", "files").load(dir)
+      .select("part", "rows", "live_rows", "n_deleted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    // parity is uniform per file (k ≡ g mod 4): even-g files are
+    // fully masked, odd-g files untouched
+    assert(files === Seq((0L, 25L, 0L, 25L), (1L, 25L, 25L, 0L),
+      (2L, 25L, 0L, 25L), (3L, 25L, 25L, 0L), (9L, 10L, 10L, 0L)))
+    // files composes with time travel: v1 shows the pre-delete layout
+    val v1 = spark.read.format("graft-manifest")
+      .option("metadata", "files").option("asOfVersion", "1").load(dir)
+      .select("part", "live_rows")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(v1 === Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)))
+    // history: one row per snapshot, live counts tracking the chain
+    val hist = spark.read.format("graft-manifest")
+      .option("metadata", "history").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(hist === Seq((1L, 4L, 100L, 100L), (2L, 4L, 100L, 50L),
+      (3L, 5L, 110L, 60L)))
+    // unknown metadata table fails loudly
+    intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("metadata", "nope").load(dir).collect()
+    }
+  }
+
+  test("equality deletes are O(metadata): no scan at delete time, sequence numbers keep re-inserts visible") {
+    val dir = scratch("eqdel")
+    import spark.implicits._
+    (0L until 100L).map(k => (k, s"u$k")).toDF("k", "nm")
+      .repartition(2)
+      .write.mode("overwrite").format("graft-manifest").save(dir) // v1
+    val dataBefore = new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix)).map(_.getName).toSet
+    // pure manifest surgery: no Spark job, no delete files, no rewrite
+    ManifestSink.deleteEq(dir, "k", (0L until 50L).map(Long.box)) // v2
+    assert(new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix)).map(_.getName).toSet
+      === dataBefore)
+    assert(!new File(dir).listFiles()
+      .exists(_.getName.endsWith(ManifestSink.DelSuffix)))
+    def keys(): Seq[Long] = spark.read.format("graft-manifest").load(dir)
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(keys() === (50L until 100L))
+    // COUNT(*) pushdown declines (metadata is only an upper bound)
+    // but the scan-side count is exact
+    assert(spark.read.format("graft-manifest").load(dir).count() === 50L)
+    // STRING-keyed equality delete composes
+    ManifestSink.deleteEq(dir, "nm", Seq("u60", "u61")) // v3
+    assert(keys() === (50L until 100L).filterNot(k => k == 60 || k == 61))
+    // RE-INSERT after the delete: the new file's sequence number is
+    // ABOVE the delete's, so the row is visible (Iceberg semantics)
+    Seq((60L, "u60")).toDF("k", "nm").coalesce(1)
+      .write.mode("append").format("graft-manifest").save(dir) // v4
+    assert(keys() === ((50L until 100L).filterNot(_ == 61)))
+    assert(keys().count(_ == 60) === 1)
+    // positional + equality deletes compose on one table
+    ManifestSink.delete(spark, dir, "k = 70") // v5
+    assert(keys() === (50L until 100L).filterNot(k => k == 61 || k == 70))
+    // time travel reads each snapshot with ITS deletes
+    assert(spark.read.format("graft-manifest").option("asOfVersion", "1")
+      .load(dir).count() === 100L)
+    // compaction materializes equality deletes too: clean files,
+    // empty eqDeletes, same data
+    val want = keys()
+    ManifestSink.compact(spark, dir, 1)
+    assert(ManifestSink.readManifest(dir).eqDeletes.isEmpty)
+    assert(keys() === want)
+    // unknown column / uncanonicalizable value fail on the driver
+    intercept[IllegalArgumentException] {
+      ManifestSink.deleteEq(dir, "nope", Seq(Long.box(1L)))
+    }
+  }
+
   test("compaction materializes delete vectors; vacuum retires them") {
     val dir = scratch("mor-compact")
     val src = graft.Tables(spark, sf, "supplier")
