@@ -4,6 +4,7 @@ object PlanPeek {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
+.config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosKey, "true")
       .config(Tables.NtzKey, "false")

@@ -448,6 +448,47 @@ object ScanOps extends OpPack {
         .orderBy(col("part"))
     }),
 
+    // STORAGE-PARTITIONED JOIN through the manifest connector: both
+    // fact extracts are written co-partitioned (identity transform on
+    // the same derived key), and `groupByPartition` plans one input
+    // partition per partition VALUE with its key exposed via
+    // HasPartitionKey + KeyGroupedPartitioning — under
+    // spark.sql.sources.v2.bucketing.enabled a join of the two tables
+    // runs with ZERO shuffle on either side (pinned by plan in
+    // ManifestSinkSpec). At 100 TB this replaces shuffling two fact
+    // tables with shuffling nothing. Grouping is semantically
+    // neutral, which is what the oracle (plain parquet join) proves.
+    "sink_manifest_spj" -> ((s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft-scratch"
+      val dirO = s"$base/manifest-spj-o"
+      val dirL = s"$base/manifest-spj-l"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("pb", col("o_orderkey") % 16)
+        .repartition(col("pb"))
+        .write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "identity(pb)").save(dirO)
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+        .withColumn("pb", col("l_orderkey") % 16)
+        .repartition(col("pb"))
+        .write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "identity(pb)").save(dirL)
+      val o = s.read.format("graft-manifest")
+        .option("groupByPartition", "true").load(dirO)
+      val l = s.read.format("graft-manifest")
+        .option("groupByPartition", "true").load(dirL)
+        .select(col("pb").as("pb2"), col("l_orderkey"), col("qty"))
+      o.join(l, col("pb") === col("pb2") &&
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // EQUALITY deletes on the manifest table (Iceberg v2's second
     // delete flavor): `ManifestSink.deleteEq(dir, col, values)` is
     // pure manifest surgery — NO table scan, NO data IO, the
@@ -795,6 +836,15 @@ object ScanOps extends OpPack {
         |    AS BIGINT) AS n_deleted
         |FROM nation GROUP BY n_regionkey
         |ORDER BY part""".stripMargin,
+
+    "sink_manifest_spj" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "sink_manifest_eqdelete" ->
       """WITH base AS (

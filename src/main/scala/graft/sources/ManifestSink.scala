@@ -1019,7 +1019,8 @@ final class ManifestTable(tableSchema: StructType, path: String)
       override def pushedFilters(): Array[sources.Filter] = zoneFilters
       override def build(): Scan =
         if (countPushed) new ManifestCountScan(path, asOf)
-        else new ManifestScan(tableSchema, required, path, asOf, zoneFilters)
+        else new ManifestScan(tableSchema, required, path, asOf, zoneFilters,
+          options.getBoolean("groupByPartition", false))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1485,9 +1486,46 @@ final class ManifestFileWriter(schema: StructType, path: String,
 
 final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     path: String, asOfVersion: Option[Long] = None,
-    zoneFilters: Array[sources.Filter] = Array.empty)
-    extends Scan with SupportsReportStatistics {
+    zoneFilters: Array[sources.Filter] = Array.empty,
+    groupByPartition: Boolean = false)
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = prunedSchema
+
+  /** Storage-partitioned-join support (`option("groupByPartition",
+    * "true")`): when every live file carries the SAME
+    * `identity(col)` transform, files are planned as one input
+    * partition PER PARTITION VALUE (each exposing its key via
+    * `HasPartitionKey`) and the scan reports
+    * `KeyGroupedPartitioning(identity(col))` — so a join of two
+    * manifest tables co-partitioned on the join key runs with ZERO
+    * shuffle on either side (Spark's storage-partitioned join,
+    * `spark.sql.sources.v2.bucketing.enabled`). At 100 TB this is
+    * the difference between shuffling both fact tables and shuffling
+    * nothing. Falls back silently to per-file planning when the
+    * layout doesn't qualify; grouping alone is semantically neutral
+    * either way. */
+  private lazy val entries: Seq[ManifestSink.Entry] = {
+    val m = ManifestSink.readAsOf(path, asOfVersion)
+    m.files.filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
+  }
+  private lazy val manifest = ManifestSink.readAsOf(path, asOfVersion)
+  private lazy val identityCol: Option[String] =
+    if (!groupByPartition || entries.isEmpty) None
+    else {
+      val specs = entries.map(_.pspec)
+      if (specs.exists(_.isEmpty) || specs.distinct.size != 1) None
+      else try {
+        ManifestSink.parsePartSpec(specs.head.get) match {
+          case ManifestSink.IdentityPart(c) => Some(c)
+          case _ => None
+        }
+      } catch { case _: IllegalArgumentException => None }
+    }
+  private lazy val groups: Seq[(Option[Long], Seq[ManifestSink.Entry])] =
+    entries.groupBy(_.part).toSeq
+      .map { case (k, es) => (k, es) }
+      .sortBy(_._1.getOrElse(Long.MinValue))
 
   /** CBO feed: row count from the manifest (durable, exact after
     * zone-map pruning of whole files) and on-disk bytes scaled by the
@@ -1508,23 +1546,64 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
         java.util.OptionalLong.of(rows)
     }
   }
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
-      val m = ManifestSink.readAsOf(path, asOfVersion)
-      m.files
-        .filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
-        .map(e =>
-          ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc,
-            e.schemaDdl.getOrElse(m.schemaDdl), e.deletes,
-            // only equality deletes committed AFTER this file entered
-            // apply to it (sequence-number bound; pre-seq files = 0)
-            m.eqDeletes.filter(_.seq > e.seq.getOrElse(0L)))
-            .asInstanceOf[InputPartition]).toArray
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    identityCol match {
+      case Some(c) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c)),
+            groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(entries.size)
     }
+
+  private def singlePartition(e: ManifestSink.Entry): ManifestInputPartition =
+    ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc,
+      e.schemaDdl.getOrElse(manifest.schemaDdl), e.deletes,
+      // only equality deletes committed AFTER this file entered
+      // apply to it (sequence-number bound; pre-seq files = 0)
+      manifest.eqDeletes.filter(_.seq > e.seq.getOrElse(0L)))
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      identityCol match {
+        case Some(c) =>
+          // the partition-key row must carry the COLUMN's type
+          val dt = fullSchema(c).dataType
+          def typed(v: Option[Long]): Any = v match {
+            case None | Some(ManifestSink.NullPart) => null
+            case Some(l) => dt match {
+              case org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.DateType => l.toInt
+              case org.apache.spark.sql.types.ShortType => l.toShort
+              case org.apache.spark.sql.types.ByteType => l.toByte
+              case _ => l
+            }
+          }
+          groups.map { case (k, es) =>
+            ManifestGroupedPartition(es.map(singlePartition),
+              Array[Any](typed(k))): InputPartition
+          }.toArray
+        case None =>
+          entries.map(e => singlePartition(e): InputPartition).toArray
+      }
     override def createReaderFactory(): PartitionReaderFactory =
       new ManifestReaderFactory(fullSchema.toDDL, prunedSchema.fieldNames,
         zoneFilters)
   }
+}
+
+/** One input partition per partition VALUE (SPJ grouping): all the
+  * value's files, read back to back; the key is exposed to Spark via
+  * `HasPartitionKey` so co-partitioned joins skip the shuffle. */
+final case class ManifestGroupedPartition(
+    parts: Seq[ManifestInputPartition], key: Array[Any])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(key)
 }
 
 final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
@@ -1568,6 +1647,26 @@ final class ManifestReaderFactory(tableSchemaDdl: String,
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case g: ManifestGroupedPartition =>
+        // SPJ grouping: the value's files, read back to back
+        return new PartitionReader[InternalRow] {
+          private val it = g.parts.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          @annotation.tailrec
+          override def next(): Boolean =
+            if (cur != null && cur.next()) true
+            else {
+              if (cur != null) cur.close()
+              cur = null
+              if (!it.hasNext) false
+              else { cur = createReader(it.next()); next() }
+            }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ => ()
+    }
     val p = partition.asInstanceOf[ManifestInputPartition]
     val tableSchema = StructType.fromDDL(tableSchemaDdl)
     val fileSchema = StructType.fromDDL(p.fileSchemaDdl)

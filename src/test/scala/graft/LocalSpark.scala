@@ -10,6 +10,7 @@ object LocalSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+.config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosKey, "true")
       .config(Tables.NtzKey, "false")

@@ -542,6 +542,49 @@ class ManifestSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join: co-partitioned manifest tables join with zero shuffle") {
+    val dirA = scratch("spj-a")
+    val dirB = scratch("spj-b")
+    import spark.implicits._
+    val a0 = (0L until 1000L).map(k => (k % 8, k, k * 2)).toDF("cb", "k", "v")
+    val b0 = (0L until 500L).map(k => (k % 8, k, k * 3)).toDF("cb", "k", "w")
+    a0.repartition(1).write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "identity(cb)").save(dirA)
+    b0.repartition(1).write.mode("overwrite").format("graft-manifest")
+      .option("partitionedBy", "identity(cb)").save(dirB)
+    val oldBucketing = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val oldBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.read.format("graft-manifest")
+        .option("groupByPartition", "true").load(dirA)
+      val b = spark.read.format("graft-manifest")
+        .option("groupByPartition", "true").load(dirB)
+        .select(col("cb").as("cb2"), col("w"))
+      val j = a.join(b, col("cb") === col("cb2"))
+        .groupBy("cb").agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // correctness: per-bucket cross size = 125 * 62 or 63
+      val expect = (0L until 8L).map { cb =>
+        (cb, a0.filter(col("cb") === cb).count() *
+          b0.filter(col("cb") === cb).count())
+      }.sorted
+      assert(got === expect)
+      // the SPJ property: NO shuffle on either side of the join
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      // the final groupBy("cb") also reuses the key-grouped layout, so
+      // the whole plan is shuffle-free
+      assert(shuffles.isEmpty,
+        s"expected zero ShuffleExchange, got ${shuffles.size}")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", oldBucketing)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+    }
+  }
+
   test("compaction materializes delete vectors; vacuum retires them") {
     val dir = scratch("mor-compact")
     val src = graft.Tables(spark, sf, "supplier")
