@@ -152,19 +152,25 @@ object AnnIvf {
       numCells: Int, refineIters: Int = 1,
       seeding: String = "kmeans||"): IvfIndex = {
     val n = vectors.count()
-    require(n >= numCells,
-      s"cannot build IVF index: numCells=$numCells but corpus has only " +
-        s"$n vectors — lower numCells to at most the corpus size")
+    // degenerate corpora stay total: fewer vectors than cells clamps
+    // the cell count (every vector its own cell); an EMPTY corpus
+    // builds an empty index, and knnJoin over it yields no pairs
+    val cells = math.min(numCells.toLong, math.max(n, 1L)).toInt
+    if (n == 0L)
+      return IvfIndex(
+        assign(vectors, idCol, embCol,
+          seedFirstN(vectors, idCol, embCol, cells)),
+        seedFirstN(vectors, idCol, embCol, cells))
     val seeds = seeding match {
-      case "first" => seedFirstN(vectors, idCol, embCol, numCells)
-      case _ => seedKMeansPar(vectors, idCol, embCol, numCells)
+      case "first" => seedFirstN(vectors, idCol, embCol, cells)
+      case _ => seedKMeansPar(vectors, idCol, embCol, cells)
     }
     // k-means|| can come up short when the corpus has fewer distinct
     // vectors than cells — top up from the first-N pool.
     val nSeeds = seeds.count()
     val topped =
-      if (nSeeds == numCells) seeds
-      else seedFirstN(vectors, idCol, embCol, numCells)
+      if (nSeeds == cells) seeds
+      else seedFirstN(vectors, idCol, embCol, cells)
     var centroids = topped
     (1 to refineIters).foreach { _ =>
       centroids = recompute(

@@ -35,6 +35,8 @@ object PcaPower {
         .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
         .orderBy(col("pos")).collect()
       val d = perPos.length
+      // empty corpus: no positions, no direction — stay total
+      if (n == 0 || d == 0) return (Array.empty[Double], 0.0, 0.0)
       val mu = perPos.map(r => r.getDouble(1) / n)
       val totalScatter =
         perPos.map(_.getDouble(2)).sum - n * mu.map(m => m * m).sum

@@ -544,10 +544,14 @@ object AggOps extends OpPack {
         // verified empirically: DuckDB's `//` on HUGEINT truncates
         // toward zero exactly like Spark's `div`, so the plain
         // integral divide is bit-identical for either sign
+        // den = 0 (a single point, or constant x) has no defined fit —
+        // declared NULL in BOTH engines (lockstep with the oracle)
         .select(col("l_returnflag"), col("n"),
-          expr("CAST((1000 * (n * sxy - sx * sy)) div den AS BIGINT)")
+          expr("CAST(CASE WHEN den = 0 THEN NULL ELSE " +
+            "(1000 * (n * sxy - sx * sy)) div den END AS BIGINT)")
             .as("slope_cents_x1000"),
-          expr("CAST((1000 * (sy * sxx - sx * sxy)) div den AS BIGINT)")
+          expr("CAST(CASE WHEN den = 0 THEN NULL ELSE " +
+            "(1000 * (sy * sxx - sx * sxy)) div den END AS BIGINT)")
             .as("intercept_cents_x1000"))
         .orderBy(col("l_returnflag"))
     }),
@@ -1004,10 +1008,13 @@ object AggOps extends OpPack {
         |               0) AS HUGEINT)) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  CAST((1000 * (n * sxy - sx * sy))
-        |       // (n * sxx - sx * sx) AS BIGINT) AS slope_cents_x1000,
-        |  CAST((1000 * (sy * sxx - sx * sxy))
-        |       // (n * sxx - sx * sx) AS BIGINT) AS intercept_cents_x1000
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    (1000 * (n * sxy - sx * sy))
+        |       // (n * sxx - sx * sx) END AS BIGINT) AS slope_cents_x1000,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    (1000 * (sy * sxx - sx * sxy))
+        |       // (n * sxx - sx * sx) END AS BIGINT)
+        |    AS intercept_cents_x1000
         |FROM b ORDER BY l_returnflag""".stripMargin,
 
     "agg_outliers" ->

@@ -135,7 +135,10 @@ object CdcOps extends OpPack {
         expr("CAST(percentile_disc(0.75) WITHIN GROUP " +
           "(ORDER BY event_id) AS BIGINT)"))
         .collect()(0)
-      val (q1, q2, q3) = (q.getLong(0), q.getLong(1), q.getLong(2))
+      // empty events: NULL percentiles; any literal keeps the op
+      // total (the grouped frame below is empty anyway)
+      def qAt(i: Int) = if (q.isNullAt(i)) 0L else q.getLong(i)
+      val (q1, q2, q3) = (qAt(0), qAt(1), qAt(2))
       def snapAt(b: Long) = max_by(
         struct(col("event_id"), col("event_type"), col("value")),
         when(col("event_id") <= b, col("event_id")))

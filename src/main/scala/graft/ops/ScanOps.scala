@@ -116,9 +116,15 @@ object ScanOps extends OpPack {
     // the layout that makes per-partition 100 TB reads cheap.
     "sink_partitioned" -> ((s, dir) => {
       val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/part-orders"
-      Tables(s, dir, "orders").write.mode("overwrite")
+      val src = Tables(s, dir, "orders")
+      src.write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(scratch)
-      s.read.parquet(scratch)
+      // explicit schema: an EMPTY write leaves no files to infer from
+      // (partition column moves last in the on-disk layout)
+      val diskSchema = org.apache.spark.sql.types.StructType(
+        src.schema.fields.filter(_.name != "o_orderpriority") :+
+          src.schema("o_orderpriority"))
+      s.read.schema(diskSchema).parquet(scratch)
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))

@@ -36,6 +36,14 @@ object SketchOps extends OpPack {
     * is embedded as a binary literal (Spark's own runtime-filter wire
     * format), so executors evaluate membership without any lookup
     * table join. */
+  /** `df.stat.bloomFilter` NPEs on an EMPTY frame (null aggregation
+    * buffer inside Spark); an empty build side means an empty filter
+    * — nothing can match, which is exactly what a fresh bloom says. */
+  private def bloomOf(df: org.apache.spark.sql.DataFrame, colName: String,
+      expectedNumItems: Long, fpp: Double): BloomFilter =
+    if (df.isEmpty) BloomFilter.create(expectedNumItems, fpp)
+    else df.stat.bloomFilter(colName, expectedNumItems, fpp)
+
   private def mightContain(bf: BloomFilter, value: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -52,7 +60,7 @@ object SketchOps extends OpPack {
     // the false-positive behavior is visible (and deterministic).
     "agg_sketch_bloom" -> ((s, dir) => {
       val orders = Tables(s, dir, "orders")
-      val bf = orders.stat.bloomFilter("o_custkey",
+      val bf = bloomOf(orders, "o_custkey",
         expectedNumItems = 20000L, fpp = 0.03)
       val withOrders = orders
         .select(col("o_custkey").as("c_custkey")).distinct()
@@ -117,7 +125,7 @@ object SketchOps extends OpPack {
     "join_bloom_prefilter" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
-      val bf = cust.stat.bloomFilter("c_custkey",
+      val bf = bloomOf(cust, "c_custkey",
         expectedNumItems = 20000L, fpp = 0.03)
       Tables(s, dir, "orders")
         .filter(mightContain(bf, col("o_custkey")))

@@ -126,8 +126,11 @@ object TsOps extends OpPack {
       val base = Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val km = base.agg(expr("(1000 * sum(cents)) div count(1)"))
-        .collect()(0).getLong(0)
+      val kmRow = base.agg(expr("(1000 * sum(cents)) div count(1)"))
+        .collect()(0)
+      // empty events: the mean is NULL; 0 keeps the op total (the
+      // windowed frame below is empty anyway)
+      val km = if (kmRow.isNullAt(0)) 0L else kmRow.getLong(0)
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       base
@@ -157,11 +160,14 @@ object TsOps extends OpPack {
         .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       val b = e.agg(min(to_date(col("ts"))).as("lo"),
         max(to_date(col("ts"))).as("hi")).collect()(0)
+      // empty events: bounds are NULL and sequence() would fail
+      // ANALYSIS; any literal works — the user grid is empty anyway
+      val lo = Option(b.getAs[java.sql.Date]("lo"))
+        .getOrElse(java.sql.Date.valueOf("1970-01-01"))
+      val hi = Option(b.getAs[java.sql.Date]("hi")).getOrElse(lo)
       val grid = e.select(col("user_id")).distinct()
         .withColumn("day", explode(sequence(
-          lit(b.getAs[java.sql.Date]("lo")),
-          lit(b.getAs[java.sql.Date]("hi")),
-          expr("interval 1 day"))))
+          lit(lo), lit(hi), expr("interval 1 day"))))
       val wb = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))

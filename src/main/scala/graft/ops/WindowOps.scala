@@ -136,11 +136,14 @@ object WindowOps extends OpPack {
         .agg(Tables.moneySum(col("value")).as("day_value"))
       val b = e.agg(min(to_date(col("ts"))).as("lo"),
         max(to_date(col("ts"))).as("hi")).collect()(0)
+      // empty events: bounds are NULL and sequence() would fail
+      // ANALYSIS; any literal works — the user grid is empty anyway
+      val lo = Option(b.getAs[java.sql.Date]("lo"))
+        .getOrElse(java.sql.Date.valueOf("1970-01-01"))
+      val hi = Option(b.getAs[java.sql.Date]("hi")).getOrElse(lo)
       val grid = e.select(col("user_id")).distinct()
         .withColumn("day", explode(sequence(
-          lit(b.getAs[java.sql.Date]("lo")),
-          lit(b.getAs[java.sql.Date]("hi")),
-          expr("interval 1 day"))))
+          lit(lo), lit(hi), expr("interval 1 day"))))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(daily, Seq("user_id", "day"), "left_outer")
