@@ -93,9 +93,13 @@ object KllSketch {
     * (INCLUSIVE criteria = the order-statistic convention
     * `percentile_disc` uses: smallest value whose inclusive rank ≥
     * `rank`). */
-  def quantile(bytes: Array[Byte], rank: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
+  def quantile(bytes: Array[Byte], rank: Double): Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    // an empty sketch (all-null input) has no order statistics —
+    // NaN keeps the op total instead of throwing
+    if (sk.isEmpty) Double.NaN
+    else sk.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
+  }
 }
 
 /** Misra-Gries frequent-items sketch of a LONG key column

@@ -148,9 +148,12 @@ object AnnIvf {
     * default, `seeding = "first"` for the plain first-N-by-id variant),
     * refine with `refineIters` Lloyd iterations, assign with the final
     * centroids. */
-  def buildIndex(vectors: DataFrame, idCol: String, embCol: String,
+  def buildIndex(vectors0: DataFrame, idCol: String, embCol: String,
       numCells: Int, refineIters: Int = 1,
       seeding: String = "kmeans||"): IvfIndex = {
+    // a NULL embedding has no position in the space — absent from the
+    // index by definition (keeps the build total on dirty corpora)
+    val vectors = vectors0.filter(col(embCol).isNotNull)
     val n = vectors.count()
     // degenerate corpora stay total: fewer vectors than cells clamps
     // the cell count (every vector its own cell); an EMPTY corpus

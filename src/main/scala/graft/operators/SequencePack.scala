@@ -40,11 +40,14 @@ object SequencePack {
     val spark = docs.sparkSession
     import spark.implicits._
     require(capacity > 0, s"capacity must be positive: $capacity")
+    // totality on dirty rows: a NULL token count packs as 0 tokens, a
+    // NULL group key groups under a sentinel partition (the encoder's
+    // non-nullable Int/Long fields would otherwise throw)
     val typed = docs.select(
       col(idCol).cast("long").as("id"),
       col(grpA).cast("string").as("grp_a"),
-      col(grpB).cast("long").as("grp_b"),
-      col(tokCol).cast("int").as("tok")).as[DocTok]
+      coalesce(col(grpB).cast("long"), lit(Long.MinValue)).as("grp_b"),
+      coalesce(col(tokCol).cast("int"), lit(0)).as("tok")).as[DocTok]
     typed
       .groupByKey(d => (d.grp_a, d.grp_b))
       .flatMapSortedGroups($"id") { case ((a, b), it) =>
@@ -87,11 +90,14 @@ object SequencePack {
     val spark = docs.sparkSession
     import spark.implicits._
     require(capacity > 0, s"capacity must be positive: $capacity")
+    // totality on dirty rows: a NULL token count packs as 0 tokens, a
+    // NULL group key groups under a sentinel partition (the encoder's
+    // non-nullable Int/Long fields would otherwise throw)
     val typed = docs.select(
       col(idCol).cast("long").as("id"),
       col(grpA).cast("string").as("grp_a"),
-      col(grpB).cast("long").as("grp_b"),
-      col(tokCol).cast("int").as("tok")).as[DocTok]
+      coalesce(col(grpB).cast("long"), lit(Long.MinValue)).as("grp_b"),
+      coalesce(col(tokCol).cast("int"), lit(0)).as("tok")).as[DocTok]
     typed
       .groupByKey(d => (d.grp_a, d.grp_b))
       .flatMapSortedGroups($"tok".desc, $"id") { case ((a, b), it) =>

@@ -375,7 +375,7 @@ object AggOps extends OpPack {
         // BIGINT on decimal operands, so the output schema is stable.
         .withColumn("e_cur", expr(
           "(CAST(n_base AS DECIMAL(38,0)) * sum(n_cur) OVER ()) " +
-            "div sum(n_base) OVER ()"))
+            "div greatest(sum(n_base) OVER (), 1)"))
         .withColumn("chi2_term_milli", expr(
           "(CAST(n_cur - e_cur AS DECIMAL(38,0)) * (n_cur - e_cur) " +
             "* 1000) div greatest(e_cur, 1)"))
@@ -1134,7 +1134,7 @@ object AggOps extends OpPack {
         |w AS (
         |  SELECT bucket, n_base, n_cur,
         |    (CAST(n_base AS HUGEINT) * sum(n_cur) OVER ())
-        |      // sum(n_base) OVER () AS e_cur
+        |      // greatest(sum(n_base) OVER (), 1) AS e_cur
         |  FROM b)
         |SELECT bucket, CAST(n_base AS BIGINT) AS n_base,
         |  CAST(n_cur AS BIGINT) AS n_cur,

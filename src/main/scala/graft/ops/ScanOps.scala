@@ -180,15 +180,23 @@ object ScanOps extends OpPack {
     // pass proves line encode→decode fidelity.
     "scan_text_roundtrip" -> ((s, dir) => {
       val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/text-docs"
+      // null-safe field serialization: concat_ws silently DROPS null
+      // fields, which would shift every later column on decode - the
+      // sentinel keeps the field count fixed and round-trips NULL
+      def nf(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit("<NULL>"))
       Tables(s, dir, "documents")
-        .select(concat_ws("\u0001", col("doc_id"), col("lang"),
-          col("n_chars")).as("value"))
+        .select(concat_ws("\u0001", nf(col("doc_id")), nf(col("lang")),
+          nf(col("n_chars"))).as("value"))
         .write.mode("overwrite").text(scratch)
       s.read.text(scratch)
-        .select(split(col("value"), "\u0001").as("f"))
-        .select(col("f").getItem(0).cast("long").as("doc_id"),
-          col("f").getItem(1).as("lang"),
-          col("f").getItem(2).cast("long").as("n_chars"))
+        .select(split(col("value"), "\u0001").as("fs"))
+        .select(
+          expr("nullif(element_at(fs, 1), '<NULL>')").cast("long")
+            .as("doc_id"),
+          expr("nullif(element_at(fs, 2), '<NULL>')").as("lang"),
+          expr("nullif(element_at(fs, 3), '<NULL>')").cast("long")
+            .as("n_chars"))
         .orderBy(col("doc_id"))
     }),
 

@@ -187,9 +187,12 @@ object StatOps extends OpPack {
         .select(col("user_id"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .withColumn("win", collect_list(col("cents")).over(w))
+        // all-null windows collect to an EMPTY list: median is NULL
+        // (what the oracle's quantile_disc over nulls returns)
         .select(col("user_id"), col("event_id"), col("cents"),
-          expr("element_at(array_sort(win), " +
-            "CAST((size(win) + 1) div 2 AS INT))").as("med11"))
+          expr("CASE WHEN size(win) = 0 THEN NULL ELSE " +
+            "element_at(array_sort(win), " +
+            "CAST((size(win) + 1) div 2 AS INT)) END").as("med11"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 
@@ -347,12 +350,16 @@ object StatOps extends OpPack {
         .select(col("user_id"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .withColumn("win", collect_list(col("cents")).over(w))
+        // all-null windows collect to an EMPTY list: NULL median/MAD
         .withColumn("med11",
-          expr("element_at(array_sort(win), " +
-            "CAST((size(win) + 1) div 2 AS INT))"))
+          expr("CASE WHEN size(win) = 0 THEN NULL ELSE " +
+            "element_at(array_sort(win), " +
+            "CAST((size(win) + 1) div 2 AS INT)) END"))
         .withColumn("mad11",
-          expr("element_at(array_sort(transform(win, " +
-            "v -> abs(v - med11))), CAST((size(win) + 1) div 2 AS INT))"))
+          expr("CASE WHEN size(win) = 0 THEN NULL ELSE " +
+            "element_at(array_sort(transform(win, " +
+            "v -> abs(v - med11))), CAST((size(win) + 1) div 2 AS INT)) " +
+            "END"))
         .select(col("user_id"), col("event_id"), col("cents"),
           col("med11"), col("mad11"),
           expr("abs(cents - med11) > 6 * mad11").as("is_outlier"))

@@ -117,6 +117,16 @@ object ManifestSink {
   val DataSuffix = ".graftrows"
   val DelSuffix = ".graftdel"
 
+  /** Schemas persist RELAXED to nullable — the same normalization
+    * Spark's own file sinks apply. A write whose plan proves a column
+    * non-null (e.g. an UPDATE setting a literal) must not NARROW the
+    * table schema: carried-forward files may still hold NULLs, and a
+    * reader that believed the non-null declaration would let codegen
+    * dereference them (found the hard way: NPE in the hash-agg fast
+    * map on a null group key). */
+  def nullableDdl(schema: StructType): String =
+    StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+
   /** Hidden row-address metadata columns exposed by
     * `.option("withRowMeta", "true")` — the physical (file, ordinal)
     * identity row-level DELETE is computed against. */
@@ -1125,7 +1135,8 @@ final class ManifestStreamingWrite(schema: StructType, path: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
-    new ManifestStreamingWriterFactory(schema.toDDL, path, partitionedBy,
+    new ManifestStreamingWriterFactory(ManifestSink.nullableDdl(schema),
+      path, partitionedBy,
       bloomCols, bloomBits)
   }
 
@@ -1140,7 +1151,7 @@ final class ManifestStreamingWrite(schema: StructType, path: String,
     } else {
       ManifestSink.writeManifestAs(path,
         ManifestSink.epochManifestFile(epochId),
-        ManifestSink.Manifest(schema.toDDL, entries))
+        ManifestSink.Manifest(ManifestSink.nullableDdl(schema), entries))
     }
   }
 
@@ -1171,7 +1182,8 @@ final class ManifestBatchWrite(schema: StructType, path: String,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
-    new ManifestWriterFactory(schema.toDDL, path, partitionedBy,
+    new ManifestWriterFactory(ManifestSink.nullableDdl(schema), path,
+      partitionedBy,
       bloomCols, bloomBits)
   }
 
@@ -1197,7 +1209,8 @@ final class ManifestBatchWrite(schema: StructType, path: String,
     // table; carried-forward files written under the old schema are
     // annotated with it so readers resolve their columns by name
     val carried = prior.map(p => p.files.map { e =>
-      if (e.schemaDdl.isEmpty && p.schemaDdl != schema.toDDL)
+      if (e.schemaDdl.isEmpty &&
+          p.schemaDdl != ManifestSink.nullableDdl(schema))
         e.copy(schemaDdl = Some(p.schemaDdl))
       else e
     }).getOrElse(Seq.empty)
@@ -1222,7 +1235,8 @@ final class ManifestBatchWrite(schema: StructType, path: String,
         .foreach(_.delete())
     }
     ManifestSink.writeManifest(path,
-      ManifestSink.Manifest(schema.toDDL, files, version, carriedEq))
+      ManifestSink.Manifest(ManifestSink.nullableDdl(schema), files,
+        version, carriedEq))
     // sweep only what NO manifest — base, archive, or epoch — lists
     // (failed/speculative attempt files, replaced-and-unarchived data)
     val referenced = ManifestSink.listAllManifests(path)

@@ -19,19 +19,33 @@ class DegenerateInputSpec extends AnyFunSuite {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def degenerate(rows: Int): String = {
+  private def degenerate(rows: Int, nullPayload: Boolean = false): String = {
     val dir = Files.createTempDirectory(s"graft-degen-$rows").toString
     tables.foreach { t =>
       // plain parquet copy (schema-preserving); Tables() applies its
       // ts normalization on read, same as for the real testdata
-      spark.read.parquet(s"$sf/$t.parquet").limit(rows)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      val src = spark.read.parquet(s"$sf/$t.parquet").limit(rows)
+      val out =
+        if (!nullPayload) src
+        else {
+          // null every non-key payload column (third degenerate class)
+          val keyish = (n: String) => n.endsWith("key") ||
+            Seq("doc_id", "event_id", "user_id", "l_linenumber").contains(n)
+          src.select(src.schema.fields.map { f =>
+            if (keyish(f.name))
+              org.apache.spark.sql.functions.col(f.name)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
+      out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
   }
 
   private lazy val emptyDir = degenerate(0)
   private lazy val oneDir = degenerate(1)
+  private lazy val nullDir = degenerate(3, nullPayload = true)
 
   // the queries the sweep caught: IVF/ANN family (empty corpus),
   // PCA (zero dimensions), bloom builds (Spark stat NPE on empty),
@@ -50,6 +64,22 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
     test(s"$q answers on 1-row tables") {
       SparkEntry.queries(q)(spark, oneDir).collect()
+    }
+  }
+
+  // the all-null-payload sweep's catches: NULL embeddings absent from
+  // ANN indexes, zero chi2 base counts, NULL token counts packing as
+  // 0, empty KLL sketches, all-null rolling windows, null-dropping
+  // concat_ws field serialization, and the manifest sink NARROWING
+  // nullability on append (codegen NPE on carried null group keys)
+  private val nullFixed = Seq("llm_ann_ivf", "llm_ann_knn",
+    "llm_dedup_semantic", "diag_dist_drift", "mm_pack_batches",
+    "sample_pack", "sink_manifest_update", "win_rolling_mad",
+    "win_rolling_median", "agg_sketch_kll", "scan_text_roundtrip")
+
+  for (q <- nullFixed) {
+    test(s"$q answers on all-null payload columns") {
+      SparkEntry.queries(q)(spark, nullDir).collect()
     }
   }
 }
