@@ -334,6 +334,55 @@ object ScanOps extends OpPack {
         .orderBy(col("change"), col("o_orderstatus"))
     }),
 
+    // CHANGE DATA FEED over the manifest sink's snapshot chain
+    // (Delta readChangeFeed / Iceberg changelog at single-document
+    // scale): four commits — initial load, append, positional
+    // DELETE, row-level UPDATE — then `ManifestSink.changes(1, 5)`
+    // emits every row-level change after v1 tagged with
+    // (_change_version, _change_type); the UPDATE surfaces as
+    // delete(old) at its delete snapshot (v4) + insert(new) at its
+    // append snapshot (v5) — the format's two-snapshot UPDATE shape. Each version step diffs the two
+    // manifests on the DRIVER, proves unchanged files unchanged from
+    // metadata alone, and plans ONLY differing files via the
+    // restrictFiles scan option — CDF cost is proportional to
+    // CHANGED data, not table size (a 100 TB table that appended one
+    // shard reads one shard; pinned in ManifestSinkSpec by
+    // corrupting an unchanged file mid-chain). The commits are
+    // modulo-defined, so the oracle derives the identical feed from
+    // the parquet with pure predicates.
+    "sink_manifest_cdf" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-cdf"
+      // fresh table per run: the version range below names snapshots
+      // 1..4 absolutely, so the chain must start from empty
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(scratch))
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.filter(col("o_orderkey") % 3 === 0).write.mode("overwrite")
+        .format("graft-manifest").save(scratch) // v1: initial load
+      base.filter(col("o_orderkey") % 3 === 1).write.mode("append")
+        .format("graft-manifest").save(scratch) // v2: append
+      graft.sources.ManifestSink.delete(s, scratch,
+        "o_custkey % 7 = 0")                    // v3: delete vectors
+      graft.sources.ManifestSink.update(s, scratch,
+        "o_orderkey % 11 = 0",
+        Map("o_orderstatus" -> "'X'"))          // v4+v5: update
+      graft.sources.ManifestSink.changes(s, scratch, 1L, 5L)
+        .groupBy(col("_change_version").as("change_version"),
+          col("_change_type").as("change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("change_version"), col("change_type"),
+          col("o_orderstatus"))
+    }),
+
     // Zone-map file pruning through the graft-manifest connector:
     // every committed file carries per-column min/max for integral
     // columns in the manifest (Iceberg's lower/upper bounds at
@@ -934,6 +983,36 @@ object ScanOps extends OpPack {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM d GROUP BY change, o_orderstatus
         |ORDER BY change, o_orderstatus""".stripMargin,
+
+    // the four commits are modulo-defined subsets, so the feed is a
+    // pure function of the parquet: v2 inserts = the appended third;
+    // v3 deletes = rows live at v2 hit by the custkey predicate;
+    // v4 = the update's delete(old)+insert(new) over rows live at v3
+    "sink_manifest_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v12 AS (SELECT * FROM base WHERE k % 3 IN (0, 1)),
+        |live3 AS (SELECT * FROM v12 WHERE c % 7 <> 0),
+        |feed AS (
+        |  SELECT CAST(2 AS BIGINT) AS change_version,
+        |         'insert' AS change_type, st, k, cents
+        |  FROM base WHERE k % 3 = 1
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'delete', st, k, cents
+        |  FROM v12 WHERE c % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), 'delete', st, k, cents
+        |  FROM live3 WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT), 'insert', 'X', k, cents
+        |  FROM live3 WHERE k % 11 = 0)
+        |SELECT change_version, change_type, st AS o_orderstatus,
+        |  count(*) AS n, min(k) AS min_key, max(k) AS max_key,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM feed GROUP BY change_version, change_type, st
+        |ORDER BY change_version, change_type, o_orderstatus""".stripMargin,
 
     "sink_manifest_partitioned" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,

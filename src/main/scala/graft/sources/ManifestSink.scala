@@ -689,6 +689,97 @@ object ManifestSink {
     foldEpochTombstones(dir)
   }
 
+  /** CHANGE DATA FEED over the snapshot chain (Delta's
+    * `readChangeFeed` / Iceberg's changelog table at single-document
+    * scale): every row-level change committed AFTER snapshot
+    * `fromVersion`, up to and including `toVersion`, as a frame of
+    * the table's columns plus `_change_type` ("insert" | "delete")
+    * and `_change_version` (the snapshot that committed the change).
+    * An UPDATE surfaces as delete(old row) at its delete snapshot +
+    * insert(new row) at its append snapshot (this format's UPDATE
+    * and MERGE are two-snapshot by design); a compaction-style full
+    * rewrite surfaces as full delete + full insert (physical
+    * snapshot diff — declared: the same shape Delta emits without
+    * CDC-aware writers).
+    *
+    * Cost is proportional to CHANGED data, not table size: each
+    * version step diffs the two manifests (kilobyte documents) on
+    * the driver, proves files with identical content + delete state
+    * unchanged ([[changedFiles]]), and plans ONLY the differing
+    * files on both sides (the `restrictFiles` scan option) — the
+    * anti-join on the physical row address (file, ordinal) then
+    * shuffles just those files' rows. A 100 TB table that appended
+    * one shard reads one shard. Unchanged-files-never-opened is
+    * pinned in ManifestSinkSpec by corrupting an unchanged file
+    * mid-chain; schema evolution across the range resolves by name
+    * (pre-evolution rows surface NULL for later columns). */
+  def changes(spark: org.apache.spark.sql.SparkSession, dir: String,
+      fromVersion: Long,
+      toVersion: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val current = readManifest(dir).version
+    require(fromVersion >= 0 && fromVersion < toVersion &&
+      toVersion <= current,
+      s"graft-manifest: changes range ($fromVersion, $toVersion] must " +
+        s"satisfy 0 <= from < to <= current ($current)")
+    val addr = Seq(MetaFileCol, MetaPosCol)
+    def readSide(v: Long,
+        names: Seq[String]): Option[org.apache.spark.sql.DataFrame] =
+      if (names.isEmpty) None
+      else Some(spark.read.format("graft-manifest")
+        .option("asOfVersion", v.toString)
+        .option("withRowMeta", "true")
+        .option("restrictFiles", names.mkString(","))
+        .load(dir))
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val curr = readAsOf(dir, Some(v))
+      val prev = if (v > 1) Some(readAsOf(dir, Some(v - 1))) else None
+      val currDf = readSide(v,
+        prev.map(changedFiles(curr, _)).getOrElse(curr.files.map(_.name)))
+      val prevDf = prev.flatMap(p => readSide(v - 1, changedFiles(p, curr)))
+      // a row is a change iff its physical address is visible on one
+      // side only; a file in both restricted sets (same bytes, more
+      // delete vectors) contributes exactly its newly-masked rows
+      def side(a: Option[org.apache.spark.sql.DataFrame],
+          b: Option[org.apache.spark.sql.DataFrame], kind: String) =
+        a.map { af =>
+          b.map(bf => af.join(bf.select(addr.map(col): _*), addr,
+              "left_anti"))
+            .getOrElse(af)
+            .drop(addr: _*)
+            .withColumn("_change_type", lit(kind))
+            .withColumn("_change_version", lit(v))
+        }
+      side(currDf, prevDf, "insert").toSeq ++
+        side(prevDf, currDf, "delete").toSeq
+    }
+    parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse {
+        val schema =
+          StructType.fromDDL(readAsOf(dir, Some(toVersion)).schemaDdl)
+            .add("_change_type", org.apache.spark.sql.types.StringType)
+            .add("_change_version", org.apache.spark.sql.types.LongType)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      }
+  }
+
+  /** Files of `a` whose VISIBLE row set differs from their state in
+    * `b`: new/removed names, changed bytes (rows, crc), a changed
+    * positional-delete stack, or a changed set of APPLICABLE
+    * equality deletes (sequence-bounded). Pure manifest arithmetic —
+    * the pruning proof that lets [[changes]] never open unchanged
+    * files. */
+  private[graft] def changedFiles(a: Manifest, b: Manifest): Seq[String] = {
+    def sig(m: Manifest, e: Entry) =
+      (e.name, e.rows, e.crc,
+        e.deletes.map(d => (d.name, d.n, d.crc)).toSet,
+        m.eqDeletes.filter(_.seq > e.seq.getOrElse(0L))
+          .map(d => (d.col, d.seq, d.values.toList)).toSet)
+    val bs = b.files.map(e => sig(b, e)).toSet
+    a.files.filterNot(e => bs(sig(a, e))).map(_.name)
+  }
+
   /** Fold streaming epoch manifests into the base after a DELETE-type
     * commit absorbed their entries: the epoch files stay as EMPTY
     * tombstones so the epoch-id idempotence token survives crash
@@ -977,6 +1068,14 @@ final class ManifestTable(tableSchema: StructType, path: String)
         with SupportsPushDownFilters
         with SupportsPushDownAggregates {
       private val asOf = Option(options.get("asOfVersion")).map(_.toLong)
+      // `restrictFiles` plans ONLY the named manifest entries — the
+      // change-data-feed pruning hook ([[ManifestSink.changes]]): a
+      // version-step diff proves most files unchanged from the
+      // manifests alone, and this option is how those files are
+      // never opened
+      private val restrict: Option[Set[String]] =
+        Option(options.get("restrictFiles"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       private var required: StructType = tableSchema
       private var zoneFilters: Array[sources.Filter] = Array.empty
       private var countPushed = false
@@ -989,6 +1088,9 @@ final class ManifestTable(tableSchema: StructType, path: String)
           agg: org.apache.spark.sql.connector.expressions.aggregate
             .Aggregation): Boolean =
         agg.groupByExpressions().isEmpty && zoneFilters.isEmpty &&
+          // a restricted (change-feed) read counts a SUBSET of the
+          // files — the whole-table metadata count is not its answer
+          restrict.isEmpty &&
           agg.aggregateExpressions().length == 1 &&
           agg.aggregateExpressions()(0).isInstanceOf[
             org.apache.spark.sql.connector.expressions.aggregate
@@ -1030,7 +1132,7 @@ final class ManifestTable(tableSchema: StructType, path: String)
       override def build(): Scan =
         if (countPushed) new ManifestCountScan(path, asOf)
         else new ManifestScan(tableSchema, required, path, asOf, zoneFilters,
-          options.getBoolean("groupByPartition", false))
+          options.getBoolean("groupByPartition", false), restrict)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1501,7 +1603,8 @@ final class ManifestFileWriter(schema: StructType, path: String,
 final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     path: String, asOfVersion: Option[Long] = None,
     zoneFilters: Array[sources.Filter] = Array.empty,
-    groupByPartition: Boolean = false)
+    groupByPartition: Boolean = false,
+    restrictFiles: Option[Set[String]] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = prunedSchema
@@ -1521,7 +1624,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * either way. */
   private lazy val entries: Seq[ManifestSink.Entry] = {
     val m = ManifestSink.readAsOf(path, asOfVersion)
-    m.files.filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
+    m.files.filter(e => restrictFiles.forall(_(e.name)) &&
+      ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
   }
   private lazy val manifest = ManifestSink.readAsOf(path, asOfVersion)
   private lazy val identityCol: Option[String] =
@@ -1547,7 +1651,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * join against a small manifest table without scanning it. */
   override def estimateStatistics(): Statistics = {
     val entries = ManifestSink.readAsOf(path, asOfVersion).files
-      .filter(e => ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
+      .filter(e => restrictFiles.forall(_(e.name)) &&
+        ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
     val rows = entries.map(_.liveRows).sum
     val bytes = entries.map(e =>
       new File(s"$path/${e.name}").length()).sum

@@ -1008,4 +1008,102 @@ class ManifestSinkSpec extends AnyFunSuite {
         .option("partitionedBy", "years(ts)").save(dir)
     }
   }
+
+  test("change data feed: append, delete, update surface as tagged row changes") {
+    import spark.implicits._
+    val dir = scratch("cdf")
+    (1L to 6L).map(k => (k, k * 10)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .format("graft-manifest").save(dir)                       // v1
+    Seq((7L, 70L), (8L, 80L)).toDF("k", "v")
+      .coalesce(1).write.mode("append")
+      .format("graft-manifest").save(dir)                       // v2
+    ManifestSink.delete(spark, dir, "k IN (2, 7)")              // v3
+    ManifestSink.update(spark, dir, "k = 4",
+      Map("v" -> "999"))                                        // v4+v5
+    val feed = ManifestSink.changes(spark, dir, 1L, 5L)
+      .select("_change_version", "_change_type", "k", "v")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(feed === Set(
+      (2L, "insert", 7L, 70L), (2L, "insert", 8L, 80L),
+      (3L, "delete", 2L, 20L), (3L, "delete", 7L, 70L),
+      (4L, "delete", 4L, 40L), (5L, "insert", 4L, 999L)))
+    // sub-range: only the versions asked for
+    val tail = ManifestSink.changes(spark, dir, 3L, 5L)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(tail === Set(("delete", 4L), ("insert", 4L)))
+    // out-of-range versions fail loudly
+    intercept[IllegalArgumentException] {
+      ManifestSink.changes(spark, dir, 3L, 99L)
+    }
+  }
+
+  test("change data feed never opens unchanged files: corruption there is not its failure") {
+    import spark.implicits._
+    val dir = scratch("cdf-prune")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .format("graft-manifest").save(dir)                       // v1
+    Seq((101L, 101L)).toDF("k", "v")
+      .coalesce(1).write.mode("append")
+      .format("graft-manifest").save(dir)                       // v2
+    // the manifest diff proves the v1 file unchanged…
+    val m1 = ManifestSink.readAsOf(dir, Some(1L))
+    val m2 = ManifestSink.readAsOf(dir, Some(2L))
+    val v1File = m1.files.map(_.name)
+    assert(ManifestSink.changedFiles(m2, m1).toSet ===
+      m2.files.map(_.name).toSet -- v1File)
+    assert(ManifestSink.changedFiles(m1, m2).isEmpty)
+    // …so the feed never opens it: corrupting its bytes on disk
+    // cannot fail the feed (a full read DOES fail on the same dir)
+    val raf = new java.io.RandomAccessFile(new File(dir, v1File.head), "rw")
+    try { raf.seek(raf.length() / 2); raf.writeLong(0x5a5a5a5a5a5a5a5aL) }
+    finally raf.close()
+    val feed = ManifestSink.changes(spark, dir, 1L, 2L)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(feed === Set(("insert", 101L)))
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir).collect()
+    }
+  }
+
+  test("change data feed: equality delete feeds below its sequence, re-insert feeds again") {
+    import spark.implicits._
+    val dir = scratch("cdf-eqdel")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .format("graft-manifest").save(dir)                       // v1
+    ManifestSink.deleteEq(dir, "k", Seq(1L))                    // v2
+    Seq((1L, 11L)).toDF("k", "v")
+      .coalesce(1).write.mode("append")
+      .format("graft-manifest").save(dir)                       // v3
+    val feed = ManifestSink.changes(spark, dir, 1L, 3L)
+      .select("_change_version", "_change_type", "k", "v")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(feed === Set(
+      (2L, "delete", 1L, 10L),   // masked by the equality delete
+      (3L, "insert", 1L, 11L))) // the re-insert is ABOVE its sequence
+    // a no-match equality delete commits a version with an empty step
+    ManifestSink.deleteEq(dir, "k", Seq(999L))                  // v4
+    assert(ManifestSink.changes(spark, dir, 3L, 4L).count() === 0L)
+  }
+
+  test("restrictFiles plans only the named entries and declines count pushdown") {
+    import spark.implicits._
+    val dir = scratch("restrict")
+    (1L to 50L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .format("graft-manifest").save(dir)
+    (51L to 60L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.mode("append")
+      .format("graft-manifest").save(dir)
+    val second = ManifestSink.readManifest(dir).files
+      .find(_.seq.contains(2L)).get.name
+    val restricted = spark.read.format("graft-manifest")
+      .option("restrictFiles", second).load(dir)
+    assert(restricted.select(sum($"k")).as[Long].head() ===
+      (51L to 60L).sum)
+    // COUNT(*) must come from the scan, not whole-table metadata
+    assert(restricted.count() === 10L)
+  }
 }
