@@ -282,6 +282,46 @@ object TsOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Lead/lag CROSS-correlation between two daily business series —
+    // "does revenue booked today predict shipment volume k days
+    // later?" — as Spearman rho at lags 0..7 (rank-based ⇒ the whole
+    // readout is integer-exact cross-engine, the ts_spearman
+    // doctrine; Pearson's float sums are exactly what rule ② bans).
+    // Each fact table pays ONE hash agg to its daily series (orders
+    // by o_orderdate, lineitem by l_shipdate); everything after is
+    // calendar-bounded: the 8-lag explode multiplies ~2.4k day rows,
+    // the (day+lag)=day equi-join aligns the two series per lag, and
+    // rank windows partition by lag. At 100 TB the fact cost is two
+    // aggregations — the correlation frame never grows with data.
+    "ts_xcorr" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val x = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("xv"))
+      val y = Tables(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("yday"))
+        .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+          .as("yv"))
+      val wX = Window.partitionBy(col("lag")).orderBy(col("xv"), col("day"))
+      val wY = Window.partitionBy(col("lag")).orderBy(col("yv"), col("day"))
+      x.withColumn("lag", explode(expr("sequence(0, 7)")))
+        .withColumn("ykey", expr("date_add(day, lag)"))
+        .join(y, col("ykey") === col("yday"))
+        .withColumn("rx", row_number().over(wX))
+        .withColumn("ry", row_number().over(wY))
+        .withColumn("d", (col("rx") - col("ry")).cast(dec))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"), sum(col("d") * col("d")).as("sd2"))
+        .filter(col("n_days") >= 3)
+        .select(col("lag").cast("bigint").as("lag"), col("n_days"),
+          expr("CAST(sd2 AS BIGINT)").as("sum_d2"),
+          expr("CAST(1000 - (6000 * sd2) div " +
+            "(CAST(n_days AS DECIMAL(38,0)) * n_days * n_days - n_days) " +
+            "AS BIGINT)").as("rho_milli"))
+        .orderBy(col("lag"))
+    }),
+
     // Day-of-week seasonal decomposition of daily order revenue:
     // exact-cent daily totals (one two-phase hash agg over orders),
     // dow from an epoch-anchored modulus (1990-01-07 was a Sunday;
@@ -807,6 +847,37 @@ object TsOps extends OpPack {
         |  CAST(1000 - (6000 * sd2) //
         |    (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_milli
         |FROM g WHERE n >= 3 ORDER BY user_id""".stripMargin,
+
+    "ts_xcorr" ->
+      """WITH x AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS xv
+        |  FROM orders GROUP BY 1),
+        |y AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS yday,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |      AS BIGINT) AS yv
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT l.lag, x.day, x.xv, y.yv
+        |  FROM x CROSS JOIN (SELECT unnest(range(0, 8)) AS lag) l
+        |  JOIN y ON y.yday = x.day + CAST(l.lag AS INTEGER)),
+        |r AS (
+        |  SELECT lag,
+        |    row_number() OVER (PARTITION BY lag ORDER BY xv, day) AS rx,
+        |    row_number() OVER (PARTITION BY lag ORDER BY yv, day) AS ry
+        |  FROM p),
+        |g AS (
+        |  SELECT lag, count(*) AS n_days,
+        |    sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
+        |  FROM r GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(sd2 AS BIGINT) AS sum_d2,
+        |  CAST(1000 - (6000 * sd2) //
+        |    (CAST(n_days AS HUGEINT) * n_days * n_days - n_days)
+        |    AS BIGINT) AS rho_milli
+        |FROM g WHERE n_days >= 3 ORDER BY lag""".stripMargin,
 
     "ts_acf" ->
       """WITH c AS (
