@@ -521,6 +521,52 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STRONGLY connected components of a DIRECTED graph — the
+    // recurrent-state analysis the undirected CC family
+    // (llm_cc_bigstar/llm_communities) cannot express: u and v are in
+    // one SCC iff each reaches the other FOLLOWING edge direction.
+    // Graph: the user-journey state machine over events — node =
+    // event_type/value-bucket (bounded domain: 5 types × 8 buckets),
+    // edge = observed consecutive transition, thresholded to > 1‰ of
+    // all transitions so rare hops don't glue everything together.
+    // The fact table pays ONE per-user lag window + ONE hash agg;
+    // everything after is bounded by the ≤40-node domain: transitive
+    // closure by PATH-DOUBLING (6 statically-unrolled squarings reach
+    // paths of length 2⁶ = 64 > |V|, no convergence action), SCC id =
+    // min node in the mutual-reachability intersection. At 100 TB the
+    // closure frames never grow with data — only the two fact passes
+    // do. Oracle: DuckDB runs its own WITH RECURSIVE closure.
+    "llm_graph_scc" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          concat(col("event_type"), lit("/"),
+            pmod(abs(expr("CAST(round(value * 100) AS BIGINT)")), lit(8)))
+            .as("node"))
+        .filter(col("node").isNotNull)
+      val trans = ev
+        .withColumn("src", lag(col("node"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .select(col("src"), col("node").as("dst"))
+      val counted = trans.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      // permille threshold over the BOUNDED edge-count frame (global
+      // window on ≤ 40² rows, never fact-proportional)
+      val kept = counted
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .filter(col("n") * 1000 > col("tot"))
+        .select(col("src"), col("dst"))
+      val assigned = graft.operators.Scc.components(kept, rounds = 6)
+      // isolated nodes (no surviving edge) are their own SCC
+      ev.select(col("node")).distinct()
+        .join(assigned, Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("scc_id"), col("node")).as("scc_id"))
+        .withColumn("scc_size",
+          count(lit(1)).over(Window.partitionBy(col("scc_id"))))
+        .orderBy(col("node"))
+    }),
+
     "llm_pagerank" -> ((s, dir) => {
       val pairs = nearDupPairs(s, dir)
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -1269,6 +1315,44 @@ object DedupOps extends OpPack {
         |FROM cs GROUP BY size ORDER BY size""".stripMargin),
     "llm_dedup_keep" -> dedupKeepSql,
     "llm_pagerank" -> pagerankSql,
+
+    // DuckDB computes the closure with its own WITH RECURSIVE
+    // (UNION-deduped) — an independent algorithm from the Spark
+    // side's path-doubling, so agreement is evidence, not echo.
+    "llm_graph_scc" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id,
+        |    event_type || '/' ||
+        |      CAST(abs(CAST(round(value * 100) AS BIGINT)) % 8
+        |        AS VARCHAR) AS node
+        |  FROM events),
+        |ev2 AS (SELECT * FROM ev WHERE node IS NOT NULL),
+        |tr AS (
+        |  SELECT lag(node) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS src,
+        |    node AS dst
+        |  FROM ev2),
+        |cnt AS (SELECT src, dst, count(*) AS n FROM tr
+        |        WHERE src IS NOT NULL GROUP BY src, dst),
+        |kept AS (SELECT src, dst FROM cnt
+        |         WHERE n * 1000 > (SELECT sum(n) FROM cnt)),
+        |reach2 AS (
+        |  SELECT src, dst FROM kept
+        |  UNION
+        |  SELECT r.src, k.dst FROM reach2 r JOIN kept k ON k.src = r.dst),
+        |mutual AS (
+        |  SELECT r1.src AS peer, r1.dst AS node FROM reach2 r1
+        |  JOIN reach2 r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+        |scc AS (
+        |  SELECT n.node,
+        |    least(n.node, coalesce(min(m.peer), n.node)) AS scc_id
+        |  FROM (SELECT DISTINCT node FROM ev2) n
+        |  LEFT JOIN mutual m ON m.node = n.node
+        |  GROUP BY n.node)
+        |SELECT node, scc_id,
+        |  CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT)
+        |    AS scc_size
+        |FROM scc ORDER BY node""".stripMargin,
 
     // 3 unrolled LPA rounds — the same deterministic
     // (count desc, label asc) vote, written independently.
