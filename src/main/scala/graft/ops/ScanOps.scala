@@ -383,6 +383,51 @@ object ScanOps extends OpPack {
           col("o_orderstatus"))
     }),
 
+    // SQL-NATIVE lakehouse through the GraftCatalog (DSv2
+    // TableCatalog over the manifest format): the whole lifecycle —
+    // CREATE NAMESPACE / CREATE TABLE … PARTITIONED BY (bucket) /
+    // three INSERT INTO snapshots / metadata-only ALTER TABLE ADD
+    // COLUMN / VERSION AS OF time travel — driven by plain
+    // `spark.sql` with NO paths in queries; catalog state is pure
+    // path-mapping + manifest surgery (no metastore process). The
+    // commits are modulo-defined, so the oracle derives the final
+    // two-snapshot report from parquet with pure predicates. DDL/
+    // DML/rename/drop/namespace semantics pinned in GraftCatalogSpec.
+    "sink_manifest_catalog" -> ((s, dir) => {
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      wipe(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_cat_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftsql.db")
+      s.sql("CREATE TABLE graftsql.db.ot (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, o_custkey))")            // v0
+      def ins(m: Int, extra: String = "") = s.sql(
+        "INSERT INTO graftsql.db.ot SELECT o_orderkey, o_custkey, " +
+          s"o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT)$extra " +
+          s"FROM graft_cat_src WHERE o_orderkey % 3 = $m")
+      ins(0)                                                // v1
+      ins(1)                                                // v2
+      s.sql("ALTER TABLE graftsql.db.ot ADD COLUMN flag BIGINT") // v3
+      s.sql("INSERT INTO graftsql.db.ot SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), 1 " +
+        "FROM graft_cat_src WHERE o_orderkey % 3 = 2")      // v4
+      s.sql("""
+        SELECT 'current' AS snap, o_orderstatus,
+          count(*) AS n, sum(cents) AS sum_cents,
+          sum(coalesce(flag, 0)) AS n_flagged
+        FROM graftsql.db.ot GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'v1', o_orderstatus, count(*), sum(cents), 0
+        FROM graftsql.db.ot VERSION AS OF 1 GROUP BY o_orderstatus
+        ORDER BY snap, o_orderstatus""")
+    }),
+
     // Zone-map file pruning through the graft-manifest connector:
     // every committed file carries per-column min/max for integral
     // columns in the manifest (Iceberg's lower/upper bounds at
@@ -1013,6 +1058,28 @@ object ScanOps extends OpPack {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM feed GROUP BY change_version, change_type, st
         |ORDER BY change_version, change_type, o_orderstatus""".stripMargin,
+
+    // v1 = the %3=0 insert; current = all three inserts with flag=1
+    // only on the post-ALTER (%3=2) slice
+    "sink_manifest_catalog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cur AS (
+        |  SELECT 'current' AS snap, st, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(sum(CASE WHEN k % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_flagged
+        |  FROM base GROUP BY st),
+        |v1 AS (
+        |  SELECT 'v1' AS snap, st, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(0 AS BIGINT) AS n_flagged
+        |  FROM base WHERE k % 3 = 0 GROUP BY st)
+        |SELECT snap, st AS o_orderstatus, n, sum_cents, n_flagged
+        |FROM (SELECT * FROM cur UNION ALL SELECT * FROM v1)
+        |ORDER BY snap, o_orderstatus""".stripMargin,
 
     "sink_manifest_partitioned" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,

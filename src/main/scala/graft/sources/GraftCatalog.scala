@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 TABLE CATALOG over the `graft-manifest` format — the piece
+  * that turns the connector into a SQL-native lakehouse: register
+  * `spark.sql.catalog.<name> = graft.sources.GraftCatalog` (+
+  * `.warehouse = <root>`) and plain SQL drives the whole table
+  * lifecycle with no paths in queries:
+  *
+  *   CREATE NAMESPACE g.db;
+  *   CREATE TABLE g.db.t (k BIGINT, v STRING);       -- empty v0 manifest
+  *   CREATE TABLE g.db.p (...) PARTITIONED BY (days(ts));
+  *   INSERT INTO g.db.t SELECT ...;                  -- append snapshot
+  *   INSERT OVERWRITE g.db.t SELECT ...;             -- truncate snapshot
+  *   SELECT * FROM g.db.t VERSION AS OF 1;           -- time travel
+  *   ALTER TABLE g.db.t ADD COLUMN w BIGINT;         -- metadata-only
+  *   ALTER TABLE g.db.t RENAME TO g.db.t2; DROP TABLE g.db.t2;
+  *
+  * Layout: one directory per namespace under the warehouse root, one
+  * manifest-table directory per table — the catalog is pure
+  * path-mapping plus manifest surgery, all state lives in the table
+  * format itself (kilobyte documents; no metastore process). A
+  * `PARTITIONED BY` transform is recorded in a `_graft_table.json`
+  * sidecar and applied as the write-path default, so every INSERT
+  * routes rows through the declared transform and scans prune on it.
+  * `ALTER TABLE ADD COLUMN` is O(metadata): prior snapshot archived,
+  * existing entries annotated with the schema they were written
+  * under (the reader resolves columns by NAME per file — old files
+  * surface NULL for the new column), nothing rewritten.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    new File(warehouse, "default").mkdirs()
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def nsDir(ns: Array[String]): File =
+    new File((warehouse +: ns.toSeq).mkString("/"))
+  private def tableDir(ident: Identifier): File =
+    new File(nsDir(ident.namespace()), ident.name())
+  private def isTable(dir: File): Boolean =
+    new File(dir, ManifestSink.ManifestFile).exists()
+  private def wipe(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+    f.delete()
+  }
+
+  // ---- tables ----
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val d = nsDir(ns)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(ns)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(isTable).map(f => Identifier.of(ns, f.getName)).sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val m = ManifestSink.readManifest(dir.toString)
+    new ManifestTable(StructType.fromDDL(m.schemaDdl), dir.toString,
+      defaultPartitionedBy = readSidecar(dir))
+  }
+
+  /** SQL `VERSION AS OF n` — the snapshot read in its OWN schema. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLong
+    val m = ManifestSink.readAsOf(dir.toString, Some(v))
+    new ManifestTable(StructType.fromDDL(m.schemaDdl), dir.toString,
+      asOfDefault = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (!nsDir(ident.namespace()).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace())
+    dir.mkdirs()
+    partitions.toSeq match {
+      case Nil => ()
+      case Seq(t) => writeSidecar(dir, pspecOf(t, schema))
+      case many => throw new UnsupportedOperationException(
+        s"graft-manifest tables take at most one partition transform, " +
+          s"got ${many.size}")
+    }
+    ManifestSink.writeManifest(dir.toString,
+      ManifestSink.Manifest(ManifestSink.nullableDdl(schema), Nil, 0L))
+    loadTable(ident)
+  }
+
+  /** ADD COLUMN is pure manifest surgery: archive, annotate existing
+    * entries with the schema they were written under, publish the
+    * widened schema as a new snapshot. No data file is touched. */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val m = ManifestSink.readManifest(dir.toString)
+    var schema = StructType.fromDDL(m.schemaDdl)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft-manifest: only top-level ADD COLUMN is supported")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            "graft-manifest: added columns must be nullable — existing " +
+              "files have no values for them")
+        schema = schema.add(add.fieldNames()(0), add.dataType(),
+          nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest: unsupported table change $other")
+    }
+    ManifestSink.writeManifestAs(dir.toString,
+      ManifestSink.archiveManifestFile(m.version), m)
+    val annotated = m.files.map(e =>
+      if (e.schemaDdl.isEmpty) e.copy(schemaDdl = Some(m.schemaDdl)) else e)
+    ManifestSink.writeManifest(dir.toString,
+      ManifestSink.Manifest(ManifestSink.nullableDdl(schema), annotated,
+        m.version + 1, m.eqDeletes))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else { wipe(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!nsDir(newIdent.namespace()).isDirectory)
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    if (!from.renameTo(to)) throw new IllegalStateException(
+      s"graft-manifest: rename $from -> $to failed")
+  }
+
+  // ---- namespaces (directories under the warehouse root) ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(new File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !isTable(f))
+      .map(f => Array(f.getName)).sortBy(_.head)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    if (!nsDir(ns).isDirectory) throw new NoSuchNamespaceException(ns)
+    Array.empty // single-level namespaces, declared
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || nsDir(ns).isDirectory
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(ns))
+      throw new NamespaceAlreadyExistsException(ns)
+    nsDir(ns).mkdirs()
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-manifest namespaces carry no metadata to alter")
+
+  override def dropNamespace(ns: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(ns)
+    if (!d.isDirectory) return false
+    val tables = Option(d.listFiles()).getOrElse(Array.empty).filter(isTable)
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"graft-manifest: namespace ${ns.mkString(".")} is not empty " +
+          s"(${tables.length} tables) — use CASCADE")
+    wipe(d)
+    true
+  }
+
+  // ---- partition-transform sidecar ----
+
+  private def pspecOf(t: Transform, schema: StructType): String = {
+    val spec = t.name() match {
+      case "identity" | "days" =>
+        s"${t.name()}(${t.references()(0).fieldNames().mkString(".")})"
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft-manifest: bucket transform without a bucket count: $t"))
+        s"bucket($n, ${t.references()(0).fieldNames().mkString(".")})"
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest: unsupported partition transform '$other' — " +
+          "identity/days/bucket only")
+    }
+    ManifestSink.parsePartSpec(spec) // driver-side validation, fail early
+    spec
+  }
+
+  private val SidecarFile = "_graft_table.json"
+
+  private def writeSidecar(dir: File, pspec: String): Unit = {
+    val node = new ObjectMapper().createObjectNode()
+    node.put("partitionedBy", pspec)
+    java.nio.file.Files.write(new File(dir, SidecarFile).toPath,
+      node.toString.getBytes("UTF-8"))
+  }
+
+  private def readSidecar(dir: File): Option[String] = {
+    val f = new File(dir, SidecarFile)
+    if (!f.exists()) None
+    else Option(new ObjectMapper().readTree(f).get("partitionedBy"))
+      .map(_.asText())
+  }
+}

@@ -1055,7 +1055,9 @@ object ManifestSink {
   }
 }
 
-final class ManifestTable(tableSchema: StructType, path: String)
+final class ManifestTable(tableSchema: StructType, path: String,
+    asOfDefault: Option[Long] = None,
+    defaultPartitionedBy: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-manifest:$path"
   override def schema(): StructType = tableSchema
@@ -1068,6 +1070,7 @@ final class ManifestTable(tableSchema: StructType, path: String)
         with SupportsPushDownFilters
         with SupportsPushDownAggregates {
       private val asOf = Option(options.get("asOfVersion")).map(_.toLong)
+        .orElse(asOfDefault) // SQL `VERSION AS OF` via GraftCatalog
       // `restrictFiles` plans ONLY the named manifest entries — the
       // change-data-feed pruning hook ([[ManifestSink.changes]]): a
       // version-step diff proves most files unchanged from the
@@ -1137,7 +1140,10 @@ final class ManifestTable(tableSchema: StructType, path: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(info.schema(), path,
-      Option(info.options.get("partitionedBy")),
+      // a catalog table's declared PARTITIONED BY transform is the
+      // write default; an explicit write option still overrides
+      Option(info.options.get("partitionedBy"))
+        .orElse(defaultPartitionedBy),
       Option(info.options.get("bloomFilterColumns")),
       Option(info.options.get("bloomFilterBits")))
 }
