@@ -689,6 +689,85 @@ object ManifestSink {
     foldEpochTombstones(dir)
   }
 
+  /** SQL TRUNCATE: publish an empty snapshot. Prior base archived
+    * (time travel keeps working until vacuum); streaming epoch
+    * generations retire with the replaced state, exactly like the
+    * batch overwrite commit; equality deletes are dropped — they
+    * applied to the replaced state. */
+  def truncate(dir: String): Unit = {
+    val prior = readManifest(dir)
+    writeManifestAs(dir, archiveManifestFile(prior.version), prior)
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+      .foreach(_.delete())
+    writeManifest(dir, Manifest(prior.schemaDdl, Nil, prior.version + 1))
+    val referenced = listAllManifests(dir)
+      .flatMap(f => readManifestFile(f).files.map(_.name)).toSet
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(DataSuffix) &&
+        !referenced(f.getName)).foreach(_.delete())
+    sweepDeleteFiles(dir)
+  }
+
+  /** The O(metadata) route for SQL DELETE: a predicate that is ONE
+    * equality or IN on a single column with non-null literals maps
+    * to [[deleteEq]] (no scan, no IO). Anything else returns None
+    * and takes the positional-vector route. */
+  private[graft] def eqDeletePlan(
+      filters: Array[sources.Filter]): Option[(String, Seq[Any])] =
+    filters.toSeq match {
+      case Seq(sources.EqualTo(c, v)) if v != null => Some((c, Seq(v)))
+      case Seq(sources.In(c, vs))
+          if vs.nonEmpty && vs.forall(_ != null) => Some((c, vs.toSeq))
+      case _ => None
+    }
+
+  /** Translate Spark's pushed DELETE filters (implicitly ANDed) to a
+    * SQL condition for the positional-delete scan. Conservative:
+    * None for anything not provably expressible (the caller then
+    * DECLINES the delete rather than guessing). */
+  private[graft] def filtersToCondition(
+      filters: Array[sources.Filter]): Option[String] = {
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case _: Long | _: Int | _: Short | _: Byte => Some(v.toString)
+      case b: Boolean => Some(b.toString)
+      case d: java.sql.Date => Some(s"DATE'$d'")
+      case d: java.time.LocalDate => Some(s"DATE'$d'")
+      case _ => None // timestamps/floats: tz + text-form hazards, declined
+    }
+    def one(f: sources.Filter): Option[String] = f match {
+      case sources.AlwaysTrue() => Some("true")
+      case sources.AlwaysFalse() => Some("false")
+      case sources.EqualTo(c, v) => lit(v).map(l => s"(`$c` = $l)")
+      case sources.GreaterThan(c, v) => lit(v).map(l => s"(`$c` > $l)")
+      case sources.GreaterThanOrEqual(c, v) =>
+        lit(v).map(l => s"(`$c` >= $l)")
+      case sources.LessThan(c, v) => lit(v).map(l => s"(`$c` < $l)")
+      case sources.LessThanOrEqual(c, v) => lit(v).map(l => s"(`$c` <= $l)")
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val ls = vs.map(lit)
+        if (ls.exists(_.isEmpty)) None
+        else Some(s"(`$c` IN (${ls.flatten.mkString(", ")}))")
+      case sources.IsNull(c) => Some(s"(`$c` IS NULL)")
+      case sources.IsNotNull(c) => Some(s"(`$c` IS NOT NULL)")
+      case sources.StringStartsWith(c, p)
+          if !p.contains("%") && !p.contains("_") =>
+        lit(p + "%").map(l => s"(`$c` LIKE $l)")
+      case sources.And(l, r) =>
+        for (a <- one(l); b <- one(r)) yield s"($a AND $b)"
+      case sources.Or(l, r) =>
+        for (a <- one(l); b <- one(r)) yield s"($a OR $b)"
+      case sources.Not(x) => one(x).map(s => s"(NOT $s)")
+      case _ => None
+    }
+    val parts = filters.toSeq.map(one)
+    if (parts.isEmpty) Some("true")
+    else if (parts.exists(_.isEmpty)) None
+    else Some(parts.flatten.mkString(" AND "))
+  }
+
   /** CHANGE DATA FEED over the snapshot chain (Delta's
     * `readChangeFeed` / Iceberg's changelog table at single-document
     * scale): every row-level change committed AFTER snapshot
@@ -1058,7 +1137,46 @@ object ManifestSink {
 final class ManifestTable(tableSchema: StructType, path: String,
     asOfDefault: Option[Long] = None,
     defaultPartitionedBy: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM` (via GraftCatalog): a single-column
+    * equality/IN predicate routes through the O(metadata) EQUALITY
+    * delete — no scan, no IO, correct at any table size; any other
+    * expressible predicate routes through merge-on-read positional
+    * delete vectors (kilobytes written, nothing rewritten). A
+    * predicate the translator can't express is declined in
+    * `canDeleteWhere`, so Spark reports it instead of silently
+    * deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    asOfDefault.isEmpty &&
+      (ManifestSink.eqDeletePlan(filters).isDefined ||
+        ManifestSink.filtersToCondition(filters).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(asOfDefault.isEmpty,
+      "graft-manifest: cannot DELETE from a VERSION AS OF read")
+    ManifestSink.eqDeletePlan(filters) match {
+      case Some((c, values)) => ManifestSink.deleteEq(path, c, values)
+      case None =>
+        val cond = ManifestSink.filtersToCondition(filters).getOrElse(
+          throw new UnsupportedOperationException(
+            s"graft-manifest: cannot express DELETE predicate " +
+              filters.mkString("[", ", ", "]")))
+        ManifestSink.delete(
+          org.apache.spark.sql.SparkSession.active, path, cond)
+    }
+  }
+
+  /** SQL `TRUNCATE TABLE`: an empty snapshot — prior state archived
+    * (still time-travelable until vacuum), equality deletes dropped
+    * with the state they applied to. */
+  override def truncateTable(): Boolean = {
+    require(asOfDefault.isEmpty,
+      "graft-manifest: cannot TRUNCATE a VERSION AS OF read")
+    ManifestSink.truncate(path)
+    true
+  }
   override def name(): String = s"graft-manifest:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

@@ -91,6 +91,47 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.pt")
   }
 
+  test("SQL DELETE routes equality through O(metadata) eq-deletes, ranges through delete vectors") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.del (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.del SELECT id, CAST(id AS STRING) " +
+      "FROM range(100)")
+    val warehouse = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$warehouse/db/del"
+    // equality predicate: pure manifest surgery, no delete files
+    spark.sql("DELETE FROM g.db.del WHERE k = 7")
+    assert(ManifestSink.readManifest(dir).eqDeletes.nonEmpty)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(ManifestSink.DelSuffix)))
+    assert(spark.sql("SELECT count(*) FROM g.db.del")
+      .head().getLong(0) === 99L)
+    // range predicate: positional delete vectors, still no rewrite
+    spark.sql("DELETE FROM g.db.del WHERE k >= 90 AND v IS NOT NULL")
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(ManifestSink.DelSuffix)))
+    assert(spark.sql("SELECT count(*) FROM g.db.del")
+      .head().getLong(0) === 89L)
+    // IN-list back through the eq-delete path; re-insert stays visible
+    spark.sql("DELETE FROM g.db.del WHERE k IN (1, 2)")
+    spark.sql("INSERT INTO g.db.del VALUES (1, 'again')")
+    assert(spark.sql("SELECT v FROM g.db.del WHERE k = 1")
+      .collect().map(_.getString(0)).toSeq === Seq("again"))
+    spark.sql("DROP TABLE g.db.del")
+  }
+
+  test("SQL TRUNCATE publishes an empty snapshot; the prior state stays time-travelable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.tr (k BIGINT)")
+    spark.sql("INSERT INTO g.db.tr SELECT id FROM range(10)") // v1
+    spark.sql("TRUNCATE TABLE g.db.tr")                       // v2
+    assert(spark.sql("SELECT count(*) FROM g.db.tr").head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM g.db.tr VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+    spark.sql("INSERT INTO g.db.tr VALUES (42)")
+    assert(spark.sql("SELECT count(*) FROM g.db.tr").head().getLong(0) === 1L)
+    spark.sql("DROP TABLE g.db.tr")
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
