@@ -383,6 +383,49 @@ object ScanOps extends OpPack {
           col("o_orderstatus"))
     }),
 
+    // Streaming SOURCE over the manifest table (the Delta-source
+    // shape — stream OUT of the lakehouse): offsets are snapshot
+    // VERSIONS, the first batch is the initial snapshot, every later
+    // batch is exactly the files APPENDED by the covered versions
+    // (pure manifest arithmetic at plan time, no data IO). This
+    // query runs the stream END TO END twice over one checkpoint —
+    // initial snapshot, stop, append a second commit, RESTART — into
+    // a second manifest table; the oracle over the full parquet
+    // passes only if every row flowed EXACTLY once across the
+    // restart (a replay or a skip breaks the hash). Non-append
+    // commits fail the stream loudly unless ignoreChanges declares
+    // the Delta-style trade-off — pinned in ManifestSinkSpec.
+    "sink_manifest_stream_tail" -> ((s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft-scratch/mstream"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
+      Seq("src", "out", "ckpt").foreach(t => wipe(new java.io.File(s"$base-$t")))
+      val supplier = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-manifest").load(s"$base-src")
+          .writeStream.format("graft-manifest")
+          .option("checkpointLocation", s"$base-ckpt").start(s"$base-out")
+        try q.processAllAvailable() finally q.stop()
+      }
+      supplier.filter(col("s_suppkey") % 2 === 0).write.mode("overwrite")
+        .format("graft-manifest").save(s"$base-src")  // v1
+      runOnce()                                       // initial snapshot
+      supplier.filter(col("s_suppkey") % 2 === 1).write.mode("append")
+        .format("graft-manifest").save(s"$base-src")  // v2
+      runOnce()                                       // restart: tail only
+      s.read.format("graft-manifest").load(s"$base-out")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(s_acctbal * 100) AS BIGINT)"))
+            .as("bal_cents"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // SQL-NATIVE lakehouse through the GraftCatalog (DSv2
     // TableCatalog over the manifest format): the whole lifecycle —
     // CREATE NAMESPACE / CREATE TABLE … PARTITIONED BY (bucket) /
@@ -1058,6 +1101,16 @@ object ScanOps extends OpPack {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM feed GROUP BY change_version, change_type, st
         |ORDER BY change_version, change_type, o_orderstatus""".stripMargin,
+
+    // every supplier row flows exactly once across the restart, so
+    // the sunk table aggregates identically to the parquet
+    "sink_manifest_stream_tail" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
 
     // v1 = the %3=0 insert; current = all three inserts with flag=1
     // only on the post-ALTER (%3=2) slice

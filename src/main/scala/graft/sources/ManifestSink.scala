@@ -1181,7 +1181,8 @@ final class ManifestTable(tableSchema: StructType, path: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
@@ -1253,7 +1254,8 @@ final class ManifestTable(tableSchema: StructType, path: String,
       override def build(): Scan =
         if (countPushed) new ManifestCountScan(path, asOf)
         else new ManifestScan(tableSchema, required, path, asOf, zoneFilters,
-          options.getBoolean("groupByPartition", false), restrict)
+          options.getBoolean("groupByPartition", false), restrict,
+          options.getBoolean("ignoreChanges", false))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1728,7 +1730,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     path: String, asOfVersion: Option[Long] = None,
     zoneFilters: Array[sources.Filter] = Array.empty,
     groupByPartition: Boolean = false,
-    restrictFiles: Option[Set[String]] = None)
+    restrictFiles: Option[Set[String]] = None,
+    ignoreChanges: Boolean = false)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = prunedSchema
@@ -1837,6 +1840,86 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
       new ManifestReaderFactory(fullSchema.toDDL, prunedSchema.fieldNames,
         zoneFilters)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOfVersion.isEmpty,
+      "graft-manifest: cannot stream from a VERSION AS OF read")
+    new ManifestMicroBatchStream(path, fullSchema.toDDL,
+      prunedSchema.fieldNames, zoneFilters, ignoreChanges)
+  }
+}
+
+/** Streaming SOURCE over the manifest table (the Delta-source shape:
+  * stream OUT of the lakehouse). Offsets are snapshot VERSIONS —
+  * durable, totally ordered, checkpoint-replayable because manifests
+  * are immutable: the first batch is the full table as of the
+  * then-current version (the initial snapshot), every later batch is
+  * exactly the files APPENDED by versions (start, end], identified
+  * by pure manifest arithmetic (no data IO at planning). A
+  * non-append commit (DELETE/UPDATE/overwrite/compaction) fails the
+  * stream loudly — those rows were already emitted and a pure
+  * append-stream cannot retract them — unless
+  * `option("ignoreChanges", "true")` declares the Delta-style
+  * trade-off (newly ADDED files still flow; masked rows are not
+  * retracted, rewritten rows may re-emit). Retention caveat, same as
+  * Delta: `vacuum` must keep every version an active checkpoint has
+  * not yet read past. */
+final class ManifestMicroBatchStream(path: String, tableSchemaDdl: String,
+    prunedFieldNames: Array[String], zoneFilters: Array[sources.Filter],
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class VOffset(version: Long) extends Offset {
+    override def json(): String = s"""{"version":$version}"""
+  }
+
+  override def initialOffset(): Offset = VOffset(-1L)
+  override def latestOffset(): Offset =
+    VOffset(ManifestSink.readManifest(path).version)
+  override def deserializeOffset(json: String): Offset =
+    VOffset(new ObjectMapper().readTree(json).get("version").asLong())
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VOffset].version
+    val e = end.asInstanceOf[VOffset].version
+    if (e <= s) return Array.empty
+    def partOf(m: ManifestSink.Manifest,
+        en: ManifestSink.Entry): InputPartition =
+      ManifestInputPartition(s"$path/${en.name}", en.rows, en.crc,
+        en.schemaDdl.getOrElse(m.schemaDdl), en.deletes,
+        m.eqDeletes.filter(_.seq > en.seq.getOrElse(0L)))
+    if (s < 0) {
+      // initial snapshot: the whole table as of the stream's start
+      val m = ManifestSink.readAsOf(path, Some(e))
+      m.files.filter(en => ManifestSink.entryMayMatch(en, zoneFilters.toSeq))
+        .map(partOf(m, _)).toArray
+    } else (s + 1 to e).flatMap { v =>
+      val curr = ManifestSink.readAsOf(path, Some(v))
+      val prev = ManifestSink.readAsOf(path, Some(v - 1))
+      val changed = ManifestSink.changedFiles(prev, curr)
+      if (changed.nonEmpty && !ignoreChanges)
+        throw new IllegalStateException(
+          s"graft-manifest streaming source: version $v of $path is not " +
+            s"append-only (${changed.size} files changed or removed under " +
+            "already-emitted rows) — restart from a fresh checkpoint or " +
+            "declare option(\"ignoreChanges\", \"true\")")
+      val prevNames = prev.files.map(_.name).toSet
+      curr.files.filter(en => !prevNames.contains(en.name))
+        .filter(en => ManifestSink.entryMayMatch(en, zoneFilters.toSeq))
+        // the entry AS OF its commit version: later delete state
+        // must not leak into a replayed batch
+        .map(partOf(curr, _))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(tableSchemaDdl, prunedFieldNames, zoneFilters)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One input partition per partition VALUE (SPJ grouping): all the

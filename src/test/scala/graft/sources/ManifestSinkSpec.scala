@@ -1009,6 +1009,65 @@ class ManifestSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming source: initial snapshot, per-commit appends, exactly-once across restart") {
+    import spark.implicits._
+    val dir = scratch("stream-src")
+    val ckpt = scratch("stream-src-ckpt")
+    val out = scratch("stream-src-out")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").format("graft-manifest").save(dir)   // v1
+    // lakehouse -> lakehouse: the manifest table is BOTH ends
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(dir)
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", ckpt).start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sunk(): Seq[(Long, String)] =
+      spark.read.format("graft-manifest").load(out)
+        .as[(Long, String)].collect().toSeq
+    runOnce() // initial snapshot
+    assert(sunk().toSet === Set((1L, "a"), (2L, "b")))
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("append").format("graft-manifest").save(dir)      // v2
+    Seq((4L, "d")).toDF("k", "v").coalesce(1)
+      .write.mode("append").format("graft-manifest").save(dir)      // v3
+    runOnce() // same checkpoint: ONLY v2+v3 emitted, nothing re-read
+    assert(sunk().groupBy(identity).forall(_._2.length == 1)) // no dupes
+    assert(sunk().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("streaming source: non-append commit fails loudly; ignoreChanges declares the trade-off") {
+    import spark.implicits._
+    val dir = scratch("stream-chg")
+    val ckpt = scratch("stream-chg-ckpt")
+    val out = scratch("stream-chg-out")
+    (1L to 4L).map(k => (k, k)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").format("graft-manifest").save(dir)   // v1
+    def runOnce(ignore: Boolean): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("ignoreChanges", ignore.toString).load(dir)
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", ckpt).start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(ignore = false)
+    ManifestSink.delete(spark, dir, "k = 2")                        // v2
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(ignore = false)
+    }
+    assert(chain(err).exists(_.contains("not append-only")))
+    // the declared trade-off: appended files still flow, masked rows
+    // are not retracted
+    Seq((9L, 9L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").format("graft-manifest").save(dir)      // v3
+    runOnce(ignore = true)
+    assert(spark.read.format("graft-manifest").load(out)
+      .as[(Long, Long)].collect().toSet ===
+      (1L to 4L).map(k => (k, k)).toSet + ((9L, 9L)))
+  }
+
   test("change data feed: append, delete, update surface as tagged row changes") {
     import spark.implicits._
     val dir = scratch("cdf")
