@@ -471,6 +471,43 @@ object ScanOps extends OpPack {
         ORDER BY snap, o_orderstatus""")
     }),
 
+    // SQL ROW-LEVEL DML through the catalog: MERGE INTO and UPDATE
+    // run as group-based COPY-ON-WRITE row-level operations
+    // (SupportsRowLevelOperations + runtime `IN(_graft_file, …)`
+    // group filtering — only files containing matched rows are read
+    // and rewritten, the rest carry forward; ManifestSinkSpec/
+    // GraftCatalogSpec pin the file-granular swap). The commits are
+    // modulo-defined, so the oracle replays MERGE's matched/
+    // not-matched arithmetic and UPDATE's CASE over the parquet.
+    "sink_manifest_sql_merge" -> ((s, dir) => {
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_merge_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftsql.dml")
+      s.sql("DROP TABLE IF EXISTS graftsql.dml.mt")
+      s.sql("CREATE TABLE graftsql.dml.mt (k BIGINT, st STRING, " +
+        "cents BIGINT)")
+      s.sql("INSERT INTO graftsql.dml.mt SELECT o_orderkey, " +
+        "o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "FROM graft_merge_src WHERE o_orderkey % 2 = 0")
+      s.sql("""
+        MERGE INTO graftsql.dml.mt t
+        USING (SELECT o_orderkey AS k, o_orderstatus AS st,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM graft_merge_src WHERE o_orderkey % 4 IN (1, 2)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET t.cents = t.cents + 1
+        WHEN NOT MATCHED THEN INSERT (k, st, cents)
+          VALUES (s.k, s.st, s.cents)""")
+      s.sql("UPDATE graftsql.dml.mt SET st = 'X' WHERE k % 10 = 0")
+      s.sql("""
+        SELECT st AS o_orderstatus, count(*) AS n,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          min(k) AS min_key, max(k) AS max_key
+        FROM graftsql.dml.mt GROUP BY st ORDER BY st""")
+    }),
+
     // Zone-map file pruning through the graft-manifest connector:
     // every committed file carries per-column min/max for integral
     // columns in the manifest (Iceberg's lower/upper bounds at
@@ -1111,6 +1148,28 @@ object ScanOps extends OpPack {
         |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
         |FROM supplier GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+
+    // target = even keys; MERGE matches k%4=2 (cents+1) and inserts
+    // k%4=1; UPDATE stamps st='X' on k%10=0 (all even, so present)
+    "sink_manifest_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (
+        |  SELECT k, st,
+        |    cents + CASE WHEN k % 4 = 2 THEN 1 ELSE 0 END AS cents
+        |  FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, st, cents FROM base WHERE k % 4 = 1),
+        |u AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN 'X' ELSE st END AS st,
+        |    cents
+        |  FROM t)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM u GROUP BY st ORDER BY st""".stripMargin,
 
     // v1 = the %3=0 insert; current = all three inserts with flag=1
     // only on the post-ALTER (%3=2) slice

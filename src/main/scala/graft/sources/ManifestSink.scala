@@ -1138,7 +1138,48 @@ final class ManifestTable(tableSchema: StructType, path: String,
     asOfDefault: Option[Long] = None,
     defaultPartitionedBy: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** The physical row address as DSv2 METADATA columns — what SQL
+    * row-level operations (UPDATE / MERGE INTO) group and what
+    * `SELECT _graft_file, _graft_pos FROM t` exposes without the
+    * `withRowMeta` option. A table read WITH that option has real
+    * columns of the same names; data columns win the conflict (the
+    * SupportsMetadataColumns contract). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestSink.MetaFileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestSink.MetaPosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+      })
+
+  /** SQL UPDATE / MERGE INTO (and DELETE with predicates the
+    * metadata paths can't take): group-based COPY-ON-WRITE at FILE
+    * granularity. Spark's row-level rewrite plans a runtime filter
+    * on `_graft_file` (only files containing matched rows are read),
+    * the scan records exactly the file set it planned, and the write
+    * commits ONE snapshot that swaps those files for their rewritten
+    * versions — untouched files are carried forward, the prior state
+    * stays time-travelable. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOfDefault.isEmpty,
+      "graft-manifest: no row-level operations on a VERSION AS OF read")
+    () => new ManifestRowLevelOperation(info.command(), tableSchema, path,
+      defaultPartitionedBy)
+  }
 
   /** SQL `DELETE FROM` (via GraftCatalog): a single-column
     * equality/IN predicate routes through the O(metadata) EQUALITY
@@ -1239,7 +1280,17 @@ final class ManifestTable(tableSchema: StructType, path: String,
       // blocks encode whole top-level values — Spark projects the
       // nested path above the scan.
       override def pruneColumns(requiredSchema: StructType): Unit =
-        required = StructType(requiredSchema.fieldNames.map(tableSchema(_)))
+        required = StructType(requiredSchema.fieldNames.map {
+          case nm @ ManifestSink.MetaFileCol if !tableSchema.fieldNames
+              .contains(nm) => // requested via SupportsMetadataColumns
+            org.apache.spark.sql.types.StructField(nm,
+              org.apache.spark.sql.types.StringType, nullable = false)
+          case nm @ ManifestSink.MetaPosCol if !tableSchema.fieldNames
+              .contains(nm) =>
+            org.apache.spark.sql.types.StructField(nm,
+              org.apache.spark.sql.types.LongType, nullable = false)
+          case nm => tableSchema(nm)
+        })
       // Zone-map pruning is FILE-granular and conservative, so every
       // filter stays engine-applied (all filters returned as
       // residual); the comparisons are additionally used to skip
@@ -1922,6 +1973,169 @@ final class ManifestMicroBatchStream(path: String, tableSchemaDdl: String,
   override def stop(): Unit = ()
 }
 
+/** Group-based COPY-ON-WRITE row-level operation (SQL UPDATE / MERGE
+  * INTO / rewritten DELETE) at FILE granularity — the Iceberg
+  * copy-on-write shape:
+  *
+  *  1. Spark's row-level rewrite asks for `_graft_file` as a
+  *     required metadata attribute and (via
+  *     [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]])
+  *     pushes a RUNTIME `IN(_graft_file, …)` filter computed from the
+  *     rows the condition/source actually matches — so only AFFECTED
+  *     files are read and rewritten, never the whole table.
+  *  2. The scan records exactly the file set it finally planned
+  *     (post runtime filtering); Spark feeds every surviving row of
+  *     those groups (carry-over + updated/merged) to the write.
+  *  3. The write commits ONE snapshot: recorded files swapped out,
+  *     rewritten files stamped with the new sequence number,
+  *     untouched files carried forward, prior state archived (time
+  *     travel until vacuum). Delete vectors and applicable equality
+  *     deletes of replaced files were APPLIED by the scan, so the
+  *     rewrite materializes them for the files it touches.
+  *
+  * An unparseable runtime predicate is ignored (a superset read is
+  * always safe — worst case a full rewrite, never a wrong one).
+  */
+final class ManifestRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType, path: String,
+    defaultPartitionedBy: Option[String])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  /** Set by the scan at planning time; read by the write at commit. */
+  @volatile private var replacedFiles: Option[Set[String]] = None
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ManifestSink.MetaFileCol))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new CowScan(required)
+    }
+
+  private final class CowScan(pruned: StructType) extends Scan
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    private var restrict: Option[Set[String]] = None
+
+    override def readSchema(): StructType = pruned
+    override def filterAttributes(): Array[NamedReference] =
+      Array(Expressions.column(ManifestSink.MetaFileCol))
+
+    override def filter(predicates: Array[org.apache.spark.sql.connector
+        .expressions.filter.Predicate]): Unit = {
+      def names(p: org.apache.spark.sql.connector.expressions.filter
+          .Predicate): Option[Set[String]] = {
+        val ch = p.children()
+        def isFileRef(e: org.apache.spark.sql.connector.expressions
+            .Expression): Boolean = e match {
+          case r: NamedReference =>
+            r.fieldNames().mkString(".") == ManifestSink.MetaFileCol
+          case _ => false
+        }
+        def lit(e: org.apache.spark.sql.connector.expressions
+            .Expression): Option[String] = e match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            Option(l.value()).map(_.toString)
+          case _ => None
+        }
+        p.name() match {
+          case "IN" | "=" if ch.nonEmpty && isFileRef(ch.head) =>
+            val vs = ch.tail.map(lit)
+            if (vs.exists(_.isEmpty)) None else Some(vs.flatten.toSet)
+          case _ => None
+        }
+      }
+      val parsed = predicates.toSeq.flatMap(names(_))
+      // predicates are ANDed: intersect what parsed; ignoring an
+      // unparseable predicate only widens the read — always safe
+      parsed.reduceOption(_ intersect _).foreach(s => restrict = Some(s))
+    }
+
+    override def toBatch: Batch = new Batch {
+      private lazy val planned: Array[InputPartition] = {
+        val m = ManifestSink.readAll(path)
+        val entries = m.files.filter(e => restrict.forall(_(e.name)))
+        replacedFiles = Some(entries.map(_.name).toSet)
+        entries.map { e =>
+          ManifestInputPartition(s"$path/${e.name}", e.rows, e.crc,
+            e.schemaDdl.getOrElse(m.schemaDdl), e.deletes,
+            m.eqDeletes.filter(_.seq > e.seq.getOrElse(0L)))
+            : InputPartition
+        }.toArray
+      }
+      override def planInputPartitions(): Array[InputPartition] = planned
+      override def createReaderFactory(): PartitionReaderFactory =
+        new ManifestReaderFactory(ManifestSink.nullableDdl(tableSchema),
+          pruned.fieldNames)
+    }
+  }
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = new CowBatchWrite(info.schema())
+    }
+  }
+
+  private final class CowBatchWrite(schema: StructType) extends BatchWrite {
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory = {
+      val dir = new File(path)
+      if (!dir.exists()) dir.mkdirs()
+      // rewritten files keep the table's declared partition transform
+      // (catalog tables), so pruning survives the rewrite
+      new ManifestWriterFactory(ManifestSink.nullableDdl(schema), path,
+        defaultPartitionedBy)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val newEntries = messages.collect { case m: ManifestCommitMessage =>
+        m.files }.toSeq.flatten
+      val replaced = replacedFiles.getOrElse {
+        if (newEntries.nonEmpty) throw new IllegalStateException(
+          "graft-manifest: row-level write committed without a planned " +
+            "scan — cannot identify replaced files")
+        Set.empty[String]
+      }
+      if (replaced.isEmpty && newEntries.isEmpty) return // matched nothing
+      val merged = ManifestSink.readAll(path)
+      val prior = ManifestSink.readManifest(path)
+      ManifestSink.writeManifestAs(path,
+        ManifestSink.archiveManifestFile(prior.version), prior)
+      val version = prior.version + 1
+      val ddl = ManifestSink.nullableDdl(schema)
+      val carried = merged.files.filterNot(e => replaced(e.name)).map { e =>
+        if (e.schemaDdl.isEmpty && merged.schemaDdl != ddl)
+          e.copy(schemaDdl = Some(merged.schemaDdl))
+        else e
+      }
+      val stamped = newEntries.map(_.copy(seq = Some(version)))
+      ManifestSink.writeManifest(path, ManifestSink.Manifest(ddl,
+        carried ++ stamped, version, merged.eqDeletes))
+      ManifestSink.foldEpochTombstones(path)
+      val referenced = ManifestSink.listAllManifests(path)
+        .flatMap(f => ManifestSink.readManifestFile(f).files.map(_.name))
+        .toSet
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(ManifestSink.DataSuffix) &&
+          !referenced(f.getName)).foreach(_.delete())
+      ManifestSink.sweepDeleteFiles(path)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.collect { case m: ManifestCommitMessage =>
+        m.files.foreach(e => new File(path, e.name).delete()) }
+  }
+}
+
 /** One input partition per partition VALUE (SPJ grouping): all the
   * value's files, read back to back; the key is exposed to Spark via
   * `HasPartitionKey` so co-partitioned joins skip the shuffle. */
@@ -2016,8 +2230,15 @@ final class ManifestReaderFactory(tableSchemaDdl: String,
         i
       }
     }
-    val outTypes = prunedNames.map(nm =>
-      tableSchema(nm).dataType)
+    val outTypes = prunedNames.map {
+      // row-address metadata columns have fixed types and exist in
+      // every file by construction — never consult the table schema
+      // (the SupportsMetadataColumns path requests them without
+      // their being table columns)
+      case ManifestSink.MetaFileCol => org.apache.spark.sql.types.StringType
+      case ManifestSink.MetaPosCol => org.apache.spark.sql.types.LongType
+      case nm => tableSchema(nm).dataType
+    }
     new ManifestPartitionReader(p, fileSchema, neededIdx, outTypes,
       zoneFilters)
   }

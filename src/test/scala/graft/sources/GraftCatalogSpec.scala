@@ -132,6 +132,70 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.tr")
   }
 
+  test("SQL UPDATE is group-based copy-on-write: only affected files rewritten") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.up (k BIGINT, v BIGINT)")
+    // two files: keys 0..49 and 50..99 (single-slice ranges)
+    spark.sql("INSERT INTO g.db.up SELECT id, id FROM range(0, 50, 1, 1)")
+    spark.sql("INSERT INTO g.db.up SELECT id, id FROM range(50, 100, 1, 1)")
+    val warehouse = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$warehouse/db/up"
+    val before = ManifestSink.readManifest(dir).files.map(_.name).toSet
+    assert(before.size === 2)
+    spark.sql("UPDATE g.db.up SET v = v + 1000 WHERE k = 60")
+    val after = ManifestSink.readManifest(dir)
+    // the k=60 file was swapped; the other carried forward untouched
+    assert(after.files.map(_.name).toSet.intersect(before).size === 1)
+    assert(after.files.size === 2)
+    assert(spark.sql("SELECT v FROM g.db.up WHERE k = 60")
+      .head().getLong(0) === 1060L)
+    assert(spark.sql("SELECT count(*), sum(v) FROM g.db.up")
+      .head().getLong(1) === (0L until 100L).sum + 1000L)
+    // prior state stays time-travelable
+    assert(spark.sql(s"SELECT v FROM g.db.up VERSION AS OF 2 WHERE k = 60")
+      .head().getLong(0) === 60L)
+    spark.sql("DROP TABLE g.db.up")
+  }
+
+  test("SQL MERGE INTO upserts through the copy-on-write path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.m (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.m VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CREATE OR REPLACE TEMP VIEW m_src AS " +
+      "SELECT * FROM VALUES (2, 'B'), (4, 'D') AS s(k, v)")
+    spark.sql("""
+      MERGE INTO g.db.m t USING m_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val rows = spark.sql("SELECT k, v FROM g.db.m ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // MERGE with a DELETE clause
+    spark.sql("CREATE OR REPLACE TEMP VIEW m_src2 AS " +
+      "SELECT * FROM VALUES (1, 'x'), (4, 'y') AS s(k, v)")
+    spark.sql("""
+      MERGE INTO g.db.m t USING m_src2 s ON t.k = s.k
+      WHEN MATCHED AND s.v = 'x' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    val rows2 = spark.sql("SELECT k, v FROM g.db.m ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows2 === Seq((2L, "B"), (3L, "c"), (4L, "y")))
+    spark.sql("DROP TABLE g.db.m")
+  }
+
+  test("metadata columns: _graft_file and _graft_pos selectable without withRowMeta") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.mc (k BIGINT)")
+    spark.sql("INSERT INTO g.db.mc SELECT id FROM range(0, 5, 1, 1)")
+    val rows = spark.sql(
+      "SELECT k, _graft_file, _graft_pos FROM g.db.mc ORDER BY k").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getString(1).endsWith(ManifestSink.DataSuffix)))
+    assert(rows.map(_.getLong(2)).toSet === (0L until 5L).toSet)
+    spark.sql("DROP TABLE g.db.mc")
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
