@@ -158,6 +158,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.up")
   }
 
+  test("copy-on-write rewrite keeps the declared partition transform") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.pcow (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO g.db.pcow SELECT id, id FROM range(0, 40, 1, 1)")
+    spark.sql("UPDATE g.db.pcow SET v = 0 WHERE k = 5")
+    val warehouse = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val m = ManifestSink.readManifest(s"$warehouse/db/pcow")
+    // every live file — carried AND rewritten — still carries the
+    // transform, so bucket pruning survives the rewrite
+    assert(m.files.nonEmpty)
+    assert(m.files.forall(_.pspec.contains("bucket(4, k)")))
+    assert(spark.sql("SELECT v FROM g.db.pcow WHERE k = 5")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT sum(v) FROM g.db.pcow").head().getLong(0) ===
+      (0L until 40L).sum - 5L)
+    spark.sql("DROP TABLE g.db.pcow")
+  }
+
   test("SQL MERGE INTO upserts through the copy-on-write path") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.m (k BIGINT, v STRING)")
