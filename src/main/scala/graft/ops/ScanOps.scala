@@ -508,6 +508,130 @@ object ScanOps extends OpPack {
         FROM graftsql.dml.mt GROUP BY st ORDER BY st""")
     }),
 
+    // SQL-CALLABLE MAINTENANCE through the catalog's
+    // ProcedureCatalog (the Iceberg `CALL cat.system.…` surface on
+    // Spark 4's native CALL statement): compact / vacuum /
+    // sweep_deletes are invoked as plain SQL, each returning a
+    // driver-built result row through LocalScan→LocalRelation, so
+    // maintenance composes with queries. The cycle — three
+    // single-file INSERTs, OPTIMIZE to 2 files, retention vacuum,
+    // orphan sweep — has fully construction-determined procedure
+    // outputs (3→2 files, v0..v3 archives dropped, 3 old data files
+    // swept, 0 orphans), and the final aggregate proves the data
+    // survived the whole maintenance cycle byte-identical to the
+    // parquet. CALL semantics pinned in GraftCatalogSpec.
+    "sink_manifest_call" -> ((s, dir) => {
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_call_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftsql.maint")
+      s.sql("DROP TABLE IF EXISTS graftsql.maint.ot")
+      s.sql("CREATE TABLE graftsql.maint.ot (k BIGINT, st STRING, " +
+        "cents BIGINT)")                                    // v0
+      (0 until 3).foreach { m =>                            // v1..v3
+        s.sql("INSERT INTO graftsql.maint.ot " +
+          "SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) " +
+          s"FROM graft_call_src WHERE o_orderkey % 3 = $m")
+      }
+      val c = s.sql("CALL graftsql.system.compact(" +
+        "`table` => 'maint.ot', target_files => 2)")        // v4
+        .selectExpr("'1_compact' AS step", "files_before AS a",
+          "files_after AS b", "version AS c")
+      val v = s.sql("CALL graftsql.system.vacuum('maint.ot', 0)")
+        .selectExpr("'2_vacuum' AS step", "archives_removed AS a",
+          "data_files_removed AS b", "base_version AS c")
+      val w = s.sql("CALL graftsql.system.sweep_deletes('maint.ot')")
+        .selectExpr("'3_sweep' AS step", "delete_files_removed AS a",
+          "CAST(0 AS BIGINT) AS b", "CAST(0 AS BIGINT) AS c")
+      val data = s.sql("""
+        SELECT concat('4_data_', st) AS step, count(*) AS a,
+          CAST(sum(cents) AS BIGINT) AS b, max(k) AS c
+        FROM graftsql.maint.ot GROUP BY st""")
+      c.unionAll(v).unionAll(w).unionAll(data).orderBy("step")
+    }),
+
+    // Catalog-scoped SQL FUNCTIONS (DSv2 FunctionCatalog — the
+    // Iceberg `system.bucket` shape): `graftsql.system.bucket(8, k)`
+    // computes the format's PINNED on-disk bucket transform
+    // (splitmix64 finalizer) from plain SQL, magic-method-bound so
+    // Catalyst inlines it in codegen. The query proves the function
+    // IS the write path: customer routed through a declared
+    // bucket(8, c_custkey) table, every row's metadata `_graft_file`
+    // joined to the files metadata table's partition value, and the
+    // SQL function must agree with where the writer physically put
+    // every row — n_consistent == n_rows, which is what the parquet
+    // oracle asserts. Function semantics pinned in GraftCatalogSpec.
+    "fn_catalog_bucket" -> ((s, dir) => {
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_fn_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftsql.fn")
+      s.sql("DROP TABLE IF EXISTS graftsql.fn.cust")
+      s.sql("CREATE TABLE graftsql.fn.cust (c_custkey BIGINT, " +
+        "c_nationkey BIGINT) PARTITIONED BY (bucket(8, c_custkey))")
+      s.sql("INSERT INTO graftsql.fn.cust " +
+        "SELECT c_custkey, c_nationkey FROM graft_fn_src")
+      s.read.format("graft-manifest").option("metadata", "files")
+        .load(s"$wh/fn/cust").selectExpr("file_name", "part")
+        .createOrReplaceTempView("graft_fn_files")
+      s.sql("""
+        SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN graftsql.system.bucket(8, t.c_custkey) = f.part
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+          CAST(sum(t.c_custkey) AS BIGINT) AS sum_keys,
+          CAST(sum(t.c_nationkey) AS BIGINT) AS sum_nations
+        FROM graftsql.fn.cust t
+        JOIN graft_fn_files f ON t._graft_file = f.file_name""")
+    }),
+
+    // `graftsql.system.fnv64(s)`: the FNV-1a64-over-UTF-8 string
+    // canonicalization the format's blooms and equality deletes key
+    // on, exposed to SQL — an operator can pre-compute or audit
+    // string-key routing without Scala. The query proves the hash
+    // injective on the whole document corpus (count of distinct
+    // hashes == count of distinct texts — a collision would break
+    // bloom/eq-delete correctness assumptions, so this doubles as a
+    // data audit); the oracle derives both sides from text equality.
+    "fn_catalog_fnv" -> ((s, dir) => {
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(s, dir, "documents").createOrReplaceTempView("graft_fnv_src")
+      s.sql("""
+        SELECT count(*) AS n_docs,
+          count(DISTINCT graftsql.system.fnv64(text)) AS n_hashes,
+          count(DISTINCT text) AS n_texts
+        FROM graft_fnv_src""")
+    }),
+
+    // `graftsql.system.dot(a, b)`: embedding dot product as a
+    // catalog function — the FunctionCatalog route to the same
+    // arithmetic as the session-extension `dot_product` expression
+    // (one left-to-right double accumulation). Top-10 by inner
+    // product against probe vec_id=0, rank-only output; the ORDER
+    // BY + LIMIT subquery keeps the TakeOrderedAndProject shape
+    // (per-partition top-10, driver merge) — no global sort at any
+    // corpus size. Oracle = DuckDB list_dot_product brute force.
+    "fn_catalog_dot" -> ((s, dir) => {
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(s, dir, "embeddings").createOrReplaceTempView("graft_dot_src")
+      s.sql("""
+        WITH p AS (SELECT embedding AS probe
+                   FROM graft_dot_src WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, graftsql.system.dot(e.embedding, p.probe) AS sim
+          FROM graft_dot_src e CROSS JOIN p WHERE e.vec_id <> 0),
+        top AS (SELECT * FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10)
+        SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)
+            AS rank, vec_id
+        FROM top ORDER BY rank""")
+    }),
+
     // Zone-map file pruning through the graft-manifest connector:
     // every committed file carries per-column min/max for integral
     // columns in the manifest (Iceberg's lower/upper bounds at
@@ -1170,6 +1294,50 @@ object ScanOps extends OpPack {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(k) AS min_key, max(k) AS max_key
         |FROM u GROUP BY st ORDER BY st""".stripMargin,
+
+    // the function must agree with physical routing on every row
+    "fn_catalog_bucket" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_consistent,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+        |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nations
+        |FROM customer""".stripMargin,
+
+    // hash injectivity on the corpus: distinct hashes == distinct texts
+    "fn_catalog_fnv" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_hashes,
+        |  count(DISTINCT text) AS n_texts
+        |FROM documents""".stripMargin,
+
+    "fn_catalog_dot" ->
+      """SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)
+        |    AS rank, vec_id
+        |FROM (
+        |  SELECT e.vec_id,
+        |    list_dot_product(e.embedding, p.embedding) AS sim
+        |  FROM embeddings e, (SELECT embedding FROM embeddings
+        |                      WHERE vec_id = 0) p
+        |  WHERE e.vec_id <> 0)
+        |QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin,
+
+    // procedure outputs are construction-determined (3 single-file
+    // inserts -> compact(2) at v4 -> vacuum drops archives v0..v3 +
+    // the 3 pre-compaction files -> zero orphan delete vectors); the
+    // data rows must equal the parquet after the full cycle
+    "sink_manifest_call" ->
+      """SELECT '1_compact' AS step, CAST(3 AS BIGINT) AS a,
+        |  CAST(2 AS BIGINT) AS b, CAST(4 AS BIGINT) AS c
+        |UNION ALL
+        |SELECT '2_vacuum', 4, 3, 4
+        |UNION ALL
+        |SELECT '3_sweep', 0, 0, 0
+        |UNION ALL
+        |SELECT concat('4_data_', o_orderstatus), count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        |  max(o_orderkey)
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY step""".stripMargin,
 
     // v1 = the %3=0 insert; current = all three inserts with flag=1
     // only on the post-ALTER (%3=2) slice

@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * under (the reader resolves columns by NAME per file — old files
   * surface NULL for the new column), nothing rewritten.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -167,6 +168,62 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!from.renameTo(to)) throw new IllegalStateException(
       s"graft-manifest: rename $from -> $to failed")
   }
+
+  // ---- procedures (SQL-callable maintenance, CALL g.system.…) ----
+
+  /** Maps a procedure's catalog-relative `ns.table` argument to the
+    * table directory — the same path-mapping the catalog serves, so
+    * maintenance SQL carries no paths either. */
+  private def resolveTable(ref: String): String = {
+    val parts = ref.split('.')
+    if (parts.length != 2) throw new IllegalArgumentException(
+      s"graft-manifest procedure: table must be 'namespace.table', " +
+        s"got '$ref'")
+    val ident = Identifier.of(Array(parts(0)), parts(1))
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
+  private val ProcNamespace = Array("system")
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(ProcNamespace))
+      throw new UnsupportedOperationException(
+        s"graft-manifest: procedures live in the 'system' namespace " +
+          s"(CALL $catalogName.system.<proc>), got $ident")
+    GraftProcedures.load(ident.name(), resolveTable)
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(ProcNamespace))
+      GraftProcedures.names.map(Identifier.of(ProcNamespace, _)).toArray
+    else Array.empty
+
+  // ---- functions (catalog-scoped SQL functions, g.system.…) ----
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (!ident.namespace().sameElements(ProcNamespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    try GraftFunctions.load(ident.name())
+    catch {
+      case _: UnsupportedOperationException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident)
+    }
+  }
+
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(ProcNamespace))
+      GraftFunctions.names.map(Identifier.of(ProcNamespace, _)).toArray
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().sameElements(ProcNamespace) &&
+      GraftFunctions.names.contains(ident.name().toLowerCase)
 
   // ---- namespaces (directories under the warehouse root) ----
 

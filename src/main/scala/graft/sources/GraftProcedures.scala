@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.io.File
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable MAINTENANCE procedures for the `graft-manifest`
+  * lakehouse (the Iceberg `CALL catalog.system.…` surface, on
+  * Spark 4's native `ProcedureCatalog` + `CALL` statement):
+  *
+  *   CALL g.system.compact(`table` => 'db.t', target_files => 4);
+  *   CALL g.system.vacuum('db.t', 2);
+  *   CALL g.system.sweep_deletes('db.t');
+  *
+  * `SHOW PROCEDURES IN g.system` / `DESCRIBE PROCEDURE …` work too.
+  * Each procedure is pure manifest surgery plus (for compact) one
+  * Spark job; its result set is a single driver-built row returned
+  * through a [[LocalScan]] — Spark's analyzer turns that into a
+  * `LocalRelation`, so `CALL` composes with plain SQL over its
+  * output. Maintenance thereby needs NO Scala entry point: the same
+  * SQL an operator would run against Iceberg
+  * (`CALL cat.system.rewrite_data_files(...)`) drives this format.
+  *
+  * The table argument is the catalog-relative `namespace.table`
+  * string — procedures resolve it against the SAME warehouse the
+  * catalog serves, so there are still no paths in SQL.
+  */
+private[sources] object GraftProcedures {
+
+  /** One-row result surfaced to SQL through the analyzer's
+    * LocalScan→LocalRelation conversion. */
+  private final class RowScan(schema: StructType, row: InternalRow)
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = Array(row)
+  }
+
+  private def result(schema: StructType, values: Any*): JIterator[Scan] =
+    Collections.singletonList[Scan](new RowScan(schema,
+      new GenericInternalRow(values.toArray))).iterator()
+
+  /** A procedure whose every parameter is a required IN argument. */
+  private final class Proc(procName: String, procDescription: String,
+      params: Seq[(String, DataType, String)],
+      outSchema: StructType,
+      body: (String => String, InternalRow) => JIterator[Scan])(
+      resolve: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // mutates table state
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t, c) =>
+        ProcedureParameter.in(n, t).comment(c).build()
+      }.toArray
+    override def call(input: InternalRow): JIterator[Scan] =
+      body(resolve, input)
+  }
+
+  private def countFiles(dir: String, suffix: String): Long =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(suffix)).toLong
+
+  private def countArchives(dir: String): Long =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.matches("_graft_manifest\\.v\\d+\\.json")).toLong
+
+  /** `resolve` maps a catalog-relative `ns.table` string to the
+    * table directory (supplied by [[GraftCatalog]]). */
+  def load(name: String, resolve: String => String): UnboundProcedure =
+    name.toLowerCase match {
+      case "compact" => new Proc(
+        "compact",
+        "Rewrite the current snapshot into `target_files` data files " +
+          "(the OPTIMIZE verb); prior layout stays time-travelable",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("target_files", IntegerType, "data-file count to rewrite to")),
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val before = ManifestSink.readManifest(dir).files.size.toLong
+          ManifestSink.compact(SparkSession.active, dir, in.getInt(1))
+          val m = ManifestSink.readManifest(dir)
+          result(StructType(Seq(
+            StructField("files_before", LongType, nullable = false),
+            StructField("files_after", LongType, nullable = false),
+            StructField("version", LongType, nullable = false))),
+            before, m.files.size.toLong, m.version)
+        })(resolve)
+
+      case "vacuum" => new Proc(
+        "vacuum",
+        "Drop archived snapshots older than `keep_versions` behind the " +
+          "base, then sweep data/delete files nothing references — the " +
+          "time-travel retention knob",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("keep_versions", IntegerType,
+            "archived versions to keep behind the base")),
+        StructType(Seq(
+          StructField("archives_removed", LongType, nullable = false),
+          StructField("data_files_removed", LongType, nullable = false),
+          StructField("base_version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val (a0, d0) = (countArchives(dir),
+            countFiles(dir, ManifestSink.DataSuffix))
+          ManifestSink.vacuum(dir, in.getInt(1))
+          result(StructType(Seq(
+            StructField("archives_removed", LongType, nullable = false),
+            StructField("data_files_removed", LongType, nullable = false),
+            StructField("base_version", LongType, nullable = false))),
+            a0 - countArchives(dir),
+            d0 - countFiles(dir, ManifestSink.DataSuffix),
+            ManifestSink.readManifest(dir).version)
+        })(resolve)
+
+      case "sweep_deletes" => new Proc(
+        "sweep_deletes",
+        "Remove positional-delete files no manifest references " +
+          "(lost-race or compaction-retired delete vectors)",
+        Seq(("table", StringType, "catalog-relative namespace.table")),
+        StructType(Seq(
+          StructField("delete_files_removed", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val before = countFiles(dir, ManifestSink.DelSuffix)
+          ManifestSink.sweepDeleteFiles(dir)
+          result(StructType(Seq(
+            StructField("delete_files_removed", LongType,
+              nullable = false))),
+            before - countFiles(dir, ManifestSink.DelSuffix))
+        })(resolve)
+
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest: unknown procedure '$other' — " +
+          "compact / vacuum / sweep_deletes")
+    }
+
+  val names: Seq[String] = Seq("compact", "sweep_deletes", "vacuum")
+}

@@ -177,6 +177,88 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.pcow")
   }
 
+  test("CALL procedures: compact, vacuum, sweep_deletes as SQL maintenance") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.maint (k BIGINT, v BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO g.db.maint " +
+        s"SELECT id, id * 2 FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    }                                           // v1..v3, one file each
+    val sumBefore =
+      spark.sql("SELECT sum(v) FROM g.db.maint").head().getLong(0)
+
+    // SHOW / DESCRIBE surface
+    val procs = spark.sql("SHOW PROCEDURES IN g.system").collect()
+      .map(r => r.getString(r.length - 1)).toSeq
+    assert(procs.contains("compact") && procs.contains("vacuum"))
+
+    // compact: 3 files -> 1, data unchanged, result row surfaces counts
+    val c = spark.sql(
+      "CALL g.system.compact(`table` => 'db.maint', target_files => 1)")
+      .head()
+    assert(c.getLong(0) === 3L)                 // files_before
+    assert(c.getLong(1) === 1L)                 // files_after
+    assert(spark.sql("SELECT sum(v) FROM g.db.maint").head()
+      .getLong(0) === sumBefore)
+    // pre-compaction layout still time-travelable
+    assert(spark.sql("SELECT count(*) FROM g.db.maint VERSION AS OF 3")
+      .head().getLong(0) === 30L)
+
+    // vacuum keep_versions=0: archives dropped, old data files swept
+    val v = spark.sql("CALL g.system.vacuum('db.maint', 0)").head()
+    assert(v.getLong(0) >= 3L)                  // archives_removed
+    assert(v.getLong(1) === 3L)                 // data_files_removed
+    assert(spark.sql("SELECT sum(v) FROM g.db.maint").head()
+      .getLong(0) === sumBefore)
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM g.db.maint VERSION AS OF 3").collect()
+    }
+
+    // sweep_deletes on a clean table is a no-op
+    assert(spark.sql("CALL g.system.sweep_deletes('db.maint')")
+      .head().getLong(0) === 0L)
+
+    // unknown procedure / bad table ref fail loudly
+    intercept[Exception] { spark.sql("CALL g.system.nope('db.maint')") }
+    intercept[Exception] {
+      spark.sql("CALL g.system.compact('db.ghost', 1)").collect()
+    }
+    spark.sql("DROP TABLE g.db.maint")
+  }
+
+  test("catalog functions: bucket/fnv64 expose the pinned on-disk hashes, dot the vector arithmetic") {
+    // bucket == the write path's routing hash, byte for byte
+    val keys = Seq(0L, 1L, 42L, -7L, Long.MaxValue, Long.MinValue)
+    keys.foreach { k =>
+      assert(spark.sql(s"SELECT g.system.bucket(8, ${k}L)").head().getInt(0)
+        === ManifestSink.bucketOf(k, 8), s"key $k")
+    }
+    // null propagates, not crashes
+    assert(spark.sql("SELECT g.system.bucket(8, CAST(NULL AS BIGINT))")
+      .head().isNullAt(0))
+
+    // fnv64 == the bloom/eq-delete string canonicalization
+    assert(spark.sql("SELECT g.system.fnv64('hello')").head().getLong(0)
+      === ManifestSink.fnv64("hello".getBytes("UTF-8")))
+
+    // dot: plain arithmetic, length mismatch yields NULL
+    assert(spark.sql("SELECT g.system.dot(" +
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT g.system.dot(" +
+      "array(CAST(1.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .head().isNullAt(0))
+
+    // discoverable + failing loudly on unknowns
+    val fns = spark.sql("SHOW FUNCTIONS IN g.system").collect()
+      .map(r => r.getString(r.length - 1)).toSeq
+    assert(Seq("bucket", "dot", "fnv64")
+      .forall(n => fns.exists(_.endsWith(n))), fns.toString)
+    intercept[Exception] { spark.sql("SELECT g.system.nope(1)").collect() }
+  }
+
   test("SQL MERGE INTO upserts through the copy-on-write path") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.m (k BIGINT, v STRING)")
