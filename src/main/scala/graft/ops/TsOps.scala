@@ -526,6 +526,38 @@ object TsOps extends OpPack {
         FROM base
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         ORDER BY user_id, event_id""")
+    }),
+
+    // Adaptive batch sessionization: split each user's event stream at
+    // gaps LARGER THAN THAT USER'S OWN mean inter-event gap — the
+    // scale-free sibling of stream_session's fixed 30-min gap (a fixed
+    // threshold degenerates as event density changes 100× across SFs;
+    // the per-user mean adapts). The threshold comparison is
+    // cross-multiplied (gap·n_gaps > Σgaps) so no division happens —
+    // integer-exact in both engines. Per-session readout: event count,
+    // start, duration, exact-cent value volume. SCALE: the gap lag,
+    // the per-user gap moments, and the running break-sum all share
+    // ONE user_id exchange (three WindowExecs, O(1) state each), then
+    // one map-side-combined hash agg on (user, session) — the whole
+    // sessionizer is scan-proportional with a single shuffle.
+    "ts_sessionize" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+        .withColumn("n_gaps", count(col("gap")).over(wAll))
+        .withColumn("sum_gaps", sum(col("gap")).over(wAll))
+        .withColumn("brk", when(col("gap").isNull ||
+          col("gap") * col("n_gaps") > col("sum_gaps"), 1L).otherwise(0L))
+        .withColumn("session_no", sum(col("brk")).over(wOrd))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          (max(col("us")) - min(col("us"))).as("duration_us"),
+          sum(round(col("value") * 100).cast("long")).as("value_c"))
+        .orderBy(col("user_id"), col("session_no"))
     }))
 
   /** Shared numerator/denominator SQL for ts_ewma / ts_holt: weight
@@ -750,6 +782,35 @@ object TsOps extends OpPack {
     expr(s"CAST(CASE WHEN s0 > 0 THEN ($c * 1000) div s0 END AS BIGINT)")
 
   def oracle: Map[String, String] = Map(
+    "ts_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT *, count(gap) OVER (PARTITION BY user_id) AS n_gaps,
+        |    sum(gap) OVER (PARTITION BY user_id) AS sum_gaps
+        |  FROM b),
+        |k AS (
+        |  SELECT user_id, event_id, us, v_c,
+        |    CASE WHEN gap IS NULL OR gap * n_gaps > sum_gaps
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |s AS (
+        |  SELECT user_id, us, v_c,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS session_no
+        |  FROM k)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+        |  CAST(sum(v_c) AS BIGINT) AS value_c
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
     "ts_changepoint" -> changepointSql("HUGEINT", "events"),
     "ts_forecast_seasonal" -> seasonalForecastSql("//",
       d => s"datediff('day', DATE '1970-01-01', $d)", "events"),
