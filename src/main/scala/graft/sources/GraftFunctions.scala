@@ -25,11 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen (no row boxing); `dot` takes array arguments and binds
   * through `produceResult`.
   */
-private[sources] object GraftFunctions {
+object GraftFunctions {
+  // NOTE: the function objects below are deliberately PUBLIC — the
+  // magic `invoke` call site is emitted by janino into a generated
+  // class OUTSIDE this package, and janino filters inaccessible
+  // candidates, so a `private object` silently demotes every call to
+  // the interpreted produceResult path (observed as a per-task
+  // CompileException + whole-stage codegen fallback).
 
   /** splitmix64-finalizer bucket routing — MUST stay byte-identical
     * to [[ManifestSink.bucketOf]] (it delegates). */
-  private object BucketFn extends UnboundFunction
+  object BucketFn extends UnboundFunction
       with ScalarFunction[Int] {
     override def name(): String = "bucket"
     override def description(): String =
@@ -54,7 +60,7 @@ private[sources] object GraftFunctions {
 
   /** FNV-1a64 over UTF-8 — the string canonicalization blooms and
     * equality deletes key on ([[ManifestSink.fnv64]]). */
-  private object Fnv64Fn extends UnboundFunction
+  object Fnv64Fn extends UnboundFunction
       with ScalarFunction[Long] {
     override def name(): String = "fnv64"
     override def description(): String =
@@ -79,7 +85,7 @@ private[sources] object GraftFunctions {
     * to the same arithmetic as the session-extension `dot_product`
     * expression (functions/VectorExpressions.scala): one
     * left-to-right double accumulation, length mismatch ⇒ null. */
-  private object DotFn extends UnboundFunction
+  object DotFn extends UnboundFunction
       with ScalarFunction[java.lang.Double] {
     override def name(): String = "dot"
     override def description(): String =
