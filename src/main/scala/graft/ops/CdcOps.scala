@@ -545,6 +545,38 @@ object CdcOps extends OpPack {
         .select(col("l_partkey"), col("status"), col("n_v1"),
           col("n_v2"), col("rev_v1"), col("rev_v2"))
         .orderBy(col("l_partkey"))
+    }),
+
+    // Multi-source CDC merge frontier — the apply-side counterpart of
+    // the reference's per-domain GTID watermark map (`event.go:216-218`
+    // tracks one sequence per replication domain; a downstream applier
+    // may only emit events ALL domains have passed, or cross-domain
+    // ordering breaks). Domains here = event_id mod 2 (two source
+    // servers interleaved into one log); each domain's watermark is
+    // its max event time, the global safe-apply frontier is the MIN of
+    // the watermarks, and every event at/before the frontier is
+    // applicable while later ones are held back. SCALE: one map-side-
+    // combined domain agg (2 rows) → 1-row frontier broadcast back
+    // over the log (scalar-gate cross, PlanShapeSpec-allowlisted) →
+    // one final 2-key agg; the log is scanned twice, never shuffled
+    // wide.
+    "cdc_merge_sources" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(pmod(col("event_id"), lit(2)).as("domain"),
+          unix_micros(col("ts")).as("us"))
+      val frontier = ev.groupBy(col("domain"))
+        .agg(max(col("us")).as("wm_us"))
+        .agg(min(col("wm_us")).as("frontier_us"))
+      ev.crossJoin(broadcast(frontier))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("us")).as("wm_us"),
+          min(col("frontier_us")).as("frontier_us"),
+          sum(when(col("us") <= col("frontier_us"), 1L).otherwise(0L))
+            .as("n_applicable"),
+          sum(when(col("us") > col("frontier_us"), 1L).otherwise(0L))
+            .as("n_held"))
+        .orderBy(col("domain"))
     })
   )
 
@@ -581,6 +613,22 @@ object CdcOps extends OpPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "cdc_merge_sources" ->
+      """WITH ev AS (
+        |  SELECT event_id % 2 AS domain, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT min(wm_us) AS frontier_us FROM (
+        |    SELECT domain, max(us) AS wm_us FROM ev GROUP BY domain))
+        |SELECT e.domain, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(e.us) AS BIGINT) AS wm_us,
+        |  CAST(min(f.frontier_us) AS BIGINT) AS frontier_us,
+        |  CAST(sum(CASE WHEN e.us <= f.frontier_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_applicable,
+        |  CAST(sum(CASE WHEN e.us > f.frontier_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_held
+        |FROM ev e, f GROUP BY e.domain ORDER BY e.domain""".stripMargin,
+
     "cdc_hash_chain" ->
       """SELECT user_id, count(*) AS n_events,
         |  list_reduce(

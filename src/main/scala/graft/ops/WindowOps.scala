@@ -268,10 +268,72 @@ object WindowOps extends OpPack {
         .select(col("c_custkey"), col("c_mktsegment"),
           nth_value(col("c_name"), 2).over(w).as("second_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Moving-average crossover detection (the golden-cross/death-cross
+    // monitor): per user, fast SMA (trailing 5) vs slow SMA (trailing
+    // 20) in exact cents; a signal fires on rows where the fast mean
+    // CROSSES the slow one. The mean comparison is cross-multiplied
+    // (s5·n20 > s20·n5 — counts of non-null cents, so null payloads
+    // drop from numerator AND denominator identically), never divided;
+    // rows before the slow frame fills (n20 < 20) are warm-up and
+    // excluded by the declared rule. SCALE: both frame sums, both
+    // counts, and the lag share ONE user_id exchange (chained
+    // WindowExecs, O(frame) state), then a narrow filter — the
+    // detector is scan-proportional with a single shuffle.
+    "win_sma_crossover" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val w5 = wOrd.rowsBetween(-4, Window.currentRow)
+      val w20 = wOrd.rowsBetween(-19, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("s5", sum(col("cents")).over(w5))
+        .withColumn("n5", count(col("cents")).over(w5))
+        .withColumn("s20", sum(col("cents")).over(w20))
+        .withColumn("n20", count(col("cents")).over(w20))
+        .withColumn("above", when(col("n20") === 20,
+          col("s5") * col("n20") > col("s20") * col("n5")))
+        .withColumn("prev_above", lag(col("above"), 1).over(wOrd))
+        .filter(col("above").isNotNull && col("prev_above").isNotNull &&
+          col("above") =!= col("prev_above"))
+        .select(col("user_id"), col("event_id"),
+          when(col("above"), "golden").otherwise("death").as("signal"),
+          col("s5"), col("s20"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "win_sma_crossover" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id,
+        |    sum(cents) OVER w5 AS s5, count(cents) OVER w5 AS n5,
+        |    sum(cents) OVER w20 AS s20, count(cents) OVER w20 AS n20
+        |  FROM c
+        |  WINDOW w5 AS (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |    w20 AS (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |a AS (
+        |  SELECT user_id, event_id, s5, s20,
+        |    CASE WHEN n20 = 20 THEN s5 * n20 > s20 * n5 END AS above
+        |  FROM r),
+        |b AS (
+        |  SELECT *, lag(above, 1) OVER
+        |    (PARTITION BY user_id ORDER BY event_id) AS prev_above
+        |  FROM a)
+        |SELECT user_id, event_id,
+        |  CASE WHEN above THEN 'golden' ELSE 'death' END AS signal,
+        |  CAST(s5 AS BIGINT) AS s5, CAST(s20 AS BIGINT) AS s20
+        |FROM b
+        |WHERE above IS NOT NULL AND prev_above IS NOT NULL
+        |  AND above <> prev_above
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "win_streak" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

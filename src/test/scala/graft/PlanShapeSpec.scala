@@ -380,7 +380,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "sample_time_split",
       // composite_trending crosses the broadcast 1-row date bounds
       // (scalar-gate shape).
-      "composite_trending")
+      "composite_trending",
+      // cdc_merge_sources crosses the broadcast 1-row min-watermark
+      // apply frontier (scalar-gate shape).
+      "cdc_merge_sources",
+      // fn_catalog_dot crosses the broadcast 1-row probe vector (the
+      // llm_sim_cosine shape, through the FunctionCatalog route).
+      "fn_catalog_dot")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
