@@ -181,6 +181,64 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Dedup-quality audit (the blocking-recall measurement every
+    // production dedup pipeline runs beside its capped path): pair
+    // precision/recall of df-capped candidate generation against the
+    // UNCAPPED exact inverted-index truth at the family's J >= 0.05
+    // threshold. Two declared audit knobs make it honest AND bounded:
+    // (1) it runs on a deterministic hash SAMPLE (doc_id mod 2 = 0) —
+    // ground truth is posting-list-quadratic in the hottest gram, so
+    // the audit is the thing you sample, never the production path;
+    // (2) the audited cap is a STRESSED df <= 2, not the production
+    // [[DfCap]] = 128 — the production cap never bites at test scales
+    // (max observed df 25), so auditing it would measure nothing;
+    // stressing the cap exercises the exact recall-loss machinery the
+    // audit exists to measure. Capped Jaccard is computed over capped
+    // sizes (the llm_dedup_ngram semantics), so both false positives
+    // (capped-J inflated past threshold) and false negatives (evidence
+    // grams dropped) genuinely occur. One full-outer pair join → one
+    // global 7-column census row.
+    "llm_dedup_eval" -> ((s, dir) => {
+      val sample = shingles(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      def pairsOf(index: DataFrame): DataFrame = {
+        val sizes = index.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"))
+        val a = index.select(col("doc_id").as("doc_a"), col("sh"))
+        val b = index.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"))
+        a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("n_sh").as("n_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("n_sh").as("n_b")), "doc_b")
+          .filter(col("n_inter") * 20 >=
+            col("n_a") + col("n_b") - col("n_inter"))
+          .select(col("doc_a"), col("doc_b"))
+      }
+      val truth = pairsOf(sample).withColumn("in_t", lit(1L))
+      val hot = sample.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 2).select(col("sh"))
+      val cand = pairsOf(sample.join(hot, Seq("sh"), "left_anti"))
+        .withColumn("in_c", lit(1L))
+      truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("in_c"), lit(0L))).as("n_cand"),
+          sum(when(col("in_t").isNotNull && col("in_c").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("in_t").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("in_c").isNull, 1L).otherwise(0L)).as("fn"))
+        .select(col("n_truth"), col("n_cand"), col("tp"), col("fp"),
+          col("fn"),
+          when(col("n_cand") > 0, expr("tp * 1000 div n_cand"))
+            .as("precision_permille"),
+          when(col("n_truth") > 0, expr("tp * 1000 div n_truth"))
+            .as("recall_permille"))
+    }),
+
     // EXACT Jaccard >= 0.8 near-dup join via AllPairs/PPJoin prefix
     // filtering — the family's exactness-preserving scale path: unlike
     // the DfCap index, NO gram and NO document is dropped from the
@@ -1135,6 +1193,66 @@ object DedupOps extends OpPack {
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+        |pairu AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |truth AS (
+        |  SELECT doc_a, doc_b FROM pairu
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter),
+        |dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |        FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= 2),
+        |szc AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
+        |pairc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |cnd AS (
+        |  SELECT doc_a, doc_b FROM pairc
+        |  JOIN szc sa ON doc_a = sa.doc_id
+        |  JOIN szc sb ON doc_b = sb.doc_id
+        |  WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter),
+        |j AS (
+        |  SELECT tt.doc_a IS NOT NULL AS in_t, cc.doc_a IS NOT NULL AS in_c
+        |  FROM truth tt FULL OUTER JOIN cnd cc
+        |    ON tt.doc_a = cc.doc_a AND tt.doc_b = cc.doc_b)
+        |SELECT
+        |  CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        |  CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+        |  CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tp,
+        |  CAST(sum(CASE WHEN in_c AND NOT in_t THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fn,
+        |  CASE WHEN sum(CASE WHEN in_c THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) * 1000 //
+        |      sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) END
+        |    AS precision_permille,
+        |  CASE WHEN sum(CASE WHEN in_t THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) * 1000 //
+        |      sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) END
+        |    AS recall_permille
+        |FROM j""".stripMargin,
 
     // Brute-force UNCAPPED inverted-index Jaccard join: an algorithm
     // the Spark side deliberately does NOT use — matching it proves
