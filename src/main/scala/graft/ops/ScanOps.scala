@@ -552,6 +552,45 @@ object ScanOps extends OpPack {
       c.unionAll(v).unionAll(w).unionAll(data).orderBy("step")
     }),
 
+    // Audit-preserving snapshot ROLLBACK through the SQL surface
+    // (`CALL g.system.rollback` — the Iceberg rollback_to_snapshot
+    // verb): three inserts build v1..v3, a predicate DELETE (delete
+    // vectors, v4) simulates the bad commit, rollback re-publishes v3
+    // as v5. Pinned: the procedure's (from, restored, new) triple;
+    // the CURRENT read equals the pre-delete state (the delete is
+    // undone); `VERSION AS OF 4` still reads the deleted state — the
+    // bad commit remains time-travelable until vacuum. Rollback is
+    // O(metadata): the target's file list is re-committed verbatim,
+    // no data file moves — at 100 TB the undo of a terabyte-scale bad
+    // write is one manifest rename chain.
+    "sink_manifest_rollback" -> ((s, dir) => {
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_rb_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftsql.maint")
+      s.sql("DROP TABLE IF EXISTS graftsql.maint.rb")
+      s.sql("CREATE TABLE graftsql.maint.rb (k BIGINT, cents BIGINT)")
+      (0 until 3).foreach { m =>                            // v1..v3
+        s.sql("INSERT INTO graftsql.maint.rb " +
+          "SELECT /*+ REPARTITION(1) */ o_orderkey, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) " +
+          s"FROM graft_rb_src WHERE o_orderkey % 3 = $m")
+      }
+      s.sql("DELETE FROM graftsql.maint.rb WHERE k % 5 = 0") // v4
+      val r = s.sql("CALL graftsql.system.rollback(" +
+        "`table` => 'maint.rb', version => CAST(3 AS BIGINT))") // v5
+        .selectExpr("'1_rollback' AS step", "from_version AS a",
+          "restored_version AS b", "new_version AS c")
+      val cur = s.sql("SELECT '2_current' AS step, count(*) AS a, " +
+        "CAST(sum(cents) AS BIGINT) AS b, max(k) AS c " +
+        "FROM graftsql.maint.rb")
+      val bad = s.sql("SELECT '3_asof_deleted' AS step, count(*) AS a, " +
+        "CAST(sum(cents) AS BIGINT) AS b, max(k) AS c " +
+        "FROM graftsql.maint.rb VERSION AS OF 4")
+      r.unionAll(cur).unionAll(bad).orderBy("step")
+    }),
+
     // Catalog-scoped SQL FUNCTIONS (DSv2 FunctionCatalog — the
     // Iceberg `system.bucket` shape): `graftsql.system.bucket(8, k)`
     // computes the format's PINNED on-disk bucket transform
@@ -1337,6 +1376,25 @@ object ScanOps extends OpPack {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
         |  max(o_orderkey)
         |FROM orders GROUP BY o_orderstatus
+        |ORDER BY step""".stripMargin,
+
+    // current = all rows (the v4 delete is rolled back); VERSION AS
+    // OF 4 = the deleted state (k % 5 = 0 masked)
+    "sink_manifest_rollback" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT '1_rollback' AS step, CAST(4 AS BIGINT) AS a,
+        |  CAST(3 AS BIGINT) AS b, CAST(5 AS BIGINT) AS c
+        |UNION ALL
+        |SELECT '2_current', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM base
+        |UNION ALL
+        |SELECT '3_asof_deleted', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM base WHERE k % 5 <> 0
         |ORDER BY step""".stripMargin,
 
     // v1 = the %3=0 insert; current = all three inserts with flag=1

@@ -144,10 +144,36 @@ private[sources] object GraftProcedures {
             before - countFiles(dir, ManifestSink.DelSuffix))
         })(resolve)
 
+      case "rollback" => new Proc(
+        "rollback",
+        "Re-publish archived snapshot `version` as a NEW version " +
+          "(audit-preserving rollback — bad commits stay " +
+          "time-travelable until vacuum); O(metadata), no data file " +
+          "is touched",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("version", LongType, "archived snapshot version to restore")),
+        StructType(Seq(
+          StructField("from_version", LongType, nullable = false),
+          StructField("restored_version", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val from = ManifestSink.readManifest(dir).version
+          val to = in.getLong(1)
+          val nv = ManifestSink.rollback(dir, to)
+          result(StructType(Seq(
+            StructField("from_version", LongType, nullable = false),
+            StructField("restored_version", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false))),
+            from, to, nv)
+        })(resolve)
+
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unknown procedure '$other' — " +
-          "compact / vacuum / sweep_deletes")
+          "compact / rollback / vacuum / sweep_deletes")
     }
 
-  val names: Seq[String] = Seq("compact", "sweep_deletes", "vacuum")
+  val names: Seq[String] = Seq("compact", "rollback", "sweep_deletes",
+    "vacuum")
 }

@@ -709,6 +709,32 @@ object ManifestSink {
     sweepDeleteFiles(dir)
   }
 
+  /** ROLLBACK to an archived snapshot, audit-preserving (the Iceberg
+    * `rollback_to_snapshot` verb): the target version's manifest is
+    * re-published as a NEW version — history keeps both the bad
+    * commits and the rollback itself, and every intermediate state
+    * stays time-travelable until vacuum. O(metadata): the target's
+    * file list (including its delete vectors and equality deletes,
+    * seq numbers verbatim) is re-committed; no data file is touched.
+    * Live streaming epoch manifests retire exactly like the batch
+    * overwrite commit — an un-folded epoch newer than the target
+    * would resurrect rows the rollback excludes (same rule as
+    * [[truncate]]). Rolling back to the CURRENT version is a no-op
+    * (no new commit). Returns the new base version. */
+  def rollback(dir: String, toVersion: Long): Long = {
+    val prior = readManifest(dir)
+    if (toVersion == prior.version) return prior.version
+    val target = readAsOf(dir, Some(toVersion))
+    writeManifestAs(dir, archiveManifestFile(prior.version), prior)
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+      .foreach(_.delete())
+    val v = prior.version + 1
+    writeManifest(dir,
+      Manifest(target.schemaDdl, target.files, v, target.eqDeletes))
+    v
+  }
+
   /** The O(metadata) route for SQL DELETE: a predicate that is ONE
     * equality or IN on a single column with non-null literals maps
     * to [[deleteEq]] (no scan, no IO). Anything else returns None

@@ -297,6 +297,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.mc")
   }
 
+  test("CALL rollback restores an archived snapshot as a NEW version, O(metadata)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.rb (k BIGINT)")            // v0
+    spark.sql("INSERT INTO g.db.rb VALUES (1), (5)")        // v1
+    spark.sql("INSERT INTO g.db.rb VALUES (2), (10)")       // v2
+    spark.sql("DELETE FROM g.db.rb WHERE k % 5 = 0")        // v3
+    assert(spark.sql("SELECT count(*) FROM g.db.rb")
+      .head().getLong(0) === 2L)
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/rb"
+    val dataBefore = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val r = spark.sql(
+      "CALL g.system.rollback(`table` => 'db.rb', " +
+        "version => CAST(2 AS BIGINT))").head()             // v4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (3L, 2L, 4L))
+    // the delete is undone...
+    assert(spark.sql("SELECT sum(k) FROM g.db.rb")
+      .head().getLong(0) === 18L)
+    // ...the bad commit stays time-travelable...
+    assert(spark.sql("SELECT count(*) FROM g.db.rb VERSION AS OF 3")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM g.db.rb VERSION AS OF 1")
+      .head().getLong(0) === 2L)
+    // ...and no data file was rewritten or touched (O(metadata)).
+    val dataAfter = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(dataAfter === dataBefore)
+    // rollback to the CURRENT version is a no-op: no new commit.
+    val r2 = spark.sql(
+      "CALL g.system.rollback(`table` => 'db.rb', " +
+        "version => CAST(4 AS BIGINT))").head()
+    assert((r2.getLong(0), r2.getLong(2)) === (4L, 4L))
+    spark.sql("DROP TABLE g.db.rb")
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
