@@ -591,6 +591,54 @@ object ScanOps extends OpPack {
       r.unionAll(cur).unionAll(bad).orderBy("step")
     }),
 
+    // WRITE-AUDIT-PUBLISH on the manifest table (the Iceberg
+    // branch/WAP pattern — the production data-quality gate): the
+    // main table serves v1 while a staging batch commits to a BRANCH
+    // chain (`option("branch", "audit")` on the write — the base
+    // manifest is untouched, O(metadata) fork via createBranch);
+    // auditors read the branch with the same option; fastForward then
+    // publishes the branch state as a new base version (the rollback
+    // commit shape — no data file moves, history keeps the
+    // pre-publish base). Pinned here: main ISOLATION during the
+    // audit, the staged union visible on the branch, and the
+    // published state after fast-forward. At 100 TB the gate costs
+    // two manifest renames — the staged terabytes never move.
+    "sink_manifest_wap" -> ((s, dir) => {
+      import graft.sources.ManifestSink
+      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/wap-sink"
+      // fresh dir each run: a surviving branch file from a prior run
+      // would make createBranch refuse (branches are not idempotent)
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(sink))
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.filter(col("k") % 3 =!= 0).write.format("graft-manifest")
+        .mode("overwrite").save(sink)                        // base v1
+      ManifestSink.createBranch(sink, "audit")
+      o.filter(col("k") % 3 === 0).write.format("graft-manifest")
+        .option("branch", "audit").mode("append").save(sink) // branch v2
+      def agg(df: org.apache.spark.sql.DataFrame, step: String) =
+        df.selectExpr(s"'$step' AS step", "count(*) AS n",
+          "CAST(sum(cents) AS BIGINT) AS sum_cents", "max(k) AS max_k")
+      // the during-audit aggregates must be MATERIALIZED before the
+      // publish — a lazy plan re-read after fastForward would see the
+      // published base (and a retired branch); localCheckpoint pins
+      // the 1-row frames eagerly
+      val main = agg(s.read.format("graft-manifest").load(sink),
+        "1_main_during_audit").localCheckpoint()
+      val staged = agg(s.read.format("graft-manifest")
+        .option("branch", "audit").load(sink), "2_branch_staged")
+        .localCheckpoint()
+      val v = ManifestSink.fastForward(sink, "audit")
+      val pub = agg(s.read.format("graft-manifest").load(sink),
+        s"3_published_v$v")
+      main.unionAll(staged).unionAll(pub).orderBy("step")
+    }),
+
     // Catalog-scoped SQL FUNCTIONS (DSv2 FunctionCatalog — the
     // Iceberg `system.bucket` shape): `graftsql.system.bucket(8, k)`
     // computes the format's PINNED on-disk bucket transform
@@ -1376,6 +1424,26 @@ object ScanOps extends OpPack {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
         |  max(o_orderkey)
         |FROM orders GROUP BY o_orderstatus
+        |ORDER BY step""".stripMargin,
+
+    // main during audit = the %3<>0 base slice only; the branch and
+    // the published state = all rows
+    "sink_manifest_wap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT '1_main_during_audit' AS step, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, max(k) AS max_k
+        |FROM base WHERE k % 3 <> 0
+        |UNION ALL
+        |SELECT '2_branch_staged', count(*),
+        |  CAST(sum(cents) AS BIGINT), max(k)
+        |FROM base
+        |UNION ALL
+        |SELECT '3_published_v2', count(*),
+        |  CAST(sum(cents) AS BIGINT), max(k)
+        |FROM base
         |ORDER BY step""".stripMargin,
 
     // current = all rows (the v4 delete is rolled back); VERSION AS

@@ -169,11 +169,67 @@ private[sources] object GraftProcedures {
             from, to, nv)
         })(resolve)
 
+      case "create_branch" => new Proc(
+        "create_branch",
+        "Fork the current snapshot as a WAP branch (O(metadata)): " +
+          "batch writes with option('branch', name) stage against it, " +
+          "reads with the same option audit it, fast_forward publishes",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("name", StringType, "branch name, [A-Za-z0-9_]+")),
+        StructType(Seq(
+          StructField("forked_version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val v = ManifestSink.createBranch(dir,
+            in.getUTF8String(1).toString)
+          result(StructType(Seq(
+            StructField("forked_version", LongType, nullable = false))),
+            v)
+        })(resolve)
+
+      case "fast_forward" => new Proc(
+        "fast_forward",
+        "PUBLISH a WAP branch: re-commit its state as a new base " +
+          "version (audit-preserving, O(metadata)) and retire the " +
+          "branch chain",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("name", StringType, "branch name to publish")),
+        StructType(Seq(
+          StructField("new_version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val v = ManifestSink.fastForward(dir,
+            in.getUTF8String(1).toString)
+          result(StructType(Seq(
+            StructField("new_version", LongType, nullable = false))),
+            v)
+        })(resolve)
+
+      case "drop_branch" => new Proc(
+        "drop_branch",
+        "Abandon a WAP branch: drop its manifest chain; staged files " +
+          "it alone referenced are swept by the next commit/vacuum",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("name", StringType, "branch name to drop")),
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          ManifestSink.dropBranch(dir, in.getUTF8String(1).toString)
+          result(StructType(Seq(
+            StructField("dropped", BooleanType, nullable = false))),
+            true)
+        })(resolve)
+
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unknown procedure '$other' — " +
-          "compact / rollback / vacuum / sweep_deletes")
+          "compact / create_branch / drop_branch / fast_forward / " +
+          "rollback / vacuum / sweep_deletes")
     }
 
-  val names: Seq[String] = Seq("compact", "rollback", "sweep_deletes",
-    "vacuum")
+  val names: Seq[String] = Seq("compact", "create_branch", "drop_branch",
+    "fast_forward", "rollback", "sweep_deletes", "vacuum")
 }

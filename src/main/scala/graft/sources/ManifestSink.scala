@@ -82,8 +82,10 @@ final class ManifestSinkProvider extends TableProvider
     // time travel resolves the SNAPSHOT's schema — a table whose
     // schema evolved across versions reads each version in its own
     // shape
-    val base =
-      StructType.fromDDL(ManifestSink.readAsOf(path, asOf).schemaDdl)
+    val branch = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("branch") => v }
+    val base = StructType.fromDDL(
+      ManifestSink.readRef(path, asOf, branch).schemaDdl)
     // `withRowMeta` appends the physical row-address columns
     // (file name + row ordinal) — what row-level DELETE computes
     // positions from (Iceberg's _file/_pos metadata columns)
@@ -735,6 +737,93 @@ object ManifestSink {
     v
   }
 
+  // ---- Branches: the Write-Audit-Publish surface -------------------
+  //
+  // A branch is an independent manifest CHAIN over the same data
+  // directory (the Iceberg branch/WAP design): `createBranch` forks
+  // the current base state O(metadata); batch writes with
+  // `option("branch", name)` commit to the branch chain only — the
+  // main table never sees staged files until `fastForward` publishes
+  // the branch state as a NEW base version (the rollback commit
+  // shape, audit-preserving). Reads with `option("branch", name)`
+  // audit the staged state. Branch surface is batch-only by
+  // declaration: streaming epochs, row-level ops and time travel stay
+  // on the base chain.
+
+  def branchManifestFile(name: String) =
+    s"_graft_manifest.branch-$name.json"
+  def branchArchiveFile(name: String, version: Long) =
+    s"_graft_manifest.branch-$name.v$version.json"
+  def requireBranchName(name: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"graft-manifest: branch name '$name' — [A-Za-z0-9_]+ only")
+    name
+  }
+
+  def readBranch(dir: String, name: String): Manifest = {
+    val f = new File(dir, branchManifestFile(requireBranchName(name)))
+    if (!f.exists()) throw new IllegalArgumentException(
+      s"graft-manifest: no branch '$name' under $dir — createBranch " +
+        "first (or it was fast-forwarded/dropped)")
+    readManifestFile(f)
+  }
+
+  /** Resolve a read to a manifest: branch chain if named, else the
+    * base chain (with optional time travel). Both at once is a
+    * contradiction — refused. */
+  def readRef(dir: String, asOf: Option[Long],
+      branch: Option[String]): Manifest = branch match {
+    case Some(b) =>
+      require(asOf.isEmpty,
+        "graft-manifest: asOfVersion and branch are mutually exclusive")
+      readBranch(dir, b)
+    case None => readAsOf(dir, asOf)
+  }
+
+  /** Fork the current base state as branch `name`, O(metadata).
+    * Returns the forked version (the branch chain continues from
+    * it). */
+  def createBranch(dir: String, name: String): Long = {
+    requireBranchName(name)
+    val f = new File(dir, branchManifestFile(name))
+    if (f.exists()) throw new IllegalArgumentException(
+      s"graft-manifest: branch '$name' already exists under $dir")
+    val base = readManifest(dir)
+    writeManifestAs(dir, branchManifestFile(name), base)
+    base.version
+  }
+
+  /** PUBLISH a branch: re-commit its state as a NEW base version (the
+    * [[rollback]] commit shape — history keeps the pre-publish base,
+    * O(metadata), no data file moves), then retire the branch chain.
+    * Live streaming epochs retire with the replaced base state, same
+    * rule as [[truncate]]/[[rollback]]. Returns the new base
+    * version. */
+  def fastForward(dir: String, name: String): Long = {
+    val b = readBranch(dir, name)
+    val prior = readManifest(dir)
+    writeManifestAs(dir, archiveManifestFile(prior.version), prior)
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+      .foreach(_.delete())
+    val v = prior.version + 1
+    writeManifest(dir, Manifest(b.schemaDdl, b.files, v, b.eqDeletes))
+    dropBranch(dir, name)
+    v
+  }
+
+  /** Abandon a branch: drop its manifest chain. Data files only the
+    * branch referenced become unreferenced and are swept by the next
+    * commit/vacuum. */
+  def dropBranch(dir: String, name: String): Unit = {
+    requireBranchName(name)
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == branchManifestFile(name) ||
+        f.getName.matches(
+          s"_graft_manifest\\.branch-$name\\.v\\d+\\.json"))
+      .foreach(_.delete())
+  }
+
   /** The O(metadata) route for SQL DELETE: a predicate that is ONE
     * equality or IN on a single column with non-null literals maps
     * to [[deleteEq]] (no scan, no IO). Anything else returns None
@@ -987,7 +1076,11 @@ object ManifestSink {
     Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName == ManifestFile ||
         f.getName.matches("_graft_manifest\\.v\\d+\\.json") ||
-        f.getName.matches("_graft_manifest-epoch\\d+\\.json"))
+        f.getName.matches("_graft_manifest-epoch\\d+\\.json") ||
+        // branch chains keep their staged files referenced — a sweep
+        // during an open audit must not delete staged data
+        f.getName.matches(
+          "_graft_manifest\\.branch-[A-Za-z0-9_]+(\\.v\\d+)?\\.json"))
       .sortBy(_.getName).toSeq
 
   /** Every published manifest under `dir` (batch + streaming epochs). */
@@ -1257,6 +1350,9 @@ final class ManifestTable(tableSchema: StructType, path: String,
         with SupportsPushDownAggregates {
       private val asOf = Option(options.get("asOfVersion")).map(_.toLong)
         .orElse(asOfDefault) // SQL `VERSION AS OF` via GraftCatalog
+      // audit read of a WAP branch chain (mutually exclusive with
+      // time travel — readRef refuses the combination)
+      private val branchOpt = Option(options.get("branch"))
       // `restrictFiles` plans ONLY the named manifest entries — the
       // change-data-feed pruning hook ([[ManifestSink.changes]]): a
       // version-step diff proves most files unchanged from the
@@ -1287,7 +1383,7 @@ final class ManifestTable(tableSchema: StructType, path: String,
           // a live EQUALITY delete makes the metadata count an upper
           // bound, not the answer — decline and let the scan count
           // (positional deletes keep exact counts and don't decline)
-          ManifestSink.readAsOf(path, asOf).eqDeletes.isEmpty
+          ManifestSink.readRef(path, asOf, branchOpt).eqDeletes.isEmpty
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate
             .Aggregation): Boolean = countOnly(agg)
@@ -1329,10 +1425,10 @@ final class ManifestTable(tableSchema: StructType, path: String,
       }
       override def pushedFilters(): Array[sources.Filter] = zoneFilters
       override def build(): Scan =
-        if (countPushed) new ManifestCountScan(path, asOf)
+        if (countPushed) new ManifestCountScan(path, asOf, branchOpt)
         else new ManifestScan(tableSchema, required, path, asOf, zoneFilters,
           options.getBoolean("groupByPartition", false), restrict,
-          options.getBoolean("ignoreChanges", false))
+          options.getBoolean("ignoreChanges", false), branchOpt)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1342,13 +1438,15 @@ final class ManifestTable(tableSchema: StructType, path: String,
       Option(info.options.get("partitionedBy"))
         .orElse(defaultPartitionedBy),
       Option(info.options.get("bloomFilterColumns")),
-      Option(info.options.get("bloomFilterBits")))
+      Option(info.options.get("bloomFilterBits")),
+      Option(info.options.get("branch")))
 }
 
 final class ManifestWriteBuilder(schema: StructType, path: String,
     partitionedBy: Option[String],
     bloomFilterColumns: Option[String] = None,
-    bloomFilterBits: Option[String] = None)
+    bloomFilterBits: Option[String] = None,
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -1409,13 +1507,19 @@ final class ManifestWriteBuilder(schema: StructType, path: String,
         case _ => ()
       }
     }
+    branch.foreach(ManifestSink.requireBranchName)
     new Write {
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(schema, path, truncateFirst, partitionedBy,
-          bloomCols, bloomBits)
-      override def toStreaming: StreamingWrite =
+          bloomCols, bloomBits, branch)
+      override def toStreaming: StreamingWrite = {
+        // the branch surface is batch-only by declaration: epoch
+        // idempotence tokens live on the base chain
+        require(branch.isEmpty,
+          "graft-manifest: streaming writes cannot target a branch")
         new ManifestStreamingWrite(schema, path, partitionedBy,
           bloomCols, bloomBits)
+      }
     }
   }
 }
@@ -1480,7 +1584,8 @@ final class ManifestStreamingWriterFactory(schemaDdl: String, path: String,
 final class ManifestBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, partitionedBy: Option[String] = None,
     bloomCols: Seq[String] = Nil,
-    bloomBits: Int = ManifestSink.BloomBits)
+    bloomBits: Int = ManifestSink.BloomBits,
+    branch: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1496,6 +1601,29 @@ final class ManifestBatchWrite(schema: StructType, path: String,
     val entries = messages.collect { case m: ManifestCommitMessage =>
       m.files }.toSeq.flatten
     val dir = new File(path)
+    // A branch write commits to the branch chain only (the WAP
+    // staging path): prior = the branch manifest (createBranch
+    // first — a dangling branch write is refused), archives go to
+    // the branch's own chain, the BASE manifest is untouched, and
+    // epoch retirement never happens (epochs belong to the base).
+    branch.foreach { b =>
+      val prior = ManifestSink.readBranch(path, b)
+      ManifestSink.writeManifestAs(path,
+        ManifestSink.branchArchiveFile(b, prior.version), prior)
+      val version = prior.version + 1
+      val carried = prior.files.map { e =>
+        if (e.schemaDdl.isEmpty &&
+            prior.schemaDdl != ManifestSink.nullableDdl(schema))
+          e.copy(schemaDdl = Some(prior.schemaDdl))
+        else e
+      }
+      val stamped = entries.map(_.copy(seq = Some(version)))
+      ManifestSink.writeManifestAs(path, ManifestSink.branchManifestFile(b),
+        ManifestSink.Manifest(ManifestSink.nullableDdl(schema),
+          (if (truncateFirst) Seq.empty else carried) ++ stamped, version,
+          if (truncateFirst) Nil else prior.eqDeletes))
+      return
+    }
     // Every batch commit is a SNAPSHOT: archive the current base
     // manifest (immutable history → time travel via asOfVersion),
     // bump the version, publish. Overwrite starts the new snapshot's
@@ -1808,7 +1936,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     zoneFilters: Array[sources.Filter] = Array.empty,
     groupByPartition: Boolean = false,
     restrictFiles: Option[Set[String]] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    branch: Option[String] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = prunedSchema
@@ -1827,11 +1956,12 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * layout doesn't qualify; grouping alone is semantically neutral
     * either way. */
   private lazy val entries: Seq[ManifestSink.Entry] = {
-    val m = ManifestSink.readAsOf(path, asOfVersion)
+    val m = ManifestSink.readRef(path, asOfVersion, branch)
     m.files.filter(e => restrictFiles.forall(_(e.name)) &&
       ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
   }
-  private lazy val manifest = ManifestSink.readAsOf(path, asOfVersion)
+  private lazy val manifest =
+    ManifestSink.readRef(path, asOfVersion, branch)
   private lazy val identityCol: Option[String] =
     if (!groupByPartition || entries.isEmpty) None
     else {
@@ -1854,7 +1984,7 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * column-pruning fraction — what lets Catalyst choose a broadcast
     * join against a small manifest table without scanning it. */
   override def estimateStatistics(): Statistics = {
-    val entries = ManifestSink.readAsOf(path, asOfVersion).files
+    val entries = ManifestSink.readRef(path, asOfVersion, branch).files
       .filter(e => restrictFiles.forall(_(e.name)) &&
         ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
     val rows = entries.map(_.liveRows).sum
@@ -2180,14 +2310,16 @@ final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
 /** Complete COUNT(*) pushdown: one partition, one row, computed from
   * the manifest's durable per-file row counts — no data file is ever
   * opened. */
-final class ManifestCountScan(path: String, asOfVersion: Option[Long])
+final class ManifestCountScan(path: String, asOfVersion: Option[Long],
+    branch: Option[String] = None)
     extends Scan {
   override def readSchema(): StructType =
     StructType.fromDDL("count_star BIGINT")
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(ManifestCountPartition(
-        ManifestSink.readAsOf(path, asOfVersion).files.map(_.liveRows).sum))
+        ManifestSink.readRef(path, asOfVersion, branch).files
+          .map(_.liveRows).sum))
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(

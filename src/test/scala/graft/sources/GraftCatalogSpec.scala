@@ -337,6 +337,61 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.rb")
   }
 
+  test("WAP branches: create_branch isolates staged writes, fast_forward publishes") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.wap (k BIGINT)")           // v0
+    spark.sql("INSERT INTO g.db.wap VALUES (1), (2)")       // v1
+    val forked = spark.sql(
+      "CALL g.system.create_branch('db.wap', 'stage')").head().getLong(0)
+    assert(forked === 1L)
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/wap"
+    // stage a batch against the branch — base chain untouched
+    spark.range(3, 6).select(col("id").as("k"))
+      .write.format("graft-manifest").option("branch", "stage")
+      .mode("append").save(dir)
+    assert(spark.sql("SELECT count(*) FROM g.db.wap")
+      .head().getLong(0) === 2L)                            // isolated
+    val audit = spark.read.format("graft-manifest")
+      .option("branch", "stage").load(dir)
+    assert(audit.count() === 5L)
+    assert(audit.agg(Map("k" -> "sum")).head().getLong(0) === 15L)
+    // guard rails: dangling branch writes and streaming writes refuse
+    intercept[Exception] {
+      spark.range(1).select(col("id").as("k"))
+        .write.format("graft-manifest").option("branch", "nope")
+        .mode("append").save(dir)
+    }
+    intercept[Exception] {
+      spark.read.format("graft-manifest").option("branch", "stage")
+        .option("asOfVersion", "1").load(dir).collect()
+    }
+    // publish: branch state becomes the new base version
+    val v = spark.sql(
+      "CALL g.system.fast_forward('db.wap', 'stage')").head().getLong(0)
+    assert(v === 2L)
+    assert(spark.sql("SELECT sum(k) FROM g.db.wap")
+      .head().getLong(0) === 15L)
+    // the pre-publish base stays time-travelable
+    assert(spark.sql("SELECT count(*) FROM g.db.wap VERSION AS OF 1")
+      .head().getLong(0) === 2L)
+    // the branch chain is retired
+    intercept[Exception] {
+      spark.read.format("graft-manifest").option("branch", "stage")
+        .load(dir).collect()
+    }
+    // abandoned branches drop cleanly and their files sweep later
+    spark.sql("CALL g.system.create_branch('db.wap', 'tmp')")
+    spark.range(9, 10).select(col("id").as("k"))
+      .write.format("graft-manifest").option("branch", "tmp")
+      .mode("append").save(dir)
+    spark.sql("CALL g.system.drop_branch('db.wap', 'tmp')")
+    assert(spark.sql("SELECT count(*) FROM g.db.wap")
+      .head().getLong(0) === 5L)
+    spark.sql("DROP TABLE g.db.wap")
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
