@@ -231,6 +231,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$p")
   }
 
+  test("ts_sessionize and win_sma_crossover are ONE keyed hash shuffle each") {
+    // ts_sessionize: gap lag, per-user gap moments, running break-sum
+    // AND the (user, session) rollup all ride one user_id exchange
+    // (HashPartitioning(user_id) satisfies the two-key grouping) —
+    // the win_islands doctrine. win_sma_crossover: both frame sums,
+    // both counts and the lag share the same (user_id, event_id)
+    // window spec.
+    for (name <- Seq("ts_sessionize", "win_sma_crossover")) {
+      val p = plan(name)
+      val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(n == 1, s"$name: expected exactly 1 hash exchange, got $n:\n$p")
+    }
+  }
+
   test("decontamination probes a broadcast benchmark set — no corpus shuffle for the join") {
     val p = plan("llm_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
