@@ -577,6 +577,34 @@ object CdcOps extends OpPack {
           sum(when(col("us") > col("frontier_us"), 1L).otherwise(0L))
             .as("n_held"))
         .orderBy(col("domain"))
+    }),
+
+    // Multi-master conflict resolution census — the write-write audit
+    // a bidirectional-replication topology needs beside
+    // cdc_merge_sources' ordering frontier: two source domains
+    // (event_id mod 2) write the SAME keys; per key, last-writer-wins
+    // by event time (event_id breaks exact ties deterministically —
+    // and the testdata's ts-monotone-in-event_id contract makes the
+    // two orders agree), plus per-domain write counts and a conflict
+    // flag (both domains wrote the key). The resolved value rides
+    // max_by on the SAME ordering, so winner fields are mutually
+    // consistent by construction. ONE map-side-combined hash agg:
+    // auditing a 100 TB multi-master log shuffles |keys| partials,
+    // never events.
+    "cdc_conflict_lww" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          pmod(col("event_id"), lit(2)).as("domain"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("domain") === 0, 1L).otherwise(0L)).as("n_d0"),
+          sum(when(col("domain") === 1, 1L).otherwise(0L)).as("n_d1"),
+          max(col("event_id")).as("winner_event"),
+          max_by(col("domain"), col("event_id")).as("winner_domain"),
+          max_by(col("cents"), col("event_id")).as("winner_cents"))
+        .withColumn("conflicted", col("n_d0") > 0 && col("n_d1") > 0)
+        .orderBy(col("user_id"))
     })
   )
 
@@ -628,6 +656,24 @@ object CdcOps extends OpPack {
         |  CAST(sum(CASE WHEN e.us > f.frontier_us THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_held
         |FROM ev e, f GROUP BY e.domain ORDER BY e.domain""".stripMargin,
+
+    "cdc_conflict_lww" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_id % 2 AS domain,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN domain = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_d0,
+        |  CAST(sum(CASE WHEN domain = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_d1,
+        |  max(event_id) AS winner_event,
+        |  arg_max(domain, event_id) AS winner_domain,
+        |  arg_max(cents, event_id) AS winner_cents,
+        |  sum(CASE WHEN domain = 0 THEN 1 ELSE 0 END) > 0 AND
+        |    sum(CASE WHEN domain = 1 THEN 1 ELSE 0 END) > 0
+        |    AS conflicted
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "cdc_hash_chain" ->
       """SELECT user_id, count(*) AS n_events,
