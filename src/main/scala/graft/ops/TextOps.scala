@@ -331,6 +331,43 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // T5-style SPAN CORRUPTION (the seq2seq denoising objective beside
+    // llm_mlm_mask's BERT-style token masking): contiguous 3-token
+    // spans on a 20-token stride, rotated per document by doc_id mod
+    // 20 (deterministic, engine-free arithmetic — no RNG), each
+    // masked RUN replaced by one numbered sentinel in the input and
+    // expanded to sentinel + original tokens in the target. Pure
+    // per-row array expressions — the corruption of a 100 TB corpus
+    // is a zero-shuffle scan, the llm_mlm_mask doctrine; texts ride
+    // as md5 per the serialization convention.
+    "llm_span_corruption" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("d", (col("doc_id") % 20).cast("int"))
+        .withColumn("pieces_in", expr(
+          "filter(transform(sequence(1, size(toks)), i -> " +
+            "CASE WHEN ((i - 1 + d) % 20) >= 3 THEN element_at(toks, i) " +
+            "WHEN ((i - 1 + d) % 20) = 0 OR i = 1 THEN " +
+            "concat('<extra_id_', CAST((i - 1 + d) div 20 AS STRING), " +
+            "'>') END), x -> x IS NOT NULL)"))
+        .withColumn("pieces_tg", expr(
+          "filter(transform(sequence(1, size(toks)), i -> " +
+            "CASE WHEN ((i - 1 + d) % 20) >= 3 THEN NULL " +
+            "WHEN ((i - 1 + d) % 20) = 0 OR i = 1 THEN " +
+            "concat('<extra_id_', CAST((i - 1 + d) div 20 AS STRING), " +
+            "'> ', element_at(toks, i)) " +
+            "ELSE element_at(toks, i) END), x -> x IS NOT NULL)"))
+        .select(col("doc_id"), size(col("toks")).as("n_tok"),
+          expr("aggregate(sequence(1, size(toks)), 0L, (a, i) -> " +
+            "a + IF(((i - 1 + d) % 20) < 3, 1L, 0L))").as("n_masked"),
+          expr("aggregate(sequence(1, size(toks)), 0L, (a, i) -> " +
+            "a + IF(((i - 1 + d) % 20) = 0 OR " +
+            "(i = 1 AND ((i - 1 + d) % 20) < 3), 1L, 0L))").as("n_spans"),
+          expr("md5(array_join(pieces_in, ' '))").as("input_md5"),
+          expr("md5(array_join(pieces_tg, ' '))").as("target_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-concentration quality signal: the Herfindahl index of each
     // document's unigram distribution in integer permille — the
     // entropy-free repetitiveness measure (1 - HHI is Gini-Simpson
@@ -945,6 +982,36 @@ object TextOps extends OpPack {
         |    FILTER (WHERE m), '') AS mask_pos,
         |  md5(string_agg(CASE WHEN m THEN '[MASK]' ELSE w END, ' '
         |    ORDER BY pos)) AS masked_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, pos, w,
+        |    ((pos - 1 + doc_id % 20) % 20) < 3 AS m,
+        |    ((pos - 1 + doc_id % 20) % 20) = 0 OR
+        |      (pos = 1 AND ((pos - 1 + doc_id % 20) % 20) < 3) AS rs,
+        |    (pos - 1 + doc_id % 20) // 20 AS k
+        |  FROM t)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  CAST(sum(CASE WHEN rs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spans,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN NOT m THEN w
+        |      WHEN rs THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        |    END, ' ' ORDER BY pos) FILTER (WHERE NOT m OR rs), ''))
+        |    AS input_md5,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN rs THEN
+        |      '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w
+        |      WHEN m THEN w END, ' ' ORDER BY pos)
+        |    FILTER (WHERE m), '')) AS target_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_gini" ->
