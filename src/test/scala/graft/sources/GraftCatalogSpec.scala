@@ -392,6 +392,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.wap")
   }
 
+  test("streaming foreachBatch drives SQL MERGE INTO the catalog table; replay is idempotent") {
+    // The CDC apply loop through the SQL DML route (CdcEndToEndSpec
+    // pins the ManifestSink.merge route): a micro-batched upsert feed
+    // applied by MERGE INTO per batch. Pure-upsert MERGE is naturally
+    // idempotent, so a re-delivered batch (the at-least-once case a
+    // foreachBatch sink must survive) leaves the table unchanged.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("DROP TABLE IF EXISTS g.db.tgt")
+    spark.sql("CREATE TABLE g.db.tgt (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO g.db.tgt VALUES (1, 10), (2, 20)")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val mergeSql =
+      """MERGE INTO g.db.tgt t USING merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("merge_src")
+        batch.sparkSession.sql(mergeSql)
+        ()
+      }.start()
+    try {
+      in.addData((2L, 99L), (3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def state() = spark.sql("SELECT k, v FROM g.db.tgt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state() === Seq((1L, 10L), (2L, 99L), (3L, 30L)))
+    // epoch re-delivery: the SAME batch merged again changes nothing
+    Seq((2L, 99L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(mergeSql)
+    assert(state() === Seq((1L, 10L), (2L, 99L), (3L, 30L)))
+    spark.sql("DROP TABLE g.db.tgt")
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
