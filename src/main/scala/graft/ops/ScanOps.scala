@@ -639,6 +639,44 @@ object ScanOps extends OpPack {
       main.unionAll(staged).unionAll(pub).orderBy("step")
     }),
 
+    // Z-ORDER maintenance on the manifest table (the OPTIMIZE ZORDER
+    // BY verb, layout_zorder's key machinery applied to the
+    // connector): a hash-scattered 4-file layout (every file spans
+    // BOTH full value ranges — zone maps prune nothing) is rewritten
+    // range-partitioned on the Morton interleave of (key, cents), so
+    // per-file min/max becomes tight on both columns and a range
+    // predicate on either prunes whole files (planned-partition
+    // reduction pinned in ManifestSinkSpec). The oracle re-computes
+    // the filtered slice from the parquet directly, proving the
+    // rewrite moved bytes without bending a value; file count and
+    // version pin the rewrite's snapshot arithmetic.
+    "sink_manifest_zorder" -> ((s, dir) => {
+      import graft.sources.ManifestSink
+      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/zorder-sink"
+      // fresh dir each run: the snapshot version in the output is
+      // construction-determined only from an empty chain
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(sink))
+      val src = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.repartition(4).write.mode("overwrite")
+        .format("graft-manifest").save(sink)                 // v1 scatter
+      ManifestSink.zorder(s, sink, "k", "cents", 4)          // v2 zorder
+      val b = src.agg(min(col("k")), max(col("k"))).head()
+      val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+      val m = ManifestSink.readManifest(sink)
+      s.read.format("graft-manifest").load(sink)
+        .filter(col("k") < thr)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"), max(col("k")).as("max_k"))
+        .withColumn("n_files", lit(m.files.size.toLong))
+        .withColumn("version", lit(m.version))
+    }),
+
     // Catalog-scoped SQL FUNCTIONS (DSv2 FunctionCatalog — the
     // Iceberg `system.bucket` shape): `graftsql.system.bucket(8, k)`
     // computes the format's PINNED on-disk bucket transform
@@ -1425,6 +1463,19 @@ object ScanOps extends OpPack {
         |  max(o_orderkey)
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY step""".stripMargin,
+
+    // the filtered slice straight off the parquet; file count and
+    // version are construction-determined (v1 scatter, v2 zorder)
+    "sink_manifest_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM base)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, max(k) AS max_k,
+        |  CAST(4 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS version
+        |FROM base, b WHERE k < lo + (hi - lo) // 4""".stripMargin,
 
     // main during audit = the %3<>0 base slice only; the branch and
     // the published state = all rows

@@ -169,6 +169,35 @@ private[sources] object GraftProcedures {
             from, to, nv)
         })(resolve)
 
+      case "zorder" => new Proc(
+        "zorder",
+        "Rewrite the current snapshot range-partitioned by the Morton " +
+          "interleave of two integral columns (OPTIMIZE ZORDER BY): " +
+          "zone maps become tight on BOTH columns; prior layout stays " +
+          "time-travelable",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("col_a", StringType, "first cluster column (integral)"),
+          ("col_b", StringType, "second cluster column (integral)"),
+          ("target_files", IntegerType, "data-file count to rewrite to")),
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val before = ManifestSink.readManifest(dir).files.size.toLong
+          ManifestSink.zorder(SparkSession.active, dir,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getInt(3))
+          val m = ManifestSink.readManifest(dir)
+          result(StructType(Seq(
+            StructField("files_before", LongType, nullable = false),
+            StructField("files_after", LongType, nullable = false),
+            StructField("version", LongType, nullable = false))),
+            before, m.files.size.toLong, m.version)
+        })(resolve)
+
       case "create_branch" => new Proc(
         "create_branch",
         "Fork the current snapshot as a WAP branch (O(metadata)): " +
@@ -227,9 +256,9 @@ private[sources] object GraftProcedures {
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unknown procedure '$other' — " +
           "compact / create_branch / drop_branch / fast_forward / " +
-          "rollback / vacuum / sweep_deletes")
+          "rollback / vacuum / sweep_deletes / zorder")
     }
 
   val names: Seq[String] = Seq("compact", "create_branch", "drop_branch",
-    "fast_forward", "rollback", "sweep_deletes", "vacuum")
+    "fast_forward", "rollback", "sweep_deletes", "vacuum", "zorder")
 }

@@ -534,6 +534,37 @@ object ManifestSink {
       .repartition(targetFiles)
       .write.mode("overwrite").format("graft-manifest").save(dir)
 
+  /** Z-ORDER cluster rewrite (the Delta/Iceberg `OPTIMIZE … ZORDER BY`
+    * verb): rewrite the current snapshot range-partitioned by the
+    * Morton interleave of TWO integral columns, so the manifest's
+    * per-file zone maps become tight on BOTH columns at once — after
+    * the rewrite a range predicate on EITHER column prunes whole
+    * files where a single-column sort would only serve one of them.
+    * Each dimension is min/max-scaled into 12 bits (two bounded
+    * driver scalars — the established census pattern), interleaved by
+    * [[graft.functions.ZOrder.zvalue]] (pure bitwise BIGINT, stays in
+    * codegen), then ONE range shuffle + rewrite. The prior layout
+    * stays time-travelable; empty/all-null dimensions degrade to a
+    * plain [[compact]]. */
+  def zorder(spark: org.apache.spark.sql.SparkSession, dir: String,
+      colA: String, colB: String, targetFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-manifest").load(dir)
+    val b = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) { compact(spark, dir, targetFiles); return }
+    def scaled(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else expr(s"((CAST(`$c` AS BIGINT) - ${lo}L) * 4095) div ${hi - lo}L")
+    df.withColumn("_gx", scaled(colA, b.getLong(0), b.getLong(1)))
+      .withColumn("_gy", scaled(colB, b.getLong(2), b.getLong(3)))
+      .withColumn("_gz", graft.functions.ZOrder.zvalue("_gx", "_gy", 12))
+      .repartitionByRange(targetFiles, col("_gz"))
+      .drop("_gx", "_gy", "_gz")
+      .write.mode("overwrite").format("graft-manifest").save(dir)
+  }
+
   /** Row-level DELETE, merge-on-read (the Iceberg positional-delete /
     * delete-vector design at single-document scale): rows matching
     * `condition` (a SQL predicate over the table's columns) are NOT

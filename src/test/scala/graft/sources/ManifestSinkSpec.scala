@@ -283,6 +283,40 @@ class ManifestSinkSpec extends AnyFunSuite {
       s"got: ${chain(e).mkString(" | ")}")
   }
 
+  test("zorder rewrite makes zone maps prune on BOTH cluster columns") {
+    val dir = scratch("zorder")
+    val src = graft.Tables(spark, sf, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // hash-scattered: every file spans both full ranges, nothing prunes
+    src.repartition(4).write.mode("overwrite")
+      .format("graft-manifest").save(dir)
+    def planned(c: String, thr: Long): Int = {
+      val q = spark.read.format("graft-manifest").load(dir)
+        .filter(col(c) < thr)
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }
+      scans.head.inputRDD.getNumPartitions
+    }
+    val b = src.agg(min(col("k")), max(col("k")),
+      min(col("cents")), max(col("cents"))).head()
+    val kThr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+    val cThr = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 8
+    assert(planned("k", kThr) === 4, "scattered layout must not prune")
+    val before = src.filter(col("k") < kThr).agg(sum(col("cents")))
+      .head().getLong(0)
+    ManifestSink.zorder(spark, dir, "k", "cents", 4)
+    // a narrow range on EITHER dimension now prunes whole files
+    assert(planned("k", kThr) < 4, "zorder should prune on col A")
+    assert(planned("cents", cThr) < 4, "zorder should prune on col B")
+    // and the rewrite bent no value
+    val after = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") < kThr).agg(sum(col("cents"))).head().getLong(0)
+    assert(after === before)
+  }
+
   test("zone maps prune whole files: a key-range read plans fewer partitions") {
     val dir = scratch("zonemap")
     val src = graft.Tables(spark, sf, "orders")
