@@ -138,6 +138,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               "files have no values for them")
         schema = schema.add(add.fieldNames()(0), add.dataType(),
           nullable = true)
+      case del: TableChange.DeleteColumn =>
+        // metadata-only, same doctrine as ADD COLUMN: readers resolve
+        // columns by NAME per file, so a dropped column simply stops
+        // being projected — no data file is rewritten, and time travel
+        // still reads it in the old snapshots' own schema. (RENAME
+        // COLUMN is deliberately unsupported: name-based resolution
+        // would orphan every existing file's values.)
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft-manifest: only top-level DROP COLUMN is supported")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name))
+          throw new IllegalArgumentException(
+            s"graft-manifest: no column '$name' to drop")
+        if (schema.fields.length == 1)
+          throw new UnsupportedOperationException(
+            "graft-manifest: cannot drop the last column")
+        schema = StructType(schema.fields.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unsupported table change $other")
     }

@@ -432,6 +432,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.tgt")
   }
 
+  test("ALTER TABLE DROP COLUMN is metadata-only; time travel keeps the old shape") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.dc (k BIGINT, junk STRING, v BIGINT)")
+    spark.sql("INSERT INTO g.db.dc VALUES (1, 'x', 10), (2, 'y', 20)")  // v1
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dataBefore = Option(new java.io.File(s"$wh/db/dc").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .map(f => f.getName -> f.lastModified()).toMap
+    spark.sql("ALTER TABLE g.db.dc DROP COLUMN junk")                   // v2
+    // dropped from the current shape...
+    assert(spark.sql("SELECT * FROM g.db.dc").schema.fieldNames.toSeq
+      === Seq("k", "v"))
+    assert(spark.sql("SELECT sum(v) FROM g.db.dc").head().getLong(0)
+      === 30L)
+    // ...no data file touched...
+    val dataAfter = Option(new java.io.File(s"$wh/db/dc").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(dataAfter === dataBefore)
+    // ...time travel reads the pre-drop snapshot in its OWN shape...
+    val old = spark.sql("SELECT * FROM g.db.dc VERSION AS OF 1")
+    assert(old.schema.fieldNames.toSeq === Seq("k", "junk", "v"))
+    assert(old.count() === 2L)
+    // ...appends after the drop interleave with pre-drop files
+    spark.sql("INSERT INTO g.db.dc VALUES (3, 30)")
+    assert(spark.sql("SELECT sum(k), sum(v) FROM g.db.dc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((6L, 60L)))
+    // guard rails: unknown column, last column, rename all refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.dc DROP COLUMN nope") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.dc RENAME COLUMN v TO w") }
+    spark.sql("DROP TABLE g.db.dc")
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
