@@ -200,6 +200,42 @@ object ScanOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Raw-asset ingestion via Spark's built-in `binaryFile` source —
+    // the multimodal on-ramp (image/audio shards land as FILES long
+    // before they are columns; this is the scan that turns a bucket
+    // of blobs into (path, length, content) rows, partitioned by
+    // file). Fixture: every 100th document's text written as a .bin
+    // blob (bounded driver loop — test scaffolding, not the
+    // operator); the distributed scan reads bytes back, and byte
+    // length + md5(content) must equal the oracle's octet_length +
+    // md5 over the source strings — proving the bytes survived the
+    // file round-trip untouched. At 100 TB this scan is
+    // files-parallel and never buffers more than one blob per task.
+    "scan_binaryfile" -> ((s, dir) => {
+      val scratch =
+        new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-scratch/binfiles")
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(scratch); scratch.mkdirs()
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(scratch, s"doc_${r.getLong(0)}.bin").toPath,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").load(scratch.toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // XML sink + source roundtrip (Spark 4's built-in XML source —
     // formerly spark-xml): write region as <row> elements, read back
     // with an explicit schema + rowTag. The fourth file-format leg of
@@ -1598,6 +1634,15 @@ object ScanOps extends OpPack {
     "scan_text_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte length of the UTF-8 file == octet_length of the source
+    // text; md5 over bytes == DuckDB md5 over the string's UTF-8
+    "scan_binaryfile" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 100 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "scan_xml_roundtrip" ->
       """SELECT r_regionkey, r_name
