@@ -433,10 +433,54 @@ object FnOps extends OpPack {
         .select(col("month"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy(col("month"))
+    }),
+
+    // SQL-defined functions (Spark 4's `CREATE FUNCTION … RETURN` —
+    // scalar SQL UDFs and SQL TABLE functions): the reusable-logic
+    // surface that needs NO Scala and stays fully inside Catalyst
+    // (the function body is inlined into the plan at analysis, so
+    // codegen/pushdown see plain expressions — unlike a black-box
+    // lambda UDF). A scalar money-cents UDF composes inside a
+    // parameterized table function (per-status revenue by price
+    // tier), invoked twice with different arguments and unioned.
+    // CREATE OR REPLACE keeps the definition idempotent across bench
+    // warm-up re-runs in one session.
+    "fn_sql_udf" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("sqludf_orders")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE) " +
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(x DOUBLE) " +
+        "RETURNS STRING RETURN CASE WHEN x >= 200000 THEN 'high' " +
+        "WHEN x >= 100000 THEN 'mid' ELSE 'low' END")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+        graft_rev_by_tier(status STRING)
+        RETURNS TABLE(tier STRING, n BIGINT, cents BIGINT)
+        RETURN SELECT graft_tier(o_totalprice),
+          CAST(count(*) AS BIGINT),
+          CAST(sum(graft_cents(o_totalprice)) AS BIGINT)
+        FROM sqludf_orders WHERE o_orderstatus = status GROUP BY 1""")
+      s.sql("""
+        SELECT 'F' AS status, tier, n, cents FROM graft_rev_by_tier('F')
+        UNION ALL
+        SELECT 'O', tier, n, cents FROM graft_rev_by_tier('O')
+        ORDER BY status, tier""")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_sql_udf" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus AS status,
+        |    CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |      WHEN o_totalprice >= 100000 THEN 'mid'
+        |      ELSE 'low' END AS tier,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |SELECT status, tier, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS cents
+        |FROM t GROUP BY status, tier
+        |ORDER BY status, tier""".stripMargin,
+
     "fn_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS uname,
