@@ -305,6 +305,45 @@ object StatOps extends OpPack {
         .orderBy(col("vec_id"))
     }),
 
+    // PQ ADC search (asymmetric distance computation — the production
+    // ANN scan shape: the probe stays full-precision, the corpus is
+    // only its PQ codes): L1 distance between the probe and each
+    // vector's grid reconstruction, integer fixed-point end-to-end
+    // (the llm_vec_pq quantizer is deterministic arithmetic, so —
+    // unlike learned-codebook PQ — the WHOLE search is hash-oracled,
+    // not recall-pinned). Top-10 by (dist, vec_id), rank-only output.
+    // SCALE: this is the memory-bandwidth story at 100 TB — the scan
+    // touches one 24-bit code word per vector instead of 64 floats
+    // (~10× less IO), and the probe rides a broadcast 1-row cross
+    // (scalar-gate shape); ORDER BY+LIMIT keeps TakeOrderedAndProject
+    // (per-partition top-k, driver merge — no global sort).
+    "llm_ann_pq_adc" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("xu", expr(
+          "transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      val codes = emb.withColumn("digits", expr(
+          "transform(sequence(0, 7), j -> least(greatest(" +
+            "(aggregate(slice(xu, j * 8 + 1, 8), 0L, (a, v) -> a + v) " +
+            "div 8 + 1000000) div 250000, 0L), 7L))"))
+        .select(col("vec_id"), col("digits"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("xu").as("probe_u"))
+      val scored = codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("dist_u", expr(
+          "aggregate(sequence(0, 63), 0L, (a, i) -> a + " +
+            "abs(element_at(probe_u, CAST(i + 1 AS INT)) - " +
+            "(element_at(digits, CAST(i div 8 + 1 AS INT)) * 250000 " +
+            "- 875000)))"))
+        .select(col("vec_id"), col("dist_u"))
+        .orderBy(col("dist_u"), col("vec_id")).limit(10)
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("dist_u"), col("vec_id"))).cast("int"))
+        .select(col("rank"), col("vec_id"), col("dist_u"))
+        .orderBy(col("rank"))
+    }),
+
     // Per-nation Pareto frontier (skyline) of customers on
     // (revenue, account balance): a customer is on the frontier iff no
     // other customer of the nation weakly dominates it (>= in both
@@ -1022,6 +1061,41 @@ object StatOps extends OpPack {
         |  CAST(min(ttr_pm) AS BIGINT) AS min_ttr_pm,
         |  CAST(sum(ttr_pm) // count(*) AS BIGINT) AS mean_ttr_pm
         |FROM cr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_ann_pq_adc" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS xu
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(xu, 1) - 1 AS i,
+        |    unnest(xu) AS v
+        |  FROM u),
+        |sv AS (
+        |  SELECT vec_id, i // 8 AS j, sum(v) AS s
+        |  FROM e GROUP BY vec_id, i // 8),
+        |dg AS (
+        |  SELECT vec_id, j,
+        |    least(greatest((s // 8 + 1000000) // 250000, 0), 7) AS d
+        |  FROM sv),
+        |pe AS (
+        |  SELECT generate_subscripts(xu, 1) - 1 AS i, unnest(xu) AS v
+        |  FROM u WHERE vec_id = 0),
+        |dist AS (
+        |  SELECT g.vec_id,
+        |    CAST(sum(abs(pe.v - (g.d * 250000 - 875000))) AS BIGINT)
+        |      AS dist_u
+        |  FROM dg g JOIN pe ON pe.i // 8 = g.j
+        |  WHERE g.vec_id <> 0
+        |  GROUP BY g.vec_id),
+        |top AS (
+        |  SELECT * FROM dist ORDER BY dist_u, vec_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY dist_u, vec_id) AS INT)
+        |    AS rank, vec_id, dist_u
+        |FROM top ORDER BY rank""".stripMargin,
 
     "llm_vec_pq" ->
       """WITH u AS (

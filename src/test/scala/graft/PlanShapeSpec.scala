@@ -400,7 +400,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "cdc_merge_sources",
       // fn_catalog_dot crosses the broadcast 1-row probe vector (the
       // llm_sim_cosine shape, through the FunctionCatalog route).
-      "fn_catalog_dot")
+      "fn_catalog_dot",
+      // llm_ann_pq_adc crosses the broadcast 1-row full-precision
+      // probe against the PQ code scan (llm_sim_cosine shape).
+      "llm_ann_pq_adc")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
