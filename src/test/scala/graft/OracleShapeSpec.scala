@@ -34,6 +34,39 @@ class OracleShapeSpec extends AnyFunSuite {
         s"serialize with array_join: ${offenders.mkString(", ")}")
   }
 
+  test("sma crossover signals strictly alternate golden/death per user") {
+    // A crossover is a SIGN CHANGE by definition — two consecutive
+    // signals of the same direction for one user mean the detector
+    // re-fired without the fast mean ever crossing back.
+    val rows = SparkEntry.queries("win_sma_crossover")(spark, sf)
+      .select("user_id", "event_id", "signal").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sigs = rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+      sigs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a != b, s"user $u fired $a twice in a row")
+        case _ => ()
+      }
+    }
+  }
+
+  test("adaptive sessionization partitions each user's events exactly") {
+    val out = SparkEntry.queries("ts_sessionize")(spark, sf)
+      .select("user_id", "session_no", "n_events", "duration_us")
+      .collect()
+    // totality: session sizes sum to the event count, nothing dropped
+    val total = out.map(_.getLong(2)).sum
+    assert(total === graft.Tables(spark, sf, "events").count())
+    out.foreach(r => assert(r.getLong(3) >= 0L))
+    // numbering is dense from 1 within each user (the running
+    // break-sum can neither skip nor repeat a session id)
+    out.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ids === (1L to ids.length).toSeq,
+        s"user $u sessions not dense: $ids")
+    }
+  }
+
   test("every oracle entry has a registered query and vice-versa coverage " +
     "is declared") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
