@@ -223,9 +223,11 @@ object ScanOps extends OpPack {
         .filter(col("doc_id") % 100 === 0)
         .select(col("doc_id"), col("text")).collect()
         .foreach { r =>
+          // NULL text lands as an empty blob (coalesce in the oracle)
           java.nio.file.Files.write(
             new java.io.File(scratch, s"doc_${r.getLong(0)}.bin").toPath,
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Option(r.getString(1)).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       s.read.format("binaryFile").load(scratch.toString)
         .select(
@@ -408,7 +410,11 @@ object ScanOps extends OpPack {
       graft.sources.ManifestSink.update(s, scratch,
         "o_orderkey % 11 = 0",
         Map("o_orderstatus" -> "'X'"))          // v4+v5: update
-      graft.sources.ManifestSink.changes(s, scratch, 1L, 5L)
+      // row-level no-ops (0 rows matched on degenerate input) publish
+      // NO snapshot, so the upper bound is the chain's actual head —
+      // v5 on the testdata, possibly v2 on an empty corpus
+      val cur = graft.sources.ManifestSink.readManifest(scratch).version
+      graft.sources.ManifestSink.changes(s, scratch, 1L, cur)
         .groupBy(col("_change_version").as("change_version"),
           col("_change_type").as("change_type"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -703,7 +709,11 @@ object ScanOps extends OpPack {
         .format("graft-manifest").save(sink)                 // v1 scatter
       ManifestSink.zorder(s, sink, "k", "cents", 4)          // v2 zorder
       val b = src.agg(min(col("k")), max(col("k"))).head()
-      val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+      // empty corpus: no bounds — any threshold yields the same empty
+      // slice, and zorder itself already degraded to a plain compact
+      val thr =
+        if (b.isNullAt(0)) 0L
+        else b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
       val m = ManifestSink.readManifest(sink)
       s.read.format("graft-manifest").load(sink)
         .filter(col("k") < thr)
@@ -761,11 +771,14 @@ object ScanOps extends OpPack {
       s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
       Tables(s, dir, "documents").createOrReplaceTempView("graft_fnv_src")
+      // fnv64 is the format's NON-NULL hash contract (the write path
+      // never hashes nulls — bloom/eq-delete keys skip them), so the
+      // audit filters nulls rather than defining fnv64(NULL)
       s.sql("""
         SELECT count(*) AS n_docs,
           count(DISTINCT graftsql.system.fnv64(text)) AS n_hashes,
           count(DISTINCT text) AS n_texts
-        FROM graft_fnv_src""")
+        FROM graft_fnv_src WHERE text IS NOT NULL""")
     }),
 
     // `graftsql.system.dot(a, b)`: embedding dot product as a
@@ -1468,7 +1481,7 @@ object ScanOps extends OpPack {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT text) AS n_hashes,
         |  count(DISTINCT text) AS n_texts
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "fn_catalog_dot" ->
       """SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)
@@ -1639,8 +1652,9 @@ object ScanOps extends OpPack {
     // text; md5 over bytes == DuckDB md5 over the string's UTF-8
     "scan_binaryfile" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
-        |  md5(text) AS content_md5
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+        |    AS length,
+        |  md5(coalesce(text, '')) AS content_md5
         |FROM documents WHERE doc_id % 100 = 0
         |ORDER BY doc_id""".stripMargin,
 
