@@ -56,7 +56,10 @@ class DegenerateInputSpec extends AnyFunSuite {
     "llm_ann_ivf_exact", "llm_ann_knn", "llm_ann_knn_exact",
     "llm_dedup_semantic", "sink_partitioned", "join_bloom_prefilter",
     "agg_sketch_bloom", "win_gapfill", "ts_resample_linear", "ts_cusum",
-    "cdc_time_travel", "agg_regression")
+    "cdc_time_travel", "agg_regression",
+    // round-7 session-5 sweep: no-op row-level commits shorten the
+    // version chain (cdf range), empty min/max bounds (zorder)
+    "sink_manifest_cdf", "sink_manifest_zorder")
 
   for (q <- fixed) {
     test(s"$q answers on empty tables") {
@@ -75,7 +78,10 @@ class DegenerateInputSpec extends AnyFunSuite {
   private val nullFixed = Seq("llm_ann_ivf", "llm_ann_knn",
     "llm_dedup_semantic", "diag_dist_drift", "mm_pack_batches",
     "sample_pack", "sink_manifest_update", "win_rolling_mad",
-    "win_rolling_median", "agg_sketch_kll", "scan_text_roundtrip")
+    "win_rolling_median", "agg_sketch_kll", "scan_text_roundtrip",
+    // round-7 session-5 sweep: null text payloads (declared rules —
+    // empty blob / non-null hash contract)
+    "scan_binaryfile", "fn_catalog_fnv")
 
   for (q <- nullFixed) {
     test(s"$q answers on all-null payload columns") {
