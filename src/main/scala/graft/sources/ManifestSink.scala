@@ -90,6 +90,14 @@ final class ManifestSinkProvider extends TableProvider
     // (file name + row ordinal) — what row-level DELETE computes
     // positions from (Iceberg's _file/_pos metadata columns)
     if (opts.exists { case (k, v) =>
+        k.equalsIgnoreCase("readChangeFeed") && v.toBoolean })
+      return StructType(base.fields
+        :+ org.apache.spark.sql.types.StructField(ManifestSink.CdfTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false)
+        :+ org.apache.spark.sql.types.StructField(
+          ManifestSink.CdfVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    if (opts.exists { case (k, v) =>
         k.equalsIgnoreCase("withRowMeta") && v.toBoolean })
       StructType(base.fields
         :+ org.apache.spark.sql.types.StructField(ManifestSink.MetaFileCol,
@@ -134,6 +142,8 @@ object ManifestSink {
     * identity row-level DELETE is computed against. */
   val MetaFileCol = "_graft_file"
   val MetaPosCol = "_graft_pos"
+  val CdfTypeCol = "_change_type"
+  val CdfVersionCol = "_change_version"
 
   /** Columnar page bounds: a page closes at this many rows or this
     * many buffered encoded bytes, whichever first — bounds writer
@@ -1384,6 +1394,9 @@ final class ManifestTable(tableSchema: StructType, path: String,
       // audit read of a WAP branch chain (mutually exclusive with
       // time travel — readRef refuses the combination)
       private val branchOpt = Option(options.get("branch"))
+      // streaming change-data-feed read (schema gains the two CDF
+      // columns in inferSchema; batch CDF stays ManifestSink.changes)
+      private val cdf = options.getBoolean("readChangeFeed", false)
       // `restrictFiles` plans ONLY the named manifest entries — the
       // change-data-feed pruning hook ([[ManifestSink.changes]]): a
       // version-step diff proves most files unchanged from the
@@ -1459,7 +1472,7 @@ final class ManifestTable(tableSchema: StructType, path: String,
         if (countPushed) new ManifestCountScan(path, asOf, branchOpt)
         else new ManifestScan(tableSchema, required, path, asOf, zoneFilters,
           options.getBoolean("groupByPartition", false), restrict,
-          options.getBoolean("ignoreChanges", false), branchOpt)
+          options.getBoolean("ignoreChanges", false), branchOpt, cdf)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1968,7 +1981,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     groupByPartition: Boolean = false,
     restrictFiles: Option[Set[String]] = None,
     ignoreChanges: Boolean = false,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    readChangeFeed: Boolean = false)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = prunedSchema
@@ -2083,8 +2097,15 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(asOfVersion.isEmpty,
       "graft-manifest: cannot stream from a VERSION AS OF read")
-    new ManifestMicroBatchStream(path, fullSchema.toDDL,
-      prunedSchema.fieldNames, zoneFilters, ignoreChanges)
+    if (readChangeFeed)
+      new ManifestCdfMicroBatchStream(path,
+        StructType(fullSchema.fields.filterNot(f =>
+          f.name == ManifestSink.CdfTypeCol ||
+            f.name == ManifestSink.CdfVersionCol)).toDDL,
+        prunedSchema.fieldNames, ignoreChanges)
+    else
+      new ManifestMicroBatchStream(path, fullSchema.toDDL,
+        prunedSchema.fieldNames, zoneFilters, ignoreChanges)
   }
 }
 
@@ -2158,6 +2179,161 @@ final class ManifestMicroBatchStream(path: String, tableSchemaDdl: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Partition of the streaming CHANGE feed: an ordinary manifest
+  * partition plus the change row's constant (type, version) tag. */
+final case class CdfInputPartition(inner: ManifestInputPartition,
+    changeType: String, version: Long) extends InputPartition
+
+/** Streaming CHANGE-DATA-FEED source (the Delta `readChangeFeed`
+  * stream shape — the lakehouse as a CDC SOURCE): offsets are
+  * snapshot versions like the append stream, but each version step
+  * emits CHANGE ROWS, deletes included:
+  *
+  *  - the initial batch is the starting snapshot as `insert` rows;
+  *  - a file added by version v emits its (as-of-v-visible) rows as
+  *    `insert`;
+  *  - a file removed by v emits its (as-of-v−1-visible) rows as
+  *    `delete`;
+  *  - a file whose DELETE-VECTOR stack grew emits exactly the rows at
+  *    the DELTA vectors' positions as `delete` (stacks are
+  *    append-only and disjoint by the DELETE contract, so
+  *    pass-prev-mask-then-hit-delta is exact, computed per partition
+  *    with zero cross-partition state); a new applicable EQUALITY
+  *    delete emits the rows it masks the same way;
+  *  - a compaction / copy-on-write commit retires old file names and
+  *    introduces new ones, so surviving rows re-emit as delete+insert
+  *    at their new physical addresses — the feed is ADDRESS-level,
+  *    exactly the batch [[ManifestSink.changes]] contract (consumers
+  *    keyed on logical ids treat the pair as a no-op move); a
+  *    SAME-NAME byte rewrite (impossible under task-unique file
+  *    naming) is refused defensively unless `ignoreChanges`.
+  *
+  * Planning is pure manifest arithmetic; only changed files are ever
+  * opened — the restrictFiles doctrine of the batch
+  * [[ManifestSink.changes]], whose output this stream matches
+  * step for step (pinned in ManifestSinkSpec). */
+final class ManifestCdfMicroBatchStream(path: String,
+    tableSchemaDdl: String, prunedFieldNames: Array[String],
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class VOffset(version: Long) extends Offset {
+    override def json(): String = s"""{"version":$version}"""
+  }
+
+  override def initialOffset(): Offset = VOffset(-1L)
+  override def latestOffset(): Offset =
+    VOffset(ManifestSink.readManifest(path).version)
+  override def deserializeOffset(json: String): Offset =
+    VOffset(new ObjectMapper().readTree(json).get("version").asLong())
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VOffset].version
+    val e = end.asInstanceOf[VOffset].version
+    if (e <= s) return Array.empty
+    def applicableEq(m: ManifestSink.Manifest, en: ManifestSink.Entry) =
+      m.eqDeletes.filter(_.seq > en.seq.getOrElse(0L))
+    def partOf(m: ManifestSink.Manifest, en: ManifestSink.Entry,
+        kind: String, v: Long,
+        cdfDel: Seq[ManifestSink.DelFile] = Nil,
+        cdfEq: Seq[ManifestSink.EqDelete] = Nil): InputPartition =
+      CdfInputPartition(ManifestInputPartition(s"$path/${en.name}",
+        en.rows, en.crc, en.schemaDdl.getOrElse(m.schemaDdl), en.deletes,
+        applicableEq(m, en), cdfDel, cdfEq), kind, v)
+    if (s < 0) {
+      val m = ManifestSink.readAsOf(path, Some(e))
+      m.files.map(partOf(m, _, "insert", e)).toArray
+    } else (s + 1 to e).flatMap { v =>
+      val curr = ManifestSink.readAsOf(path, Some(v))
+      val prev = ManifestSink.readAsOf(path, Some(v - 1))
+      val prevBy = prev.files.map(en => en.name -> en).toMap
+      val currBy = curr.files.map(en => en.name -> en).toMap
+      val adds = curr.files.filterNot(en => prevBy.contains(en.name))
+        .map(partOf(curr, _, "insert", v))
+      val removes = prev.files.filterNot(en => currBy.contains(en.name))
+        .map(partOf(prev, _, "delete", v))
+      val deltas = curr.files.flatMap { en =>
+        prevBy.get(en.name).toSeq.flatMap { pe =>
+          if (pe.rows != en.rows || pe.crc != en.crc) {
+            if (ignoreChanges) Nil
+            else throw new IllegalStateException(
+              s"graft-manifest change feed: version $v of $path " +
+                s"rewrote file ${en.name} in place (compaction or " +
+                "copy-on-write) — no row-level change is attributable; " +
+                "restart from a fresh checkpoint or declare " +
+                "option(\"ignoreChanges\", \"true\")")
+          } else {
+            val prevDelNames = pe.deletes.map(_.name).toSet
+            val deltaDel =
+              en.deletes.filterNot(d => prevDelNames.contains(d.name))
+            val prevEq = applicableEq(prev, pe).toSet
+            val deltaEq =
+              applicableEq(curr, en).filterNot(prevEq.contains)
+            if (deltaDel.isEmpty && deltaEq.isEmpty) Nil
+            // the row must have been VISIBLE in v−1 (prev masks) and
+            // be hit by the delta — exactly the newly-deleted rows
+            else Seq(CdfInputPartition(ManifestInputPartition(
+              s"$path/${en.name}", pe.rows, pe.crc,
+              pe.schemaDdl.getOrElse(prev.schemaDdl), pe.deletes,
+              applicableEq(prev, pe), deltaDel, deltaEq),
+              "delete", v))
+          }
+        }
+      }
+      adds ++ removes ++ deltas
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(tableSchemaDdl, prunedFieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Wraps the ordinary manifest reader, appending the change row's
+  * constant `_change_type` / `_change_version` columns in whatever
+  * positions the pruned projection requested them. */
+final class CdfReaderFactory(tableSchemaDdl: String,
+    prunedFieldNames: Array[String]) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfInputPartition]
+    val innerNames = prunedFieldNames.filterNot(n =>
+      n == ManifestSink.CdfTypeCol || n == ManifestSink.CdfVersionCol)
+    val inner = new ManifestReaderFactory(tableSchemaDdl, innerNames)
+      .createReader(p.inner)
+    val tableSchema = StructType.fromDDL(tableSchemaDdl)
+    val typeUtf8 =
+      org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)
+    val out = new GenericInternalRow(prunedFieldNames.length)
+    // per-slot copier: CDF constants, or (inner ordinal, data type)
+    val copiers: Array[InternalRow => Any] =
+      prunedFieldNames.map { n =>
+        if (n == ManifestSink.CdfTypeCol) (_: InternalRow) => typeUtf8
+        else if (n == ManifestSink.CdfVersionCol)
+          (_: InternalRow) => p.version
+        else {
+          val i = innerNames.indexOf(n)
+          val dt = tableSchema(n).dataType
+          (r: InternalRow) => r.get(i, dt)
+        }
+      }
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        var j = 0
+        while (j < copiers.length) { out.update(j, copiers(j)(r)); j += 1 }
+        out
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** Group-based COPY-ON-WRITE row-level operation (SQL UPDATE / MERGE
@@ -2336,7 +2512,14 @@ final case class ManifestGroupedPartition(
 final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
     fileSchemaDdl: String,
     deletes: Seq[ManifestSink.DelFile] = Nil,
-    eqDels: Seq[ManifestSink.EqDelete] = Nil) extends InputPartition
+    eqDels: Seq[ManifestSink.EqDelete] = Nil,
+    // change-data-feed DELTA selection: when either is non-empty the
+    // reader emits ONLY rows that pass the normal masks above AND are
+    // hit by one of these (the "newly deleted this version" rows —
+    // delta delete vectors are disjoint from prior ones by the DELETE
+    // contract, so pass-then-hit is exact)
+    cdfDeletes: Seq[ManifestSink.DelFile] = Nil,
+    cdfEqDels: Seq[ManifestSink.EqDelete] = Nil) extends InputPartition
 
 /** Complete COUNT(*) pushdown: one partition, one row, computed from
   * the manifest's durable per-file row counts — no data file is ever
@@ -2477,12 +2660,13 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   // merge-on-read: physical ordinals masked by this file's delete
   // files (CRC + count verified at load; disjoint by the DELETE
   // contract). `seen` IS the current physical ordinal.
-  private val delBits: java.util.BitSet =
-    if (p.deletes.isEmpty) null
+  private def loadDelBits(
+      dels: Seq[ManifestSink.DelFile]): java.util.BitSet =
+    if (dels.isEmpty) null
     else {
       val bs = new java.util.BitSet()
       val parent = new File(p.file).getParentFile
-      p.deletes.foreach { d =>
+      dels.foreach { d =>
         val crc = new CRC32()
         val din = new DataInputStream(new CheckedInputStream(
           new BufferedInputStream(
@@ -2501,6 +2685,12 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
       }
       bs
     }
+  private val delBits: java.util.BitSet = loadDelBits(p.deletes)
+  // CDF delta selection (see ManifestInputPartition): rows must pass
+  // the masks above AND be hit by one of these
+  private val cdfBits: java.util.BitSet = loadDelBits(p.cdfDeletes)
+  private val cdfSelecting =
+    p.cdfDeletes.nonEmpty || p.cdfEqDels.nonEmpty
   private val fileNameUtf8 =
     org.apache.spark.unsafe.types.UTF8String
       .fromString(new File(p.file).getName)
@@ -2508,8 +2698,9 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   // columns even when the projection doesn't (a mask column the file
   // predates is NULL file-wide and never matches — dropped here).
   // Masks on one column share that column's block buffer.
-  private val eqMasks: Array[(Int, java.util.HashSet[Object])] =
-    p.eqDels.flatMap { d =>
+  private def buildEqMasks(dels: Seq[ManifestSink.EqDelete])
+      : Array[(Int, java.util.HashSet[Object])] =
+    dels.flatMap { d =>
       val i = fileSchema.fieldNames.indexOf(d.col)
       if (i < 0) None
       else {
@@ -2524,8 +2715,11 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
         Some((i, set))
       }
     }.toArray
+  private val eqMasks = buildEqMasks(p.eqDels)
+  private val cdfEqMasks = buildEqMasks(p.cdfEqDels)
   // distinct file columns the masks need, with their own read buffers
-  private val maskCols: Array[Int] = eqMasks.map(_._1).distinct
+  private val maskCols: Array[Int] =
+    (eqMasks.map(_._1) ++ cdfEqMasks.map(_._1)).distinct
   private val maskColPos: Array[Int] = {
     val m = Array.fill(fileSchema.length)(-1)
     maskCols.zipWithIndex.foreach { case (c, i) => m(c) = i }
@@ -2555,11 +2749,13 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
   /** Peek the current row's mask-column values (no offset advance):
     * true iff some applicable equality delete matches. NULL key
     * values never match (SQL equality semantics). */
-  private def eqMaskedPeek(): Boolean = {
-    if (eqMasks.isEmpty) return false
+  private def eqMaskedPeek(): Boolean = maskPeek(eqMasks)
+  private def maskPeek(
+      masks: Array[(Int, java.util.HashSet[Object])]): Boolean = {
+    if (masks.isEmpty) return false
     var mi = 0
-    while (mi < eqMasks.length) {
-      val (c, set) = eqMasks(mi)
+    while (mi < masks.length) {
+      val (c, set) = masks(mi)
       val pos = maskColPos(c)
       val b = maskBlocks(pos)
       val off = maskOffs(pos)
@@ -2697,6 +2893,15 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
     if ((delBits != null && delBits.get(seen.toInt)) || eqMaskedPeek()) {
       // row is deleted (positional vector or equality mask): advance
       // the buffers, never materialize it
+      skipRowBytes()
+      rowInPage += 1
+      seen += 1
+      next()
+    } else if (cdfSelecting &&
+        !((cdfBits != null && cdfBits.get(seen.toInt)) ||
+          maskPeek(cdfEqMasks))) {
+      // CDF delta partition: the row survives in the NEW version too,
+      // so it is not a change — skip without materializing
       skipRowBytes()
       rowInPage += 1
       seen += 1

@@ -283,6 +283,65 @@ class ManifestSinkSpec extends AnyFunSuite {
       s"got: ${chain(e).mkString(" | ")}")
   }
 
+  test("streaming change feed: per-version insert/delete rows, both delete flavors, restart exactly-once, address-level rewrite re-emit") {
+    val dir = scratch("cdfstream")
+    val ckpt = scratch("cdfstream-ckpt")
+    val out = scratch("cdfstream-out")
+    import spark.implicits._
+    def write(range: Range, mode: String): Unit =
+      range.map(i => (i.toLong, i * 10L)).toDF("k", "v")
+        .repartition(1).write.mode(mode)
+        .format("graft-manifest").save(dir)
+    write(1 to 6, "overwrite")                                // v1
+    // lakehouse -> lakehouse: change rows land in a manifest sink
+    // (checkpoint-recoverable, unlike the memory sink)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", ckpt).start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(): Set[(Long, String, Long)] =
+      spark.read.format("graft-manifest").load(out)
+        .select("k", "_change_type", "_change_version")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    runOnce() // initial batch: the starting snapshot as inserts
+    assert(state() === (1 to 6).map(k => (k.toLong, "insert", 1L)).toSet)
+    write(7 to 10, "append")                                  // v2
+    ManifestSink.delete(spark, dir, "k % 5 = 0")              // v3: vectors
+    runOnce() // same checkpoint: only v2+v3, deletes attributed
+    assert(state().count(_._3 == 2L) === 4)
+    assert(state().filter(_._3 == 3L) ===
+      Set((5L, "delete", 3L), (10L, "delete", 3L)))
+    ManifestSink.deleteEq(dir, "k", Seq(7L))                  // v4: eq-delete
+    runOnce() // restart again: the eq-delete arrives exactly once
+    val s = state()
+    assert(s.filter(_._3 == 4L) === Set((7L, "delete", 4L)))
+    // exactly-once: nothing re-emitted for settled versions
+    assert(s.size === 6 + 4 + 2 + 1)
+    // and the stream agrees with the batch change feed step for step
+    val batch = ManifestSink.changes(spark, dir, 1L, 4L)
+      .select("k", "_change_type", "_change_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(s.filter(_._3 > 1L) === batch)
+    // compaction retires old file names: the ADDRESS-level feed
+    // re-emits every surviving row as delete+insert at its new
+    // address (the batch changes() contract — consumers keyed on
+    // logical ids see a no-op move)
+    ManifestSink.compact(spark, dir, 1)                       // v5: rewrite
+    runOnce()
+    val live = Set(1L, 2L, 3L, 4L, 6L, 8L, 9L)
+    val s5 = state().filter(_._3 == 5L)
+    assert(s5.filter(_._2 == "delete").map(_._1) === live)
+    assert(s5.filter(_._2 == "insert").map(_._1) === live)
+    val batch5 = ManifestSink.changes(spark, dir, 4L, 5L)
+      .select("k", "_change_type", "_change_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(s5 === batch5)
+  }
+
   test("zorder rewrite makes zone maps prune on BOTH cluster columns") {
     val dir = scratch("zorder")
     val src = graft.Tables(spark, sf, "orders").select(
