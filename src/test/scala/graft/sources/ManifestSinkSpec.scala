@@ -342,6 +342,50 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(s5 === batch5)
   }
 
+  test("change-feed relay: downstream signed-delta aggregate equals a full recompute across restarts") {
+    // The medallion-relay capstone: a table maintained by MERGE/DELETE
+    // feeds a downstream incremental aggregate THROUGH the streaming
+    // change feed — updates arrive as delete+insert pairs, so signed
+    // deltas (+v on insert, −v on delete) keep the aggregate exact
+    // with no recompute (the streaming form of the batch IVM pin).
+    val dir = scratch("cdfrelay")
+    val ckpt = scratch("cdfrelay-ckpt")
+    import spark.implicits._
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("k", "grp", "v").repartition(1)
+    df((1L to 8L).map(k => (k, k % 2, k))).write.mode("overwrite")
+      .format("graft-manifest").save(dir)                     // v1
+    val agg = scala.collection.mutable.Map
+      .empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.select("grp", "v", "_change_type").collect().foreach { r =>
+              val (s, c) = agg(r.getLong(0))
+              if (r.getString(2) == "insert")
+                agg(r.getLong(0)) = (s + r.getLong(1), c + 1)
+              else agg(r.getLong(0)) = (s - r.getLong(1), c - 1)
+            }
+            ()
+        }.option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()                                                 // snapshot
+    // upsert: k=2 re-valued, k=9 new (merge = delete+append commits)
+    ManifestSink.merge(spark, dir,
+      df(Seq((2L, 0L, 200L), (9L, 1L, 9L))), Seq("k"))
+    runOnce()                                                 // restart
+    ManifestSink.delete(spark, dir, "k % 3 = 0")              // vectors
+    ManifestSink.deleteEq(dir, "k", Seq(1L))                  // eq-delete
+    runOnce()                                                 // restart
+    val expect = spark.read.format("graft-manifest").load(dir)
+      .groupBy("grp").agg(sum(col("v")), count(lit(1))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(agg.filter(_._2._2 != 0).toMap === expect)
+  }
+
   test("zorder rewrite makes zone maps prune on BOTH cluster columns") {
     val dir = scratch("zorder")
     val src = graft.Tables(spark, sf, "orders").select(
