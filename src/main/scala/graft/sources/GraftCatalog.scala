@@ -82,7 +82,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // Iceberg-style SQL METADATA TABLES: `SELECT * FROM g.db.t.files`
+      // parses as namespace [db, t] + name files — if the parent
+      // namespace path IS a table, serve its metadata table (driver-
+      // computed from the manifests, zero data files opened).
+      if ((ident.name() == "files" || ident.name() == "history") &&
+          ident.namespace().length >= 1) {
+        val parent = tableDir(Identifier.of(
+          ident.namespace().dropRight(1), ident.namespace().last))
+        if (isTable(parent))
+          return new ManifestMetadataTable(parent.toString, ident.name(),
+            None)
+      }
+      throw new NoSuchTableException(ident)
+    }
     val m = ManifestSink.readManifest(dir.toString)
     new ManifestTable(StructType.fromDDL(m.schemaDdl), dir.toString,
       defaultPartitionedBy = readSidecar(dir))

@@ -469,6 +469,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.dc")
   }
 
+  test("SQL metadata tables: SELECT from t.files and t.history, zero data files opened") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.mt (k BIGINT)")              // v0
+    spark.sql("INSERT INTO g.db.mt VALUES (1), (2)")          // v1
+    spark.sql("INSERT INTO g.db.mt VALUES (3)")               // v2
+    val hist = spark.sql(
+      "SELECT version, n_rows FROM g.db.mt.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist === Seq((0L, 0L), (1L, 2L), (2L, 3L)))
+    val files = spark.sql("SELECT file_name, rows FROM g.db.mt.files")
+      .collect()
+    assert(files.map(_.getLong(1)).sum === 3L)
+    // a history row survives SQL composition (join against the data)
+    assert(spark.sql(
+      """SELECT count(*) FROM g.db.mt t
+        |JOIN g.db.mt.history h ON h.version = 2""".stripMargin)
+      .head().getLong(0) === 3L)
+    // unknown metadata suffix on a real table is still no-such-table
+    intercept[Exception] { spark.sql("SELECT * FROM g.db.mt.nope").collect() }
+    spark.sql("DROP TABLE g.db.mt")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.mt.history").collect() }
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
