@@ -528,6 +528,33 @@ object TsOps extends OpPack {
         ORDER BY user_id, event_id""")
     }),
 
+    // Time-weighted average (TWAP — the telemetry/finance mean that
+    // irregular sampling demands: an arithmetic mean over-weights
+    // bursts; weighting each observation by how long it HELD, i.e.
+    // until the next one, does not). Per user: Σ cents·hold_µs div
+    // Σ hold_µs, products in DECIMAL(38,0)/HUGEINT, integer div — the
+    // final observation has no holding interval and is excluded by
+    // the declared last-point rule. One lead window + one map-side-
+    // combined hash agg on the SAME user_id exchange; the whole
+    // operator is scan-proportional with a single shuffle.
+    "ts_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val dec = DecimalType(38, 0)
+      Tables(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("hold_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("hold_us").isNotNull && col("cents").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("hold_us")).as("span_us"),
+          sum(col("cents").cast(dec) * col("hold_us")).as("wsum"))
+        .select(col("user_id"), col("n_intervals"), col("span_us"),
+          expr("CAST(CASE WHEN span_us = 0 THEN NULL ELSE " +
+            "wsum div span_us END AS BIGINT)").as("twap_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // Adaptive batch sessionization: split each user's event stream at
     // gaps LARGER THAN THAT USER'S OWN mean inter-event gap — the
     // scale-free sibling of stream_session's fixed 30-min gap (a fixed
@@ -782,6 +809,22 @@ object TsOps extends OpPack {
     expr(s"CAST(CASE WHEN s0 > 0 THEN ($c * 1000) div s0 END AS BIGINT)")
 
   def oracle: Map[String, String] = Map(
+    "ts_twap" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY event_id) - epoch_us(ts)
+        |      AS hold_us
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(hold_us) AS BIGINT) AS span_us,
+        |  CAST(CASE WHEN sum(hold_us) = 0 THEN NULL ELSE
+        |    sum(CAST(cents AS HUGEINT) * hold_us) // sum(hold_us)
+        |    END AS BIGINT) AS twap_cents
+        |FROM b WHERE hold_us IS NOT NULL AND cents IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "ts_sessionize" ->
       """WITH b AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
