@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, FreqItemsAgg, KllDoublesAgg, L2DistanceSq, MinHashSignature, ThetaSketchAgg}
+import graft.functions.{DotProduct, FreqItemsAgg, KllDoublesAgg, L2DistanceSq, MinHashSignature, PqAdcL1, ThetaSketchAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"l2_distance_sq takes exactly 2 arguments, got ${children.size}")
         L2DistanceSq(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc_l1"),
+      new ExpressionInfo(classOf[PqAdcL1].getName, "pq_adc_l1"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"pq_adc_l1 takes exactly 2 arguments, got ${children.size}")
+        PqAdcL1(children.head, children(1))
       }))
 
     ext.injectFunction((

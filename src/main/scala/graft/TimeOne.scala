@@ -6,6 +6,7 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions","4")
 .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config(Tables.NanosKey, "true")
       .config(Tables.NtzKey, "false")
       .config("spark.ui.enabled","false").getOrCreate()

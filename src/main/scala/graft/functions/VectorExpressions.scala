@@ -181,8 +181,94 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override def prettyName: String = "l2_distance_sq"
 }
 
+/** Native codegen'd PQ ASYMMETRIC-DISTANCE computation: L1 distance
+  * between a fixed-point probe vector (`array<bigint>`, the µ-unit
+  * encoding of llm_vec_pq) and the GRID RECONSTRUCTION of a product-
+  * quantized code (`array<bigint>` of per-subvector digits). The grid
+  * is the format's pinned llm_vec_pq contract — digit d reconstructs
+  * to `d·250000 − 875000` µ-units, every element of a subvector
+  * sharing its digit — fused here so the ADC scan neither allocates a
+  * reconstruction array nor interprets a lambda per element (the
+  * higher-order `aggregate(sequence(...))` form it replaces pays
+  * ~86 µs/vector at 64 dims; this is a tight codegen loop). Subvector
+  * width = probe length / code length; ragged inputs (null side,
+  * empty code, non-divisible lengths) ⇒ null, never a partial
+  * distance. Arithmetic is pure integer, so results are bit-identical
+  * to the HOF fold and the DuckDB oracle. */
+case class PqAdcL1(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    if (m == 0 || n % m != 0) return null
+    val w = n / m
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val recon = y.getLong(i / w) * 250000L - 875000L
+      s += math.abs(x.getLong(i) - recon)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val w = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      val recon = ctx.freshName("recon")
+      s"""
+         |final int $n = $x.numElements();
+         |final int $m = $y.numElements();
+         |if ($m == 0 || $n % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $w = $n / $m;
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $recon = $y.getLong($i / $w) * 250000L - 875000L;
+         |    $s += java.lang.Math.abs($x.getLong($i) - $recon);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcL1 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_adc_l1"
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
+
+  /** Fused PQ ADC L1 distance (native, codegen'd) — see [[PqAdcL1]]. */
+  def pqAdcL1(probe: Column, digits: Column): Column =
+    GraftExpressionBridge.column(PqAdcL1(
+      GraftExpressionBridge.expression(probe),
+      GraftExpressionBridge.expression(digits)))
 
   /** `Σ (a(i)−b(i))²` in double precision (native, codegen'd). */
   def l2DistanceSq(a: Column, b: Column): Column =

@@ -331,11 +331,10 @@ object StatOps extends OpPack {
         .select(col("xu").as("probe_u"))
       val scored = codes.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
-        .withColumn("dist_u", expr(
-          "aggregate(sequence(0, 63), 0L, (a, i) -> a + " +
-            "abs(element_at(probe_u, CAST(i + 1 AS INT)) - " +
-            "(element_at(digits, CAST(i div 8 + 1 AS INT)) * 250000 " +
-            "- 875000)))"))
+        // fused native ADC (graft.functions.PqAdcL1) — bit-identical
+        // to the HOF fold it replaced, but a codegen loop instead of
+        // an interpreted lambda per element
+        .withColumn("dist_u", expr("pq_adc_l1(probe_u, digits)"))
         .select(col("vec_id"), col("dist_u"))
         .orderBy(col("dist_u"), col("vec_id")).limit(10)
       scored.withColumn("rank", row_number().over(
