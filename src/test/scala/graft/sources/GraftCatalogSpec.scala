@@ -493,6 +493,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM g.db.mt.history").collect() }
   }
 
+  test("an open WAP branch survives base-chain vacuum: staged files stay referenced") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.bv (k BIGINT)")             // v0
+    spark.sql("INSERT INTO g.db.bv VALUES (1)")              // v1
+    spark.sql("INSERT INTO g.db.bv VALUES (2)")              // v2
+    spark.sql("CALL g.system.create_branch('db.bv', 'open')")
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/bv"
+    spark.range(10, 13).select(col("id").as("k"))
+      .write.format("graft-manifest").option("branch", "open")
+      .mode("append").save(dir)
+    // zero-retention vacuum prunes every base archive + its orphans…
+    spark.sql("CALL g.system.vacuum('db.bv', 0)")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.bv VERSION AS OF 1").collect() }
+    // …but the branch (and everything it stages OR carried from the
+    // fork point) is still fully readable and publishable
+    assert(spark.read.format("graft-manifest").option("branch", "open")
+      .load(dir).agg(Map("k" -> "sum")).head().getLong(0)
+      === 1L + 2L + 10L + 11L + 12L)
+    spark.sql("CALL g.system.fast_forward('db.bv', 'open')")
+    assert(spark.sql("SELECT count(*) FROM g.db.bv").head().getLong(0)
+      === 5L)
+    spark.sql("DROP TABLE g.db.bv")
+  }
+
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db2")
     intercept[Exception] { spark.sql("CREATE NAMESPACE g.db2") }
