@@ -2065,7 +2065,16 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
       // apply to it (sequence-number bound; pre-seq files = 0)
       manifest.eqDeletes.filter(_.seq > e.seq.getOrElse(0L)))
 
-  override def toBatch: Batch = new Batch {
+  override def toBatch: Batch = {
+    // a batch read cannot attribute change versions — silent NULL
+    // change columns would look like data; refuse loudly
+    require(!readChangeFeed,
+      "graft-manifest: readChangeFeed is a STREAMING read " +
+        "(spark.readStream) — for batch change rows use " +
+        "ManifestSink.changes(spark, dir, from, to)")
+    batchImpl
+  }
+  private lazy val batchImpl: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       identityCol match {
         case Some(c) =>

@@ -342,6 +342,19 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(s5 === batch5)
   }
 
+  test("readChangeFeed on a BATCH read is refused loudly") {
+    val dir = scratch("cdfbatch")
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("k", "v").write.mode("overwrite")
+      .format("graft-manifest").save(dir)
+    val e = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("readChangeFeed", "true").load(dir).collect()
+    }
+    assert(chain(e).exists(m =>
+      m != null && m.contains("STREAMING read")))
+  }
+
   test("change-feed relay: downstream signed-delta aggregate equals a full recompute across restarts") {
     // The medallion-relay capstone: a table maintained by MERGE/DELETE
     // feeds a downstream incremental aggregate THROUGH the streaming
