@@ -238,7 +238,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // the win_islands doctrine. win_sma_crossover: both frame sums,
     // both counts and the lag share the same (user_id, event_id)
     // window spec.
-    for (name <- Seq("ts_sessionize", "win_sma_crossover")) {
+    // ts_twap: the lead window and the weighted rollup share the
+    // user_id exchange (HashPartitioning(user_id) satisfies the
+    // single-key grouping trivially).
+    for (name <- Seq("ts_sessionize", "win_sma_crossover", "ts_twap")) {
       val p = plan(name)
       val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(n == 1, s"$name: expected exactly 1 hash exchange, got $n:\n$p")
