@@ -22,11 +22,23 @@ object Scc {
 
   /** `edges`: (src, dst) over a bounded node domain. Returns
     * (node, scc_id) for every node incident to an edge; isolated
-    * nodes are the caller's to union in (their SCC is themselves). */
+    * nodes are the caller's to union in (their SCC is themselves).
+    *
+    * `rounds` is a MINIMUM: the actual count is max(rounds,
+    * ceil(log2(|V|))), derived from a driver-side distinct-node count
+    * (one cheap job on the bounded domain), so callers whose node
+    * domain exceeds 2^rounds get a still-exact closure instead of
+    * silently split components. */
   def components(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    val nodeCount = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().count()
+    val needed =
+      if (nodeCount < 2) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(nodeCount - 1)
+    val effectiveRounds = math.max(rounds, needed)
     var reach = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
+    for (_ <- 1 to effectiveRounds) {
       val hop = reach.select(col("src"), col("dst").as("mid"))
         .join(reach.select(col("src").as("mid"), col("dst")), "mid")
         .select(col("src"), col("dst"))

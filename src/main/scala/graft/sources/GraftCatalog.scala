@@ -132,15 +132,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** ADD COLUMN is pure manifest surgery: archive, annotate existing
-    * entries with the schema they were written under, publish the
-    * widened schema as a new snapshot. No data file is touched. */
+  /** ADD/DROP/RENAME COLUMN are pure manifest surgery: archive,
+    * annotate existing entries with the schema they were written
+    * under, publish the evolved schema as a new snapshot. No data
+    * file is touched. RENAME works through stable FIELD IDS (the
+    * Iceberg design): the rename commit freezes every entry's
+    * name→id mapping, the table schema carries the id under its new
+    * name, and readers re-resolve "current name ↔ name in this file"
+    * by id — old snapshots keep time-traveling under their own
+    * names, and a column's values follow it through any number of
+    * renames. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val m = ManifestSink.readManifest(dir.toString)
     var schema = StructType.fromDDL(m.schemaDdl)
+    // `origIds` freezes entries (their names are PRE-change current —
+    // readManifest normalized them); the mutable copy tracks this
+    // batch's changes for the published schema
+    val origIds = ManifestSink.currentColIds(m)
+    var colIds = origIds
+    var lastId = math.max(m.lastColId,
+      origIds.map(_.id).foldLeft(-1)(math.max))
+    var eqDel = m.eqDeletes
+    var renamed = false
+    var sidecarRenames = Map.empty[String, String]
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -152,13 +169,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               "files have no values for them")
         schema = schema.add(add.fieldNames()(0), add.dataType(),
           nullable = true)
+        lastId += 1 // ids are never reused, even after drops
+        colIds = colIds :+ ManifestSink.ColId(add.fieldNames()(0), lastId)
       case del: TableChange.DeleteColumn =>
         // metadata-only, same doctrine as ADD COLUMN: readers resolve
-        // columns by NAME per file, so a dropped column simply stops
-        // being projected — no data file is rewritten, and time travel
-        // still reads it in the old snapshots' own schema. (RENAME
-        // COLUMN is deliberately unsupported: name-based resolution
-        // would orphan every existing file's values.)
+        // columns per file, so a dropped column simply stops being
+        // projected — no data file is rewritten, and time travel
+        // still reads it in the old snapshots' own schema.
         if (del.fieldNames().length != 1)
           throw new UnsupportedOperationException(
             "graft-manifest: only top-level DROP COLUMN is supported")
@@ -170,16 +187,64 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new UnsupportedOperationException(
             "graft-manifest: cannot drop the last column")
         schema = StructType(schema.fields.filterNot(_.name == name))
+        colIds = colIds.filterNot(_.name == name)
+      case ren: TableChange.RenameColumn =>
+        if (ren.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft-manifest: only top-level RENAME COLUMN is supported")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        if (!schema.fieldNames.contains(from))
+          throw new IllegalArgumentException(
+            s"graft-manifest: no column '$from' to rename")
+        if (schema.fieldNames.contains(to))
+          throw new IllegalArgumentException(
+            s"graft-manifest: cannot rename '$from' to '$to' — column " +
+              "already exists")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        colIds = colIds.map(c =>
+          if (c.name == from) c.copy(name = to) else c)
+        // live equality deletes track the field, not the spelling
+        eqDel = eqDel.map(d => if (d.col == from) d.copy(col = to) else d)
+        sidecarRenames += (from -> to)
+        renamed = true
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unsupported table change $other")
     }
     ManifestSink.writeManifestAs(dir.toString,
       ManifestSink.archiveManifestFile(m.version), m)
-    val annotated = m.files.map(e =>
-      if (e.schemaDdl.isEmpty) e.copy(schemaDdl = Some(m.schemaDdl)) else e)
+    val annotated = m.files.map { e0 =>
+      val e = if (e0.schemaDdl.isEmpty) e0.copy(schemaDdl = Some(m.schemaDdl))
+        else e0
+      if (!renamed) e
+      else {
+        // freeze this file's recorded names against the PRE-change
+        // ids so any future read re-resolves them by id
+        val byName = origIds.map(c => c.name -> c.id).toMap
+        val names = StructType.fromDDL(e.schemaDdl.get).fieldNames
+        e.copy(colIds = Some(names.map(n =>
+          ManifestSink.ColId(n, byName.getOrElse(n, -1))).toSeq))
+      }
+    }
+    val carryIds = renamed || m.colIds.nonEmpty
     ManifestSink.writeManifest(dir.toString,
       ManifestSink.Manifest(ManifestSink.nullableDdl(schema), annotated,
-        m.version + 1, m.eqDeletes))
+        m.version + 1, eqDel,
+        if (carryIds) colIds else Nil,
+        if (carryIds) lastId else -1))
+    // the declared partition transform follows the rename too
+    if (sidecarRenames.nonEmpty) readSidecar(dir).foreach { ps =>
+      val spec = ManifestSink.parsePartSpec(ps)
+      sidecarRenames.get(spec.col).foreach { to =>
+        val rewritten = spec match {
+          case ManifestSink.IdentityPart(_) => ManifestSink.IdentityPart(to)
+          case ManifestSink.DaysPart(_) => ManifestSink.DaysPart(to)
+          case ManifestSink.BucketPart(n, _) => ManifestSink.BucketPart(n, to)
+        }
+        writeSidecar(dir, rewritten.describe)
+      }
+    }
     loadTable(ident)
   }
 

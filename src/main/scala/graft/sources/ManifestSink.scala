@@ -301,7 +301,7 @@ object ManifestSink {
       stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None,
       part: Option[Long] = None, pspec: Option[String] = None,
       blooms: Seq[ColBloom] = Nil, deletes: Seq[DelFile] = Nil,
-      seq: Option[Long] = None) {
+      seq: Option[Long] = None, colIds: Option[Seq[ColId]] = None) {
     /** Live rows after merge-on-read POSITIONAL deletes — exact,
       * because delete files on one entry never overlap. (Equality
       * deletes are not counted here: their match count is unknown
@@ -322,8 +322,72 @@ object ManifestSink {
     * their physical Long, strings as-is. */
   final case class EqDelete(col: String, seq: Long, values: Seq[String])
 
+  /** A stable FIELD ID for one column (the Iceberg rename design at
+    * single-document scale): ids, not names, are a column's identity.
+    * `Manifest.colIds` maps the CURRENT schema's names to ids;
+    * `Entry.colIds` (written only by a RENAME COLUMN commit) freezes
+    * the name→id mapping a file's recorded schema was valid under, so
+    * the reader can resolve "current name ↔ name in this file" purely
+    * through the id. Tables that were never renamed carry neither —
+    * resolution stays pure name-based, bit-identical to before. */
+  final case class ColId(name: String, id: Int)
+
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
-      version: Long = 0L, eqDeletes: Seq[EqDelete] = Nil)
+      version: Long = 0L, eqDeletes: Seq[EqDelete] = Nil,
+      colIds: Seq[ColId] = Nil, lastColId: Int = -1)
+
+  /** Current name→id mapping, synthesized positionally for tables
+    * that never declared one (any consistent assignment is valid
+    * while every entry is in current-name space). */
+  def currentColIds(m: Manifest): Seq[ColId] =
+    if (m.colIds.nonEmpty) m.colIds
+    else StructType.fromDDL(m.schemaDdl).fieldNames.zipWithIndex
+      .map { case (n, i) => ColId(n, i) }.toSeq
+
+  /** Rewrite every id-frozen entry into the manifest's CURRENT name
+    * space — per-entry schema, zone-map stats, bloom columns, and the
+    * partition spec all resolve file-local name → field id → current
+    * name. Runs on every manifest READ (the single choke point), so
+    * the rest of the engine — scan planning, pruning, eq-delete
+    * masks, commit paths that re-publish entries — only ever sees
+    * current names and needs no id awareness. A field whose id was
+    * dropped from the current schema keeps its values unreachable
+    * under a reserved name (it can never collide with a live column).
+    * No-op (and allocation-free) for never-renamed tables. */
+  private def normalize(m: Manifest): Manifest =
+    if (m.files.forall(_.colIds.isEmpty)) m
+    else {
+      val byId = currentColIds(m).map(c => c.id -> c.name).toMap
+      val files = m.files.map { e =>
+        e.colIds match {
+          case None => e
+          case Some(frozen) =>
+            val idOf = frozen.map(c => c.name -> c.id).toMap
+            def cur(fileLocal: String): String =
+              idOf.get(fileLocal).flatMap(byId.get).getOrElse(
+                s"__graft_dropped_${idOf.getOrElse(fileLocal, -1)}_$fileLocal")
+            val ddl = e.schemaDdl.map { d =>
+              val fs = StructType.fromDDL(d)
+              StructType(fs.fields.map(f => f.copy(name = cur(f.name)))).toDDL
+            }
+            e.copy(
+              schemaDdl = ddl,
+              stats = e.stats.map(s => s.copy(col = cur(s.col))),
+              blooms = e.blooms.map(b => b.copy(col = cur(b.col))),
+              pspec = e.pspec.map { ps =>
+                val spec = parsePartSpec(ps)
+                val t = cur(spec.col)
+                spec match {
+                  case IdentityPart(_) => IdentityPart(t).describe
+                  case DaysPart(_) => DaysPart(t).describe
+                  case BucketPart(n, _) => BucketPart(n, t).describe
+                }
+              },
+              colIds = None)
+        }
+      }
+      m.copy(files = files)
+    }
 
   // ---- Partition transforms (Iceberg-style hidden partitioning) ----
 
@@ -564,9 +628,17 @@ object ManifestSink {
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
     if (b.isNullAt(0) || b.isNullAt(2)) { compact(spark, dir, targetFiles); return }
+    // DECIMAL(38,0) arithmetic: (value-lo)*4095 overflows BIGINT once
+    // the column range exceeds Long.MaxValue/4095 (and hi-lo itself
+    // overflows for near-full-range keys), which would scramble the
+    // Morton keys and silently void the clustering. Widened to decimal
+    // (≤24 digits, exact) with integral `div`, the result is the exact
+    // 0..4095 bucket for ANY BIGINT range.
     def scaled(c: String, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
-      else expr(s"((CAST(`$c` AS BIGINT) - ${lo}L) * 4095) div ${hi - lo}L")
+      else expr(
+        s"(((CAST(`$c` AS DECIMAL(38,0)) - ${lo}) * 4095) div " +
+          s"(CAST(${hi} AS DECIMAL(38,0)) - ${lo}))")
     df.withColumn("_gx", scaled(colA, b.getLong(0), b.getLong(1)))
       .withColumn("_gy", scaled(colB, b.getLong(2), b.getLong(3)))
       .withColumn("_gz", graft.functions.ZOrder.zvalue("_gx", "_gy", 12))
@@ -869,14 +941,33 @@ object ManifestSink {
     * equality or IN on a single column with non-null literals maps
     * to [[deleteEq]] (no scan, no IO). Anything else returns None
     * and takes the positional-vector route. */
+  /** Column types [[deleteEq]] can canonicalize. Checked at PLAN time
+    * (canDeleteWhere) so an equality delete on e.g. a BOOLEAN or
+    * DOUBLE column falls through to the positional-delete /
+    * row-level-rewrite paths instead of failing after acceptance. */
+  private[graft] def eqDeleteSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType | StringType => true
+      case _ => false
+    }
+  }
+
   private[graft] def eqDeletePlan(
-      filters: Array[sources.Filter]): Option[(String, Seq[Any])] =
+      filters: Array[sources.Filter],
+      schema: StructType): Option[(String, Seq[Any])] = {
+    def ok(c: String): Boolean =
+      schema.fields.find(_.name == c).exists(f => eqDeleteSupported(f.dataType))
     filters.toSeq match {
-      case Seq(sources.EqualTo(c, v)) if v != null => Some((c, Seq(v)))
+      case Seq(sources.EqualTo(c, v)) if v != null && ok(c) =>
+        Some((c, Seq(v)))
       case Seq(sources.In(c, vs))
-          if vs.nonEmpty && vs.forall(_ != null) => Some((c, vs.toSeq))
+          if vs.nonEmpty && vs.forall(_ != null) && ok(c) =>
+        Some((c, vs.toSeq))
       case _ => None
     }
+  }
 
   /** Translate Spark's pushed DELETE filters (implicitly ANDed) to a
     * SQL condition for the positional-delete scan. Conservative:
@@ -886,7 +977,12 @@ object ManifestSink {
       filters: Array[sources.Filter]): Option[String] = {
     def lit(v: Any): Option[String] = v match {
       case null => None
-      case s: String => Some("'" + s.replace("'", "''") + "'")
+      // Backslash FIRST: Spark's default parser (escapedStringLiterals
+      // =false) interprets \n/\t/\\ inside quoted literals, so an
+      // unescaped backslash would round-trip to a DIFFERENT string and
+      // the positional delete would mask the wrong rows.
+      case s: String =>
+        Some("'" + s.replace("\\", "\\\\").replace("'", "''") + "'")
       case _: Long | _: Int | _: Short | _: Byte => Some(v.toString)
       case b: Boolean => Some(b.toString)
       case d: java.sql.Date => Some(s"DATE'$d'")
@@ -909,7 +1005,9 @@ object ManifestSink {
       case sources.IsNull(c) => Some(s"(`$c` IS NULL)")
       case sources.IsNotNull(c) => Some(s"(`$c` IS NOT NULL)")
       case sources.StringStartsWith(c, p)
-          if !p.contains("%") && !p.contains("_") =>
+          // Backslash guarded too: it is LIKE's pattern-escape char,
+          // so a prefix containing it would not mean "literal prefix".
+          if !p.contains("%") && !p.contains("_") && !p.contains("\\") =>
         lit(p + "%").map(l => s"(`$c` LIKE $l)")
       case sources.And(l, r) =>
         for (a <- one(l); b <- one(r)) yield s"($a AND $b)"
@@ -1200,6 +1298,19 @@ object ManifestSink {
         }
       }
       e.seq.foreach(sq => n.put("seq", sq))
+      e.colIds.foreach { ids =>
+        val ci = n.putArray("colIds")
+        ids.foreach { c =>
+          val o = ci.addObject(); o.put("name", c.name); o.put("id", c.id)
+        }
+      }
+    }
+    if (m.colIds.nonEmpty) {
+      val ci = root.putArray("colIds")
+      m.colIds.foreach { c =>
+        val o = ci.addObject(); o.put("name", c.name); o.put("id", c.id)
+      }
+      root.put("lastColId", m.lastColId)
     }
     if (m.eqDeletes.nonEmpty) {
       val ed = root.putArray("eqDeletes")
@@ -1249,13 +1360,18 @@ object ManifestSink {
             o.get("crc").asLong())
         }.toSeq
       else Nil
+      val entryColIds = if (n.has("colIds"))
+        Some(n.get("colIds").elements().asScala.map(o =>
+          ColId(o.get("name").asText(), o.get("id").asInt())).toSeq)
+      else None
       Entry(n.get("name").asText(), n.get("rows").asLong(),
         n.get("crc").asLong(), stats,
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
         if (n.has("part")) Some(n.get("part").asLong()) else None,
         if (n.has("pspec")) Some(n.get("pspec").asText()) else None,
         blooms, deletes,
-        if (n.has("seq")) Some(n.get("seq").asLong()) else None)
+        if (n.has("seq")) Some(n.get("seq").asLong()) else None,
+        entryColIds)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
     val eqDeletes = if (root.has("eqDeletes"))
@@ -1264,7 +1380,15 @@ object ManifestSink {
           o.get("values").elements().asScala.map(_.asText()).toSeq)
       }.toSeq
     else Nil
-    Manifest(root.get("schemaDdl").asText(), files, v, eqDeletes)
+    val colIds = if (root.has("colIds"))
+      root.get("colIds").elements().asScala.map(o =>
+        ColId(o.get("name").asText(), o.get("id").asInt())).toSeq
+    else Nil
+    val lastId = if (root.has("lastColId")) root.get("lastColId").asInt()
+      else if (colIds.nonEmpty) colIds.map(_.id).max else -1
+    normalize(
+      Manifest(root.get("schemaDdl").asText(), files, v, eqDeletes,
+        colIds, lastId))
   }
 
   /** Snapshot read: the current table (base + streaming epochs) by
@@ -1351,13 +1475,13 @@ final class ManifestTable(tableSchema: StructType, path: String,
     * deleting the wrong rows. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     asOfDefault.isEmpty &&
-      (ManifestSink.eqDeletePlan(filters).isDefined ||
+      (ManifestSink.eqDeletePlan(filters, tableSchema).isDefined ||
         ManifestSink.filtersToCondition(filters).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(asOfDefault.isEmpty,
       "graft-manifest: cannot DELETE from a VERSION AS OF read")
-    ManifestSink.eqDeletePlan(filters) match {
+    ManifestSink.eqDeletePlan(filters, tableSchema) match {
       case Some((c, values)) => ManifestSink.deleteEq(path, c, values)
       case None =>
         val cond = ManifestSink.filtersToCondition(filters).getOrElse(

@@ -45,4 +45,13 @@ class SccSpec extends AnyFunSuite {
     assert(m("b") === "b" && m("c") === "b")
     assert(m("z") === "z")
   }
+
+  test("node domains beyond 2^rounds resolve exactly: rounds auto-derive from |V|") {
+    // 70 > 2^6: the old fixed default would stop the closure short and
+    // split the ring into several wrong components.
+    val ring = (0 until 70).map(i => (f"n$i%02d", f"n${(i + 1) % 70}%02d"))
+    val m = assign(ring: _*)
+    assert(m.size === 70)
+    assert(m.values.toSet === Set("n00"))
+  }
 }

@@ -461,11 +461,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO g.db.dc VALUES (3, 30)")
     assert(spark.sql("SELECT sum(k), sum(v) FROM g.db.dc").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((6L, 60L)))
-    // guard rails: unknown column, last column, rename all refuse
+    // guard rails: unknown column, rename onto a live name refuse
     intercept[Exception] {
       spark.sql("ALTER TABLE g.db.dc DROP COLUMN nope") }
     intercept[Exception] {
-      spark.sql("ALTER TABLE g.db.dc RENAME COLUMN v TO w") }
+      spark.sql("ALTER TABLE g.db.dc RENAME COLUMN v TO k") }
     spark.sql("DROP TABLE g.db.dc")
   }
 
@@ -518,6 +518,107 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM g.db.bv").head().getLong(0)
       === 5L)
     spark.sql("DROP TABLE g.db.bv")
+  }
+
+  test("RENAME COLUMN is metadata-only: values follow the field id, snapshots keep their names") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.rc (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO g.db.rc SELECT id, concat('s', id) FROM range(10)") // v1
+    val warehouse = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$warehouse/db/rc"
+    def dataFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+    val mtimes = dataFiles.map(f => f.getName -> f.lastModified()).toMap
+    spark.sql("ALTER TABLE g.db.rc RENAME COLUMN v TO label")          // v2
+    // read-back resolves the old files' values under the new name
+    assert(spark.sql("SELECT label FROM g.db.rc WHERE k = 3")
+      .head().getString(0) === "s3")
+    intercept[Exception] { spark.sql("SELECT v FROM g.db.rc").collect() }
+    // old snapshots time-travel under their OWN name
+    assert(spark.sql("SELECT v FROM g.db.rc VERSION AS OF 1 WHERE k = 3")
+      .head().getString(0) === "s3")
+    // post-rename appends mix with pre-rename files
+    spark.sql("INSERT INTO g.db.rc VALUES (100, 'new')")
+    assert(spark.sql(
+      "SELECT count(*) FROM g.db.rc WHERE label IS NOT NULL")
+      .head().getLong(0) === 11L)
+    // rename CHAINS keep resolving (id is the identity, not the name)
+    spark.sql("ALTER TABLE g.db.rc RENAME COLUMN label TO tag")
+    assert(spark.sql("SELECT tag FROM g.db.rc WHERE k = 0")
+      .head().getString(0) === "s0")
+    assert(spark.sql("SELECT tag FROM g.db.rc WHERE k = 100")
+      .head().getString(0) === "new")
+    // …and not one data file was rewritten
+    mtimes.foreach { case (n, t) =>
+      val f = dataFiles.find(_.getName == n)
+      assert(f.isDefined && f.get.lastModified() === t,
+        s"rename must not touch data file $n")
+    }
+    spark.sql("DROP TABLE g.db.rc")
+  }
+
+  test("RENAME onto a previously-dropped name never resurrects the dropped values") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.rd (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO g.db.rd SELECT id, id * 10 FROM range(5)")
+    spark.sql("ALTER TABLE g.db.rd DROP COLUMN b")
+    spark.sql("ALTER TABLE g.db.rd RENAME COLUMN a TO b")
+    // 'b' must now be the surviving field's values (0..4) — resolving
+    // by NAME against the old files would read the dropped id*10 blob
+    assert(spark.sql("SELECT sum(b) FROM g.db.rd").head().getLong(0)
+      === 10L)
+    spark.sql("DROP TABLE g.db.rd")
+  }
+
+  test("equality deletes and zone pruning keep working across a rename") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.re (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO g.db.re SELECT id, CAST(id AS STRING) FROM range(10)")
+    spark.sql("ALTER TABLE g.db.re RENAME COLUMN k TO id")
+    // single-equality delete = eq-delete path, col recorded as 'id';
+    // pre-rename files record 'k' — masking must resolve by field id
+    spark.sql("DELETE FROM g.db.re WHERE id = 3")
+    assert(spark.sql("SELECT count(*) FROM g.db.re").head().getLong(0)
+      === 9L)
+    assert(spark.sql("SELECT * FROM g.db.re WHERE id = 3").count() === 0L)
+    // a live eq-delete created BEFORE a rename keeps masking after it
+    spark.sql("ALTER TABLE g.db.re RENAME COLUMN id TO key")
+    assert(spark.sql("SELECT count(*) FROM g.db.re").head().getLong(0)
+      === 9L)
+    spark.sql("DROP TABLE g.db.re")
+  }
+
+  test("DELETE string predicates with backslashes mask exactly the matching rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.bs (k BIGINT, v STRING)")
+    import spark.implicits._
+    // row 1 holds the 4-char a,\,n,b; row 2 holds a,<newline>,b — the
+    // pair an unescaped literal would conflate (parser turns \n into a
+    // newline), silently deleting the WRONG row.
+    Seq((1L, "a\\nb"), (2L, "a\nb"), (3L, "plain"))
+      .toDF("k", "v").writeTo("g.db.bs").append()
+    // compound predicate => positional-delete path (filtersToCondition)
+    spark.sql("DELETE FROM g.db.bs WHERE v = 'a\\\\nb' AND k > 0")
+    val left = spark.sql("SELECT k FROM g.db.bs ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left === Seq(2L, 3L), "only the backslash row may vanish")
+    spark.sql("DROP TABLE g.db.bs")
+  }
+
+  test("DELETE on a boolean column executes via delete vectors instead of failing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.bdel (k BIGINT, b BOOLEAN)")
+    spark.sql("INSERT INTO g.db.bdel SELECT id, id % 2 = 0 FROM range(10)")
+    // BOOLEAN is outside deleteEq's canonicalizable set: the planner
+    // must decline the eq-delete route and take the positional path,
+    // not accept-then-throw.
+    spark.sql("DELETE FROM g.db.bdel WHERE b = true")
+    val rows = spark.sql("SELECT k, b FROM g.db.bdel").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(!_.getBoolean(1)))
+    spark.sql("DROP TABLE g.db.bdel")
   }
 
   test("namespace hygiene: duplicate create fails, non-empty drop needs cascade") {

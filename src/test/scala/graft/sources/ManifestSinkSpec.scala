@@ -433,6 +433,38 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("zorder stays exact when the cluster column spans (almost) the full BIGINT range") {
+    val dir = scratch("zorder-wide")
+    import org.apache.spark.sql.SaveMode
+    val spark2 = spark
+    import spark2.implicits._
+    // range ≈ 1.8e19 > Long.MaxValue: both (v-lo)*4095 and hi-lo
+    // overflow 64-bit — the pre-decimal scaling produced garbage
+    // Morton keys here and the clustering silently evaporated.
+    val step = Long.MaxValue / 128
+    val rows = (0 until 256).map(i =>
+      (Long.MinValue + step * i, (255 - i).toLong))
+    val src = rows.toDF("k", "cents")
+    src.repartition(4).write.mode(SaveMode.Overwrite)
+      .format("graft-manifest").save(dir)
+    def planned(thr: Long): Int = {
+      val q = spark.read.format("graft-manifest").load(dir)
+        .filter(col("k") < thr)
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }.head.inputRDD.getNumPartitions
+    }
+    val lo = rows.map(_._1).min
+    val hi = rows.map(_._1).max
+    val thr = (BigInt(lo) + (BigInt(hi) - BigInt(lo)) / 8).toLong
+    ManifestSink.zorder(spark, dir, "k", "cents", 4)
+    assert(planned(thr) < 4, "wide-range zorder must still prune")
+    val back = spark.read.format("graft-manifest").load(dir)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(back === rows.sortBy(_._1), "rewrite must bend no value")
+  }
+
   test("zone maps prune whole files: a key-range read plans fewer partitions") {
     val dir = scratch("zonemap")
     val src = graft.Tables(spark, sf, "orders")
