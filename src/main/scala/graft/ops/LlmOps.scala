@@ -329,6 +329,42 @@ object LlmOps extends OpPack {
         .orderBy(col("cell"))
     }),
 
+    // Exact-mode sibling of llm_dedup_semantic (the `_exact`
+    // doctrine): SemDeDup's drop rule evaluated over EVERY pair — no
+    // cluster blocking — on milli-quantized embeddings, so the cosine
+    // threshold is exact integer arithmetic both engines compute
+    // bit-identically (dot > 0 ∧ 25·dot² ≥ 4·‖a‖²‖b‖² ⇔ cos ≥ 0.4;
+    // |xu| ≤ ~600, dim 64 ⇒ 25·dot² ≤ ~1.3e16, safely inside BIGINT).
+    // All-pairs BY CONSTRUCTION (verification mode, exactly like
+    // llm_ann_knn_exact's corpus² frame); the replicate-16 bucket
+    // join keeps the quadratic inside one equi-join shuffle instead
+    // of a broadcast-nested-loop cross. Production runs the
+    // cell-blocked llm_dedup_semantic.
+    "llm_dedup_semantic_exact" -> ((s, dir) => {
+      val qn = Tables(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("qv"))
+        .withColumn("n2", expr(
+          "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, " +
+            "(a, v) -> a + v)"))
+      val l = qn.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+          col("n2").as("na2"))
+        .withColumn("bucket", explode(expr("sequence(0L, 15L)")))
+      val r = qn.select((col("vec_id") % 16).as("bucket"),
+        col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb2"))
+      l.join(r, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, " +
+            "(a, v) -> a + v)"))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 25 >= col("na2") * col("nb2") * 4)
+        .groupBy(col("vec_b").as("dup_id"))
+        .agg(min(col("vec_a")).as("kept_id"), count(lit(1)).as("n_better"))
+        .orderBy(col("dup_id"))
+    }),
+
     "llm_multimodal_join" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val e = Tables(s, dir, "embeddings")
@@ -627,6 +663,25 @@ object LlmOps extends OpPack {
         |                      WHERE vec_id = 0) p)
         |QUALIFY rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    "llm_dedup_semantic_exact" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |  CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+        |    a.n2 AS na2, b.n2 AS nb2
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_b AS dup_id, CAST(min(vec_a) AS BIGINT) AS kept_id,
+        |  CAST(count(*) AS BIGINT) AS n_better
+        |FROM p
+        |WHERE dot > 0 AND 25 * dot * dot >= 4 * na2 * nb2
+        |GROUP BY dup_id
+        |ORDER BY dup_id""".stripMargin,
 
     "llm_ann_knn_exact" ->
       """SELECT probe_id, rank, nbr_id FROM (

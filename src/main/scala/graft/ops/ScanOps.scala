@@ -633,6 +633,56 @@ object ScanOps extends OpPack {
       r.unionAll(cur).unionAll(bad).orderBy("step")
     }),
 
+    // TIME-based snapshot retention (the Iceberg
+    // `expire_snapshots(older_than => ts)` verb — the knob ops teams
+    // actually set; count-based vacuum is the other): three commits
+    // build v1..v3, the v1 archive is aged two days back, expiry at
+    // now-1h drops EXACTLY it and sweeps its now-orphaned data file;
+    // the fresh v2 archive stays time-travelable and the base
+    // survives byte-identical (the oracle recomputes both reads from
+    // the parquet source). O(metadata) at 100 TB: age check + unlink
+    // on kilobyte manifest documents, never a data scan.
+    "sink_manifest_expire" -> ((s, dir) => {
+      import graft.sources.ManifestSink
+      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/expire-sink"
+      // fresh dir each run: versions and the swept-file count are
+      // construction-determined only from an empty chain
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(sink))
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def write(m: Int, mode: String): Unit =
+        o.filter(col("k") % 3 === m).repartition(1)
+          .write.format("graft-manifest").mode(mode).save(sink)
+      write(0, "overwrite")                                  // v1
+      write(1, "overwrite")                                  // v2 — v1's
+                                                             // file archive-only
+      write(2, "append")                                     // v3
+      assert(new java.io.File(sink, "_graft_manifest.v1.json")
+        .setLastModified(System.currentTimeMillis() - 2 * 86400000L))
+      val removed = ManifestSink.expireSnapshots(sink,
+        System.currentTimeMillis() - 3600000L)
+      val fs = new java.io.File(sink).listFiles()
+      val expired = s.range(1).selectExpr("'1_expired' AS step",
+        s"CAST($removed AS BIGINT) AS a",
+        s"CAST(${fs.count(_.getName.endsWith(ManifestSink.DataSuffix))} " +
+          "AS BIGINT) AS b",
+        s"CAST(${fs.count(_.getName.matches("_graft_manifest\\.v\\d+\\.json"))} " +
+          "AS BIGINT) AS c")
+      def agg(df: org.apache.spark.sql.DataFrame, step: String) =
+        df.selectExpr(s"'$step' AS step", "count(*) AS a",
+          "CAST(sum(cents) AS BIGINT) AS b", "max(k) AS c")
+      val cur = agg(s.read.format("graft-manifest").load(sink),
+        "2_current")
+      val fresh = agg(s.read.format("graft-manifest")
+        .option("asOfVersion", 2).load(sink), "3_asof_fresh")
+      expired.unionAll(cur).unionAll(fresh).orderBy("step")
+    }),
+
     // WRITE-AUDIT-PUBLISH on the manifest table (the Iceberg
     // branch/WAP pattern — the production data-quality gate): the
     // main table serves v1 while a staging batch commits to a BRANCH
@@ -1563,6 +1613,26 @@ object ScanOps extends OpPack {
         |SELECT '3_asof_deleted', count(*), CAST(sum(cents) AS BIGINT),
         |  max(k)
         |FROM base WHERE k % 5 <> 0
+        |ORDER BY step""".stripMargin,
+
+    // construction-determined: 1 archive expired, 2 data files left,
+    // 1 archive left; current = v2 overwrite (%3=1) + v3 append
+    // (%3=2); asOf 2 = the %3=1 slice alone
+    "sink_manifest_expire" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT '1_expired' AS step, CAST(1 AS BIGINT) AS a,
+        |  CAST(2 AS BIGINT) AS b, CAST(1 AS BIGINT) AS c
+        |UNION ALL
+        |SELECT '2_current', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM base WHERE k % 3 <> 0
+        |UNION ALL
+        |SELECT '3_asof_fresh', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM base WHERE k % 3 = 1
         |ORDER BY step""".stripMargin,
 
     // v1 = the %3=0 insert; current = all three inserts with flag=1

@@ -253,12 +253,42 @@ private[sources] object GraftProcedures {
             true)
         })(resolve)
 
+      case "expire_snapshots" => new Proc(
+        "expire_snapshots",
+        "Drop archived snapshots committed before `older_than` (the " +
+          "time-based retention knob beside count-based vacuum), then " +
+          "sweep data/delete files nothing references; the current " +
+          "base and open branch chains are never expired",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("older_than", TimestampType,
+            "expire snapshots committed before this instant")),
+        StructType(Seq(
+          StructField("archives_removed", LongType, nullable = false),
+          StructField("data_files_removed", LongType, nullable = false),
+          StructField("base_version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val d0 = countFiles(dir, ManifestSink.DataSuffix)
+          // TimestampType arrives as epoch MICROS
+          val removed =
+            ManifestSink.expireSnapshots(dir, in.getLong(1) / 1000L)
+          result(StructType(Seq(
+            StructField("archives_removed", LongType, nullable = false),
+            StructField("data_files_removed", LongType, nullable = false),
+            StructField("base_version", LongType, nullable = false))),
+            removed,
+            d0 - countFiles(dir, ManifestSink.DataSuffix),
+            ManifestSink.readManifest(dir).version)
+        })(resolve)
+
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unknown procedure '$other' — " +
-          "compact / create_branch / drop_branch / fast_forward / " +
-          "rollback / vacuum / sweep_deletes / zorder")
+          "compact / create_branch / drop_branch / expire_snapshots / " +
+          "fast_forward / rollback / vacuum / sweep_deletes / zorder")
     }
 
   val names: Seq[String] = Seq("compact", "create_branch", "drop_branch",
-    "fast_forward", "rollback", "sweep_deletes", "vacuum", "zorder")
+    "expire_snapshots", "fast_forward", "rollback", "sweep_deletes",
+    "vacuum", "zorder")
 }

@@ -1189,6 +1189,30 @@ object ManifestSink {
       .foreach(_.delete())
   }
 
+  /** TIME-based retention (Iceberg's `expire_snapshots(older_than)`
+    * verb, beside the count-based [[vacuum]]): drop archived snapshot
+    * manifests whose commit time — the manifest document's mtime; the
+    * atomic rename that published it set it — is before
+    * `olderThanMillis`, then sweep data/delete files no remaining
+    * manifest references. The current base is never expired
+    * regardless of age, and branch chains stay referencing (an open
+    * WAP audit keeps every file it can see, exactly as under
+    * [[vacuum]]). Returns the number of archived snapshots dropped. */
+  def expireSnapshots(dir: String, olderThanMillis: Long): Long = {
+    val victims = Option(new File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.matches("_graft_manifest\\.v\\d+\\.json") &&
+        f.lastModified() < olderThanMillis)
+    victims.foreach(_.delete())
+    val referenced = listAllManifests(dir)
+      .flatMap(f => readManifestFile(f).files.map(_.name)).toSet
+    new File(dir).listFiles()
+      .filter(f => f.getName.endsWith(DataSuffix) && !referenced(f.getName))
+      .foreach(_.delete())
+    sweepDeleteFiles(dir)
+    victims.length.toLong
+  }
+
   /** Drop archived snapshots older than `keepVersions` behind the
     * current base, then sweep data files no remaining manifest
     * references — the retention knob that bounds time-travel storage. */

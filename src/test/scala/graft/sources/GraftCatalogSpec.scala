@@ -520,6 +520,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.bv")
   }
 
+  test("CALL expire_snapshots drops by commit time, never the base or branch state") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.ex (k BIGINT)")          // v0
+    spark.sql("INSERT INTO g.db.ex VALUES (1)")           // v1
+    spark.sql("INSERT OVERWRITE g.db.ex VALUES (2)")      // v2 — v1's file
+                                                          // now archive-only
+    spark.sql("INSERT INTO g.db.ex VALUES (3)")           // v3
+    val warehouse = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$warehouse/db/ex"
+    // age the v0/v1 archives a day back; v2 stays fresh
+    Seq(0L, 1L).foreach { v =>
+      assert(new java.io.File(dir, s"_graft_manifest.v$v.json")
+        .setLastModified(System.currentTimeMillis() - 86400000L))
+    }
+    spark.sql("CALL g.system.create_branch('db.ex', 'hold')")
+    val cut = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now().minusSeconds(3600))
+    val res = spark.sql(
+      s"CALL g.system.expire_snapshots('db.ex', TIMESTAMP '$cut')")
+      .head()
+    assert(res.getLong(0) === 2L, "exactly the two aged archives expire")
+    assert(res.getLong(1) >= 1L, "v1's orphaned data file is swept")
+    // expired versions are gone; fresh ones and the base survive
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.ex VERSION AS OF 1").collect() }
+    assert(spark.sql("SELECT k FROM g.db.ex VERSION AS OF 2")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT sum(k) FROM g.db.ex").head().getLong(0) === 5L)
+    // the open branch still reads everything it referenced
+    assert(spark.read.format("graft-manifest").option("branch", "hold")
+      .load(dir).agg(Map("k" -> "sum")).head().getLong(0) === 5L)
+    spark.sql("CALL g.system.drop_branch('db.ex', 'hold')")
+    spark.sql("DROP TABLE g.db.ex")
+  }
+
   test("RENAME COLUMN is metadata-only: values follow the field id, snapshots keep their names") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.rc (k BIGINT, v STRING)")

@@ -1,27 +1,44 @@
 #!/usr/bin/env python3
-"""Per-query bench regression tripwire.
+"""Per-query bench regression tripwire — with steady-state adjudication.
 
-Compares a fresh bench artifact (default: target/bench.json, written by
-`sbt "runMain graft.Bench"`) against the committed reference timings in
-tools/bench_ref.json and flags:
+Methodology (VERDICT r7 item 2):
 
-  - REGRESSION: query slower than THRESHOLD x its reference time AND
-    slower than ABS_FLOOR seconds (the floor keeps 0.1s -> 0.4s noise
-    from tripping the wire -- this machine's noise band for identical
-    code is wide; see VERDICT r4);
-  - NEW / GONE: queries present on only one side (inventory drift).
+  1. The reference `tools/bench_ref.json` is a per-query MEDIAN of >= 2
+     full-suite runs captured in ONE sitting (`tools/bench_ref_build.py`)
+     — never an elementwise-min floor, which flagged every honest run
+     against lucky historical moments.
+  2. A fresh full-suite run only nominates CANDIDATES: queries slower
+     than THRESHOLD x their reference median AND slower than ABS_FLOOR
+     seconds (below the floor, ratios are pure noise on this machine).
+  3. Candidates are ADJUDICATED by `graft.TimeOne` (3 runs in a fresh
+     session; the median absorbs the cold first run): only a steady-
+     state median > THRESHOLD x ref is a REGRESSION. Full-suite
+     sessions carry GC/JIT spikes an order of magnitude above steady
+     state — a single-session number is never evidence by itself.
 
-Usage: python3 tools/bench_check.py [bench.json] [ref.json]
-Exit code 1 if any regression is flagged, else 0.
+Usage:
+  python3 tools/bench_check.py [bench.json] [ref.json] [--no-adjudicate]
+                               [--sf-dir DIR]
 
-After a round whose bench is accepted as the new normal, refresh the
-reference:  cp target/bench.json tools/bench_ref.json
+Adjudication shells out to the compiled classes
+(target/scala-2.13/classes + /opt/spark/jars); pass --no-adjudicate to
+only print candidates (exit 0 unless adjudicated regressions exist).
+
+After a round whose bench profile is accepted as the new normal,
+REBUILD the reference from >= 2 fresh same-sitting runs:
+  SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Bench"   # x3, saving each
+  python3 tools/bench_ref_build.py run1.json run2.json run3.json
 """
 import json
+import re
+import statistics
+import subprocess
 import sys
 
-THRESHOLD = 3.0
+THRESHOLD = 2.0
 ABS_FLOOR = 1.0  # seconds; below this, ratios are pure noise
+
+CLASSPATH = "target/scala-2.13/classes:/opt/spark/jars/*"
 
 
 def load(path):
@@ -29,24 +46,66 @@ def load(path):
         return json.load(f)["queries"]
 
 
+def steady_state(names, sf_dir):
+    """3-run TimeOne medians for `names`, one fresh session."""
+    cmd = ["java", "-Xmx16g", "-cp", CLASSPATH, "graft.TimeOne",
+           f"-dir={sf_dir}"] + list(names)
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=1800).stdout
+    runs = {}
+    for m in re.finditer(r"^(\S+) run\d ([0-9.]+) s", out, re.M):
+        runs.setdefault(m.group(1), []).append(float(m.group(2)))
+    return {n: statistics.median(ts) for n, ts in runs.items() if ts}
+
+
 def main():
-    cur_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
-    ref_path = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_ref.json"
+    args = [a for a in sys.argv[1:]]
+    adjudicate = "--no-adjudicate" not in args
+    args = [a for a in args if a != "--no-adjudicate"]
+    sf_dir = "/root/testdata/sf0.1"
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        sf_dir = args[i + 1]
+        del args[i:i + 2]
+    cur_path = args[0] if len(args) > 0 else "target/bench.json"
+    ref_path = args[1] if len(args) > 1 else "tools/bench_ref.json"
     cur, ref = load(cur_path), load(ref_path)
 
-    regressions = []
+    candidates = []
     for name, t in sorted(cur.items()):
         r = ref.get(name)
         if r is None:
             print(f"NEW        {name}: {t:.2f}s (no reference)")
             continue
         if t > THRESHOLD * r and t > ABS_FLOOR:
-            regressions.append((name, t, r))
+            candidates.append((name, t, r))
     for name in sorted(set(ref) - set(cur)):
         print(f"GONE       {name}: in reference but not in current bench")
-    for name, t, r in sorted(regressions, key=lambda x: -x[1] / x[2]):
-        print(f"REGRESSION {name}: {t:.2f}s vs ref {r:.2f}s "
-              f"({t / r:.1f}x)")
+
+    regressions = []
+    if candidates and adjudicate:
+        print(f"adjudicating {len(candidates)} candidate(s) via TimeOne "
+              f"steady state on {sf_dir} ...")
+        medians = steady_state([c[0] for c in candidates], sf_dir)
+        for name, t, r in candidates:
+            m = medians.get(name)
+            if m is None:
+                print(f"UNRESOLVED {name}: TimeOne produced no timing — "
+                      f"treat as regression ({t:.2f}s vs ref {r:.2f}s)")
+                regressions.append((name, t, r))
+            elif m > THRESHOLD * r and m > ABS_FLOOR:
+                print(f"REGRESSION {name}: steady {m:.2f}s vs ref "
+                      f"{r:.2f}s ({m / r:.1f}x; suite run {t:.2f}s)")
+                regressions.append((name, m, r))
+            else:
+                print(f"NOISE      {name}: suite run {t:.2f}s but steady "
+                      f"{m:.2f}s vs ref {r:.2f}s — session spike")
+    elif candidates:
+        for name, t, r in sorted(candidates, key=lambda x: -x[1] / x[2]):
+            print(f"CANDIDATE  {name}: {t:.2f}s vs ref {r:.2f}s "
+                  f"({t / r:.1f}x) — unadjudicated")
+        regressions = candidates
+
     tot_c = sum(cur.values())
     tot_r = sum(ref.get(k, 0.0) for k in cur)
     print(f"total: {tot_c:.1f}s vs ref {tot_r:.1f}s over "
