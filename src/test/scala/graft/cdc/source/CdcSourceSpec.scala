@@ -570,6 +570,107 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(all.contains("no schema"))
   }
 
+  test("golden transcript: a full avrorouter session replays byte-exact end-to-end") {
+    // Hand-authored from the reference's docker-harness golden values
+    // (client_test.go:53-267 + docker-compose.yml): handshake replies,
+    // ERR-before-schema, the EXACT v1 DDL of client_test.go:83-132
+    // (version 1, gtid 0-3000-6, the null/int `id` column), a DML
+    // burst covering all four event types (insert seq 7 id 1 / seq 8
+    // id 2 — the golden rows — update pair, delete), a MID-STREAM
+    // version bump (ALTER adds `note`), and v2 rows. The server
+    // asserts every client request BYTE-exactly against the
+    // transcript; the test pins the decoded DataFrame row for row.
+    val ddlV2 =
+      """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record", "name": "ChangeRecord", "table": "tests", "database": "test", "version": 2, "gtid": "0-3000-10", "fields": [{"name": "domain", "type": "int"}, {"name": "server_id", "type": "int"}, {"name": "sequence", "type": "int"}, {"name": "event_number", "type": "int"}, {"name": "timestamp", "type": "int"}, {"name": "event_type", "type": {"type": "enum", "name": "EVENT_TYPES", "symbols": ["insert", "update_before", "update_after", "delete"]}}, {"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}, {"name": "note", "type": ["null", "string"], "real_type": "varchar", "length": 40}]}"""
+    def dmlV2(seq: Int, id: Int, note: String) =
+      s"""{"domain": 0, "server_id": 3000, "sequence": $seq, "event_number": 1, "timestamp": 170000000$seq, "event_type": "insert", "table_name": "tests", "table_schema": "test", "id": $id, "note": "$note"}"""
+    def upd(seq: Int, num: Int, id: Int, which: String) =
+      s"""{"domain": 0, "server_id": 3000, "sequence": $seq, "event_number": $num, "timestamp": 170000000$seq, "event_type": "$which", "table_name": "tests", "table_schema": "test", "id": $id}"""
+    val stream = Seq(
+      "ERR NO-SUCH-TABLE test.tests",              // wait-for-schema
+      ddl,                                          // golden v1 DDL
+      dml(7, 1),                                    // golden insert #1
+      dml(8, 2),                                    // golden insert #2
+      upd(9, 1, 1, "update_before"),                // update pair
+      upd(9, 2, 10, "update_after"),
+      dml(10, 2, eventType = "delete"),             // delete
+      ddlV2,                                        // mid-stream ALTER
+      dmlV2(11, 3, "v2"))                           // row under v2
+    val expectRequests = Seq(
+      graft.cdc.Protocol.formatAuthCommand("maxuser", "maxpwd"),
+      graft.cdc.Protocol.formatRegisterCommand("test-uuid"),
+      graft.cdc.Protocol.formatRequestDataCommand("test", "tests"))
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream,
+        UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      def readN(n: Int): String = {
+        val b = new Array[Char](n); var r = 0
+        while (r < n) { val k = in.read(b, r, n - r); if (k > 0) r += k }
+        new String(b)
+      }
+      // commands carry no terminator: read each by its transcript size
+      seen.add(readN(expectRequests(0).length)); out.println("OK")
+      seen.add(readN(expectRequests(1).length)); out.println("OK")
+      seen.add(readN(expectRequests(2).length))
+      stream.foreach { line => out.println(line); Thread.sleep(10) }
+      Thread.sleep(8000)                            // stream stays open
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "maxuser").option("password", "maxpwd")
+      .option("uuid", "test-uuid")
+      .option("database", "test").option("table", "tests")
+      .load().writeStream.format("memory")
+      .queryName("cdc_golden").outputMode("append").start()
+    val want = stream.length - 1                    // all but the ERR
+    val deadline = System.currentTimeMillis() + 20000
+    var n = 0L
+    while (n < want && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      n = spark.table("cdc_golden").count()
+      if (n < want) Thread.sleep(100)
+    }
+    q.stop()
+    server.close()
+    // byte-exact requests, in protocol order
+    assert(seen.size === 3)
+    expectRequests.zipWithIndex.foreach { case (e, i) =>
+      assert(seen.get(i) === e, s"request $i differs from the transcript")
+    }
+    // the decoded frame, row for row (ERR consumed, never surfaced);
+    // DDL rows carry a null envelope — keyed here by their gtid
+    val rows = spark.table("cdc_golden")
+      .selectExpr(
+        "coalesce(CAST(sequence AS STRING), " +
+          "get_json_object(raw, '$.gtid')) AS seq",
+        "coalesce(CAST(event_number AS STRING), '0') AS num",
+        "event_type",
+        "coalesce(get_json_object(raw, '$.id'), '-') AS id",
+        "coalesce(get_json_object(raw, '$.note'), '-') AS note",
+        "coalesce(get_json_object(raw, '$.version'), '-') AS ver")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+      .sorted
+    assert(rows.toSeq === Seq(
+      ("0-3000-10", "0", "ddl", "-", "-", "2"),     // the version bump
+      ("0-3000-6", "0", "ddl", "-", "-", "1"),      // golden v1 schema
+      ("10", "1", "delete", "2", "-", "-"),
+      ("11", "1", "insert", "3", "v2", "-"),        // row under v2
+      ("7", "1", "insert", "1", "-", "-"),          // golden row #1
+      ("8", "1", "insert", "2", "-", "-"),          // golden row #2
+      ("9", "1", "update_before", "1", "-", "-"),
+      ("9", "2", "update_after", "10", "-", "-")))
+  }
+
   test("socket: full handshake, ERR-wait-for-schema, streamed events") {
     val server = new ServerSocket(0)
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
