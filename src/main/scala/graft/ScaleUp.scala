@@ -31,6 +31,14 @@ object ScaleUp {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-list of tables to emit (e.g.
+    // "documents,embeddings" for a dedup/graph-only sf10 decade —
+    // replicating 100x lineitem just to time a documents query is
+    // wasted disk)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(',').map(_.trim).toSet)
+      else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,6 +51,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      if (!wanted(name)) return
       val base = Tables(spark, srcDir, name)
       val out = (0 until copies).map(r => shift(base, r))
         .reduce(_ unionAll _)
@@ -51,7 +60,8 @@ object ScaleUp {
     }
 
     // dims verbatim
-    for (d <- Seq("region", "nation", "customer", "supplier", "part")) {
+    for (d <- Seq("region", "nation", "customer", "supplier", "part")
+         if wanted(d)) {
       Tables(spark, srcDir, d).write.mode("overwrite")
         .parquet(s"$outDir/$d.parquet")
       println(s"[scaleup] $d copied")

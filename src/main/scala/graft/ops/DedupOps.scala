@@ -625,6 +625,62 @@ object DedupOps extends OpPack {
         .orderBy(col("node"))
     }),
 
+    // Closeness centrality on the SAME bounded directed transition
+    // graph as llm_graph_scc (which states a node's recurrence; this
+    // states its REACH EFFICIENCY — how few hops to everything it can
+    // reach): exact shortest-path distances by MIN-PLUS path doubling
+    // — 6 squarings of the distance relation (new d = min(old, old⊕
+    // old)) cover shortest paths ≤ 2⁶ = 64 > |V|, each round one
+    // equi-join + one min-agg on the ≤|V|²-row frame,
+    // localCheckpoint'd (the iterative-loop doctrine). Closeness =
+    // 10⁶·|reachable| div Σdist (classic Bavelas form in ppm, exact
+    // integers); unreachable-from nodes declared NULL. The fact table
+    // pays the same ONE lag window + ONE hash agg as the scc query;
+    // every later frame is domain-bounded — nothing grows at 100 TB.
+    // Oracle: DuckDB recursive BFS with a depth cap (independent
+    // algorithm).
+    "llm_graph_closeness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          concat(col("event_type"), lit("/"),
+            pmod(abs(expr("CAST(round(value * 100) AS BIGINT)")), lit(8)))
+            .as("node"))
+        .filter(col("node").isNotNull)
+      val trans = ev
+        .withColumn("src", lag(col("node"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .select(col("src"), col("node").as("dst"))
+      val counted = trans.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val kept = counted
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .filter(col("n") * 1000 > col("tot"))
+        .select(col("src"), col("dst"))
+      var dist = kept.withColumn("d", lit(1L)).localCheckpoint(false)
+      for (_ <- 1 to 6) {
+        val hop = dist.select(col("src"), col("dst").as("mid"),
+            col("d").as("d1"))
+          .join(dist.select(col("src").as("mid"), col("dst"),
+            col("d").as("d2")), "mid")
+          .select(col("src"), col("dst"), (col("d1") + col("d2")).as("d"))
+        dist = dist.union(hop).groupBy(col("src"), col("dst"))
+          .agg(min(col("d")).as("d")).localCheckpoint(false)
+      }
+      val reach = dist.filter(col("src") =!= col("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("n_reachable"), sum(col("d")).as("sum_dist"))
+      ev.select(col("node")).distinct()
+        .join(reach, Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("n_reachable"), lit(0L)).as("n_reachable"),
+          coalesce(col("sum_dist"), lit(0L)).as("sum_dist"))
+        .withColumn("closeness_ppm",
+          expr("CAST(CASE WHEN sum_dist = 0 THEN NULL ELSE " +
+            "(1000000 * n_reachable) div sum_dist END AS BIGINT)"))
+        .orderBy(col("node"))
+    }),
+
     "llm_pagerank" -> ((s, dir) => {
       val pairs = nearDupPairs(s, dir)
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -1471,6 +1527,45 @@ object DedupOps extends OpPack {
         |  CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT)
         |    AS scc_size
         |FROM scc ORDER BY node""".stripMargin,
+
+    "llm_graph_closeness" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id,
+        |    event_type || '/' ||
+        |      CAST(abs(CAST(round(value * 100) AS BIGINT)) % 8
+        |        AS VARCHAR) AS node
+        |  FROM events),
+        |ev2 AS (SELECT * FROM ev WHERE node IS NOT NULL),
+        |tr AS (
+        |  SELECT lag(node) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS src,
+        |    node AS dst
+        |  FROM ev2),
+        |cnt AS (SELECT src, dst, count(*) AS n FROM tr
+        |        WHERE src IS NOT NULL GROUP BY src, dst),
+        |kept AS (SELECT src, dst FROM cnt
+        |         WHERE n * 1000 > (SELECT sum(n) FROM cnt)),
+        |paths AS (
+        |  SELECT src, dst, 1 AS d FROM kept
+        |  UNION
+        |  SELECT p.src, k.dst, p.d + 1 FROM paths p
+        |  JOIN kept k ON k.src = p.dst WHERE p.d < 40),
+        |best AS (
+        |  SELECT src, dst, min(d) AS d FROM paths
+        |  WHERE src <> dst GROUP BY src, dst),
+        |r AS (
+        |  SELECT src AS node, count(*) AS n_reachable,
+        |    sum(d) AS sum_dist
+        |  FROM best GROUP BY src)
+        |SELECT n.node,
+        |  CAST(coalesce(r.n_reachable, 0) AS BIGINT) AS n_reachable,
+        |  CAST(coalesce(r.sum_dist, 0) AS BIGINT) AS sum_dist,
+        |  CAST(CASE WHEN coalesce(r.sum_dist, 0) = 0 THEN NULL ELSE
+        |    (1000000 * r.n_reachable) // r.sum_dist END AS BIGINT)
+        |    AS closeness_ppm
+        |FROM (SELECT DISTINCT node FROM ev2) n
+        |LEFT JOIN r ON r.node = n.node
+        |ORDER BY n.node""".stripMargin,
 
     // 3 unrolled LPA rounds — the same deterministic
     // (count desc, label asc) vote, written independently.

@@ -528,6 +528,66 @@ object TsOps extends OpPack {
         ORDER BY user_id, event_id""")
     }),
 
+    // Volume-weighted average (VWAP — TWAP's sibling where the weight
+    // is a per-observation QUANTITY instead of a holding interval):
+    // per day, Σ cents·qty div Σ qty with the products ridden in
+    // DECIMAL(38,0)/HUGEINT and integer div — the exact-cents answer
+    // a float mean cannot give. ONE map-side-combined hash agg on
+    // day: scan-proportional, single shuffle, no window at all.
+    "ts_vwap" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      Tables(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("cents").isNotNull && col("qty").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          sum(col("cents").cast(dec) * col("qty")).as("wsum"))
+        .select(col("day"), col("n"), col("sum_qty"),
+          expr("CAST(CASE WHEN sum_qty = 0 THEN NULL ELSE " +
+            "wsum div sum_qty END AS BIGINT)").as("vwap_cents"))
+        .orderBy(col("day"))
+    }),
+
+    // Bollinger-band breaches, integer-exact: a 5-observation trailing
+    // window's mean ± 2σ tested WITHOUT ever dividing — |x−μ| > 2σ ⇔
+    // (x·n−S)² > 4(n·Σx²−S²), every term an exact integer (bounds:
+    // cents ≤ ~6e4, n = 5 ⇒ lhs ≤ ~1e11, rhs ≤ ~1e12 — deep inside
+    // BIGINT; DuckDB rides HUGEINT window sums). Only full windows
+    // count (declared warm-up rule, the win_sma_crossover doctrine).
+    // The THREE window sums and the per-user rollup share ONE user_id
+    // exchange. Identical generated SQL runs in both engines.
+    "ts_bollinger" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_boll")
+      s.sql(bollingerSql("events_boll"))
+    }),
+
+    // Relative Strength Index (Wilder's RSI collapsed to the whole
+    // series — the bounded-momentum ratio): per user over event_id
+    // order, gains = Σ max(Δcents, 0), losses = Σ max(−Δcents, 0),
+    // rsi_permille = 1000·gains div (gains+losses); flat series
+    // (denominator 0) declared NULL. ONE lag window + ONE map-side-
+    // combined hash agg on the SAME user_id exchange — the ts_twap
+    // shuffle shape exactly.
+    "ts_rsi" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("delta", col("cents") - lag(col("cents"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_deltas"),
+          sum(greatest(col("delta"), lit(0L))).as("gains"),
+          sum(greatest(-col("delta"), lit(0L))).as("losses"))
+        .select(col("user_id"), col("n_deltas"),
+          expr("CAST(CASE WHEN gains + losses = 0 THEN NULL ELSE " +
+            "(1000 * gains) div (gains + losses) END AS BIGINT)")
+            .as("rsi_permille"))
+        .orderBy(col("user_id"))
+    }),
+
     // Time-weighted average (TWAP — the telemetry/finance mean that
     // irregular sampling demands: an arithmetic mean over-weights
     // bursts; weighting each observation by how long it HELD, i.e.
@@ -586,6 +646,36 @@ object TsOps extends OpPack {
           sum(round(col("value") * 100).cast("long")).as("value_c"))
         .orderBy(col("user_id"), col("session_no"))
     }))
+
+  /** Bollinger-breach SQL shared VERBATIM by both engines (only the
+    * scanned table name differs): trailing 5-row window sums, the
+    * division-free breach test, and the per-user rollup. */
+  private[ops] def bollingerSql(table: String): String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM $table WHERE value IS NOT NULL),
+       |w5 AS (
+       |  SELECT user_id, c,
+       |    sum(c) OVER w AS s1,
+       |    sum(c * c) OVER w AS s2,
+       |    count(*) OVER w AS n
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+       |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+       |b AS (
+       |  SELECT user_id,
+       |    CASE WHEN c * 5 - s1 > 0 AND
+       |      (c * 5 - s1) * (c * 5 - s1) > 4 * (5 * s2 - s1 * s1)
+       |      THEN 1 ELSE 0 END AS hi,
+       |    CASE WHEN c * 5 - s1 < 0 AND
+       |      (c * 5 - s1) * (c * 5 - s1) > 4 * (5 * s2 - s1 * s1)
+       |      THEN 1 ELSE 0 END AS lo
+       |  FROM w5 WHERE n = 5)
+       |SELECT user_id, count(*) AS n_windows,
+       |  CAST(sum(hi) AS BIGINT) AS n_breach_hi,
+       |  CAST(sum(lo) AS BIGINT) AS n_breach_lo
+       |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Shared numerator/denominator SQL for ts_ewma / ts_holt: weight
     * 2^(15−k) on lag k of column `c` (k = 0 is the current row), null
@@ -809,6 +899,38 @@ object TsOps extends OpPack {
     expr(s"CAST(CASE WHEN s0 > 0 THEN ($c * 1000) div s0 END AS BIGINT)")
 
   def oracle: Map[String, String] = Map(
+    "ts_vwap" ->
+      """WITH b AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT day, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(CASE WHEN sum(qty) = 0 THEN NULL ELSE
+        |    sum(CAST(cents AS HUGEINT) * qty) // sum(qty)
+        |    END AS BIGINT) AS vwap_cents
+        |FROM b GROUP BY day ORDER BY day""".stripMargin,
+
+    "ts_bollinger" -> bollingerSql("events"),
+
+    "ts_rsi" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) -
+        |      lag(CAST(round(value * 100) AS BIGINT), 1) OVER
+        |        (PARTITION BY user_id ORDER BY event_id) AS delta
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_deltas,
+        |  CAST(CASE WHEN sum(greatest(delta, 0)) +
+        |      sum(greatest(-delta, 0)) = 0 THEN NULL ELSE
+        |    (1000 * sum(greatest(delta, 0))) //
+        |      (sum(greatest(delta, 0)) + sum(greatest(-delta, 0)))
+        |    END AS BIGINT) AS rsi_permille
+        |FROM d WHERE delta IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "ts_twap" ->
       """WITH b AS (
         |  SELECT user_id, epoch_us(ts) AS us,
