@@ -416,6 +416,53 @@ object SampleOps extends OpPack {
       splits.unionByName(leak).orderBy(col("split"))
     }),
 
+    // Rolling-origin (expanding-window) cross-validation — the
+    // time-series CV scheme that never trains on the future
+    // (sample_time_split is its single-fold form; classic k-fold
+    // leaks): fold i trains on days ≤ the 40/60/80th observed-day
+    // percentile and tests on the NEXT percentile band, so every
+    // fold's test horizon starts strictly after its training end by
+    // construction. Cuts via percentile_disc (engine-identical on
+    // observed days); ALL fold counts come from ONE conditional
+    // aggregate over one scan — never a per-fold pass — unpivoted to
+    // rows by stack. The 1-row cut frame rides a broadcast cross
+    // (the allowlisted scalar-gate pattern).
+    "sample_rolling_origin" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(expr("unix_date(CAST(ts AS DATE))").as("dayn"))
+      // percentile_disc returns DOUBLE; its value is an OBSERVED day
+      // (discrete percentile), so the INT cast is exact
+      val cuts = e.agg(
+        expr("CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY dayn) " +
+          "AS INT)").as("c1"),
+        expr("CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY dayn) " +
+          "AS INT)").as("c2"),
+        expr("CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY dayn) " +
+          "AS INT)").as("c3"),
+        max(col("dayn")).as("c4"))
+      val aggCols = (1 to 3).flatMap { i =>
+        Seq(
+          sum(when(col("dayn") <= col(s"c$i"), 1L).otherwise(0L))
+            .as(s"tr$i"),
+          sum(when(col("dayn") > col(s"c$i") &&
+            col("dayn") <= col(s"c${i + 1}"), 1L).otherwise(0L))
+            .as(s"te$i"))
+      } ++ (1 to 4).map(i => max(col(s"c$i")).as(s"d$i"))
+      e.crossJoin(broadcast(cuts))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .selectExpr("stack(3, " +
+          "1, tr1, te1, d1, d2, " +
+          "2, tr2, te2, d2, d3, " +
+          "3, tr3, te3, d3, d4) AS " +
+          "(fold, n_train, n_test, train_end_dayn, test_end_dayn)")
+        .selectExpr("CAST(fold AS INT) AS fold",
+          "CAST(n_train AS BIGINT) AS n_train",
+          "CAST(n_test AS BIGINT) AS n_test",
+          "CAST(train_end_dayn AS BIGINT) AS train_end_dayn",
+          "CAST(test_end_dayn AS BIGINT) AS test_end_dayn")
+        .orderBy(col("fold"))
+    }),
+
     "sample_mix_epochs" -> ((s, dir) => {
       val budget = 100000L
       val w = Window.partitionBy(lit(1))
@@ -505,6 +552,42 @@ object SampleOps extends OpPack {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS spend_cents
         |FROM events GROUP BY fold
+        |ORDER BY fold""".stripMargin,
+
+    "sample_rolling_origin" ->
+      """WITH e AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS dayn
+        |  FROM events),
+        |cut AS (
+        |  SELECT quantile_disc(dayn, 0.4) AS c1,
+        |    quantile_disc(dayn, 0.6) AS c2,
+        |    quantile_disc(dayn, 0.8) AS c3, max(dayn) AS c4 FROM e),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN dayn <= c1 THEN 1 ELSE 0 END) AS tr1,
+        |    sum(CASE WHEN dayn > c1 AND dayn <= c2 THEN 1 ELSE 0 END)
+        |      AS te1,
+        |    sum(CASE WHEN dayn <= c2 THEN 1 ELSE 0 END) AS tr2,
+        |    sum(CASE WHEN dayn > c2 AND dayn <= c3 THEN 1 ELSE 0 END)
+        |      AS te2,
+        |    sum(CASE WHEN dayn <= c3 THEN 1 ELSE 0 END) AS tr3,
+        |    sum(CASE WHEN dayn > c3 AND dayn <= c4 THEN 1 ELSE 0 END)
+        |      AS te3,
+        |    min(c1) AS d1, min(c2) AS d2, min(c3) AS d3, min(c4) AS d4
+        |  FROM e CROSS JOIN cut)
+        |SELECT CAST(fold AS INT) AS fold,
+        |  CAST(n_train AS BIGINT) AS n_train,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(train_end_dayn AS BIGINT) AS train_end_dayn,
+        |  CAST(test_end_dayn AS BIGINT) AS test_end_dayn
+        |FROM (
+        |  SELECT 1 AS fold, tr1 AS n_train, te1 AS n_test,
+        |    d1 AS train_end_dayn, d2 AS test_end_dayn FROM a
+        |  UNION ALL
+        |  SELECT 2, tr2, te2, d2, d3 FROM a
+        |  UNION ALL
+        |  SELECT 3, tr3, te3, d3, d4 FROM a)
         |ORDER BY fold""".stripMargin,
 
     "sample_time_split" ->
