@@ -395,6 +395,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // sample_time_split crosses the broadcast 1-row percentile
       // cutoff (scalar-gate shape).
       "sample_time_split",
+      // sample_rolling_origin crosses the broadcast 1-row fold-cut
+      // frame (same scalar-gate shape).
+      "sample_rolling_origin",
       // composite_trending crosses the broadcast 1-row date bounds
       // (scalar-gate shape).
       "composite_trending",
