@@ -341,13 +341,16 @@ object LlmOps extends OpPack {
     // of a broadcast-nested-loop cross. Production runs the
     // cell-blocked llm_dedup_semantic.
     "llm_dedup_semantic_exact" -> ((s, dir) => {
+      // quantized values live in DOUBLE arrays so the per-pair dot is
+      // the NATIVE codegen DotProduct (the HOF zip_with/aggregate fold
+      // was ~40x slower on the corpus² frame); every product and sum
+      // is integer-valued ≤ ~2.3e7 ≪ 2^53, so the double arithmetic
+      // and the BIGINT cast are EXACT
       val qn = Tables(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, " +
-            "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-            .as("qv"))
-        .withColumn("n2", expr(
-          "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, " +
-            "(a, v) -> a + v)"))
+            "x -> round(CAST(x AS DOUBLE) * 1000))").as("qv"))
+        .withColumn("n2", graft.functions.VectorFunctions
+          .dotProduct(col("qv"), col("qv")).cast("long"))
       val l = qn.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
           col("n2").as("na2"))
         .withColumn("bucket", explode(expr("sequence(0L, 15L)")))
@@ -355,9 +358,8 @@ object LlmOps extends OpPack {
         col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb2"))
       l.join(r, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, " +
-            "(a, v) -> a + v)"))
+        .withColumn("dot", graft.functions.VectorFunctions
+          .dotProduct(col("qa"), col("qb")).cast("long"))
         .filter(col("dot") > 0 &&
           col("dot") * col("dot") * 25 >= col("na2") * col("nb2") * 4)
         .groupBy(col("vec_b").as("dup_id"))
