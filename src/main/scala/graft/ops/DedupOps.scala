@@ -439,11 +439,18 @@ object DedupOps extends OpPack {
         .createOrReplaceTempView("ndp_edges_rec")
       Tables(s, dir, "documents").select(col("doc_id"))
         .createOrReplaceTempView("docs_rec")
+      // DISTINCT inside the recursive step: each level is a set of
+      // (id, dist) pairs ≤ |V| — WITHOUT it the UNION ALL walk
+      // enumerates PATHS and the frontier explodes combinatorially
+      // (sf1 tripped Spark's 1M-row recursion guard; min(dist) after
+      // the loop is unchanged by the dedup). Spark's UnionLoop has no
+      // UNION-dedup across levels yet, so cross-level revisits remain
+      // — bounded by levels·|V|, never by path count.
       s.sql("""
         WITH RECURSIVE walk(id, dist) AS (
           SELECT doc_id AS id, 0 AS dist FROM docs_rec WHERE doc_id % 97 = 0
           UNION ALL
-          SELECT e.v AS id, w.dist + 1
+          SELECT DISTINCT e.v AS id, w.dist + 1
           FROM walk w JOIN ndp_edges_rec e ON e.u = w.id
           WHERE w.dist < 3
         )

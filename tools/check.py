@@ -53,8 +53,11 @@ def main(sf_dir, out_dir):
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
+            # driver testdata = single parquet FILES; ScaleUp output =
+            # Spark DIRECTORIES of part files — glob those
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
