@@ -79,8 +79,13 @@ object Tables {
     round(sum(c.cast(DecimalType(28, 2))).cast("double"), 2)
 
   /** Exact sum of a product-of-money expression with up to 6 decimals. */
+  /** Sum exactly in decimal, ROUND IN DECIMAL (half-away-from-zero in
+    * both engines), THEN cast to double. Rounding after the double
+    * cast looked equivalent but diverged one cent at sf1: an exact
+    * ….865000 sum casts to a double a hair below the half-cent, and
+    * the engines disagree on which side it falls. */
   def exprSum(c: Column): Column =
-    round(sum(c.cast(DecimalType(28, 6))).cast("double"), 2)
+    round(sum(c.cast(DecimalType(28, 6))), 2).cast("double")
 
   /** Average via exact decimal sum, divided in double (bit-identical in
     * both engines), then rounded. */
@@ -96,7 +101,7 @@ object Tables {
     def moneySum(e: String): String =
       s"round(CAST(sum(CAST($e AS DECIMAL(28,2))) AS DOUBLE), 2)"
     def exprSum(e: String): String =
-      s"round(CAST(sum(CAST($e AS DECIMAL(28,6))) AS DOUBLE), 2)"
+      s"CAST(round(sum(CAST($e AS DECIMAL(28,6))), 2) AS DOUBLE)"
     def moneyAvg(e: String): String =
       s"round(CAST(sum(CAST($e AS DECIMAL(28,2))) AS DOUBLE) / count($e), 2)"
     def money(e: String): String =
