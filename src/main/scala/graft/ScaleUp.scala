@@ -87,12 +87,16 @@ object ScaleUp {
     }
 
     // documents: new doc ids; text tagged per replica so exact/near
-    // dedup structure replicates instead of collapsing.
+    // dedup structure replicates instead of collapsing. n_chars must
+    // track the suffix — FIXTURES declares n_chars == octet_length
+    // (text), and the mm_* family's oracles lean on it.
     replicate("documents") { (df, r) =>
-      df.withColumn("doc_id", col("doc_id") + lit(r * okBase))
-        .withColumn("text",
-          if (r == 0) col("text")
-          else concat(col("text"), lit(s" replica$r")))
+      val tagged = df.withColumn("doc_id", col("doc_id") + lit(r * okBase))
+      if (r == 0) tagged
+      else tagged
+        .withColumn("text", concat(col("text"), lit(s" replica$r")))
+        .withColumn("n_chars",
+          col("n_chars") + lit(s" replica$r".length.toLong))
     }
 
     // embeddings: new vec ids; vectors reused (cell structure repeats).

@@ -49,6 +49,13 @@ def canon(df: pd.DataFrame, name: str, side: str) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # optional resource caps for large-SF sweeps sharing the machine
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
