@@ -160,13 +160,35 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_new"), col("doc_other"))
     }),
 
-    // SimHash(64-bit) + pigeonhole segment join, verified to exact
-    // token-set equality (n_inter == n_union ⇔ J = 1).
+    // SimHash(64-bit) fingerprints verified to exact token-set
+    // equality (J = 1). Two scale lessons are load-bearing here:
+    // (1) at J = 1 the FULL fingerprint is a perfect blocking key —
+    // identical sets ⇒ identical fingerprints — so the pair join
+    // groups on the whole 64-bit value and its volume is OUTPUT-
+    // proportional (Σ family², i.e. the answer itself) at every
+    // scale; the pigeonhole SEGMENT join exists for near-threshold
+    // recall and its candidate volume tracks true near-dup density —
+    // quadratic by construction on a corpus of hamming-≤3 sibling
+    // families (pinned as machinery in SimHashSpec, not spent here
+    // where exact verification would discard every cross-fingerprint
+    // candidate anyway); (2) verification at J = 1 is one canonical
+    // per-doc digest (md5 over space-joined sorted distinct tokens —
+    // tokens cannot contain the space they were split on) and an
+    // O(pairs) compare, never the pairs×tokens join. Fingerprint
+    // collision across different sets is caught by the digest filter.
     "llm_dedup_simhash" -> ((s, dir) => {
       val t = tokens(s, dir)
-      val fps = SimHash.fingerprints(t, "doc_id", "w")
-      val cand = SimHash.candidatePairs(fps, "doc_id", maxDist = 3)
-      MinHashLsh.verifyJaccard(cand, t, "doc_id", "w", num = 1, den = 1)
+      val dig = t.groupBy(col("doc_id")).agg(
+        md5(concat_ws(" ", sort_array(collect_set(col("w")))))
+          .as("dg"))
+      val fd = SimHash.fingerprints(t, "doc_id", "w")
+        .join(dig, Seq("doc_id"))
+      val l = fd.select(col("simhash"), col("doc_id").as("doc_a"),
+        col("dg").as("dg_a"))
+      val r = fd.select(col("simhash"), col("doc_id").as("doc_b"),
+        col("dg").as("dg_b"))
+      l.join(r, Seq("simhash"))
+        .filter(col("doc_a") < col("doc_b") && col("dg_a") === col("dg_b"))
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -1222,10 +1244,20 @@ object DedupOps extends OpPack {
         |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
         |ORDER BY doc_new, doc_other""".stripMargin,
 
+    // identical-set truth via per-doc canonical digests — linear in
+    // the corpus where the pair-join form is quadratic inside dup
+    // families (it exhausted oracle-side disk one decade up)
     "llm_dedup_simhash" ->
-      s"""SELECT doc_a, doc_b FROM ($tokPairSql
-         |  WHERE n_inter = sa.n_tok + sb.n_tok - n_inter)
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tok2 AS (SELECT * FROM tok WHERE w <> ''),
+        |dig AS (
+        |  SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w)) AS dg
+        |  FROM tok2 GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM dig a JOIN dig b ON a.dg = b.dg AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_dedup_ngram" ->
       s"""WITH t AS (
