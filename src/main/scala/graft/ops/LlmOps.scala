@@ -367,6 +367,32 @@ object LlmOps extends OpPack {
         .orderBy(col("dup_id"))
     }),
 
+    // RANGE similarity search — the third classic mode beside top-k
+    // (llm_sim_cosine) and IVF (llm_ann_ivf): EVERY vector within a
+    // similarity radius of the probe, rank-free. Same milli-quantized
+    // exact-integer cosine test as llm_dedup_semantic_exact (native
+    // codegen dot, 25·dot² ≥ 4·‖a‖²‖b‖² ⇔ cos ≥ 0.4), so the
+    // radius predicate is bit-identical cross-engine. ONE broadcast
+    // 1-row probe against the corpus scan (the llm_sim_cosine shape);
+    // at 100 TB the same predicate runs inside IVF cells instead.
+    "llm_ann_range" -> ((s, dir) => {
+      val qn = Tables(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, " +
+            "x -> round(CAST(x AS DOUBLE) * 1000))").as("qv"))
+        .withColumn("n2", graft.functions.VectorFunctions
+          .dotProduct(col("qv"), col("qv")).cast("long"))
+      val probe = qn.filter(col("vec_id") === 0)
+        .select(col("qv").as("qp"), col("n2").as("np2"))
+      qn.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("dot", graft.functions.VectorFunctions
+          .dotProduct(col("qv"), col("qp")).cast("long"))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 25 >= col("n2") * col("np2") * 4)
+        .select(col("vec_id"), col("dot"), col("n2"))
+        .orderBy(col("vec_id"))
+    }),
+
     "llm_multimodal_join" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val e = Tables(s, dir, "embeddings")
@@ -665,6 +691,24 @@ object LlmOps extends OpPack {
         |                      WHERE vec_id = 0) p)
         |QUALIFY rank <= 10
         |ORDER BY rank""".stripMargin,
+
+    "llm_ann_range" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |  CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q),
+        |p AS (SELECT qv AS qp, n2 AS np2 FROM n WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_dot_product(e.qv, p.qp) AS BIGINT) AS dot, e.n2
+        |FROM n e, p
+        |WHERE e.vec_id <> 0
+        |  AND CAST(list_dot_product(e.qv, p.qp) AS BIGINT) > 0
+        |  AND 25 * CAST(list_dot_product(e.qv, p.qp) AS BIGINT)
+        |      * CAST(list_dot_product(e.qv, p.qp) AS BIGINT)
+        |      >= 4 * e.n2 * p.np2
+        |ORDER BY e.vec_id""".stripMargin,
 
     "llm_dedup_semantic_exact" ->
       """WITH q AS (

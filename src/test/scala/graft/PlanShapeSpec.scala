@@ -409,7 +409,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "fn_catalog_dot",
       // llm_ann_pq_adc crosses the broadcast 1-row full-precision
       // probe against the PQ code scan (llm_sim_cosine shape).
-      "llm_ann_pq_adc")
+      "llm_ann_pq_adc",
+      // llm_ann_range crosses the broadcast 1-row quantized probe
+      // (the same scalar-gate shape).
+      "llm_ann_range")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
