@@ -473,6 +473,32 @@ object AggOps extends OpPack {
         min(col("l_div")).as("min_l_diversity"))
     }),
 
+    // Shannon entropy of each user's event-type mix in DECLARED
+    // floor-log2 milli-bits (the llm_surprisal bit-length idiom:
+    // LB(x) = length(bin(x)) = ⌊log2 x⌋ + 1, so the per-observation
+    // surprisal LB(N)−LB(c) is the whole-bit information content and
+    // H_milli = 1000·Σ c·(LB(N)−LB(c)) div N = 1000·(N·LB(N) − Σ
+    // c·LB(c)) div N — pure integer bit math, cross-engine exact where
+    // a float log2 would ride libm luck). The behavioral-diversity
+    // score: 0 ⇔ a user does exactly one thing, higher ⇔ an even mix.
+    // TWO map-side-combined hash aggs (type cells, then users) — the
+    // classic two-phase distinct shape; entropy over 100 TB of events
+    // costs one scan, key-proportional exchanges only.
+    "diag_entropy" -> ((s, dir) => {
+      val c = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * length(expr("bin(c)"))).as("sum_clb"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("CAST((1000 * (n_events * length(bin(n_events)) " +
+            "- sum_clb)) div n_events AS BIGINT)")
+            .as("entropy_millibits"))
+        .orderBy(col("user_id"))
+    }),
+
     // Deterministic mode: most frequent order priority per status,
     // ties broken lexicographically (the built-in `mode()` leaves tie
     // order engine-defined, so it is composed from count + top-1 here
@@ -985,6 +1011,20 @@ object AggOps extends OpPack {
         |    AS groups_lt2,
         |  CAST(min(l_div) AS BIGINT) AS min_l_diversity
         |FROM g""".stripMargin,
+
+    "diag_entropy" ->
+      """WITH ct AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_types,
+        |    CAST(sum(c * length(bin(c))) AS BIGINT) AS sum_clb
+        |  FROM ct GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  CAST((1000 * (n_events * length(bin(n_events)) - sum_clb))
+        |    // n_events AS BIGINT) AS entropy_millibits
+        |FROM u ORDER BY user_id""".stripMargin,
 
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (

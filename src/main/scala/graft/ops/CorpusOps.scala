@@ -32,6 +32,37 @@ object CorpusOps extends OpPack {
       .select(col("lang"), col("w"))
 
   def queries: Map[String, Q] = Map(
+    // Self-BLEU-style corpus diversity (the generation-diversity
+    // metric, made exact and linear): per document, the share of its
+    // DISTINCT bigrams that also occur in at least one OTHER document
+    // (document frequency ≥ 2 — presence-clipped matching, the
+    // modified-precision rule of BLEU restricted to distinct grams,
+    // declared). HIGH permille ⇒ the doc re-treads corpus phrasing
+    // (mode collapse / template spam); LOW ⇒ novel text. The naive
+    // form is doc×corpus pairwise; this rides the df frame instead —
+    // one bigram-keyed hash agg, one co-partitioned join back on the
+    // identical gram key, one doc_id rollup: linear in corpus size at
+    // 100 TB, the llm_novelty plan shape exactly (novelty asks "was I
+    // first", self-BLEU asks "is anyone else saying this").
+    "llm_self_bleu" -> ((s, dir) => {
+      val bg = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // the SKILL sequence(1, n<1) guard: docs under 2 tokens have
+        // no bigram and drop (mirrored by the oracle's empty range())
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i - 1], ' ', toks[i]))"))).as("bg"))
+      val df = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      bg.join(df, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_shared"),
+          expr("(n_shared * 1000) div n_bigrams").as("self_bleu_pm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Zipf's-law fit per language: OLS slope of floor-log2(freq) on
     // floor-log2(rank) over the top-256 terms — the "is this corpus
     // naturally distributed or template spam" dial (natural text ≈
@@ -220,6 +251,24 @@ object CorpusOps extends OpPack {
     }))
 
   def oracle: Map[String, String] = Map(
+    "llm_self_bleu" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r),
+        |df AS (SELECT bg, count(*) AS df FROM bg GROUP BY bg),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared
+        |  FROM bg JOIN df USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_shared,
+        |  CAST((n_shared * 1000) // n_bigrams AS BIGINT)
+        |    AS self_bleu_pm
+        |FROM pd ORDER BY doc_id""".stripMargin,
+
     "llm_zipf" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w

@@ -464,10 +464,46 @@ object FnOps extends OpPack {
         UNION ALL
         SELECT 'O', tier, n, cents FROM graft_rev_by_tier('O')
         ORDER BY status, tier""")
+    }),
+
+    // Min-max feature scaling (the ML feature-prep transform): every
+    // event's value rescaled to its event-type group's [min, max]
+    // range in integer permille — cross-multiplied, never a float
+    // ratio; constant groups (hi = lo) declared NULL. The group
+    // bounds are a TINY two-phase agg (|event types| rows) BROADCAST
+    // back onto the fact scan, so at 100 TB normalization costs one
+    // map-side-combined agg + one broadcast-join pass — the fact
+    // never shuffles.
+    "fn_feature_scale" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val b = e.groupBy(col("event_type"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      e.join(broadcast(b), "event_type")
+        .select(col("event_id"), col("event_type"), col("cents"),
+          expr("CASE WHEN hi = lo THEN NULL ELSE " +
+            "((cents - lo) * 1000) div (hi - lo) END").as("scaled_pm"))
+        .orderBy(col("event_id"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_feature_scale" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, min(cents) AS lo, max(cents) AS hi
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |  CASE WHEN hi = lo THEN NULL
+        |    ELSE CAST(((cents - lo) * 1000) // (hi - lo) AS BIGINT)
+        |  END AS scaled_pm
+        |FROM e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
     "fn_sql_udf" ->
       """WITH t AS (
         |  SELECT o_orderstatus AS status,

@@ -148,6 +148,35 @@ object GeoOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Per-entity bounding-box extent report (the fleet/geofence audit
+    // beside geo_trajectory's mileage): each user's md5-placed points
+    // collapse to min/max on both axes, the bbox area, and the number
+    // of DISTINCT 250-unit grid cells actually visited — area vs
+    // n_cells is the "tight route or wandering" dial (a commuter's box
+    // is small and dense, a courier's is huge and sparse). ONE
+    // map-side-combined hash agg (min/max/count are single-value
+    // partials; the cell count is the standard two-phase distinct) —
+    // at 100 TB the extent audit is a scan with key-proportional
+    // exchanges, no window and no join anywhere.
+    "geo_bbox" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("y"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+          countDistinct(expr(s"(x div $Cell) * 40 + (y div $Cell)"))
+            .as("n_cells"))
+        .withColumn("bbox_area",
+          (col("x_max") - col("x_min") + lit(1L)) *
+            (col("y_max") - col("y_min") + lit(1L)))
+        .orderBy(col("user_id"))
+    }),
+
     "geo_nearest" -> ((s, dir) => {
       val D = 60
       val c = custPoints(s, dir)
@@ -247,6 +276,23 @@ object GeoOps extends OpPack {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "geo_bbox" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS x,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 10000 AS y
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_points,
+        |  min(x) AS x_min, max(x) AS x_max,
+        |  min(y) AS y_min, max(y) AS y_max,
+        |  CAST(count(DISTINCT (x // 250) * 40 + (y // 250)) AS BIGINT)
+        |    AS n_cells,
+        |  CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)
+        |    AS bbox_area
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "geo_trajectory" ->
       """WITH p AS (
         |  SELECT user_id, event_id,

@@ -54,6 +54,50 @@ object HierOps extends OpPack {
         .orderBy(col("lvl"), col("path"))
     }),
 
+    // Closure-table build + subtree rollup (the org-chart/BOM pattern:
+    // materialize every (ancestor, descendant) pair once, then ANY
+    // subtree aggregate is a plain join — no per-query recursion):
+    // edges are ROOT→region→nation, the closure is a recursive CTE
+    // (Spark 4 UnionLoop — tree edges, so UNION ALL enumerates each
+    // pair exactly once, no DISTINCT needed), and the rollup reports
+    // per ancestor its descendant count, leaf (nation) count, and the
+    // customers in its subtree. SCALE: the closure is DIMENSION-
+    // bounded (depth × |dim| pairs at any fact volume) and the only
+    // fact-proportional work is the one map-side-combined per-nation
+    // customer count — the closure frame then joins BROADCAST onto
+    // that ≤|nations| aggregate, never onto facts.
+    "hier_closure" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      r.select(lit("ROOT").as("parent"), col("r_name").as("child"))
+        .union(n.join(broadcast(r),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name").as("parent"), col("n_name").as("child")))
+        .createOrReplaceTempView("hier_edges")
+      Tables(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+        .createOrReplaceTempView("hier_leaf")
+      n.select(col("n_name")).createOrReplaceTempView("hier_nations")
+      s.sql("""
+        WITH RECURSIVE closure(ancestor, descendant) AS (
+          SELECT parent, child FROM hier_edges
+          UNION ALL
+          SELECT c.ancestor, e.child
+          FROM closure c JOIN hier_edges e ON e.parent = c.descendant
+        )
+        SELECT ancestor, count(*) AS n_desc,
+          CAST(sum(CASE WHEN nn.n_name IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaf,
+          CAST(sum(coalesce(lc.n_cust, 0)) AS BIGINT) AS n_customers
+        FROM closure
+        LEFT JOIN hier_nations nn ON closure.descendant = nn.n_name
+        LEFT JOIN hier_leaf lc ON closure.descendant = lc.n_name
+        GROUP BY ancestor ORDER BY ancestor""")
+    }),
+
     // Per-leaf hierarchy path + contribution shares: each
     // (nation, segment) leaf's materialized path, its customer count,
     // and its cents share of the parent nation and of the grand total
@@ -93,6 +137,31 @@ object HierOps extends OpPack {
     }))
 
   def oracle: Map[String, String] = Map(
+    "hier_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'ROOT' AS parent, r_name AS child FROM region
+        |  UNION ALL
+        |  SELECT r.r_name, n.n_name
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |lc AS (
+        |  SELECT n.n_name, count(*) AS n_cust
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name),
+        |closure(ancestor, descendant) AS (
+        |  SELECT parent, child FROM edges
+        |  UNION ALL
+        |  SELECT cl.ancestor, e.child
+        |  FROM closure cl JOIN edges e ON e.parent = cl.descendant)
+        |SELECT ancestor, count(*) AS n_desc,
+        |  CAST(sum(CASE WHEN nn.n_name IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaf,
+        |  CAST(sum(coalesce(lc.n_cust, 0)) AS BIGINT) AS n_customers
+        |FROM closure
+        |LEFT JOIN (SELECT n_name FROM nation) nn
+        |  ON closure.descendant = nn.n_name
+        |LEFT JOIN lc ON closure.descendant = lc.n_name
+        |GROUP BY ancestor ORDER BY ancestor""".stripMargin,
+
     "hier_rollup" ->
       """WITH j AS (
         |  SELECT r.r_name, n.n_name, c.c_mktsegment,

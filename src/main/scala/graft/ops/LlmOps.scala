@@ -292,6 +292,39 @@ object LlmOps extends OpPack {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // 1-NN label-agreement audit (the classic "are these labels /
+    // embeddings consistent" screen — leave-one-out 1-nearest-neighbor
+    // accuracy, per label): for every vector, does its exact nearest
+    // neighbor by cosine share its label? Low agreement for one label
+    // ⇒ that class is mislabeled or its embedding region overlaps
+    // another — the pre-training sanity check run before classifier
+    // fine-tuning or llm_dedup_embed's label blocking is trusted.
+    // Exact mode (nprobe = all cells) so the DuckDB brute-force oracle
+    // applies; production audits through the same plumbing at
+    // nprobe ≪ numCells. Label lookups are id-keyed equi-joins back
+    // onto the 1-row-per-probe NN frame (corpus-sized, so NOT
+    // broadcast — AQE picks the side); the rollup is one
+    // |labels|-bounded hash agg.
+    "llm_knn_agreement" -> ((s, dir) => {
+      val idx = ivfIndex(s, dir, numCells = 16)
+      val nn = graft.operators.AnnIvf.knnJoin(idx, "vec_id", "embedding",
+        k = 1, nprobe = 16)
+      val lab = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      nn.join(lab.select(col("vec_id").as("probe_id"),
+          col("label").as("probe_label")), "probe_id")
+        .join(lab.select(col("vec_id").as("nbr_id"),
+          col("label").as("nbr_label")), "nbr_id")
+        .groupBy(col("probe_label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("probe_label") === col("nbr_label"), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .select(col("probe_label").as("label"), col("n_vectors"),
+          col("n_agree"),
+          expr("(n_agree * 1000) div n_vectors").as("agreement_pm"))
+        .orderBy(col("label"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     // with LEARNED blocking — the IVF index's k-means cells replace
     // llm_dedup_embed's label blocks, so near-duplicates are found
@@ -739,6 +772,28 @@ object LlmOps extends OpPack {
         |  FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id)
         |WHERE rank <= 3
         |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_knn_agreement" ->
+      """WITH nn AS (
+        |  SELECT probe_id, nbr_id FROM (
+        |    SELECT l.vec_id AS probe_id, r.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY list_cosine_similarity(l.embedding,
+        |          r.embedding) DESC, r.vec_id ASC) AS rank
+        |    FROM embeddings l JOIN embeddings r
+        |      ON l.vec_id <> r.vec_id)
+        |  WHERE rank = 1),
+        |j AS (
+        |  SELECT pl.label AS label,
+        |    CASE WHEN pl.label = nl.label THEN 1 ELSE 0 END AS agree
+        |  FROM nn
+        |  JOIN embeddings pl ON nn.probe_id = pl.vec_id
+        |  JOIN embeddings nl ON nn.nbr_id = nl.vec_id)
+        |SELECT label, count(*) AS n_vectors,
+        |  CAST(sum(agree) AS BIGINT) AS n_agree,
+        |  CAST((sum(agree) * 1000) // count(*) AS BIGINT)
+        |    AS agreement_pm
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     "llm_knn_join" ->
       """SELECT vec_id, rank, nbr_id FROM (

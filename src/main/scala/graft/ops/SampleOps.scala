@@ -42,6 +42,101 @@ object SampleOps extends OpPack {
   private def coin(c: org.apache.spark.sql.Column) = md5(c.cast("string"))
 
   def queries: Map[String, Q] = Map(
+    // Deterministic contrastive-negative mining (the in-batch-negative
+    // construction SimCLR/DPR-style training feeds on): every anchor
+    // vector gets 2 negatives = its cyclic successors in a
+    // hash-bucketed ring — bucket from the md5 24-bit prefix (the
+    // sample_shard idiom), ring order by a second independent md5
+    // coin, successors at ranks (r mod m)+1 and ((r+1) mod m)+1 so
+    // every vector serves as a negative exactly twice (balanced
+    // usage, no coupon-collector skew). Buckets under 3 members drop
+    // (declared — no self-negatives). Label collisions are REPORTED,
+    // not filtered (the audit column false-negative mining reads).
+    // SCALE: the ring window is per-bucket bounded (production sets
+    // the bucket count ∝ corpus / target bucket size; 64 here), and
+    // both successor joins are EQUI-joins on (bucket, computed rank)
+    // — co-partitioned with the window's own exchange, never a cross.
+    "sample_negatives" -> ((s, dir) => {
+      val B = 64
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6)," +
+            s" 16, 10) AS BIGINT) % $B").as("bucket"),
+          md5(concat(lit("neg:"), col("vec_id").cast("string")))
+            .as("coin"))
+      val r = base
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("bucket"))
+            .orderBy(col("coin"), col("vec_id"))).cast("long"))
+        .withColumn("m",
+          count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("m") >= 3)
+        .select(col("vec_id"), col("label"), col("bucket"),
+          col("r"), col("m"))
+      val n1 = r.select(col("bucket").as("b1"), col("r").as("r1"),
+        col("vec_id").as("neg1"), col("label").as("label1"))
+      val n2 = r.select(col("bucket").as("b2"), col("r").as("r2"),
+        col("vec_id").as("neg2"), col("label").as("label2"))
+      r.join(n1, col("bucket") === col("b1") &&
+          (col("r") % col("m")) + lit(1L) === col("r1"))
+        .join(n2, col("bucket") === col("b2") &&
+          ((col("r") + lit(1L)) % col("m")) + lit(1L) === col("r2"))
+        .select(col("vec_id"), col("neg1"), col("neg2"),
+          expr("CAST((CASE WHEN label = label1 THEN 1 ELSE 0 END) + " +
+            "(CASE WHEN label = label2 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_label_collisions"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Curriculum-ordering head sample: documents bucketed into 4
+    // quality quartiles by mean chars-per-token (×100 fixed point —
+    // the cheap fluency proxy; curriculum training feeds "easy" short-
+    // word text first), cuts computed by the agg_hist_eqdepth
+    // counts+cumsum pass over DISTINCT scores (all-integer rank test
+    // == percentile_disc, one bounded collect), then the first 25
+    // docs per bucket by an md5 coin — the deterministic "what does
+    // each difficulty tier look like" sample a curation review reads.
+    // SCALE: bucket id is a literal comparison chain at the scan; the
+    // per-bucket rank ≤ 25 collapses to WindowGroupLimit (per-
+    // partition top-k heaps before the exchange), so the 4-partition
+    // window never sees more than 25·n_map_partitions rows.
+    "sample_curriculum" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_toks"))
+        .withColumn("score",
+          expr("CAST((n_chars * 100) div n_toks AS BIGINT)"))
+        .filter(col("score").isNotNull)
+      val counts = d.groupBy(col("score")).agg(count(lit(1)).as("n"))
+      val cum = counts
+        .withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("score"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total",
+          sum(col("n")).over(Window.partitionBy(lit(1))))
+      val cutExprs = (1 to 3).map(i =>
+        min(when(col("cum") * 4 >= col("total") * i, col("score")))
+          .as(s"c$i"))
+      val row = cum.agg(cutExprs.head, cutExprs.tail: _*).collect()(0)
+      // empty documents: cuts are NULL; 0 keeps the op total (the
+      // bucketed frame below is empty anyway)
+      def cut(i: Int): Long =
+        Option(row.getAs[java.lang.Long](s"c$i")).map(_.toLong)
+          .getOrElse(0L)
+      val bucket = (1 to 3)
+        .map(i => when(col("score") > lit(cut(i)), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      d.withColumn("bucket", bucket.cast("long"))
+        .withColumn("coin",
+          md5(concat(lit("cur:"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("bucket"))
+            .orderBy(col("coin"), col("doc_id"))).cast("long"))
+        .filter(col("rn") <= 25)
+        .select(col("bucket"), col("rn"), col("doc_id"), col("score"))
+        .orderBy(col("bucket"), col("rn"))
+    }),
+
     "sample_hash" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"),
@@ -545,6 +640,67 @@ object SampleOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_negatives" ->
+      """WITH b AS (
+        |  SELECT vec_id, label,
+        |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) % 64 AS bucket,
+        |    md5('neg:' || CAST(vec_id AS VARCHAR)) AS coin
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, label, bucket,
+        |    row_number() OVER
+        |      (PARTITION BY bucket ORDER BY coin, vec_id) AS r,
+        |    count(*) OVER (PARTITION BY bucket) AS m
+        |  FROM b),
+        |f AS (SELECT * FROM r WHERE m >= 3)
+        |SELECT a.vec_id,
+        |  n1.vec_id AS neg1, n2.vec_id AS neg2,
+        |  CAST((CASE WHEN a.label = n1.label THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.label = n2.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_label_collisions
+        |FROM f a
+        |JOIN f n1 ON a.bucket = n1.bucket AND (a.r % a.m) + 1 = n1.r
+        |JOIN f n2 ON a.bucket = n2.bucket
+        |  AND ((a.r + 1) % a.m) + 1 = n2.r
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "sample_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST((n_chars * 100) // n_toks AS BIGINT) AS score
+        |  FROM d WHERE n_chars IS NOT NULL),
+        |c AS (SELECT score, count(*) AS n FROM s GROUP BY score),
+        |cc AS (
+        |  SELECT score, sum(n) OVER (ORDER BY score) AS cum,
+        |    sum(n) OVER () AS total
+        |  FROM c),
+        |cuts AS (SELECT
+        |  min(CASE WHEN cum * 4 >= total * 1 THEN score END) AS c1,
+        |  min(CASE WHEN cum * 4 >= total * 2 THEN score END) AS c2,
+        |  min(CASE WHEN cum * 4 >= total * 3 THEN score END) AS c3
+        |  FROM cc),
+        |bk AS (
+        |  SELECT doc_id, score,
+        |    CAST(1 + (CASE WHEN score > c1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score > c2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score > c3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bucket,
+        |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS coin
+        |  FROM s, cuts),
+        |rk AS (
+        |  SELECT bucket, doc_id, score,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY bucket ORDER BY coin, doc_id) AS BIGINT)
+        |      AS rn
+        |  FROM bk)
+        |SELECT bucket, rn, doc_id, score
+        |FROM rk WHERE rn <= 25 ORDER BY bucket, rn""".stripMargin,
+
     "sample_group_kfold" ->
       """SELECT CAST('0x' || substring(md5('gcv' ||
         |    CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 5 AS fold,

@@ -36,6 +36,42 @@ object StatOps extends OpPack {
   }
 
   def queries: Map[String, Q] = Map(
+    // Chi-square association test between two categorical columns
+    // (event type × day-of-week — "does behavior depend on weekday"):
+    // the contingency-table independence statistic as per-cell
+    // chi²-terms in milli-units, diag_dist_drift's exact integer form
+    // (expected = row-margin·col-margin div N as an exact integer
+    // div, term = (observed−expected)²·1000 div max(expected,1) —
+    // deviations ≤ N so the squared product stays ≤ 38 digits even at
+    // 10¹³ rows, where squaring the raw cross-products would not).
+    // Day-of-week is days-since-epoch mod 7 (engine DOW builtins
+    // disagree on week origin — the ts_seasonal_strength doctrine).
+    // ONE map-side-combined hash agg over ≤|types|·7 cells; margins
+    // are window sums over that BOUNDED cell frame (the declared
+    // partition-less-window contract), so independence testing at
+    // 100 TB costs exactly one scan.
+    "agg_chi2_assoc" -> ((s, dir) => {
+      val cell = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_date(CAST(ts AS DATE)) % 7").as("wd"))
+        .groupBy(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("n"))
+      cell
+        .withColumn("n_type",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("n_wd",
+          sum(col("n")).over(Window.partitionBy(col("wd"))))
+        .withColumn("n_tot", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("expected", expr(
+          "CAST((CAST(n_type AS DECIMAL(38,0)) * n_wd) div n_tot " +
+            "AS BIGINT)"))
+        .select(col("event_type"), col("wd"), col("n"), col("expected"),
+          expr("CAST((CAST(n - expected AS DECIMAL(38,0)) * " +
+            "(n - expected) * 1000) div greatest(expected, 1) " +
+            "AS BIGINT)").as("chi2_term_milli"))
+        .orderBy(col("event_type"), col("wd"))
+    }),
+
     // Two-feature OLS in EXACT integer arithmetic (agg_regression is
     // the single-feature sibling): per-user features x1 = even-event
     // spend (whole dollars — dollar granularity keeps the Cramer
@@ -775,6 +811,30 @@ object StatOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_chi2_assoc" ->
+      """WITH cell AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS wd,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, wd, CAST(n AS BIGINT) AS n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_type,
+        |    CAST(sum(n) OVER (PARTITION BY wd) AS BIGINT) AS n_wd,
+        |    CAST(sum(n) OVER () AS BIGINT) AS n_tot
+        |  FROM cell),
+        |x AS (
+        |  SELECT event_type, wd, n,
+        |    CAST((CAST(n_type AS HUGEINT) * n_wd) // n_tot AS BIGINT)
+        |      AS expected
+        |  FROM m)
+        |SELECT event_type, wd, n, expected,
+        |  CAST((CAST(n - expected AS HUGEINT) * (n - expected) * 1000)
+        |    // greatest(expected, 1) AS BIGINT) AS chi2_term_milli
+        |FROM x ORDER BY event_type, wd""".stripMargin,
+
     "agg_corr_pairs" ->
       """WITH per AS (
         |  SELECT user_id,

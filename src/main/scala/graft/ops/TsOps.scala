@@ -528,6 +528,23 @@ object TsOps extends OpPack {
         ORDER BY user_id, event_id""")
     }),
 
+    // MACD momentum indicator (fast EMA − slow EMA, plus its own
+    // smoothed signal line and the histogram traders actually chart):
+    // fast = the bounded-16-term α=1/2 EWMA (ts_ewma's exact form),
+    // slow = the same truncated form at α=1/4 (weights 3^k·4^(15−k) —
+    // still exact integers, ≤2^30 each), signal = α=1/2 EWMA of the
+    // macd series. ONE generated SQL text runs verbatim in both
+    // engines (the holtSql convention — only the wide-type/div tokens
+    // differ); all three smoothing passes share a single `PARTITION BY
+    // user_id` window, so the whole indicator is ONE exchange with
+    // O(16) state per row — scan-proportional at 100 TB. Divisions of
+    // the (possibly NEGATIVE) macd numerator ride DECIMAL(38,0)/
+    // HUGEINT, where both engines truncate toward zero (SKILL-pinned).
+    "ts_macd" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_macd")
+      s.sql(macdSql("DECIMAL(38,0)", "div", "events_macd"))
+    }),
+
     // Volume-weighted average (VWAP — TWAP's sibling where the weight
     // is a per-observation QUANTITY instead of a holding interval):
     // per day, Σ cents·qty div Σ qty with the products ridden in
@@ -694,6 +711,62 @@ object TsOps extends OpPack {
       else s"CASE WHEN lag($c, $k) OVER w IS NOT NULL THEN $w ELSE 0 END"
     }.mkString(" + ")
     (num, den)
+  }
+
+  /** ewmaTerms' α=1/4 sibling for ts_macd's slow line: weight
+    * 3^k·4^(15−k) on lag k (∝ (3/4)^k scaled by 4^15 — exact integers,
+    * each ≤ 2^30), null lags dropping out of BOTH sums exactly like
+    * the α=1/2 form. */
+  private def emaSlowTerms(c: String): (String, String) = {
+    def w(k: Int): Long =
+      (BigInt(3).pow(k) * BigInt(4).pow(15 - k)).toLong
+    val num = (0 to 15).map { k =>
+      if (k == 0) s"$c * ${w(k)}"
+      else s"coalesce(lag($c, $k) OVER w * ${w(k)}, 0)"
+    }.mkString(" + ")
+    val den = (0 to 15).map { k =>
+      // the weight SUM passes 2^32: anchor the chain in BIGINT so the
+      // left-assoc additions promote (INT literal addition overflows
+      // under ANSI in Spark, and the first term alone sets the type)
+      if (k == 0) s"CAST(${w(k)} AS BIGINT)"
+      else s"CASE WHEN lag($c, $k) OVER w IS NOT NULL THEN ${w(k)} ELSE 0 END"
+    }.mkString(" + ")
+    (num, den)
+  }
+
+  /** MACD as ONE generated SQL text (holtSql convention: identical in
+    * both engines except the wide-integer type and integer-div
+    * tokens). Three truncated-EWMA passes — fast α=1/2, slow α=1/4,
+    * signal α=1/2 over the macd difference — all on the same
+    * `PARTITION BY user_id ORDER BY event_id` window. Every division
+    * is wrapped in the wide type so the negative-numerator case
+    * truncates toward zero identically in both engines. */
+  private[graft] def macdSql(wide: String, divOp: String,
+      table: String): String = {
+    val (nf, df) = ewmaTerms("v_fp")
+    val (ns, ds) = emaSlowTerms("v_fp")
+    val (ng, dg) = ewmaTerms("macd_fp")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id,
+       |    CAST(round(value * 10000) AS BIGINT) AS v_fp
+       |  FROM $table),
+       |e AS (
+       |  SELECT user_id, event_id,
+       |    CAST(CAST($nf AS $wide) $divOp ($df) AS BIGINT) AS ema_fast,
+       |    CAST(CAST($ns AS $wide) $divOp ($ds) AS BIGINT) AS ema_slow
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+       |m AS (
+       |  SELECT user_id, event_id,
+       |    ema_fast - ema_slow AS macd_fp FROM e),
+       |sg AS (
+       |  SELECT user_id, event_id, macd_fp,
+       |    CAST(CAST($ng AS $wide) $divOp ($dg) AS BIGINT) AS signal_fp
+       |  FROM m
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+       |SELECT user_id, event_id, macd_fp, signal_fp,
+       |  macd_fp - signal_fp AS hist_fp
+       |FROM sg ORDER BY user_id, event_id""".stripMargin
   }
 
   /** Brown's double exponential smoothing as ONE generated SQL text
@@ -1310,5 +1383,7 @@ object TsOps extends OpPack {
          |FROM base
          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
          |ORDER BY user_id, event_id""".stripMargin
-    })
+    },
+
+    "ts_macd" -> macdSql("HUGEINT", "//", "events"))
 }

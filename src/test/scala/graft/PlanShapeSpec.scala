@@ -412,7 +412,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "llm_ann_pq_adc",
       // llm_ann_range crosses the broadcast 1-row quantized probe
       // (the same scalar-gate shape).
-      "llm_ann_range")
+      "llm_ann_range",
+      // llm_knn_agreement rides the same corpus × broadcast
+      // numCells-row centroid cross as llm_ann_knn_exact (cell
+      // assignment for every probe).
+      "llm_knn_agreement")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
