@@ -148,6 +148,34 @@ object GeoOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Origin-destination flow matrix (the mobility/routing demand
+    // report): each user's consecutive event positions become
+    // cell→cell transitions (250-unit grid, same-cell dwells dropped),
+    // counted globally and reported as the top-20 flows — where demand
+    // concentrates. ONE lag window on the user_id exchange (the
+    // geo_trajectory shape — never a self-join), one map-side-combined
+    // hash agg on the ≤1600² flow key space, and the top-20 rides
+    // orderBy+limit ⇒ TakeOrderedAndProject (per-partition heaps, no
+    // global sort at any log size). Total order (n desc, from, to) is
+    // deterministic.
+    "geo_od_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("y"))
+        .withColumn("cell", expr(s"(x div $Cell) * 40 + (y div $Cell)"))
+        .withColumn("prev", lag(col("cell"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("cell"))
+        .groupBy(col("prev").as("cell_from"), col("cell").as("cell_to"))
+        .agg(count(lit(1)).as("n_trips"))
+        .orderBy(desc("n_trips"), col("cell_from"), col("cell_to"))
+        .limit(20)
+    }),
+
     // Per-entity bounding-box extent report (the fleet/geofence audit
     // beside geo_trajectory's mileage): each user's md5-placed points
     // collapse to min/max on both axes, the bbox area, and the number
@@ -276,6 +304,32 @@ object GeoOps extends OpPack {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "geo_od_matrix" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS x,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 10000 AS y
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id,
+        |    (x // 250) * 40 + (y // 250) AS cell
+        |  FROM p),
+        |tr AS (
+        |  SELECT lag(cell) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS cell_from,
+        |    cell AS cell_to
+        |  FROM c),
+        |f AS (
+        |  SELECT cell_from, cell_to, count(*) AS n_trips
+        |  FROM tr
+        |  WHERE cell_from IS NOT NULL AND cell_from <> cell_to
+        |  GROUP BY cell_from, cell_to)
+        |SELECT cell_from, cell_to, CAST(n_trips AS BIGINT) AS n_trips
+        |FROM f ORDER BY n_trips DESC, cell_from, cell_to
+        |LIMIT 20""".stripMargin,
+
     "geo_bbox" ->
       """WITH p AS (
         |  SELECT user_id,

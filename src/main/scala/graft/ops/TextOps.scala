@@ -22,6 +22,31 @@ object TextOps extends OpPack {
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
 
+  /** The llm_lang_id two-pass predictor — (doc_id, pred_lang, hits):
+    * top-5 token profile per language (corpus-derived, broadcast),
+    * per-doc argmax of profile hits, ties → lang asc. Shared by
+    * llm_lang_id and the llm_lang_mismatch confusion audit. */
+  private def langPred(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val wp = Window.partitionBy(col("lang"))
+      .orderBy(desc("freq"), asc("w"))
+    val profile = t.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 5)
+      .select(col("lang").as("cand_lang"), col("w").as("pw"))
+    val hits = t.select(col("doc_id"), col("w"))
+      .join(broadcast(profile), col("w") === col("pw"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("hits"), asc("cand_lang"))
+    hits.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+        col("hits"))
+  }
+
   /** Winnowing selection over any (doc_id, text) frame → (doc_id,
     * fps) with fps = sorted distinct packed (40-bit hash)·2²⁰+pos
     * selections — shared by the llm_winnow query and the alignment-
@@ -203,26 +228,30 @@ object TextOps extends OpPack {
     // Two-pass n-gram/stopword language-ID: pass 1 builds a top-5
     // token profile per language from the corpus itself; pass 2 scores
     // each doc by profile hits and takes the argmax (ties → lang asc).
-    "llm_lang_id" -> ((s, dir) => {
-      val t = toks(s, dir)
-      val wp = Window.partitionBy(col("lang"))
-        .orderBy(desc("freq"), asc("w"))
-      val profile = t.groupBy(col("lang"), col("w"))
-        .agg(count(lit(1)).as("freq"))
-        .withColumn("rn", row_number().over(wp))
-        .filter(col("rn") <= 5)
-        .select(col("lang").as("cand_lang"), col("w").as("pw"))
-      val hits = t.select(col("doc_id"), col("w"))
-        .join(broadcast(profile), col("w") === col("pw"))
-        .groupBy(col("doc_id"), col("cand_lang"))
-        .agg(count(lit(1)).as("hits"))
-      val wd = Window.partitionBy(col("doc_id"))
-        .orderBy(desc("hits"), asc("cand_lang"))
-      hits.withColumn("rn", row_number().over(wd))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cand_lang").as("pred_lang"),
-          col("hits"))
-        .orderBy(col("doc_id"))
+    "llm_lang_id" -> ((s, dir) =>
+      langPred(s, dir).orderBy(col("doc_id"))),
+
+    // Language-label disagreement audit (the mislabel/code-switch
+    // screen a multilingual curation pass runs BEFORE trusting the
+    // lang column for stratified sampling or per-lang quality cuts):
+    // the labeled lang × llm_lang_id's predicted lang as a confusion
+    // matrix with per-label shares in permille — the diagonal is
+    // labeling health, off-diagonal cells name exactly which pairs
+    // confuse. Rides the identical two-pass predictor (broadcast
+    // ≤5·|langs| profile, one doc-keyed argmax), then ONE
+    // |langs|²-bounded hash agg; the share window runs on that
+    // bounded cell frame (declared partition-less-window contract).
+    "llm_lang_mismatch" -> ((s, dir) => {
+      val pred = langPred(s, dir).select(col("doc_id"), col("pred_lang"))
+      Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_lang",
+          sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          expr("(n_docs * 1000) div n_lang").as("share_pm"))
+        .orderBy(col("lang"), col("pred_lang"))
     }),
 
     // Quality scoring: length cap + vocabulary-diversity ratio, all
@@ -922,6 +951,36 @@ object TextOps extends OpPack {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY hits DESC, cand_lang ASC) AS rn FROM hits)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_mismatch" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), t2 AS (SELECT * FROM t WHERE w <> ''),
+        |profile AS (
+        |  SELECT lang AS cand_lang, w AS pw FROM (
+        |    SELECT lang, w, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, w ASC) AS rn
+        |    FROM t2 GROUP BY lang, w)
+        |  WHERE rn <= 5
+        |), hits AS (
+        |  SELECT doc_id, cand_lang, count(*) AS hits
+        |  FROM t2 JOIN profile ON w = pw
+        |  GROUP BY doc_id, cand_lang),
+        |pred AS (
+        |  SELECT doc_id, cand_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, cand_lang ASC) AS rn FROM hits)
+        |  WHERE rn = 1),
+        |cm AS (
+        |  SELECT d.lang, p.pred_lang, count(*) AS n_docs
+        |  FROM documents d JOIN pred p USING (doc_id)
+        |  GROUP BY d.lang, p.pred_lang)
+        |SELECT lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST((n_docs * 1000) //
+        |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS BIGINT) AS share_pm
+        |FROM cm ORDER BY lang, pred_lang""".stripMargin,
 
     "llm_quality_score" ->
       """SELECT doc_id,
