@@ -473,6 +473,42 @@ object AggOps extends OpPack {
         min(col("l_div")).as("min_l_diversity"))
     }),
 
+    // Box-plot summary per group (the five-number + Tukey-fence
+    // report every BI distribution panel draws): min / q1 / median /
+    // q3 / max of quantity per return flag (percentile_disc — the
+    // SKILL-pinned exact cross-engine quantile), plus outlier counts
+    // past the 1.5·IQR fences tested in DOUBLED units (2q < 2q1−3·IQR
+    // — no halves, every comparison integer-exact). Two passes: one
+    // percentile agg over ≤3 groups, fences broadcast back onto the
+    // scan for the conditional counts — the winsorize/skew_kurt
+    // two-pass anchor shape; at 100 TB both passes are map-side-
+    // combined scans.
+    "agg_boxplot" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
+      val box = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("q")).as("q_min"),
+          expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY q) " +
+            "AS BIGINT)").as("q1"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY q) " +
+            "AS BIGINT)").as("med"),
+          expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY q) " +
+            "AS BIGINT)").as("q3"),
+          max(col("q")).as("q_max"))
+      li.join(broadcast(box), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"), max(col("q_min")).as("q_min"),
+          max(col("q1")).as("q1"), max(col("med")).as("med"),
+          max(col("q3")).as("q3"), max(col("q_max")).as("q_max"),
+          sum(when(expr("2 * q < 2 * q1 - 3 * (q3 - q1)"), 1L)
+            .otherwise(0L)).as("n_out_lo"),
+          sum(when(expr("2 * q > 2 * q3 + 3 * (q3 - q1)"), 1L)
+            .otherwise(0L)).as("n_out_hi"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Shannon entropy of each user's event-type mix in DECLARED
     // floor-log2 milli-bits (the llm_surprisal bit-length idiom:
     // LB(x) = length(bin(x)) = ⌊log2 x⌋ + 1, so the per-observation
@@ -1011,6 +1047,31 @@ object AggOps extends OpPack {
         |    AS groups_lt2,
         |  CAST(min(l_div) AS BIGINT) AS min_l_diversity
         |FROM g""".stripMargin,
+
+    "agg_boxplot" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |box AS (
+        |  SELECT l_returnflag, count(*) AS n, min(q) AS q_min,
+        |    CAST(quantile_disc(q, 0.25) AS BIGINT) AS q1,
+        |    CAST(quantile_disc(q, 0.5) AS BIGINT) AS med,
+        |    CAST(quantile_disc(q, 0.75) AS BIGINT) AS q3,
+        |    max(q) AS q_max
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT li.l_returnflag,
+        |  CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(q_min) AS BIGINT) AS q_min,
+        |  CAST(max(q1) AS BIGINT) AS q1,
+        |  CAST(max(med) AS BIGINT) AS med,
+        |  CAST(max(q3) AS BIGINT) AS q3,
+        |  CAST(max(q_max) AS BIGINT) AS q_max,
+        |  CAST(sum(CASE WHEN 2 * q < 2 * q1 - 3 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+        |  CAST(sum(CASE WHEN 2 * q > 2 * q3 + 3 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+        |FROM li JOIN box USING (l_returnflag)
+        |GROUP BY li.l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "diag_entropy" ->
       """WITH ct AS (

@@ -318,6 +318,46 @@ object SampleOps extends OpPack {
         .orderBy(col("lang"))
     }),
 
+    // Neyman allocation (optimal stratified-sample design: sample
+    // size per stratum ∝ N_h·S_h, so variable strata get more budget
+    // than uniform ones at equal size — the statistical-survey sibling
+    // of sample_temperature's popularity weighting): strata = lang,
+    // variability = floor-sqrt of the integer token-count variance
+    // (agg_merge_moments' cross-multiplied (n·Σx²−S²) div n² form,
+    // products in DECIMAL(38,0); floor(sqrt()) is exact in both
+    // engines — the declared isqrt idiom), budget = 10% of the corpus,
+    // allocation = budget·N_h·S_h div Σ N_h·S_h vs the proportional
+    // baseline. ONE corpus-scale hash agg; every window rides the
+    // ≤|langs| stratum frame. Zero-variance strata weight 0
+    // (declared — a constant stratum needs 1 row, rounding keeps 0).
+    "sample_neyman" -> ((s, dir) => {
+      val w = Window.partitionBy(lit(1))
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("x"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x")).as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .withColumn("var_floor", expr(
+          "CAST((CAST(n_docs AS DECIMAL(38,0)) * sxx - " +
+            "CAST(sx AS DECIMAL(38,0)) * sx) div " +
+            "(CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"))
+        .withColumn("sd_floor",
+          floor(sqrt(col("var_floor"))).cast("long"))
+        .withColumn("nw", col("n_docs") * col("sd_floor"))
+        .withColumn("sum_nw", sum(col("nw")).over(w))
+        .withColumn("total_docs", sum(col("n_docs")).over(w))
+        .withColumn("budget", expr("total_docs div 10"))
+        .select(col("lang"), col("n_docs"), col("sd_floor"),
+          expr("CASE WHEN sum_nw = 0 THEN 0 ELSE " +
+            "CAST((CAST(budget AS DECIMAL(38,0)) * nw) div sum_nw " +
+            "AS BIGINT) END").as("alloc_docs"),
+          expr("CAST((CAST(budget AS DECIMAL(38,0)) * n_docs) " +
+            "div total_docs AS BIGINT)").as("proportional_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // Temperature-scaled mixture reweighting (T=2): per-source target
     // share ∝ sqrt(n_docs) — the standard up-weighting of small
     // domains in training mixtures. Integer isqrt keeps it exact:
@@ -640,6 +680,35 @@ object SampleOps extends OpPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_neyman" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        |  FROM documents),
+        |st AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM d GROUP BY lang),
+        |v AS (
+        |  SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST((n_docs * sxx - sx * sx) //
+        |      (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)))
+        |      AS BIGINT) AS sd_floor
+        |  FROM st),
+        |t AS (
+        |  SELECT lang, n_docs, sd_floor, n_docs * sd_floor AS nw,
+        |    CAST(sum(n_docs * sd_floor) OVER () AS HUGEINT) AS sum_nw,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs
+        |  FROM v)
+        |SELECT lang, n_docs, sd_floor,
+        |  CASE WHEN sum_nw = 0 THEN 0
+        |    ELSE CAST((CAST(total_docs // 10 AS HUGEINT) * nw)
+        |      // sum_nw AS BIGINT) END AS alloc_docs,
+        |  CAST((CAST(total_docs // 10 AS HUGEINT) * n_docs)
+        |    // total_docs AS BIGINT) AS proportional_docs
+        |FROM t ORDER BY lang""".stripMargin,
+
     "sample_negatives" ->
       """WITH b AS (
         |  SELECT vec_id, label,

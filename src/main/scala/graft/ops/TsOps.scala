@@ -528,6 +528,29 @@ object TsOps extends OpPack {
         ORDER BY user_id, event_id""")
     }),
 
+    // Calendar load profile (the day-of-week × hour-of-day heatmap
+    // every ops/capacity dashboard opens with): event counts per
+    // (dow, hour) cell with the cell's share of total traffic in ppm.
+    // DOW is epoch-days mod 7 (engine DOW builtins disagree on week
+    // origin — the ts_seasonal_strength doctrine); hour() under the
+    // UTC session is identical in both engines. ONE map-side-combined
+    // hash agg onto the ≤168-cell calendar frame; the share window
+    // rides that bounded frame (declared partition-less-window
+    // contract) — profiling 100 TB of telemetry costs one scan.
+    "ts_calendar_profile" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(expr("unix_date(CAST(ts AS DATE)) % 7").as("dow"),
+          hour(col("ts")).as("hr"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total",
+          sum(col("n")).over(Window.partitionBy(lit(1))))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div total " +
+            "AS BIGINT)").as("share_ppm"))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
     // MACD momentum indicator (fast EMA − slow EMA, plus its own
     // smoothed signal line and the histogram traders actually chart):
     // fast = the bounded-16-term α=1/2 EWMA (ts_ewma's exact form),
@@ -1385,5 +1408,17 @@ object TsOps extends OpPack {
          |ORDER BY user_id, event_id""".stripMargin
     },
 
-    "ts_macd" -> macdSql("HUGEINT", "//", "events"))
+    "ts_macd" -> macdSql("HUGEINT", "//", "events"),
+
+    "ts_calendar_profile" ->
+      """WITH c AS (
+        |  SELECT
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS dow,
+        |    hour(ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hr, CAST(n AS BIGINT) AS n,
+        |  CAST((CAST(n AS HUGEINT) * 1000000) //
+        |    CAST(sum(n) OVER () AS HUGEINT) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY dow, hr""".stripMargin)
 }
