@@ -683,6 +683,56 @@ object ScanOps extends OpPack {
       expired.unionAll(cur).unionAll(fresh).orderBy("step")
     }),
 
+    // NAMED IMMUTABLE snapshot TAGS (the Iceberg tag beside the WAP
+    // branch — "the snapshot we trained release N on", pinned by name
+    // instead of a version number someone has to remember): v1 is
+    // frozen as tag `release_v1` (O(metadata) — one kilobyte manifest
+    // copy), two more commits move the base (v3 OVERWRITES, so v1's
+    // file leaves the live state entirely), then ZERO-retention
+    // vacuum drops every archive — and the tag still reads the exact
+    // v1 state, because tag docs pin their files against retention
+    // sweeps (listAllManifests includes them). Pinned here: the
+    // tagged version, archives-gone-after-vacuum, the tag read ==
+    // the v1 subset, the current read == the v3 subset. Writes to a
+    // tag and streaming from a tag are refused (GraftCatalogSpec).
+    // At 100 TB a release pin costs one manifest copy and holds its
+    // terabytes against GC until dropped.
+    "sink_manifest_tag" -> ((s, dir) => {
+      import graft.sources.ManifestSink
+      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/tag-sink"
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(sink))
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def write(m: Int, mode: String): Unit =
+        o.filter(col("k") % 3 === m).repartition(1)
+          .write.format("graft-manifest").mode(mode).save(sink)
+      write(0, "overwrite")                                 // v1
+      val tagged = ManifestSink.createTag(sink, "release_v1")
+      write(1, "append")                                    // v2
+      write(2, "overwrite")                                 // v3
+      ManifestSink.vacuum(sink, 0)                          // drop archives
+      val fs = new java.io.File(sink).listFiles()
+      val head = s.range(1).selectExpr("'1_tagged' AS step",
+        s"CAST($tagged AS BIGINT) AS a",
+        s"CAST(${fs.count(_.getName.matches("_graft_manifest\\.v\\d+\\.json"))} " +
+          "AS BIGINT) AS b",
+        s"CAST(${fs.count(_.getName.matches("_graft_manifest\\.tag-.+\\.json"))} " +
+          "AS BIGINT) AS c")
+      def agg(df: org.apache.spark.sql.DataFrame, step: String) =
+        df.selectExpr(s"'$step' AS step", "count(*) AS a",
+          "CAST(sum(cents) AS BIGINT) AS b", "max(k) AS c")
+      val tagRead = agg(s.read.format("graft-manifest")
+        .option("tag", "release_v1").load(sink), "2_tag_read")
+      val cur = agg(s.read.format("graft-manifest").load(sink),
+        "3_current")
+      head.unionAll(tagRead).unionAll(cur).orderBy("step")
+    }),
+
     // WRITE-AUDIT-PUBLISH on the manifest table (the Iceberg
     // branch/WAP pattern — the production data-quality gate): the
     // main table serves v1 while a staging batch commits to a BRANCH
@@ -1633,6 +1683,23 @@ object ScanOps extends OpPack {
         |SELECT '3_asof_fresh', count(*), CAST(sum(cents) AS BIGINT),
         |  max(k)
         |FROM base WHERE k % 3 = 1
+        |ORDER BY step""".stripMargin,
+
+    "sink_manifest_tag" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT '1_tagged' AS step, CAST(1 AS BIGINT) AS a,
+        |  CAST(0 AS BIGINT) AS b, CAST(1 AS BIGINT) AS c
+        |UNION ALL
+        |SELECT '2_tag_read', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM base WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT '3_current', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM base WHERE k % 3 = 2
         |ORDER BY step""".stripMargin,
 
     // v1 = the %3=0 insert; current = all three inserts with flag=1

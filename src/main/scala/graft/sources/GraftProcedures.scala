@@ -253,6 +253,42 @@ private[sources] object GraftProcedures {
             true)
         })(resolve)
 
+      case "create_tag" => new Proc(
+        "create_tag",
+        "Freeze the current snapshot as a NAMED IMMUTABLE tag " +
+          "(O(metadata)): reads with option('tag', name) time-travel " +
+          "by name; vacuum/expire never drop a tagged snapshot's files",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("name", StringType, "tag name, [A-Za-z0-9_]+")),
+        StructType(Seq(
+          StructField("tagged_version", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val v = ManifestSink.createTag(dir,
+            in.getUTF8String(1).toString)
+          result(StructType(Seq(
+            StructField("tagged_version", LongType, nullable = false))),
+            v)
+        })(resolve)
+
+      case "drop_tag" => new Proc(
+        "drop_tag",
+        "Drop a tag: the name stops resolving; files only the tag " +
+          "kept referenced are swept by the next commit/vacuum",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("name", StringType, "tag name to drop")),
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          ManifestSink.dropTag(dir, in.getUTF8String(1).toString)
+          result(StructType(Seq(
+            StructField("dropped", BooleanType, nullable = false))),
+            true)
+        })(resolve)
+
       case "expire_snapshots" => new Proc(
         "expire_snapshots",
         "Drop archived snapshots committed before `older_than` (the " +
@@ -284,11 +320,13 @@ private[sources] object GraftProcedures {
 
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unknown procedure '$other' — " +
-          "compact / create_branch / drop_branch / expire_snapshots / " +
-          "fast_forward / rollback / vacuum / sweep_deletes / zorder")
+          "compact / create_branch / create_tag / drop_branch / " +
+          "drop_tag / expire_snapshots / fast_forward / rollback / " +
+          "vacuum / sweep_deletes / zorder")
     }
 
-  val names: Seq[String] = Seq("compact", "create_branch", "drop_branch",
+  val names: Seq[String] = Seq("compact", "create_branch", "create_tag",
+    "drop_branch", "drop_tag",
     "expire_snapshots", "fast_forward", "rollback", "sweep_deletes",
     "vacuum", "zorder")
 }

@@ -84,8 +84,10 @@ final class ManifestSinkProvider extends TableProvider
     // shape
     val branch = opts.collectFirst {
       case (k, v) if k.equalsIgnoreCase("branch") => v }
+    val tag = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("tag") => v }
     val base = StructType.fromDDL(
-      ManifestSink.readRef(path, asOf, branch).schemaDdl)
+      ManifestSink.readRef(path, asOf, branch, tag).schemaDdl)
     // `withRowMeta` appends the physical row-address columns
     // (file name + row ordinal) — what row-level DELETE computes
     // positions from (Iceberg's _file/_pos metadata columns)
@@ -881,16 +883,62 @@ object ManifestSink {
     readManifestFile(f)
   }
 
-  /** Resolve a read to a manifest: branch chain if named, else the
-    * base chain (with optional time travel). Both at once is a
+  // A TAG is a NAMED IMMUTABLE snapshot reference (the Iceberg tag
+  // beside the branch): `createTag` freezes the current base manifest
+  // as `_graft_manifest.tag-<name>.json` O(metadata); reads with
+  // `option("tag", name)` time-travel BY NAME in that snapshot's own
+  // schema; retention (vacuum / expire_snapshots) never drops a tag
+  // and keeps every file it references (tag docs are part of
+  // [[listAllManifests]]' referenced set). Tags are read-only by
+  // construction — writes with a tag option are refused, there is no
+  // chain to commit to.
+
+  def tagManifestFile(name: String) =
+    s"_graft_manifest.tag-${requireBranchName(name)}.json"
+
+  /** Freeze the current base state as tag `name`, O(metadata).
+    * Returns the tagged version. */
+  def createTag(dir: String, name: String): Long = {
+    val f = new File(dir, tagManifestFile(name))
+    if (f.exists()) throw new IllegalArgumentException(
+      s"graft-manifest: tag '$name' already exists under $dir")
+    val base = readManifest(dir)
+    writeManifestAs(dir, tagManifestFile(name), base)
+    base.version
+  }
+
+  def readTag(dir: String, name: String): Manifest = {
+    val f = new File(dir, tagManifestFile(name))
+    if (!f.exists()) throw new IllegalArgumentException(
+      s"graft-manifest: no tag '$name' under $dir — createTag first " +
+        "(or it was dropped)")
+    readManifestFile(f)
+  }
+
+  /** Drop a tag: the name stops resolving; files only the tag kept
+    * referenced are swept by the next commit/vacuum. */
+  def dropTag(dir: String, name: String): Unit = {
+    val f = new File(dir, tagManifestFile(name))
+    if (f.exists()) f.delete()
+  }
+
+  /** Resolve a read to a manifest: branch chain or tag if named, else
+    * the base chain (with optional time travel). Any two at once is a
     * contradiction — refused. */
   def readRef(dir: String, asOf: Option[Long],
-      branch: Option[String]): Manifest = branch match {
-    case Some(b) =>
+      branch: Option[String],
+      tag: Option[String] = None): Manifest = (branch, tag) match {
+    case (Some(_), Some(_)) => throw new IllegalArgumentException(
+      "graft-manifest: branch and tag are mutually exclusive")
+    case (Some(b), None) =>
       require(asOf.isEmpty,
         "graft-manifest: asOfVersion and branch are mutually exclusive")
       readBranch(dir, b)
-    case None => readAsOf(dir, asOf)
+    case (None, Some(t)) =>
+      require(asOf.isEmpty,
+        "graft-manifest: asOfVersion and tag are mutually exclusive")
+      readTag(dir, t)
+    case (None, None) => readAsOf(dir, asOf)
   }
 
   /** Fork the current base state as branch `name`, O(metadata).
@@ -1243,7 +1291,10 @@ object ManifestSink {
         // branch chains keep their staged files referenced — a sweep
         // during an open audit must not delete staged data
         f.getName.matches(
-          "_graft_manifest\\.branch-[A-Za-z0-9_]+(\\.v\\d+)?\\.json"))
+          "_graft_manifest\\.branch-[A-Za-z0-9_]+(\\.v\\d+)?\\.json") ||
+        // tag docs pin their snapshot's files against retention — a
+        // named release must survive vacuum/expire until dropped
+        f.getName.matches("_graft_manifest\\.tag-[A-Za-z0-9_]+\\.json"))
       .sortBy(_.getName).toSeq
 
   /** Every published manifest under `dir` (batch + streaming epochs). */
@@ -1542,6 +1593,9 @@ final class ManifestTable(tableSchema: StructType, path: String,
       // audit read of a WAP branch chain (mutually exclusive with
       // time travel — readRef refuses the combination)
       private val branchOpt = Option(options.get("branch"))
+      // named-snapshot read of an immutable tag (readRef refuses
+      // combining it with asOfVersion or branch)
+      private val tagOpt = Option(options.get("tag"))
       // streaming change-data-feed read (schema gains the two CDF
       // columns in inferSchema; batch CDF stays ManifestSink.changes)
       private val cdf = options.getBoolean("readChangeFeed", false)
@@ -1575,7 +1629,8 @@ final class ManifestTable(tableSchema: StructType, path: String,
           // a live EQUALITY delete makes the metadata count an upper
           // bound, not the answer — decline and let the scan count
           // (positional deletes keep exact counts and don't decline)
-          ManifestSink.readRef(path, asOf, branchOpt).eqDeletes.isEmpty
+          ManifestSink.readRef(path, asOf, branchOpt, tagOpt)
+            .eqDeletes.isEmpty
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate
             .Aggregation): Boolean = countOnly(agg)
@@ -1617,13 +1672,18 @@ final class ManifestTable(tableSchema: StructType, path: String,
       }
       override def pushedFilters(): Array[sources.Filter] = zoneFilters
       override def build(): Scan =
-        if (countPushed) new ManifestCountScan(path, asOf, branchOpt)
+        if (countPushed)
+          new ManifestCountScan(path, asOf, branchOpt, tagOpt)
         else new ManifestScan(tableSchema, required, path, asOf, zoneFilters,
           options.getBoolean("groupByPartition", false), restrict,
-          options.getBoolean("ignoreChanges", false), branchOpt, cdf)
+          options.getBoolean("ignoreChanges", false), branchOpt, cdf,
+          tagOpt)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.options.get("tag") == null,
+      "graft-manifest: tags are immutable — write to a branch or the " +
+        "base chain, then create_tag the committed state")
     new ManifestWriteBuilder(info.schema(), path,
       // a catalog table's declared PARTITIONED BY transform is the
       // write default; an explicit write option still overrides
@@ -1632,6 +1692,7 @@ final class ManifestTable(tableSchema: StructType, path: String,
       Option(info.options.get("bloomFilterColumns")),
       Option(info.options.get("bloomFilterBits")),
       Option(info.options.get("branch")))
+  }
 }
 
 final class ManifestWriteBuilder(schema: StructType, path: String,
@@ -2130,7 +2191,8 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     restrictFiles: Option[Set[String]] = None,
     ignoreChanges: Boolean = false,
     branch: Option[String] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    tag: Option[String] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = prunedSchema
@@ -2149,12 +2211,12 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * layout doesn't qualify; grouping alone is semantically neutral
     * either way. */
   private lazy val entries: Seq[ManifestSink.Entry] = {
-    val m = ManifestSink.readRef(path, asOfVersion, branch)
+    val m = ManifestSink.readRef(path, asOfVersion, branch, tag)
     m.files.filter(e => restrictFiles.forall(_(e.name)) &&
       ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
   }
   private lazy val manifest =
-    ManifestSink.readRef(path, asOfVersion, branch)
+    ManifestSink.readRef(path, asOfVersion, branch, tag)
   private lazy val identityCol: Option[String] =
     if (!groupByPartition || entries.isEmpty) None
     else {
@@ -2177,7 +2239,7 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * column-pruning fraction — what lets Catalyst choose a broadcast
     * join against a small manifest table without scanning it. */
   override def estimateStatistics(): Statistics = {
-    val entries = ManifestSink.readRef(path, asOfVersion, branch).files
+    val entries = ManifestSink.readRef(path, asOfVersion, branch, tag).files
       .filter(e => restrictFiles.forall(_(e.name)) &&
         ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
     val rows = entries.map(_.liveRows).sum
@@ -2254,6 +2316,9 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(asOfVersion.isEmpty,
       "graft-manifest: cannot stream from a VERSION AS OF read")
+    require(tag.isEmpty,
+      "graft-manifest: cannot stream from a tag — a tag is one frozen " +
+        "snapshot, there are no future versions to plan batches from")
     if (readChangeFeed)
       new ManifestCdfMicroBatchStream(path,
         StructType(fullSchema.fields.filterNot(f =>
@@ -2682,14 +2747,14 @@ final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
   * the manifest's durable per-file row counts — no data file is ever
   * opened. */
 final class ManifestCountScan(path: String, asOfVersion: Option[Long],
-    branch: Option[String] = None)
+    branch: Option[String] = None, tag: Option[String] = None)
     extends Scan {
   override def readSchema(): StructType =
     StructType.fromDDL("count_star BIGINT")
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(ManifestCountPartition(
-        ManifestSink.readRef(path, asOfVersion, branch).files
+        ManifestSink.readRef(path, asOfVersion, branch, tag).files
           .map(_.liveRows).sum))
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {

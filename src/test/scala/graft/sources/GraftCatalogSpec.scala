@@ -557,6 +557,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.ex")
   }
 
+  test("tags: create_tag pins a named snapshot against retention; reads resolve by name") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.tg (k BIGINT)")          // v0
+    spark.sql("INSERT INTO g.db.tg VALUES (1), (2)")      // v1
+    val tagged = spark.sql("CALL g.system.create_tag('db.tg', 'rel1')")
+      .head().getLong(0)
+    assert(tagged === 1L)
+    spark.sql("INSERT OVERWRITE g.db.tg VALUES (9)")      // v2 — v1's
+                                                          // file archive-only
+    val warehouse = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$warehouse/db/tg"
+    // zero-retention vacuum drops every archive — the tag must still
+    // read the exact v1 state (tag docs pin their files)
+    graft.sources.ManifestSink.vacuum(dir, 0)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.tg VERSION AS OF 1").collect() }
+    assert(spark.read.format("graft-manifest").option("tag", "rel1")
+      .load(dir).agg(Map("k" -> "sum")).head().getLong(0) === 3L)
+    // duplicate tag name is refused; unknown tag fails loudly
+    intercept[Exception] {
+      spark.sql("CALL g.system.create_tag('db.tg', 'rel1')").collect() }
+    intercept[Exception] {
+      spark.read.format("graft-manifest").option("tag", "nope")
+        .load(dir).collect() }
+    // tags are read-only: writes and streaming refuse the option
+    intercept[Exception] {
+      spark.range(1).selectExpr("id AS k")
+        .write.format("graft-manifest").option("tag", "rel1")
+        .mode("append").save(dir) }
+    val q = spark.readStream.format("graft-manifest").option("tag", "rel1")
+      .load(dir).writeStream.format("memory")
+      .queryName("tag_stream_refused").start()
+    // the refusal fires on the stream thread at first plan
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    // tag + asOfVersion / tag + branch are contradictions
+    intercept[Exception] {
+      spark.read.format("graft-manifest").option("tag", "rel1")
+        .option("asOfVersion", 1).load(dir).collect() }
+    // COUNT(*) pushdown answers from the tagged manifest
+    assert(spark.read.format("graft-manifest").option("tag", "rel1")
+      .load(dir).count() === 2L)
+    // drop_tag: the name stops resolving; next vacuum sweeps the
+    // now-unreferenced v1 file
+    spark.sql("CALL g.system.drop_tag('db.tg', 'rel1')")
+    intercept[Exception] {
+      spark.read.format("graft-manifest").option("tag", "rel1")
+        .load(dir).collect() }
+    graft.sources.ManifestSink.vacuum(dir, 0)
+    assert(spark.sql("SELECT sum(k) FROM g.db.tg").head().getLong(0) === 9L)
+    spark.sql("DROP TABLE g.db.tg")
+  }
+
   test("RENAME COLUMN is metadata-only: values follow the field id, snapshots keep their names") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.rc (k BIGINT, v STRING)")
