@@ -158,6 +158,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     var eqDel = m.eqDeletes
     var renamed = false
     var sidecarRenames = Map.empty[String, String]
+    // Some(Some(spec)) = set the default transform, Some(None) =
+    // clear it, None = untouched by this ALTER batch
+    var newPartSpec: Option[Option[String]] = None
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -209,6 +212,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         eqDel = eqDel.map(d => if (d.col == from) d.copy(col = to) else d)
         sidecarRenames += (from -> to)
         renamed = true
+      // PARTITION-SPEC EVOLUTION (the Iceberg spec-evolution idea at
+      // sidecar scale): ALTER TABLE … SET TBLPROPERTIES
+      // ('partitionedBy' = 'days(ts)') changes the DEFAULT transform
+      // future inserts route by; existing files keep their own
+      // per-ENTRY spec (the reader prunes per entry, so mixed layouts
+      // never mis-prune — that safety is pinned since the transform
+      // landed). UNSET removes the default (inserts stop routing).
+      // Metadata-only both ways: nothing is rewritten.
+      case set: TableChange.SetProperty
+          if set.property == "partitionedBy" =>
+        val spec = ManifestSink.parsePartSpec(set.value)
+        if (!schema.fieldNames.contains(spec.col))
+          throw new IllegalArgumentException(
+            s"graft-manifest: partition column '${spec.col}' is not " +
+              "a table column")
+        newPartSpec = Some(Some(set.value))
+      case rm: TableChange.RemoveProperty
+          if rm.property == "partitionedBy" =>
+        newPartSpec = Some(None)
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unsupported table change $other")
     }
@@ -244,6 +266,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         writeSidecar(dir, rewritten.describe)
       }
+    }
+    newPartSpec.foreach {
+      case Some(spec) => writeSidecar(dir, spec)
+      case None =>
+        new File(dir, SidecarFile).delete(): Unit
     }
     loadTable(ident)
   }

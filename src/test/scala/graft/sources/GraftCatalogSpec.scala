@@ -610,6 +610,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.tg")
   }
 
+  test("partition-spec evolution: SET TBLPROPERTIES swaps the default transform, old files keep theirs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.pe (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO g.db.pe VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("ALTER TABLE g.db.pe SET TBLPROPERTIES " +
+      "('partitionedBy' = 'identity(k)')")
+    spark.sql("INSERT INTO g.db.pe VALUES (10, 'x'), (11, 'y')")
+    // old files keep bucket(4,k), new files route identity(k) —
+    // both visible in the files metadata table
+    val specs = spark.sql("SELECT pspec FROM g.db.pe.files")
+      .collect().map(_.getString(0)).toSet
+    assert(specs.exists(_.startsWith("bucket")))
+    assert(specs.exists(_.startsWith("identity")))
+    // mixed layouts stay exact under pruned reads
+    assert(spark.sql("SELECT count(*) FROM g.db.pe WHERE k = 10")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM g.db.pe").head().getLong(0) === 5L)
+    // an unknown column is refused at ALTER time
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.pe SET TBLPROPERTIES " +
+        "('partitionedBy' = 'identity(nope)')") }
+    // UNSET clears the default: the next insert lands unpartitioned
+    spark.sql("ALTER TABLE g.db.pe UNSET TBLPROPERTIES ('partitionedBy')")
+    spark.sql("INSERT INTO g.db.pe VALUES (99, 'z')")
+    val after = spark.sql("SELECT pspec FROM g.db.pe.files")
+      .collect().map(_.getString(0))
+    assert(after.exists(s => s == null || s.isEmpty),
+      s"expected an unpartitioned entry, got ${after.mkString(",")}")
+    assert(spark.sql("SELECT sum(k) FROM g.db.pe").head().getLong(0) === 126L)
+    spark.sql("DROP TABLE g.db.pe")
+  }
+
   test("RENAME COLUMN is metadata-only: values follow the field id, snapshots keep their names") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.rc (k BIGINT, v STRING)")
