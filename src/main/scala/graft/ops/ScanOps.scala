@@ -733,6 +733,45 @@ object ScanOps extends OpPack {
       head.unionAll(tagRead).unionAll(cur).orderBy("step")
     }),
 
+    // The `refs` METADATA TABLE (Iceberg's refs — "what names exist
+    // on this table and what do they see"): one row per reference —
+    // the base chain, every open WAP branch, every immutable tag —
+    // with file/live-row counts, driver-computed from kilobyte
+    // manifest documents, ZERO data files opened (the files/history
+    // doctrine). The cycle is modulo-defined (base %3=0, branch
+    // stages +%3=1, tag freezes the pre-append base, base appends
+    // %3=2), so the oracle recomputes every ref's live count from
+    // parquet predicates; versions are projected out (branch-chain
+    // version arithmetic is an implementation detail, counts are the
+    // contract).
+    "sink_manifest_refs" -> ((s, dir) => {
+      import graft.sources.ManifestSink
+      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/refs-sink"
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(sink))
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def write(m: Int, mode: String, branch: Option[String]): Unit = {
+        val w = o.filter(col("k") % 3 === m).repartition(1)
+          .write.format("graft-manifest").mode(mode)
+        branch.fold(w)(b => w.option("branch", b)).save(sink)
+      }
+      write(0, "overwrite", None)                          // base v1
+      ManifestSink.createBranch(sink, "audit")
+      write(1, "append", Some("audit"))                    // staged
+      ManifestSink.createTag(sink, "rel")                  // pins v1
+      write(2, "append", None)                             // base v2
+      s.read.format("graft-manifest").option("metadata", "refs")
+        .load(sink)
+        .select(col("ref_name"), col("ref_type"), col("n_files"),
+          col("n_live"))
+        .orderBy(col("ref_type"), col("ref_name"))
+    }),
+
     // WRITE-AUDIT-PUBLISH on the manifest table (the Iceberg
     // branch/WAP pattern — the production data-quality gate): the
     // main table serves v1 while a staging batch commits to a BRANCH
@@ -1684,6 +1723,24 @@ object ScanOps extends OpPack {
         |  max(k)
         |FROM base WHERE k % 3 = 1
         |ORDER BY step""".stripMargin,
+
+    "sink_manifest_refs" ->
+      """WITH base AS (SELECT o_orderkey AS k FROM orders),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c0,
+        |  CAST(sum(CASE WHEN k % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c1,
+        |  CAST(sum(CASE WHEN k % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c2
+        |  FROM base)
+        |SELECT 'main' AS ref_name, 'base' AS ref_type,
+        |  CAST(2 AS BIGINT) AS n_files, c0 + c2 AS n_live FROM c
+        |UNION ALL
+        |SELECT 'audit', 'branch', CAST(2 AS BIGINT), c0 + c1 FROM c
+        |UNION ALL
+        |SELECT 'rel', 'tag', CAST(1 AS BIGINT), c0 FROM c
+        |ORDER BY ref_type, ref_name""".stripMargin,
 
     "sink_manifest_tag" ->
       """WITH base AS (

@@ -87,7 +87,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // parses as namespace [db, t] + name files — if the parent
       // namespace path IS a table, serve its metadata table (driver-
       // computed from the manifests, zero data files opened).
-      if ((ident.name() == "files" || ident.name() == "history") &&
+      if ((ident.name() == "files" || ident.name() == "history" ||
+          ident.name() == "refs") &&
           ident.namespace().length >= 1) {
         val parent = tableDir(Identifier.of(
           ident.namespace().dropRight(1), ident.namespace().last))

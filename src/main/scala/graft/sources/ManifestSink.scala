@@ -3189,9 +3189,14 @@ object ManifestMetadataTable {
     case "history" => StructType.fromDDL(
       "version BIGINT, n_files BIGINT, n_rows BIGINT, n_live BIGINT, " +
         "n_delete_files BIGINT")
+    // the Iceberg `refs` metadata table: every named reference on the
+    // table — the base chain, open WAP branches, immutable tags
+    case "refs" => StructType.fromDDL(
+      "ref_name STRING, ref_type STRING, version BIGINT, " +
+        "n_files BIGINT, n_live BIGINT")
     case other => throw new IllegalArgumentException(
       s"graft-manifest: unknown metadata table '$other' — " +
-        "expected files or history")
+        "expected files, history or refs")
   }
 
   def rowsFor(path: String, kind: String,
@@ -3218,6 +3223,32 @@ object ManifestMetadataTable {
           m.files.map(_.liveRows).sum,
           m.files.map(_.deletes.size.toLong).sum)
       }
+    case "refs" =>
+      require(asOf.isEmpty,
+        "graft-manifest: refs lists CURRENT references — asOfVersion " +
+          "does not apply")
+      val dir = new java.io.File(path)
+      def row(name: String, tpe: String, m: ManifestSink.Manifest) =
+        Seq[Any](name, tpe, m.version, m.files.size.toLong,
+          m.files.map(_.liveRows).sum)
+      val base =
+        if (new java.io.File(dir, ManifestSink.ManifestFile).exists())
+          Seq(row("main", "base", ManifestSink.readManifest(path)))
+        else Nil
+      val named = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap { f =>
+          val n = f.getName
+          val br = "_graft_manifest\\.branch-([A-Za-z0-9_]+)\\.json".r
+          val tg = "_graft_manifest\\.tag-([A-Za-z0-9_]+)\\.json".r
+          n match {
+            case br(b) =>
+              Some(row(b, "branch", ManifestSink.readManifestFile(f)))
+            case tg(t) =>
+              Some(row(t, "tag", ManifestSink.readManifestFile(f)))
+            case _ => None
+          }
+        }
+      (base ++ named).sortBy(r => (r(1).toString, r(0).toString))
     case other => throw new IllegalArgumentException(
       s"graft-manifest: unknown metadata table '$other'")
   }

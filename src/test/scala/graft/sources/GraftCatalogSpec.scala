@@ -486,6 +486,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       """SELECT count(*) FROM g.db.mt t
         |JOIN g.db.mt.history h ON h.version = 2""".stripMargin)
       .head().getLong(0) === 3L)
+    // refs lists every named reference: base + branches + tags
+    spark.sql("CALL g.system.create_branch('db.mt', 'b1')")
+    spark.sql("CALL g.system.create_tag('db.mt', 't1')")
+    val refs = spark.sql(
+      "SELECT ref_name, ref_type, n_live FROM g.db.mt.refs " +
+        "ORDER BY ref_type, ref_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq === Seq(("main", "base", 3L), ("b1", "branch", 3L),
+      ("t1", "tag", 3L)))
     // unknown metadata suffix on a real table is still no-such-table
     intercept[Exception] { spark.sql("SELECT * FROM g.db.mt.nope").collect() }
     spark.sql("DROP TABLE g.db.mt")
