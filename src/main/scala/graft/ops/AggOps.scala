@@ -535,6 +535,35 @@ object AggOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Transition entropy per user (diag_entropy's sequential sibling
+    // — how PREDICTABLE is each user's next action given the last
+    // one): the (prev_type → type) transition mix's Shannon entropy
+    // in the same declared floor-log2 milli-bits (LB = length(bin);
+    // H_milli = 1000·(N·LB(N) − Σ c·LB(c)) div N over transition
+    // cells). A bot replaying one loop scores 0; organic browsing
+    // scores high — the behavioral-predictability dial abuse
+    // detection reads next to the unigram mix. ONE lag window on the
+    // user_id exchange, then the two-phase cell→user hash agg —
+    // key-proportional exchanges only.
+    "diag_seq_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val cells = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("user_id"), col("prev"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_trans"),
+          count(lit(1)).as("n_cells"),
+          sum(col("c") * length(expr("bin(c)"))).as("sum_clb"))
+        .select(col("user_id"), col("n_trans"), col("n_cells"),
+          expr("CAST((1000 * (n_trans * length(bin(n_trans)) " +
+            "- sum_clb)) div n_trans AS BIGINT)")
+            .as("entropy_millibits"))
+        .orderBy(col("user_id"))
+    }),
+
     // Deterministic mode: most frequent order priority per status,
     // ties broken lexicographically (the built-in `mode()` leaves tie
     // order engine-defined, so it is composed from count + top-1 here
@@ -1085,6 +1114,27 @@ object AggOps extends OpPack {
         |SELECT user_id, n_events, n_types,
         |  CAST((1000 * (n_events * length(bin(n_events)) - sum_clb))
         |    // n_events AS BIGINT) AS entropy_millibits
+        |FROM u ORDER BY user_id""".stripMargin,
+
+    "diag_seq_entropy" ->
+      """WITH tr AS (
+        |  SELECT user_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS prev,
+        |    event_type
+        |  FROM events),
+        |ct AS (
+        |  SELECT user_id, prev, event_type, count(*) AS c
+        |  FROM tr WHERE prev IS NOT NULL
+        |  GROUP BY user_id, prev, event_type),
+        |u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_trans,
+        |    count(*) AS n_cells,
+        |    CAST(sum(c * length(bin(c))) AS BIGINT) AS sum_clb
+        |  FROM ct GROUP BY user_id)
+        |SELECT user_id, n_trans, n_cells,
+        |  CAST((1000 * (n_trans * length(bin(n_trans)) - sum_clb))
+        |    // n_trans AS BIGINT) AS entropy_millibits
         |FROM u ORDER BY user_id""".stripMargin,
 
     "agg_mode" ->

@@ -148,6 +148,42 @@ object GeoOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Impossible-speed audit (the telematics data-quality screen: a
+    // vehicle that "moved" 5000 grid units in one second is a GPS
+    // glitch or spoofed data, and it poisons every downstream
+    // trajectory metric): consecutive per-user hops get an L1
+    // speed in milli-units/second (dist·1000 div max(1, Δt) — zero
+    // and negative Δt clamp to 1s, declared: same-timestamp bursts
+    // count as 1s), reported per user as hop count, max speed, and
+    // hops past a 10 000 milli-u/s plausibility threshold. ONE lag
+    // window on the user_id exchange (coords + seconds share it) +
+    // one map-side-combined hash agg — the geo_trajectory shape with
+    // a time axis.
+    "geo_speed_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("es"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, 8)," +
+            " 16, 10) AS BIGINT) % 10000").as("y"))
+        .withColumn("dist",
+          abs(col("x") - lag(col("x"), 1).over(w)) +
+            abs(col("y") - lag(col("y"), 1).over(w)))
+        .withColumn("dt", col("es") - lag(col("es"), 1).over(w))
+        .filter(col("dist").isNotNull)
+        .withColumn("speed_milli",
+          expr("(dist * 1000) div greatest(dt, 1)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_hops"),
+          max(col("speed_milli")).as("max_speed_milli"),
+          sum(when(col("speed_milli") > 10000L, 1L).otherwise(0L))
+            .as("n_implausible"))
+        .orderBy(col("user_id"))
+    }),
+
     // Origin-destination flow matrix (the mobility/routing demand
     // report): each user's consecutive event positions become
     // cell→cell transitions (250-unit grid, same-cell dwells dropped),
@@ -304,6 +340,32 @@ object GeoOps extends OpPack {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "geo_speed_audit" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS x,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 10000 AS y
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id,
+        |    abs(x - lag(x) OVER w) + abs(y - lag(y) OVER w) AS dist,
+        |    es - lag(es) OVER w AS dt
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |sp AS (
+        |  SELECT user_id,
+        |    CAST((dist * 1000) // greatest(dt, 1) AS BIGINT)
+        |      AS speed_milli
+        |  FROM h WHERE dist IS NOT NULL)
+        |SELECT user_id, count(*) AS n_hops,
+        |  CAST(max(speed_milli) AS BIGINT) AS max_speed_milli,
+        |  CAST(sum(CASE WHEN speed_milli > 10000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_implausible
+        |FROM sp GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "geo_od_matrix" ->
       """WITH p AS (
         |  SELECT user_id, event_id,
