@@ -296,6 +296,35 @@ object SampleOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Packing-efficiency report (the fill-rate audit run after
+    // sequence packing decides a context length: padding is pure
+    // wasted compute, and the capacity decision is made FROM this
+    // table): per language over sample_pack's exact next-fit
+    // assignment — documents, total tokens, packs, pad tokens, and
+    // the fill rate in permille (oversized docs overflow their own
+    // pack, declared: fill can pass 1000 where single docs exceed
+    // capacity). The pack ids are per (lang, shard), so the pack
+    // count is a composite-key two-phase distinct; everything else is
+    // one map-side-combined rollup of the packing frame.
+    "sample_pack_eff" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(4)).cast("long").as("shard"),
+        size(split(col("text"), " ")).as("tok"))
+      SequencePack(d, idCol = "doc_id", tokCol = "tok",
+          grpA = "lang", grpB = "shard", capacity = 128)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast("long").as("total_tok"),
+          countDistinct(col("shard") * lit(1000000L) + col("pack_id"))
+            .as("n_packs"))
+        .select(col("lang"), col("n_docs"), col("total_tok"),
+          col("n_packs"),
+          expr("n_packs * 128 - total_tok").as("pad_tok"),
+          expr("(total_tok * 1000) div (n_packs * 128)").as("fill_pm"))
+        .orderBy(col("lang"))
+    }),
+
     // Weight-proportional (importance) Bernoulli sampling with an
     // integer-exact md5 coin: keep a document iff
     // u12 · 2000 < min(n_chars, 2000) · 409, where u12 is the first
@@ -1047,6 +1076,37 @@ object SampleOps extends OpPack {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_pack_eff" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT lang, doc_id % 4 AS shard, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS tok,
+        |         row_number() OVER (PARTITION BY lang, doc_id % 4
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), walk AS (
+        |  SELECT lang, shard, doc_id, tok, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, CAST(tok AS BIGINT) AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.lang, b.shard, b.doc_id, b.tok, b.rn,
+        |         CASE WHEN w.fill + b.tok > 128 THEN w.pack_id + 1
+        |              ELSE w.pack_id END,
+        |         CASE WHEN w.fill + b.tok > 128 THEN CAST(b.tok AS BIGINT)
+        |              ELSE w.fill + b.tok END
+        |  FROM walk w JOIN base b
+        |    ON b.lang = w.lang AND b.shard = w.shard AND b.rn = w.rn + 1
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tok,
+        |  CAST(count(DISTINCT shard * 1000000 + pack_id) AS BIGINT)
+        |    AS n_packs,
+        |  CAST(count(DISTINCT shard * 1000000 + pack_id) * 128
+        |    - sum(tok) AS BIGINT) AS pad_tok,
+        |  CAST((CAST(sum(tok) AS HUGEINT) * 1000) //
+        |    (count(DISTINCT shard * 1000000 + pack_id) * 128)
+        |    AS BIGINT) AS fill_pm
+        |FROM walk GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sample_pack" ->
       """WITH RECURSIVE base AS (

@@ -496,6 +496,16 @@ object TsOps extends OpPack {
         "events_sfc"))
     }),
 
+    // Classical additive decomposition (STL-lite): daily revenue =
+    // trend (centered 7-day MA, full windows only) + day-of-week
+    // seasonal index + residual — the first chart a demand analyst
+    // draws, exact in integer cents (see seasonalDecompSql).
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_sdec")
+      s.sql(seasonalDecompSql("DECIMAL(38,0)", "div",
+        d => s"unix_date($d)", "orders_sdec"))
+    }),
+
     // Single change-point detection (binary segmentation's first
     // split, AMOC): the day k maximizing the CUSUM deviation
     // |n·S_k − k·S_n| of the daily-revenue prefix sums — the point
@@ -870,6 +880,41 @@ object TsOps extends OpPack {
     * constant series). Tokens: wide-integer type, integer-div
     * operator, and a days-since-epoch function (Spark `unix_date`,
     * DuckDB `datediff`). */
+  /** Classical additive seasonal decomposition (STL-lite) as ONE
+    * generated SQL text (holtSql convention — only the wide-type,
+    * integer-div, and epoch-days tokens differ per engine): daily
+    * revenue splits into trend (centered 7-day moving average,
+    * FULL windows only — the declared edge rule), a day-of-week
+    * additive seasonal index (floor mean of the detrended series per
+    * dow), and the residual. All divisions ride the wide type so
+    * negative detrended values truncate toward zero identically.
+    * Every window runs on the calendar-bounded daily frame. */
+  private[graft] def seasonalDecompSql(wide: String, divOp: String,
+      daysFn: String => String, table: String): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM $table GROUP BY CAST(o_orderdate AS DATE)),
+       |t AS (
+       |  SELECT day, ${daysFn("day")} % 7 AS dow, cents,
+       |    CASE WHEN count(*) OVER w7 = 7 THEN
+       |      CAST(CAST(sum(cents) OVER w7 AS $wide) $divOp 7 AS BIGINT)
+       |    ELSE NULL END AS trend
+       |  FROM daily
+       |  WINDOW w7 AS (ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |sidx AS (
+       |  SELECT dow,
+       |    CAST(CAST(sum(cents - trend) AS $wide) $divOp count(*)
+       |      AS BIGINT) AS seasonal
+       |  FROM t WHERE trend IS NOT NULL GROUP BY dow)
+       |SELECT t.day, t.cents, t.trend, sidx.seasonal,
+       |  t.cents - t.trend - sidx.seasonal AS resid
+       |FROM t JOIN sidx ON t.dow = sidx.dow
+       |WHERE t.trend IS NOT NULL
+       |ORDER BY t.day""".stripMargin
+
   private[graft] def seasonStrengthSql(wide: String, divOp: String,
       daysFn: String => String, table: String): String =
     s"""WITH daily AS (
@@ -1076,6 +1121,8 @@ object TsOps extends OpPack {
     "ts_forecast_seasonal" -> seasonalForecastSql("//",
       d => s"datediff('day', DATE '1970-01-01', $d)", "events"),
     "ts_seasonal_strength" -> seasonStrengthSql("HUGEINT", "//",
+      d => s"datediff('day', DATE '1970-01-01', $d)", "orders"),
+    "ts_seasonal_decompose" -> seasonalDecompSql("HUGEINT", "//",
       d => s"datediff('day', DATE '1970-01-01', $d)", "orders"),
     "ts_holt" -> holtSql("//", "events"),
 
