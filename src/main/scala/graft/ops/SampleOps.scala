@@ -768,10 +768,11 @@ object SampleOps extends OpPack {
         |  SELECT doc_id, n_chars,
         |    len(string_split(text, ' ')) AS n_toks
         |  FROM documents),
-        |s AS (
+        |s0 AS (
         |  SELECT doc_id,
         |    CAST((n_chars * 100) // n_toks AS BIGINT) AS score
-        |  FROM d WHERE n_chars IS NOT NULL),
+        |  FROM d),
+        |s AS (SELECT * FROM s0 WHERE score IS NOT NULL),
         |c AS (SELECT score, count(*) AS n FROM s GROUP BY score),
         |cc AS (
         |  SELECT score, sum(n) OVER (ORDER BY score) AS cum,

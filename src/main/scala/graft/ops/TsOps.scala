@@ -874,12 +874,6 @@ object TsOps extends OpPack {
        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
-  /** Seasonality-strength as ONE generated SQL text: daily cent
-    * totals → global and per-DOW integer-anchored sums of squares →
-    * strength_permille = 1000 − SS_dow·1000 div SS_total (NULL on a
-    * constant series). Tokens: wide-integer type, integer-div
-    * operator, and a days-since-epoch function (Spark `unix_date`,
-    * DuckDB `datediff`). */
   /** Classical additive seasonal decomposition (STL-lite) as ONE
     * generated SQL text (holtSql convention — only the wide-type,
     * integer-div, and epoch-days tokens differ per engine): daily
@@ -915,6 +909,12 @@ object TsOps extends OpPack {
        |WHERE t.trend IS NOT NULL
        |ORDER BY t.day""".stripMargin
 
+  /** Seasonality-strength as ONE generated SQL text: daily cent
+    * totals → global and per-DOW integer-anchored sums of squares →
+    * strength_permille = 1000 − SS_dow·1000 div SS_total (NULL on a
+    * constant series). Tokens: wide-integer type, integer-div
+    * operator, and a days-since-epoch function (Spark `unix_date`,
+    * DuckDB `datediff`). */
   private[graft] def seasonStrengthSql(wide: String, divOp: String,
       daysFn: String => String, table: String): String =
     s"""WITH daily AS (

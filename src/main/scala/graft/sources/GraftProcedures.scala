@@ -275,7 +275,8 @@ private[sources] object GraftProcedures {
       case "drop_tag" => new Proc(
         "drop_tag",
         "Drop a tag: the name stops resolving; files only the tag " +
-          "kept referenced are swept by the next commit/vacuum",
+          "kept referenced are swept by the next commit/vacuum; " +
+          "`dropped` is false when no such tag existed",
         Seq(
           ("table", StringType, "catalog-relative namespace.table"),
           ("name", StringType, "tag name to drop")),
@@ -283,10 +284,11 @@ private[sources] object GraftProcedures {
           StructField("dropped", BooleanType, nullable = false))),
         (resolve, in) => {
           val dir = resolve(in.getUTF8String(0).toString)
-          ManifestSink.dropTag(dir, in.getUTF8String(1).toString)
+          val existed =
+            ManifestSink.dropTag(dir, in.getUTF8String(1).toString)
           result(StructType(Seq(
             StructField("dropped", BooleanType, nullable = false))),
-            true)
+            existed)
         })(resolve)
 
       case "expire_snapshots" => new Proc(

@@ -896,14 +896,18 @@ object ManifestSink {
   def tagManifestFile(name: String) =
     s"_graft_manifest.tag-${requireBranchName(name)}.json"
 
-  /** Freeze the current base state as tag `name`, O(metadata).
-    * Returns the tagged version. */
+  /** Freeze the CURRENT state (base chain + streaming epochs, i.e.
+    * exactly what a read resolves) as tag `name`, O(metadata).
+    * Returns the tagged version (the base chain's — epochs don't
+    * bump it). */
   def createTag(dir: String, name: String): Long = {
     val f = new File(dir, tagManifestFile(name))
     if (f.exists()) throw new IllegalArgumentException(
       s"graft-manifest: tag '$name' already exists under $dir")
     val base = readManifest(dir)
-    writeManifestAs(dir, tagManifestFile(name), base)
+    val merged = readAsOf(dir, None).copy(version = base.version,
+      colIds = base.colIds, lastColId = base.lastColId)
+    writeManifestAs(dir, tagManifestFile(name), merged)
     base.version
   }
 
@@ -916,10 +920,12 @@ object ManifestSink {
   }
 
   /** Drop a tag: the name stops resolving; files only the tag kept
-    * referenced are swept by the next commit/vacuum. */
-  def dropTag(dir: String, name: String): Unit = {
+    * referenced are swept by the next commit/vacuum. Returns whether
+    * the tag existed — a typo'd name must not be silently swallowed
+    * (reads fail loudly on unknown tags; drops report it). */
+  def dropTag(dir: String, name: String): Boolean = {
     val f = new File(dir, tagManifestFile(name))
-    if (f.exists()) f.delete()
+    f.exists() && f.delete()
   }
 
   /** Resolve a read to a manifest: branch chain or tag if named, else
@@ -3232,9 +3238,14 @@ object ManifestMetadataTable {
         Seq[Any](name, tpe, m.version, m.files.size.toLong,
           m.files.map(_.liveRows).sum)
       val base =
-        if (new java.io.File(dir, ManifestSink.ManifestFile).exists())
-          Seq(row("main", "base", ManifestSink.readManifest(path)))
-        else Nil
+        if (new java.io.File(dir, ManifestSink.ManifestFile).exists()) {
+          // current state resolves through readAll (base + streaming
+          // epochs) — the refs row must agree with what SELECT sees;
+          // version is the base chain's (epochs don't bump it)
+          val v = ManifestSink.readManifest(path).version
+          Seq(row("main", "base",
+            ManifestSink.readAsOf(path, None).copy(version = v)))
+        } else Nil
       val named = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap { f =>
           val n = f.getName

@@ -1380,4 +1380,52 @@ class ManifestSinkSpec extends AnyFunSuite {
     // COUNT(*) must come from the scan, not whole-table metadata
     assert(restricted.count() === 10L)
   }
+
+  test("refs main row and tags freeze MERGED state on a streamed table; drop_tag reports existence") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = scratch("refs-epochs")
+    // base chain: 2 rows at v1
+    Seq(1L, 2L).toDF("k").coalesce(1)
+      .write.mode("overwrite").format("graft-manifest").save(dir)
+    // streaming epoch: 3 more rows — published as an epoch manifest,
+    // the base version does NOT bump
+    val in = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("refs-epochs-ckpt").toString
+    val q = in.toDS().toDF("k")
+      .writeStream.format("graft-manifest")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    in.addData(3L, 4L, 5L)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.format("graft-manifest").load(dir).count() === 5L)
+    // refs 'main' must agree with what SELECT count(*) sees (base +
+    // epochs), at the base chain's version
+    val main = spark.read.format("graft-manifest")
+      .option("metadata", "refs").load(dir)
+      .filter($"ref_name" === "main")
+      .select($"version", $"n_live").as[(Long, Long)].head()
+    assert(main === ((1L, 5L)),
+      s"refs main row must count epoch rows too, got $main")
+    // create_tag freezes the same merged state: after the tag, new
+    // epoch rows must NOT appear under the tag name
+    assert(ManifestSink.createTag(dir, "rel") === 1L)
+    val q2 = in.toDS().toDF("k")
+      .writeStream.format("graft-manifest")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    in.addData(6L)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.format("graft-manifest").load(dir).count() === 6L)
+    assert(spark.read.format("graft-manifest").option("tag", "rel")
+      .load(dir).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L),
+      "a tag on a streamed table freezes base + epoch rows at tag time")
+    // drop_tag reports whether the name existed — typos aren't
+    // silently swallowed
+    assert(ManifestSink.dropTag(dir, "rel") === true)
+    assert(ManifestSink.dropTag(dir, "rel") === false)
+    assert(ManifestSink.dropTag(dir, "never_existed") === false)
+  }
 }
