@@ -695,7 +695,182 @@ object TsOps extends OpPack {
           (max(col("us")) - min(col("us"))).as("duration_us"),
           sum(round(col("value") * 100).cast("long")).as("value_c"))
         .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // On-balance volume (the classic accumulation/distribution
+    // indicator): daily bars from the tick stream, then obv_t =
+    // obv_{t-1} + sign(close_t − close_{t-1})·vol_t as ONE running
+    // sum. SCALE: the tick→bar collapse is one map-side-combined hash
+    // agg (min_by/max_by carry a single pair of state); every window
+    // after it runs on the calendar-bounded daily frame (|days| rows,
+    // the seasonalDecompSql doctrine). Shared SQL text both engines.
+    "ts_obv" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_obv")
+      s.sql(obvSql("events_obv"))
+    }),
+
+    // Donchian channel (rolling 7-day high/low band) + close position
+    // inside the band in permille — integer cents, div truncation,
+    // full-window rule (first 6 days drop, declared). Windows on the
+    // bounded daily frame; numerator (close−lower)·1000 is
+    // non-negative by construction so div is engine-identical.
+    "ts_donchian" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_don")
+      s.sql(donchianSql("div", "events_don"))
+    }),
+
+    // Average True Range (Wilder's volatility bar gauge): TR =
+    // greatest(H−L, |H−prev C|, |L−prev C|) per day, ATR = trailing
+    // 7-day integer mean (sum div 7 — TR is non-negative so
+    // truncation is floor in both engines). First day has no prev
+    // close and drops; only full 7-TR windows report (declared).
+    "ts_atr" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_atr")
+      s.sql(atrSql("DECIMAL(38,0)", "div", "events_atr"))
+    }),
+
+    // Stochastic oscillator: %K = (close − low14)·1000 div
+    // (high14 − low14) over full 14-day windows (flat channel ⇒ NULL,
+    // declared); %D = 3-day mean of %K, reported only when all three
+    // %K values exist. Same bounded-frame window chain as ts_atr.
+    "ts_stochastic" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_sto")
+      s.sql(stochasticSql("DECIMAL(38,0)", "div", "events_sto"))
+    }),
+
+    // Classic floor-trader pivot points from the PREVIOUS day's bar:
+    // P = (H+L+C) div 3, R1 = 2P−L, S1 = 2P−H, R2 = P+(H−L),
+    // S2 = P−(H−L), plus an R1-breakout flag on today's close. All
+    // positive integer cents — div 3 truncates identically. One lag
+    // on the bounded daily frame.
+    "ts_pivot_points" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_piv")
+      s.sql(pivotSql("div", "events_piv"))
     }))
+
+  /** Daily-bar CTE shared by the indicator family (tick→bar collapse:
+    * ONE map-side-combined hash agg; open/close ride min_by/max_by on
+    * the unique event_id order — ts monotone in event_id per
+    * TESTDATA). Returns stripped text for interpolation. */
+  private def dailyBars(table: String): String =
+    s"""daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    min_by(CAST(round(value * 100) AS BIGINT), event_id)
+       |      AS open_c,
+       |    max(CAST(round(value * 100) AS BIGINT)) AS high_c,
+       |    min(CAST(round(value * 100) AS BIGINT)) AS low_c,
+       |    max_by(CAST(round(value * 100) AS BIGINT), event_id)
+       |      AS close_c,
+       |    CAST(count(*) AS BIGINT) AS vol
+       |  FROM $table WHERE value IS NOT NULL
+       |  GROUP BY CAST(ts AS DATE))""".stripMargin
+
+  /** On-balance volume as shared SQL (identical text both engines —
+    * no division anywhere). */
+  private[ops] def obvSql(table: String): String =
+    s"""WITH ${dailyBars(table)},
+       |d AS (
+       |  SELECT day, close_c, vol,
+       |    lag(close_c, 1) OVER (ORDER BY day) AS prev_c
+       |  FROM daily)
+       |SELECT day, close_c,
+       |  CAST(sum(CASE WHEN prev_c IS NULL THEN 0
+       |      WHEN close_c > prev_c THEN vol
+       |      WHEN close_c < prev_c THEN -vol ELSE 0 END)
+       |    OVER (ORDER BY day) AS BIGINT) AS obv
+       |FROM d ORDER BY day""".stripMargin
+
+  /** Donchian channel + permille band position (only the integer-div
+    * token differs per engine). */
+  private[ops] def donchianSql(divOp: String, table: String): String =
+    s"""WITH ${dailyBars(table)},
+       |w AS (
+       |  SELECT day, close_c,
+       |    max(high_c) OVER w7 AS upper_c,
+       |    min(low_c) OVER w7 AS lower_c,
+       |    count(*) OVER w7 AS n7
+       |  FROM daily
+       |  WINDOW w7 AS (ORDER BY day
+       |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT day, close_c, upper_c, lower_c,
+       |  CAST(CASE WHEN upper_c > lower_c THEN
+       |    ((close_c - lower_c) * 1000) $divOp (upper_c - lower_c)
+       |  END AS BIGINT) AS pos_permille
+       |FROM w WHERE n7 = 7 ORDER BY day""".stripMargin
+
+  /** ATR(7) (wide-type + integer-div tokens per engine). */
+  private[ops] def atrSql(wide: String, divOp: String,
+      table: String): String =
+    s"""WITH ${dailyBars(table)},
+       |d AS (
+       |  SELECT day, high_c, low_c,
+       |    lag(close_c, 1) OVER (ORDER BY day) AS pc
+       |  FROM daily),
+       |t AS (
+       |  SELECT day,
+       |    greatest(high_c - low_c, abs(high_c - pc), abs(low_c - pc))
+       |      AS tr_c
+       |  FROM d WHERE pc IS NOT NULL),
+       |a AS (
+       |  SELECT day, tr_c,
+       |    CAST(sum(tr_c) OVER w7 AS $wide) AS s7,
+       |    count(*) OVER w7 AS n7
+       |  FROM t
+       |  WINDOW w7 AS (ORDER BY day
+       |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT day, tr_c, CAST(s7 $divOp 7 AS BIGINT) AS atr_c
+       |FROM a WHERE n7 = 7 ORDER BY day""".stripMargin
+
+  /** Stochastic oscillator %K(14)/%D(3). */
+  private[ops] def stochasticSql(wide: String, divOp: String,
+      table: String): String =
+    s"""WITH ${dailyBars(table)},
+       |k0 AS (
+       |  SELECT day, close_c,
+       |    max(high_c) OVER w14 AS h14,
+       |    min(low_c) OVER w14 AS l14,
+       |    count(*) OVER w14 AS n14
+       |  FROM daily
+       |  WINDOW w14 AS (ORDER BY day
+       |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+       |k AS (
+       |  SELECT day,
+       |    CAST(CASE WHEN h14 > l14 THEN
+       |      ((close_c - l14) * 1000) $divOp (h14 - l14)
+       |    END AS BIGINT) AS k_permille
+       |  FROM k0 WHERE n14 = 14),
+       |d AS (
+       |  SELECT day, k_permille,
+       |    CAST(sum(k_permille) OVER w3 AS $wide) AS sk,
+       |    count(k_permille) OVER w3 AS nk,
+       |    count(*) OVER w3 AS n3
+       |  FROM k
+       |  WINDOW w3 AS (ORDER BY day
+       |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+       |SELECT day, k_permille,
+       |  CAST(CASE WHEN n3 = 3 AND nk = 3 THEN sk $divOp 3
+       |    END AS BIGINT) AS d_permille
+       |FROM d ORDER BY day""".stripMargin
+
+  /** Floor-trader pivot points from the previous bar. */
+  private[ops] def pivotSql(divOp: String, table: String): String =
+    s"""WITH ${dailyBars(table)},
+       |p AS (
+       |  SELECT day, close_c,
+       |    lag(high_c, 1) OVER (ORDER BY day) AS ph,
+       |    lag(low_c, 1) OVER (ORDER BY day) AS pl,
+       |    lag(close_c, 1) OVER (ORDER BY day) AS pc
+       |  FROM daily),
+       |v AS (
+       |  SELECT day, close_c, ph, pl,
+       |    CAST((ph + pl + pc) $divOp 3 AS BIGINT) AS pivot_c
+       |  FROM p WHERE pc IS NOT NULL)
+       |SELECT day, close_c, pivot_c,
+       |  2 * pivot_c - pl AS r1_c, 2 * pivot_c - ph AS s1_c,
+       |  pivot_c + (ph - pl) AS r2_c, pivot_c - (ph - pl) AS s2_c,
+       |  CAST(CASE WHEN close_c > 2 * pivot_c - pl THEN 1 ELSE 0 END
+       |    AS BIGINT) AS breakout_r1
+       |FROM v ORDER BY day""".stripMargin
 
   /** Bollinger-breach SQL shared VERBATIM by both engines (only the
     * scanned table name differs): trailing 5-row window sums, the
@@ -1467,5 +1642,11 @@ object TsOps extends OpPack {
         |SELECT dow, hr, CAST(n AS BIGINT) AS n,
         |  CAST((CAST(n AS HUGEINT) * 1000000) //
         |    CAST(sum(n) OVER () AS HUGEINT) AS BIGINT) AS share_ppm
-        |FROM c ORDER BY dow, hr""".stripMargin)
+        |FROM c ORDER BY dow, hr""".stripMargin,
+
+    "ts_obv" -> obvSql("events"),
+    "ts_donchian" -> donchianSql("//", "events"),
+    "ts_atr" -> atrSql("HUGEINT", "//", "events"),
+    "ts_stochastic" -> stochasticSql("HUGEINT", "//", "events"),
+    "ts_pivot_points" -> pivotSql("//", "events"))
 }
