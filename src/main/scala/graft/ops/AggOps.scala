@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.Tables.{moneySum, exprSum, moneyAvg}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -852,8 +852,113 @@ object AggOps extends OpPack {
         .select(col("bucket"), col("bucket_lo"), col("n_items"),
           col("sum_qty"))
         .orderBy(col("bucket"))
+    }),
+
+    // Referential-integrity coverage matrix — BOTH directions of
+    // every FK edge in the star schema (diag_dq_audit counts the two
+    // worst violation legs; this profiles all seven edges): orphan
+    // child rows (FK points nowhere) AND unreferenced parents
+    // (dimension rows no fact ever joins — dead weight a curation
+    // pass should know about), plus parent coverage in permille.
+    // SCALE: per edge, ONE child groupBy (map-side combined) + a
+    // key-co-partitioned full outer join against the distinct parent
+    // keys; everything downstream is a 1-row aggregate per edge.
+    "diag_fk_coverage" -> ((s, dir) => {
+      def edge(name: String, childT: String, ck: String,
+          parentT: String, pk: String): DataFrame = {
+        val cg = Tables(s, dir, childT)
+          .groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+        val p = Tables(s, dir, parentT)
+          .select(col(pk).as("pk")).distinct()
+        cg.join(p, col("k") === col("pk"), "full_outer")
+          .agg(
+            coalesce(sum(col("cnt")), lit(0L)).as("n_child"),
+            coalesce(sum(when(col("pk").isNull, col("cnt"))), lit(0L))
+              .as("n_orphan_rows"),
+            count(col("pk")).as("n_parents"),
+            sum(when(col("pk").isNotNull && col("k").isNull, 1L)
+              .otherwise(0L)).as("n_unref_parents"))
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            col("n_orphan_rows"), col("n_parents"),
+            col("n_unref_parents"),
+            expr("CAST(CASE WHEN n_parents > 0 THEN " +
+              "((n_parents - n_unref_parents) * 1000) div n_parents " +
+              "END AS BIGINT)").as("coverage_pm"))
+      }
+      fkEdges.map { case (n, ct, ck, pt, pk) => edge(n, ct, ck, pt, pk) }
+        .reduce(_ unionAll _)
+        .orderBy(col("fk_edge"))
+    }),
+
+    // Primary-key uniqueness profile across EVERY table in the
+    // schema: per declared key, row/key counts, duplicated keys, rows
+    // involved in duplicates, and the worst multiplicity — the audit
+    // that found lineitem's (l_orderkey, l_linenumber) is NOT unique
+    // in this testdata. One map-side-combined groupBy per table, then
+    // 1-row rollups; scan-proportional at any scale.
+    "diag_pk_dupes" -> ((s, dir) => {
+      def leg(tbl: String, key: Column): DataFrame =
+        Tables(s, dir, tbl).select(key.cast("string").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("m"))
+          .agg(sum(col("m")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+            sum(when(col("m") > 1, col("m")).otherwise(0L))
+              .as("n_dup_rows"),
+            max(col("m")).as("max_mult"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("n_keys"),
+            col("n_dup_keys"), col("n_dup_rows"), col("max_mult"))
+      leg("customer", col("c_custkey"))
+        .unionAll(leg("documents", col("doc_id")))
+        .unionAll(leg("embeddings", col("vec_id")))
+        .unionAll(leg("events", col("event_id")))
+        .unionAll(leg("lineitem",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+        .unionAll(leg("orders", col("o_orderkey")))
+        .unionAll(leg("part", col("p_partkey")))
+        .unionAll(leg("supplier", col("s_suppkey")))
+        .orderBy(col("tbl"))
     })
   )
+
+  /** The star schema's FK edges: (edge name, child table, child key,
+    * parent table, parent key) — shared by diag_fk_coverage and its
+    * oracle generator. */
+  private val fkEdges = Seq(
+    ("customer->nation", "customer", "c_nationkey", "nation",
+      "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+      "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+      "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region",
+      "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer",
+      "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation",
+      "n_nationkey"))
+
+  /** DuckDB oracle leg for one FK edge (FULL JOIN of child key counts
+    * against distinct parent keys — identical aggregate algebra to
+    * the Spark side). */
+  private def fkOracleLeg(name: String, childT: String, ck: String,
+      parentT: String, pk: String): String =
+    s"""SELECT '$name' AS fk_edge,
+       |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_child,
+       |  CAST(coalesce(sum(CASE WHEN pk IS NULL THEN cnt END), 0)
+       |    AS BIGINT) AS n_orphan_rows,
+       |  CAST(count(pk) AS BIGINT) AS n_parents,
+       |  CAST(sum(CASE WHEN pk IS NOT NULL AND k IS NULL THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_unref_parents,
+       |  CAST(CASE WHEN count(pk) > 0 THEN
+       |    ((count(pk) - sum(CASE WHEN pk IS NOT NULL AND k IS NULL
+       |      THEN 1 ELSE 0 END)) * 1000) // count(pk)
+       |    END AS BIGINT) AS coverage_pm
+       |FROM (SELECT $ck AS k, count(*) AS cnt FROM $childT
+       |      GROUP BY $ck) cg
+       |FULL JOIN (SELECT DISTINCT $pk AS pk FROM $parentT) p
+       |  ON k = pk""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "agg_group" ->
@@ -1382,6 +1487,40 @@ object AggOps extends OpPack {
         |  count(*) AS n_items,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
         |FROM c GROUP BY 1
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    "diag_fk_coverage" ->
+      (fkEdges.map { case (n, ct, ck, pt, pk) =>
+        fkOracleLeg(n, ct, ck, pt, pk)
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
+        " ORDER BY fk_edge"),
+
+    "diag_pk_dupes" ->
+      """WITH k AS (
+        |  SELECT 'customer' AS tbl, CAST(c_custkey AS VARCHAR) AS k
+        |    FROM customer
+        |  UNION ALL SELECT 'documents', CAST(doc_id AS VARCHAR)
+        |    FROM documents
+        |  UNION ALL SELECT 'embeddings', CAST(vec_id AS VARCHAR)
+        |    FROM embeddings
+        |  UNION ALL SELECT 'events', CAST(event_id AS VARCHAR)
+        |    FROM events
+        |  UNION ALL SELECT 'lineitem', CAST(l_orderkey AS VARCHAR)
+        |    || ':' || CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'orders', CAST(o_orderkey AS VARCHAR)
+        |    FROM orders
+        |  UNION ALL SELECT 'part', CAST(p_partkey AS VARCHAR)
+        |    FROM part
+        |  UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR)
+        |    FROM supplier),
+        |g AS (SELECT tbl, k, count(*) AS m FROM k GROUP BY tbl, k)
+        |SELECT tbl, CAST(sum(m) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_keys,
+        |  CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT)
+        |    AS n_dup_rows,
+        |  CAST(max(m) AS BIGINT) AS max_mult
+        |FROM g GROUP BY tbl ORDER BY tbl""".stripMargin
   )
 }

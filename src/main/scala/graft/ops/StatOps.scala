@@ -807,8 +807,126 @@ object StatOps extends OpPack {
           expr("CASE WHEN k > 1 THEN " +
             "((sum_bits - k * min_bits) * 1000) div (k - 1) END")
             .as("hill_inv_alpha_milli_bits"))
+    }),
+
+    // Cohen's kappa between the LABELED document language and the
+    // n-gram predictor's output (llm_lang_mismatch's confusion matrix
+    // collapsed to the chance-corrected agreement scalar): po/pe in
+    // exact integer ppm, kappa_milli = 1000·(po−pe) div (1e6−pe).
+    // The marginal-product sum rides DECIMAL(38,0)/HUGEINT (na·nb ≤
+    // n², past 2^63 at ~10^10 docs), and the possibly-negative
+    // numerator rides the wide type where both engines truncate
+    // toward zero. SCALE: the predictor is llm_lang_id's broadcast
+    // profile join; everything after it is a ≤|langs|² cell frame.
+    "agg_cohen_kappa" -> ((s, dir) => {
+      val cm = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .join(TextOps.langPred(s, dir)
+          .select(col("doc_id"), col("pred_lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cm.agg(sum(col("c")).as("n"),
+        sum(when(col("lang") === col("pred_lang"), col("c"))
+          .otherwise(0L)).as("agree"))
+      val pe = cm.groupBy(col("lang")).agg(sum(col("c")).as("na"))
+        .join(cm.groupBy(col("pred_lang")).agg(sum(col("c")).as("nb")),
+          col("lang") === col("pred_lang"))
+        .agg(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")).as("pesum"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n").as("n_docs"),
+          expr("CAST(CAST(agree AS DECIMAL(38,0)) * 1000000 div n " +
+            "AS BIGINT)").as("po_ppm"),
+          expr("CAST(pesum * 1000000 div " +
+            "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_ppm"))
+        .withColumn("kappa_milli",
+          expr("CASE WHEN pe_ppm = 1000000 THEN NULL ELSE " +
+            "CAST(CAST(po_ppm - pe_ppm AS DECIMAL(38,0)) * 1000 div " +
+            "(1000000 - pe_ppm) AS BIGINT) END"))
+    }),
+
+    // Matthews correlation of a binary screen (is the order URGENT?)
+    // against a fixed price-threshold predictor (cents > 25,000,000 —
+    // a declared constant; data-derived cuts belong to
+    // sample_curriculum's quartile machinery). MCC needs a square
+    // root, which has no cross-engine-exact form on counts past 2^53
+    // — so the registered statistic is the SIGNED SQUARED MCC in ppm:
+    // sign(tp·tn−fp·fn)·(tp·tn−fp·fn)²·10⁶ div Π(margins), every term
+    // exact under DECIMAL(38,0)/HUGEINT (num² ≤ n⁴/16 ≤ 10³⁰ at 10⁷
+    // rows — inside both wide types). One map-side-combined global
+    // agg; zero margin ⇒ NULL (declared).
+    "agg_mcc" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select((col("o_orderpriority") === "1-URGENT").as("act"),
+          (round(col("o_totalprice") * 100).cast("long") >
+            lit(25000000L)).as("pred"))
+        .agg(
+          sum(when(col("act") && col("pred"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(!col("act") && col("pred"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("act") && !col("pred"), 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("act") && !col("pred"), 1L).otherwise(0L))
+            .as("tn"))
+        .withColumn("mcc2_ppm_signed", expr(
+          "CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0 OR " +
+            "(tn+fn) = 0 THEN NULL ELSE " +
+            "CAST((CASE WHEN CAST(tp AS DECIMAL(38,0))*tn >= " +
+            "CAST(fp AS DECIMAL(38,0))*fn THEN 1 ELSE -1 END) * " +
+            "((CAST(tp AS DECIMAL(38,0))*tn - CAST(fp AS DECIMAL(38,0))*fn) * " +
+            "(CAST(tp AS DECIMAL(38,0))*tn - CAST(fp AS DECIMAL(38,0))*fn) * 1000000) div " +
+            "(CAST(tp+fp AS DECIMAL(38,0))*(tp+fn)*(tn+fp)*(tn+fn)) " +
+            "AS BIGINT) END"))
+    }),
+
+    // Mutual information between event type and day-of-week, plus
+    // Theil's uncertainty coefficient U(x|y)-style normalization — in
+    // the DECLARED floor-log2 quantization (length(bin(v)) is
+    // floor(log2)+1 in both engines; the +1s cancel in the LB(c·N) −
+    // LB(cx·cy) difference, llm_surprisal's idiom). mi_scaled can be
+    // negative under quantization — it rides the wide type. SCALE:
+    // ONE hash agg to the ≤|types|·7 cell frame; every join after it
+    // is on bounded margins.
+    "agg_mutual_info" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_mi")
+      s.sql(mutualInfoSql("DECIMAL(38,0)", "div",
+        d => s"unix_date($d)", "events_mi"))
     })
   )
+
+  /** Floor-log2 mutual-information SQL (wide-type, integer-div, and
+    * epoch-days tokens per engine — the seasonStrengthSql
+    * convention). */
+  private[ops] def mutualInfoSql(wide: String, divOp: String,
+      daysFn: String => String, table: String): String =
+    s"""WITH e AS (
+       |  SELECT event_type AS x,
+       |    ${daysFn("CAST(ts AS DATE)")} % 7 AS y
+       |  FROM $table),
+       |cxy AS (
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS c
+       |  FROM e GROUP BY x, y),
+       |cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cxy
+       |       GROUP BY x),
+       |cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cxy
+       |       GROUP BY y),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cxy),
+       |mi AS (
+       |  SELECT CAST(sum(c * (CAST(length(bin(c * n)) AS BIGINT)
+       |    - CAST(length(bin(cx * cy)) AS BIGINT))) AS $wide)
+       |    AS mi_scaled
+       |  FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot),
+       |hx AS (
+       |  SELECT CAST(n AS $wide) * length(bin(n))
+       |    - sum(CAST(cx AS $wide) * length(bin(cx))) AS hx_scaled
+       |  FROM cx CROSS JOIN tot GROUP BY n)
+       |SELECT n,
+       |  CAST((mi_scaled * 1000) $divOp n AS BIGINT) AS mi_mb,
+       |  CAST((hx_scaled * 1000) $divOp n AS BIGINT) AS hx_mb,
+       |  CAST(CASE WHEN hx_scaled > 0 THEN
+       |    (mi_scaled * 1000) $divOp hx_scaled END AS BIGINT)
+       |    AS theil_u_milli
+       |FROM mi CROSS JOIN hx CROSS JOIN tot""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "agg_chi2_assoc" ->
@@ -1381,6 +1499,79 @@ object StatOps extends OpPack {
         |         - CAST(count(*) + 1 AS HUGEINT) * sum(cents)) * 1000)
         |       // (CAST(count(*) AS HUGEINT) * sum(cents)) AS BIGINT)
         |    AS gini_permille
-        |FROM rk""".stripMargin
+        |FROM rk""".stripMargin,
+
+    "agg_cohen_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM t WHERE w <> ''),
+        |profile AS (
+        |  SELECT lang AS cand_lang, w AS pw FROM (
+        |    SELECT lang, w, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, w ASC) AS rn
+        |    FROM t2 GROUP BY lang, w)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT doc_id, cand_lang, count(*) AS hits
+        |  FROM t2 JOIN profile ON w = pw
+        |  GROUP BY doc_id, cand_lang),
+        |pred AS (
+        |  SELECT doc_id, cand_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, cand_lang ASC) AS rn FROM hits)
+        |  WHERE rn = 1),
+        |cm AS (
+        |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents d JOIN pred p USING (doc_id)
+        |  GROUP BY d.lang, p.pred_lang),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN lang = pred_lang THEN c ELSE 0 END)
+        |    AS BIGINT) AS agree FROM cm),
+        |pe AS (SELECT CAST(sum(CAST(na AS HUGEINT) * nb) AS HUGEINT)
+        |    AS pesum
+        |  FROM (SELECT lang AS k, CAST(sum(c) AS BIGINT) AS na
+        |        FROM cm GROUP BY lang) a
+        |  JOIN (SELECT pred_lang AS k, CAST(sum(c) AS BIGINT) AS nb
+        |        FROM cm GROUP BY pred_lang) b USING (k)),
+        |f AS (SELECT n,
+        |  CAST(CAST(agree AS HUGEINT) * 1000000 // n AS BIGINT)
+        |    AS po_ppm,
+        |  CAST(pesum * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |    AS pe_ppm
+        |  FROM tot CROSS JOIN pe)
+        |SELECT n AS n_docs, po_ppm, pe_ppm,
+        |  CAST(CASE WHEN pe_ppm = 1000000 THEN NULL ELSE
+        |    CAST(po_ppm - pe_ppm AS HUGEINT) * 1000 //
+        |      (1000000 - pe_ppm) END AS BIGINT) AS kappa_milli
+        |FROM f""".stripMargin,
+
+    "agg_mcc" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |      ELSE 0 END AS act,
+        |    CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      > 25000000 THEN 1 ELSE 0 END AS pred
+        |  FROM orders),
+        |m AS (SELECT
+        |  CAST(sum(act * pred) AS BIGINT) AS tp,
+        |  CAST(sum((1 - act) * pred) AS BIGINT) AS fp,
+        |  CAST(sum(act * (1 - pred)) AS BIGINT) AS fn,
+        |  CAST(sum((1 - act) * (1 - pred)) AS BIGINT) AS tn
+        |  FROM b)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0 OR
+        |      (tn+fn) = 0 THEN NULL ELSE
+        |    CAST((CASE WHEN CAST(tp AS HUGEINT)*tn >=
+        |        CAST(fp AS HUGEINT)*fn THEN 1 ELSE -1 END) *
+        |      ((CAST(tp AS HUGEINT)*tn - CAST(fp AS HUGEINT)*fn) *
+        |       (CAST(tp AS HUGEINT)*tn - CAST(fp AS HUGEINT)*fn)
+        |       * 1000000) //
+        |      (CAST(tp+fp AS HUGEINT)*(tp+fn)*(tn+fp)*(tn+fn))
+        |      AS BIGINT) END AS mcc2_ppm_signed
+        |FROM m""".stripMargin,
+
+    "agg_mutual_info" -> mutualInfoSql("HUGEINT", "//",
+      d => s"datediff('day', DATE '1970-01-01', $d)", "events")
   )
 }

@@ -26,7 +26,7 @@ object TextOps extends OpPack {
     * top-5 token profile per language (corpus-derived, broadcast),
     * per-doc argmax of profile hits, ties → lang asc. Shared by
     * llm_lang_id and the llm_lang_mismatch confusion audit. */
-  private def langPred(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def langPred(s: SparkSession, dir: String): DataFrame = {
     val t = toks(s, dir)
     val wp = Window.partitionBy(col("lang"))
       .orderBy(desc("freq"), asc("w"))

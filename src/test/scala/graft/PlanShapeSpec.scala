@@ -416,7 +416,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // llm_knn_agreement rides the same corpus × broadcast
       // numCells-row centroid cross as llm_ann_knn_exact (cell
       // assignment for every probe).
-      "llm_knn_agreement")
+      "llm_knn_agreement",
+      // agg_cohen_kappa crosses two broadcast 1-row scalar frames
+      // (totals × marginal-product sum — scalar-gate shape).
+      "agg_cohen_kappa",
+      // agg_mutual_info crosses the bounded cell frame with the
+      // broadcast 1-row total and 1-row H(x) frames (scalar gates).
+      "agg_mutual_info")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
