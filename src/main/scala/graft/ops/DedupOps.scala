@@ -913,6 +913,37 @@ object DedupOps extends OpPack {
         .limit(20)
     }),
 
+    // Neighbor-set Jaccard similarity over the near-dup graph (the
+    // degree-normalized cousin of llm_graph_linkpred's raw
+    // common-neighbor count, on the shingle graph instead of the
+    // chunk graph): for every wedge-connected pair, jac_pm =
+    // |N(a)∩N(b)|·1000 div (deg a + deg b − common). SCALE: wedge
+    // expansion is Σdeg² over the df-capped shingle graph (bounded
+    // per the blocking contract); top-30 collapses to
+    // TakeOrderedAndProject. Ties break on the unique (doc_a, doc_b).
+    "llm_graph_jaccard" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir)
+      val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val wedges = e.as("a")
+        .join(e.as("b"),
+          col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+        .select(col("a.v").as("doc_a"), col("b.v").as("doc_b"))
+      wedges.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(deg.select(col("u").as("doc_a"), col("d").as("da")),
+          "doc_a")
+        .join(deg.select(col("u").as("doc_b"), col("d").as("db")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          expr("CAST((n_common * 1000) div (da + db - n_common) " +
+            "AS BIGINT)").as("jac_pm"))
+        .orderBy(desc("jac_pm"), desc("n_common"),
+          asc("doc_a"), asc("doc_b"))
+        .limit(30)
+    }),
+
     // The "so what" of the dedup family: materialize the deduplicated
     // corpus stats — one representative (min doc_id) per near-dup
     // cluster survives, unclustered docs survive — per language. Rides
@@ -1698,6 +1729,21 @@ object DedupOps extends OpPack {
         |SELECT doc_id, CAST(coalesce(n_2hop, 0) AS BIGINT) AS n_2hop
         |FROM documents LEFT JOIN n2 ON doc_id = n2.u
         |ORDER BY doc_id""".stripMargin),
+
+    "llm_graph_jaccard" -> (closureCtes + ",\n" +
+      """wedge AS (
+        |  SELECT e1.v AS a, e2.v AS b
+        |  FROM edge e1 JOIN edge e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM wedge GROUP BY a, b),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+        |        FROM edge GROUP BY u)
+        |SELECT cn.a AS doc_a, cn.b AS doc_b, n_common,
+        |  CAST((n_common * 1000) // (da.d + db.d - n_common)
+        |    AS BIGINT) AS jac_pm
+        |FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
+        |ORDER BY jac_pm DESC, n_common DESC, doc_a, doc_b
+        |LIMIT 30""".stripMargin),
 
     "llm_template_prefix" -> (closureCtes + ",\n" +
       """asg AS (

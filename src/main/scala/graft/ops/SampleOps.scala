@@ -705,6 +705,32 @@ object SampleOps extends OpPack {
         .withColumn("weight_capped_ppm",
           least(col("weight_ppm"), lit(10000000L)))
         .orderBy(col("lang"))
+    }),
+
+    // Next-token-prediction context windows (the pretraining
+    // example-extraction pass): size-8 stride-4 sliding windows over
+    // each document's tokens, capped at the first 10 windows per doc
+    // (declared cap — bounds output at 10·|docs| rows at any corpus
+    // size), each window fingerprinted by an md5-prefix (the md5-coin
+    // doctrine — lexicographic = numeric, engine-identical).
+    // Scan-proportional: one projection + one bounded explode, no
+    // shuffle before the output sort.
+    "sample_context_windows" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .filter(col("n_toks") >= 8)
+        .withColumn("nw",
+          least(expr("(n_toks - 8) div 4 + 1"), lit(10L)))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0L, nw - 1)")).as("widx"))
+        .withColumn("start_tok", col("widx") * 4 + 1)
+        .withColumn("win", expr(
+          "array_join(slice(toks, CAST(start_tok AS INT), 8), ' ')"))
+        .select(col("doc_id"), col("widx"), col("start_tok"),
+          expr("CAST(conv(substring(md5(win), 1, 8), 16, 10) " +
+            "AS BIGINT)").as("win_fp"))
+        .orderBy(col("doc_id"), col("widx"))
     })
   )
 
@@ -1174,6 +1200,25 @@ object SampleOps extends OpPack {
         |        AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_context_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE n_toks >= 8),
+        |w AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, least((n_toks - 8) // 4 + 1, 10)))
+        |      AS widx
+        |  FROM f)
+        |SELECT doc_id, CAST(widx AS BIGINT) AS widx,
+        |  CAST(widx * 4 + 1 AS BIGINT) AS start_tok,
+        |  CAST('0x' || substring(md5(array_to_string(
+        |    list_slice(toks, CAST(widx * 4 + 1 AS BIGINT),
+        |      CAST(widx * 4 + 8 AS BIGINT)), ' ')), 1, 8)
+        |    AS BIGINT) AS win_fp
+        |FROM w ORDER BY doc_id, widx""".stripMargin
   )
 }

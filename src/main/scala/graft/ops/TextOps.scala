@@ -890,6 +890,72 @@ object TextOps extends OpPack {
         .agg(countDistinct(col("gram")).as("n_shared_grams"),
           countDistinct(col("bench_id")).as("n_bench_docs"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Code-vs-prose detector (the CommonCrawl curation gate that
+    // routes source files away from the prose pipeline): per-doc
+    // special-character density via the length−translate trick (no
+    // regex in the hot path — translate is a codegen'd byte map),
+    // score_pm = 1000·n_special div length, is_code at a declared
+    // ≥15‰ threshold, rolled up per source. Scan-proportional: ONE
+    // projection + ONE map-side-combined hash agg.
+    "llm_code_detect" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          length(col("text")).cast("long").as("len"),
+          (length(col("text")) -
+            length(translate(col("text"), "{};=()", "")))
+            .cast("long").as("n_special"))
+        .filter(col("len") > 0)
+        .withColumn("score_pm",
+          expr("CAST((n_special * 1000) div len AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_pm") >= 15, 1L).otherwise(0L))
+            .as("n_code"),
+          sum(col("score_pm")).as("sum_score"))
+        .select(col("source"), col("n_docs"), col("n_code"),
+          expr("CAST(sum_score div n_docs AS BIGINT)")
+            .as("mean_score_pm"))
+        .orderBy(col("source"))
+    }),
+
+    // Word-length histogram of the whole corpus (the tokenizer-prep
+    // sanity plot: a long tail of 20+-char "words" means markup or
+    // concatenation bugs upstream): token length capped at 20,
+    // counts + corpus share in ppm. Explode → ONE map-side-combined
+    // hash agg on a ≤20-cell frame; the share window runs on that
+    // bounded frame.
+    "llm_word_len_hist" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(least(length(col("w")), lit(20)).cast("long")
+          .as("word_len"))
+        .agg(count(lit(1)).as("n_words"))
+        .withColumn("share_ppm",
+          expr("CAST((n_words * 1000000) div " +
+            "sum(n_words) OVER () AS BIGINT)"))
+        .orderBy(col("word_len"))
+    }),
+
+    // Capitalized-token (entity-ish) density per language — the NER
+    // cost forecast and a language-confusion tripwire (German
+    // capitalizes every noun; an 'en' shard with de-level density is
+    // mislabeled): first byte BETWEEN 'A' AND 'Z' (binary collation,
+    // engine-identical), density in permille per lang. Explode + ONE
+    // hash agg on the ≤|langs| frame.
+    "llm_entity_density" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(substring(col("w"), 1, 1).between("A", "Z"), 1L)
+            .otherwise(0L)).as("n_capitalized"))
+        .withColumn("density_pm",
+          expr("CAST((n_capitalized * 1000) div n_tokens AS BIGINT)"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1431,6 +1497,50 @@ object TextOps extends OpPack {
         |  (n_words BETWEEN 20 AND 100000)
         |    AND (mean_wlen_x100 BETWEEN 300 AND 1000)
         |    AND n_stop >= 2 AS keep
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "llm_code_detect" ->
+      """WITH d AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(length(text) -
+        |      length(translate(text, '{};=()', '')) AS BIGINT)
+        |      AS n_special
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (
+        |  SELECT source,
+        |    CAST((n_special * 1000) // len AS BIGINT) AS score_pm
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN score_pm >= 15 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_code,
+        |  CAST(sum(score_pm) // count(*) AS BIGINT) AS mean_score_pm
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_word_len_hist" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT * FROM t WHERE w <> ''),
+        |c AS (
+        |  SELECT CAST(least(length(w), 20) AS BIGINT) AS word_len,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM t2 GROUP BY 1)
+        |SELECT word_len, n_words,
+        |  CAST((CAST(n_words AS HUGEINT) * 1000000) //
+        |    CAST(sum(n_words) OVER () AS HUGEINT) AS BIGINT)
+        |    AS share_ppm
+        |FROM c ORDER BY word_len""".stripMargin,
+
+    "llm_entity_density" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM t WHERE w <> '')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN substring(w, 1, 1) BETWEEN 'A' AND 'Z'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_capitalized,
+        |  CAST((sum(CASE WHEN substring(w, 1, 1) BETWEEN 'A' AND 'Z'
+        |    THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
+        |    AS density_pm
+        |FROM t2 GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
