@@ -918,6 +918,40 @@ object AggOps extends OpPack {
         .unionAll(leg("part", col("p_partkey")))
         .unionAll(leg("supplier", col("s_suppkey")))
         .orderBy(col("tbl"))
+    }),
+
+    // Quantile bands per segment (p10/p25/p50/p75/p90 of account
+    // balance): FIVE percentile_disc cuts from ONE counts+cumsum pass
+    // per group — the layout_range_bounds doctrine (each separate
+    // percentile_disc aggregate buffers the whole column; the rank
+    // test computes all five from the same bounded distinct-value
+    // frame, value-exact cross-engine). Cumsum windows sort distinct
+    // values per segment, never rows.
+    "agg_quantile_bands" -> ((s, dir) => {
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg")).orderBy(col("cents"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg"))
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .groupBy(col("seg"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(wc))
+        .withColumn("tot", sum(col("n")).over(wt))
+        .groupBy(col("seg"))
+        .agg(
+          min(when(col("cum") * 10 >= col("tot"), col("cents")))
+            .as("p10"),
+          min(when(col("cum") * 4 >= col("tot"), col("cents")))
+            .as("p25"),
+          min(when(col("cum") * 2 >= col("tot"), col("cents")))
+            .as("p50"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("cents")))
+            .as("p75"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("cents")))
+            .as("p90"))
+        .orderBy(col("seg"))
     })
   )
 
@@ -1521,6 +1555,26 @@ object AggOps extends OpPack {
         |  CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT)
         |    AS n_dup_rows,
         |  CAST(max(m) AS BIGINT) AS max_mult
-        |FROM g GROUP BY tbl ORDER BY tbl""".stripMargin
+        |FROM g GROUP BY tbl ORDER BY tbl""".stripMargin,
+
+    "agg_quantile_bands" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |g AS (SELECT seg, cents, count(*) AS n FROM c
+        |      GROUP BY seg, cents),
+        |w AS (
+        |  SELECT seg, cents,
+        |    sum(n) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+        |    sum(n) OVER (PARTITION BY seg) AS tot
+        |  FROM g)
+        |SELECT seg,
+        |  min(CASE WHEN cum * 10 >= tot THEN cents END) AS p10,
+        |  min(CASE WHEN cum * 4 >= tot THEN cents END) AS p25,
+        |  min(CASE WHEN cum * 2 >= tot THEN cents END) AS p50,
+        |  min(CASE WHEN cum * 4 >= tot * 3 THEN cents END) AS p75,
+        |  min(CASE WHEN cum * 10 >= tot * 9 THEN cents END) AS p90
+        |FROM w GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

@@ -317,6 +317,34 @@ object GeoOps extends OpPack {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
         .orderBy(col("cluster_id"))
+    }),
+
+    // Dwell-time heatmap (the mobility sibling of ts_twap's holding
+    // rule): each event's position holds until the user's NEXT event
+    // (last event has no interval, declared), dwell aggregated per
+    // 250-unit grid cell — where users actually SPEND time, not just
+    // where events fire. ONE lead window on the user_id exchange +
+    // one map-side-combined hash agg on the ≤1600-cell frame; top-25
+    // rides TakeOrderedAndProject, ties break on (cx, cy).
+    "geo_dwell" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("y"))
+        .withColumn("hold_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("hold_us").isNotNull)
+        .groupBy(expr(s"x div $Cell").as("cx"),
+          expr(s"y div $Cell").as("cy"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("hold_us")).as("dwell_us"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(desc("dwell_us"), asc("cx"), asc("cy"))
+        .limit(25)
     })
   )
 
@@ -525,6 +553,25 @@ object GeoOps extends OpPack {
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
          |  CAST(sum(n) AS BIGINT) AS n_points
          |FROM dc JOIN lab USING (cell)
-         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "geo_dwell" ->
+      s"""WITH b AS (
+         |  SELECT user_id, epoch_us(ts) AS us,
+         |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+         |      1, 8) AS BIGINT) % 10000 AS x,
+         |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+         |      9, 8) AS BIGINT) % 10000 AS y,
+         |    lead(epoch_us(ts), 1) OVER
+         |      (PARTITION BY user_id ORDER BY event_id)
+         |      - epoch_us(ts) AS hold_us
+         |  FROM events)
+         |SELECT x // $Cell AS cx, y // $Cell AS cy,
+         |  CAST(count(*) AS BIGINT) AS n_intervals,
+         |  CAST(sum(hold_us) AS BIGINT) AS dwell_us,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM b WHERE hold_us IS NOT NULL
+         |GROUP BY cx, cy
+         |ORDER BY dwell_us DESC, cx, cy LIMIT 25""".stripMargin
   )
 }

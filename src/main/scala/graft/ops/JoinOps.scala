@@ -1179,6 +1179,32 @@ object JoinOps extends OpPack {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
           col("p_size"))
+    }),
+
+    // Year-over-year brand rank shift (the market-share movement
+    // report): lineitem revenue cents joined to the broadcast part
+    // dim, ONE hash agg to the bounded (brand × year) frame, revenue
+    // rank within year (ties break on brand), then each brand's rank
+    // delta vs its previous PRESENT year (lag over the brand
+    // partition — missing years skip, declared). Every window runs on
+    // the bounded brand×year frame; the fact scan is touched once.
+    "composite_rank_shift" -> ((s, dir) => {
+      val wYear = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("yr")).orderBy(desc("rev_c"), asc("p_brand"))
+      val wBrand = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("yr"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev_c"))
+        .withColumn("rnk", rank().over(wYear).cast("long"))
+        .withColumn("prev_rnk", lag(col("rnk"), 1).over(wBrand))
+        .select(col("yr"), col("rnk"), col("p_brand"), col("rev_c"),
+          (col("prev_rnk") - col("rnk")).as("rank_gain"))
+        .orderBy(col("yr"), col("rnk"), col("p_brand"))
     })
   )
 
@@ -2026,6 +2052,23 @@ object JoinOps extends OpPack {
         |WHERE p_brand <> 'Brand#1'
         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
         |GROUP BY p_brand, p_type, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "composite_rank_shift" ->
+      """WITH by AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, year(l_shipdate)),
+        |r AS (
+        |  SELECT yr, p_brand, rev_c,
+        |    CAST(rank() OVER (PARTITION BY yr
+        |      ORDER BY rev_c DESC, p_brand ASC) AS BIGINT) AS rnk
+        |  FROM by)
+        |SELECT yr, rnk, p_brand, rev_c,
+        |  lag(rnk, 1) OVER (PARTITION BY p_brand ORDER BY yr) - rnk
+        |    AS rank_gain
+        |FROM r ORDER BY yr, rnk, p_brand""".stripMargin
   )
 }

@@ -133,6 +133,40 @@ object MmOps extends OpPack {
           min(col("media_id")).as("first_id"),
           max(col("media_id")).as("last_id"))
         .orderBy(col("kind"), col("writer"), col("shard_id"))
+    }),
+
+    // Aspect-ratio bucketing (the batching-efficiency planner: mixed
+    // aspect ratios in one square-padded batch burn FLOPs on pad
+    // pixels): images bucket by integer ratio_pm = 1000·w div h
+    // (portrait <800, squareish 800–1250, landscape >1250 — declared
+    // cuts), with the square-pad waste each bucket would pay
+    // ((max² − w·h)·1000 div max²). Stub-decoded dims; one projection
+    // + one 3-cell hash agg, scan-proportional.
+    "mm_aspect_buckets" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      media.filter(col("kind") === "image")
+        .withColumn("w", Multimodal.stubWidth(length(col("content")))
+          .cast("long"))
+        .withColumn("h", Multimodal.stubHeight(length(col("content")))
+          .cast("long"))
+        .withColumn("ratio_pm", expr("CAST(w * 1000 div h AS BIGINT)"))
+        .withColumn("bucket",
+          when(col("ratio_pm") < 800, "portrait")
+            .when(col("ratio_pm") <= 1250, "squareish")
+            .otherwise("landscape"))
+        .withColumn("waste_pm", expr(
+          "CAST((greatest(w, h) * greatest(w, h) - w * h) * 1000 div " +
+            "(greatest(w, h) * greatest(w, h)) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_assets"),
+          min(col("ratio_pm")).as("min_ratio_pm"),
+          max(col("ratio_pm")).as("max_ratio_pm"),
+          sum(col("waste_pm")).as("sw"))
+        .select(col("bucket"), col("n_assets"), col("min_ratio_pm"),
+          col("max_ratio_pm"),
+          expr("CAST(sw div n_assets AS BIGINT)")
+            .as("mean_pad_waste_pm"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -235,6 +269,27 @@ object MmOps extends OpPack {
         |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
         |  min(media_id) AS first_id, max(media_id) AS last_id
         |FROM sh GROUP BY kind, writer, shard_id
-        |ORDER BY kind, writer, shard_id""".stripMargin
+        |ORDER BY kind, writer, shard_id""".stripMargin,
+
+    "mm_aspect_buckets" ->
+      """WITH m AS (
+        |  SELECT CAST(64 + n_chars % 577 AS BIGINT) AS w,
+        |    CAST(64 + n_chars % 389 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT CAST(w * 1000 // h AS BIGINT) AS ratio_pm,
+        |    CAST((greatest(w, h) * greatest(w, h) - w * h) * 1000 //
+        |      (greatest(w, h) * greatest(w, h)) AS BIGINT) AS waste_pm
+        |  FROM m),
+        |b AS (
+        |  SELECT CASE WHEN ratio_pm < 800 THEN 'portrait'
+        |    WHEN ratio_pm <= 1250 THEN 'squareish'
+        |    ELSE 'landscape' END AS bucket, ratio_pm, waste_pm
+        |  FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_assets,
+        |  min(ratio_pm) AS min_ratio_pm, max(ratio_pm) AS max_ratio_pm,
+        |  CAST(sum(waste_pm) // count(*) AS BIGINT)
+        |    AS mean_pad_waste_pm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -300,6 +300,26 @@ object WindowOps extends OpPack {
           when(col("above"), "golden").otherwise("death").as("signal"),
           col("s5"), col("s20"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Day-over-day percent change of each user's daily spend — the
+    // period-delta normalized to permille ((v − prev)·1000 div prev;
+    // daily cent sums are positive so the denominator never zeroes,
+    // and the NEGATIVE numerator rides DECIMAL(38,0)/HUGEINT where
+    // both engines truncate toward zero). ONE hash agg to (user, day)
+    // + ONE lag window sharing the user_id exchange.
+    "win_pct_change" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("prev_c", lag(col("cents"), 1).over(w))
+        .filter(col("prev_c").isNotNull)
+        .select(col("user_id"), col("day"), col("cents"),
+          expr("CAST(CAST(cents - prev_c AS DECIMAL(38,0)) * 1000 " +
+            "div prev_c AS BIGINT)").as("change_pm"))
+        .orderBy(col("user_id"), col("day"))
     })
   )
 
@@ -530,6 +550,23 @@ object WindowOps extends OpPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS second_name
         |FROM customer
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "win_pct_change" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |p AS (
+        |  SELECT user_id, day, cents,
+        |    lag(cents, 1) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS prev_c
+        |  FROM d)
+        |SELECT user_id, day, cents,
+        |  CAST(CAST(cents - prev_c AS HUGEINT) * 1000 // prev_c
+        |    AS BIGINT) AS change_pm
+        |FROM p WHERE prev_c IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin
   )
 }
