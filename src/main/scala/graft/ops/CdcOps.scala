@@ -605,6 +605,28 @@ object CdcOps extends OpPack {
           max_by(col("cents"), col("event_id")).as("winner_cents"))
         .withColumn("conflicted", col("n_d0") > 0 && col("n_d1") > 0)
         .orderBy(col("user_id"))
+    }),
+
+    // Compaction-planning audit (what cdc_compact's latest-state
+    // materialization would THROW AWAY): per key, the events a
+    // key-compactor could drop (everything between the first and last
+    // change, n−2 floored at 0), and the net value movement those
+    // intermediate states hide. The downstream sizing input for
+    // log-compacted topics / MOR compaction cadence. ONE
+    // map-side-combined hash agg — min_by/max_by carry one pair of
+    // state each, the log is never windowed.
+    "cdc_redundancy" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("cents"), col("event_id")).as("first_c"),
+          max_by(col("cents"), col("event_id")).as("last_c"))
+        .select(col("user_id"), col("n_events"),
+          greatest(col("n_events") - 2, lit(0L)).as("n_droppable"),
+          (col("last_c") - col("first_c")).as("net_change_c"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -970,6 +992,17 @@ object CdcOps extends OpPack {
          |       ELSE 'unchanged' END AS status,
          |  n_v1, n_v2, rev_v1, rev_v2
          |FROM v1 FULL OUTER JOIN v2 ON v1.l_partkey = v2.l_partkey
-         |ORDER BY l_partkey""".stripMargin
+         |ORDER BY l_partkey""".stripMargin,
+
+    "cdc_redundancy" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(greatest(count(*) - 2, 0) AS BIGINT) AS n_droppable,
+        |  max_by(cents, event_id) - min_by(cents, event_id)
+        |    AS net_change_c
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1205,6 +1205,35 @@ object JoinOps extends OpPack {
         .select(col("yr"), col("rnk"), col("p_brand"), col("rev_c"),
           (col("prev_rnk") - col("rnk")).as("rank_gain"))
         .orderBy(col("yr"), col("rnk"), col("p_brand"))
+    }),
+
+    // Supplier risk scorecard: per-supplier return rate in permille
+    // (returned line items over shipped), revenue at risk, top-20
+    // worst offenders with the supplier dim broadcast-joined AFTER
+    // the heavy agg (join |suppliers| rows, not |lineitem|). The
+    // top-20 rides TakeOrderedAndProject; ties break on s_suppkey.
+    "composite_supplier_risk" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("rev_c"),
+          sum(when(col("l_returnflag") === "R",
+            round(col("l_extendedprice") * 100).cast("long"))
+            .otherwise(0L)).as("rev_at_risk_c"))
+        .withColumn("return_pm",
+          expr("CAST((n_returned * 1000) div n_items AS BIGINT)"))
+        .join(broadcast(Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_items"),
+          col("n_returned"), col("return_pm"), col("rev_c"),
+          col("rev_at_risk_c"))
+        .orderBy(desc("return_pm"), desc("rev_at_risk_c"),
+          asc("s_suppkey"))
+        .limit(20)
     })
   )
 
@@ -2069,6 +2098,24 @@ object JoinOps extends OpPack {
         |SELECT yr, rnk, p_brand, rev_c,
         |  lag(rnk, 1) OVER (PARTITION BY p_brand ORDER BY yr) - rnk
         |    AS rank_gain
-        |FROM r ORDER BY yr, rnk, p_brand""".stripMargin
+        |FROM r ORDER BY yr, rnk, p_brand""".stripMargin,
+
+    "composite_supplier_risk" ->
+      """WITH a AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returned,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_c,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS rev_at_risk_c
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, n_items, n_returned,
+        |  CAST((n_returned * 1000) // n_items AS BIGINT) AS return_pm,
+        |  rev_c, rev_at_risk_c
+        |FROM a JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY return_pm DESC, rev_at_risk_c DESC, s_suppkey
+        |LIMIT 20""".stripMargin
   )
 }

@@ -26,7 +26,9 @@ object TextOps extends OpPack {
     * top-5 token profile per language (corpus-derived, broadcast),
     * per-doc argmax of profile hits, ties → lang asc. Shared by
     * llm_lang_id and the llm_lang_mismatch confusion audit. */
-  private[ops] def langPred(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(doc, candidate-language) profile-hit counts — the shared
+    * first half of langPred and llm_lang_margin. */
+  private[ops] def langHits(s: SparkSession, dir: String): DataFrame = {
     val t = toks(s, dir)
     val wp = Window.partitionBy(col("lang"))
       .orderBy(desc("freq"), asc("w"))
@@ -35,13 +37,16 @@ object TextOps extends OpPack {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= 5)
       .select(col("lang").as("cand_lang"), col("w").as("pw"))
-    val hits = t.select(col("doc_id"), col("w"))
+    t.select(col("doc_id"), col("w"))
       .join(broadcast(profile), col("w") === col("pw"))
       .groupBy(col("doc_id"), col("cand_lang"))
       .agg(count(lit(1)).as("hits"))
+  }
+
+  private[ops] def langPred(s: SparkSession, dir: String): DataFrame = {
     val wd = Window.partitionBy(col("doc_id"))
       .orderBy(desc("hits"), asc("cand_lang"))
-    hits.withColumn("rn", row_number().over(wd))
+    langHits(s, dir).withColumn("rn", row_number().over(wd))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cand_lang").as("pred_lang"),
         col("hits"))
@@ -956,6 +961,58 @@ object TextOps extends OpPack {
         .withColumn("density_pm",
           expr("CAST((n_capitalized * 1000) div n_tokens AS BIGINT)"))
         .orderBy(col("lang"))
+    }),
+
+    // Language-ID confidence margin: the gap between each doc's top-2
+    // candidate-language hit counts (margin 0 = coin flip, route to
+    // human review; large margin = trust the label). Reuses langHits'
+    // broadcast profile join; the top-2 ranking collapses to
+    // WindowGroupLimit. Docs hitting only one profile report the full
+    // h1 as margin (h2 = 0, declared).
+    "llm_lang_margin" -> ((s, dir) => {
+      val wd = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("hits"), asc("cand_lang"))
+      langHits(s, dir)
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") <= 2)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("rn") === 1, col("cand_lang")))
+          .as("pred_lang"),
+          max(when(col("rn") === 1, col("hits"))).as("h1"),
+          coalesce(max(when(col("rn") === 2, col("hits"))), lit(0L))
+            .as("h2"))
+        .select(col("doc_id"), col("pred_lang"), col("h1"), col("h2"),
+          (col("h1") - col("h2")).as("margin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus bigram conditional entropy H(next word | word) in the
+    // DECLARED floor-log2 quantization: per-bigram surprisal =
+    // LB(c_x) − LB(c_xy) (non-negative — LB is monotone and
+    // c_xy ≤ c_x), H_mb = 1000·Σ c_xy·(LB(c_x) − LB(c_xy)) div N —
+    // llm_surprisal's idiom conditioned on the previous token. LOW
+    // conditional entropy = templated/boilerplate corpus. Bigrams
+    // need the size ≥ 2 guard (Spark sequence counts DOWN otherwise).
+    // ONE bigram explode + two bounded hash aggs.
+    "llm_cond_entropy" -> ((s, dir) => {
+      val bi = Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS x, toks[i] AS y))")).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val cxy = bi.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val cx = cxy.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+      cxy.join(cx, "x")
+        .agg(sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          sum(expr("c * (CAST(length(bin(cx)) AS BIGINT) - " +
+            "CAST(length(bin(c)) AS BIGINT))")).as("hs"))
+        .select(col("n_bigrams"), col("n_distinct_bigrams"),
+          expr("CAST((hs * 1000) div n_bigrams AS BIGINT)")
+            .as("cond_entropy_mb"))
     })
   )
 
@@ -1541,6 +1598,51 @@ object TextOps extends OpPack {
         |  CAST((sum(CASE WHEN substring(w, 1, 1) BETWEEN 'A' AND 'Z'
         |    THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
         |    AS density_pm
-        |FROM t2 GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM t2 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_lang_margin" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM t WHERE w <> ''),
+        |profile AS (
+        |  SELECT lang AS cand_lang, w AS pw FROM (
+        |    SELECT lang, w, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, w ASC) AS rn
+        |    FROM t2 GROUP BY lang, w)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT doc_id, cand_lang, CAST(count(*) AS BIGINT) AS hits
+        |  FROM t2 JOIN profile ON w = pw
+        |  GROUP BY doc_id, cand_lang),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hits DESC, cand_lang ASC) AS rn FROM hits)
+        |SELECT doc_id,
+        |  max(CASE WHEN rn = 1 THEN cand_lang END) AS pred_lang,
+        |  max(CASE WHEN rn = 1 THEN hits END) AS h1,
+        |  coalesce(max(CASE WHEN rn = 2 THEN hits END), 0) AS h2,
+        |  max(CASE WHEN rn = 1 THEN hits END) -
+        |    coalesce(max(CASE WHEN rn = 2 THEN hits END), 0) AS margin
+        |FROM r WHERE rn <= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_cond_entropy" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks
+        |           FROM documents),
+        |f AS (SELECT toks FROM d WHERE len(toks) >= 2),
+        |b AS (
+        |  SELECT toks[i] AS x, toks[i + 1] AS y
+        |  FROM f, unnest(range(1, len(toks))) t(i)),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |        FROM b GROUP BY x, y),
+        |cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cxy
+        |       GROUP BY x),
+        |j AS (SELECT c, cx FROM cxy JOIN cx USING (x))
+        |SELECT CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST((sum(c * (CAST(length(bin(cx)) AS BIGINT)
+        |    - CAST(length(bin(c)) AS BIGINT))) * 1000) // sum(c)
+        |    AS BIGINT) AS cond_entropy_mb
+        |FROM j""".stripMargin
   )
 }
