@@ -952,6 +952,47 @@ object AggOps extends OpPack {
           min(when(col("cum") * 10 >= col("tot") * 9, col("cents")))
             .as("p90"))
         .orderBy(col("seg"))
+    }),
+
+    // Trimmed mean per priority class — the robust mean that DROPS
+    // the tails (agg_winsorize clamps them; trimming is the other
+    // textbook fix): p10/p90 cuts from the counts+cumsum rank test,
+    // then the mean over values BETWEEN the cuts inclusive (a
+    // VALUE-based trim, declared — rank-level tie-splitting has no
+    // cross-engine-exact form). Both the cuts and the trimmed sums
+    // read the same bounded distinct-value frame; products ride
+    // DECIMAL(38,0)/HUGEINT.
+    "agg_trimmed_mean" -> ((s, dir) => {
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prio")).orderBy(col("cents"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prio"))
+      val g = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("prio"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(wc))
+        .withColumn("tot", sum(col("n")).over(wt))
+      val cuts = g.groupBy(col("prio"))
+        .agg(min(when(col("cum") * 10 >= col("tot"), col("cents")))
+          .as("p10"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("cents")))
+            .as("p90"))
+      g.join(broadcast(cuts), "prio")
+        .groupBy(col("prio"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(when(col("cents").between(col("p10"), col("p90")),
+            col("n")).otherwise(0L)).as("n_kept"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * cents")).as("s_all"),
+          sum(when(col("cents").between(col("p10"), col("p90")),
+            expr("CAST(n AS DECIMAL(38,0)) * cents")).otherwise(
+            expr("CAST(0 AS DECIMAL(38,0))"))).as("s_kept"))
+        .select(col("prio"), col("n_rows"), col("n_kept"),
+          expr("CAST(s_all div n_rows AS BIGINT)").as("mean_c"),
+          expr("CAST(CASE WHEN n_kept > 0 THEN s_kept div n_kept END " +
+            "AS BIGINT)").as("trimmed_mean_c"))
+        .orderBy(col("prio"))
     })
   )
 
@@ -1575,6 +1616,37 @@ object AggOps extends OpPack {
         |  min(CASE WHEN cum * 2 >= tot THEN cents END) AS p50,
         |  min(CASE WHEN cum * 4 >= tot * 3 THEN cents END) AS p75,
         |  min(CASE WHEN cum * 10 >= tot * 9 THEN cents END) AS p90
-        |FROM w GROUP BY seg ORDER BY seg""".stripMargin
+        |FROM w GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "agg_trimmed_mean" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT prio, cents, count(*) AS n FROM c
+        |      GROUP BY prio, cents),
+        |w AS (
+        |  SELECT prio, cents, n,
+        |    sum(n) OVER (PARTITION BY prio ORDER BY cents) AS cum,
+        |    sum(n) OVER (PARTITION BY prio) AS tot
+        |  FROM g),
+        |cuts AS (
+        |  SELECT prio,
+        |    min(CASE WHEN cum * 10 >= tot THEN cents END) AS p10,
+        |    min(CASE WHEN cum * 10 >= tot * 9 THEN cents END) AS p90
+        |  FROM w GROUP BY prio)
+        |SELECT w.prio, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN cents BETWEEN p10 AND p90 THEN n
+        |    ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CAST(n AS HUGEINT) * cents) // sum(n) AS BIGINT)
+        |    AS mean_c,
+        |  CAST(CASE WHEN sum(CASE WHEN cents BETWEEN p10 AND p90
+        |      THEN n ELSE 0 END) > 0 THEN
+        |    sum(CASE WHEN cents BETWEEN p10 AND p90 THEN
+        |      CAST(n AS HUGEINT) * cents ELSE 0 END) //
+        |    sum(CASE WHEN cents BETWEEN p10 AND p90 THEN n ELSE 0 END)
+        |    END AS BIGINT) AS trimmed_mean_c
+        |FROM w JOIN cuts ON w.prio = cuts.prio
+        |GROUP BY w.prio ORDER BY w.prio""".stripMargin
   )
 }

@@ -944,6 +944,29 @@ object DedupOps extends OpPack {
         .limit(30)
     }),
 
+    // Cross-language leakage matrix (the contamination audit a
+    // per-language dedup CANNOT see — identical openings copied
+    // across language shards mean mislabeled or machine-translated
+    // duplicates): docs keyed by their first-5-token prefix, lang
+    // pairs sharing a key counted as shared keys AND doc pairs.
+    // SCALE: one hash agg to (key, lang) — the self-join runs on the
+    // collapsed group frame (≤|langs| rows per key), never doc×doc;
+    // output bounded by |langs|².
+    "llm_crosslingual_leakage" -> ((s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .select(expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+          .as("pfx"), col("lang"))
+        .groupBy(col("pfx"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      g.as("a").join(g.as("b"),
+          col("a.pfx") === col("b.pfx") &&
+            col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_shared_prefixes"),
+          sum(col("a.n") * col("b.n")).as("n_doc_pairs"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // The "so what" of the dedup family: materialize the deduplicated
     // corpus stats — one representative (min doc_id) per near-dup
     // cluster survives, unclustered docs survive — per language. Rides
@@ -1744,6 +1767,18 @@ object DedupOps extends OpPack {
         |FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
         |ORDER BY jac_pm DESC, n_common DESC, doc_a, doc_b
         |LIMIT 30""".stripMargin),
+
+    "llm_crosslingual_leakage" ->
+      """WITH g AS (
+        |  SELECT array_to_string(
+        |      list_slice(string_split(text, ' '), 1, 5), ' ') AS pfx,
+        |    lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_prefixes,
+        |  CAST(sum(a.n * b.n) AS BIGINT) AS n_doc_pairs
+        |FROM g a JOIN g b ON a.pfx = b.pfx AND a.lang < b.lang
+        |GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b""".stripMargin,
 
     "llm_template_prefix" -> (closureCtes + ",\n" +
       """asg AS (

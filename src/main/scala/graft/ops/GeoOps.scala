@@ -345,6 +345,40 @@ object GeoOps extends OpPack {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(desc("dwell_us"), asc("cx"), asc("cy"))
         .limit(25)
+    }),
+
+    // Moran's I spatial autocorrelation of the cell-density surface
+    // (is event density CLUMPED or dispersed?) — in exact integers:
+    // deviations scaled by the cell count (d = nc·n − S, so no mean
+    // division), rook adjacency among OCCUPIED cells (declared),
+    // I_milli = 1000·nc·Σ_adj(d_i·d_j) div (W·Σd_i²). The density
+    // frame is ≤1600 cells at any log size, so the adjacency
+    // self-joins and every product ride a BOUNDED frame; deviation
+    // products ride DECIMAL(38,0)/HUGEINT (both truncate toward zero
+    // on the signed numerator). Constant surface (Σd² = 0) ⇒ NULL.
+    "geo_morans_i" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .groupBy(expr(s"x div $Cell").as("cx"),
+          expr(s"y div $Cell").as("cy"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(count(lit(1)).as("nc"), sum(col("n")).as("s"))
+      val d = cells.crossJoin(broadcast(tot))
+        .withColumn("d",
+          expr("CAST(nc AS DECIMAL(38,0)) * n - s"))
+        .select(col("cx"), col("cy"), col("d"))
+      val right = d.as("a").join(d.as("b"),
+        col("a.cx") + 1 === col("b.cx") && col("a.cy") === col("b.cy"))
+      val up = d.as("a").join(d.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") + 1 === col("b.cy"))
+      val pairs = right.select((col("a.d") * col("b.d")).as("dd"))
+        .unionAll(up.select((col("a.d") * col("b.d")).as("dd")))
+      val num = pairs.agg(count(lit(1)).as("w"), sum(col("dd")).as("sdd"))
+      val den = d.agg(sum(expr("d * d")).as("sd2"))
+      num.crossJoin(broadcast(den)).crossJoin(broadcast(tot))
+        .select(col("nc").as("n_cells"), col("w").as("n_adj_pairs"),
+          expr("CAST(CASE WHEN sd2 > 0 AND w > 0 THEN " +
+            "(nc * sdd * 1000) div (w * sd2) END AS BIGINT)")
+            .as("morans_i_milli"))
     })
   )
 
@@ -572,6 +606,32 @@ object GeoOps extends OpPack {
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          |FROM b WHERE hold_us IS NOT NULL
          |GROUP BY cx, cy
-         |ORDER BY dwell_us DESC, cx, cy LIMIT 25""".stripMargin
+         |ORDER BY dwell_us DESC, cx, cy LIMIT 25""".stripMargin,
+
+    "geo_morans_i" ->
+      (s"""WITH $ptsSql,
+         |cells AS (
+         |  SELECT x // $Cell AS cx, y // $Cell AS cy,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pts GROUP BY cx, cy),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+         |        CAST(sum(n) AS BIGINT) AS s FROM cells),
+         |d AS (
+         |  SELECT cx, cy, CAST(nc AS HUGEINT) * n - s AS d
+         |  FROM cells CROSS JOIN tot),
+         |pr AS (
+         |  SELECT a.d * b.d AS dd FROM d a JOIN d b
+         |    ON a.cx + 1 = b.cx AND a.cy = b.cy
+         |  UNION ALL
+         |  SELECT a.d * b.d FROM d a JOIN d b
+         |    ON a.cx = b.cx AND a.cy + 1 = b.cy),
+         |num AS (SELECT CAST(count(*) AS BIGINT) AS w,
+         |        CAST(sum(dd) AS HUGEINT) AS sdd FROM pr),
+         |den AS (SELECT CAST(sum(d * d) AS HUGEINT) AS sd2 FROM d)
+         |SELECT nc AS n_cells, w AS n_adj_pairs,
+         |  CAST(CASE WHEN sd2 > 0 AND w > 0 THEN
+         |    (nc * sdd * 1000) // (w * sd2) END AS BIGINT)
+         |    AS morans_i_milli
+         |FROM num CROSS JOIN den CROSS JOIN tot""".stripMargin)
   )
 }

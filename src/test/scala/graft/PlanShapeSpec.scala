@@ -422,7 +422,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "agg_cohen_kappa",
       // agg_mutual_info crosses the bounded cell frame with the
       // broadcast 1-row total and 1-row H(x) frames (scalar gates).
-      "agg_mutual_info")
+      "agg_mutual_info",
+      // geo_morans_i crosses the ≤1600-cell density frame with the
+      // broadcast 1-row totals, then two 1-row scalar frames with
+      // each other (scalar gates on a bounded frame).
+      "geo_morans_i")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
