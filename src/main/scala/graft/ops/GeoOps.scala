@@ -379,6 +379,43 @@ object GeoOps extends OpPack {
           expr("CAST(CASE WHEN sd2 > 0 AND w > 0 THEN " +
             "(nc * sdd * 1000) div (w * sd2) END AS BIGINT)")
             .as("morans_i_milli"))
+    }),
+
+    // Movement-direction rose (8-sector compass histogram of
+    // consecutive per-user hops — the flow-field summary a routing
+    // model starts from): sector by PURE integer comparisons (axis
+    // dominance + signs; exact diagonal |dx| = |dy| is its own
+    // sector family — no atan2, which has no cross-engine-exact
+    // form), zero hops dropped. ONE lag window on the user_id
+    // exchange + a ≤8-cell hash agg; share window on that bounded
+    // frame.
+    "geo_direction_rose" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("y"))
+        .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+        .withColumn("dy", col("y") - lag(col("y"), 1).over(w))
+        .filter(col("dx").isNotNull &&
+          (col("dx") =!= 0 || col("dy") =!= 0))
+        .withColumn("sector",
+          when(abs(col("dx")) > abs(col("dy")),
+            when(col("dx") > 0, "E").otherwise("W"))
+            .when(abs(col("dy")) > abs(col("dx")),
+              when(col("dy") > 0, "N").otherwise("S"))
+            .otherwise(concat(
+              when(col("dy") > 0, "N").otherwise("S"),
+              when(col("dx") > 0, "E").otherwise("W"))))
+        .groupBy(col("sector"))
+        .agg(count(lit(1)).as("n_hops"))
+        .withColumn("share_pm",
+          expr("CAST((n_hops * 1000) div sum(n_hops) OVER () " +
+            "AS BIGINT)"))
+        .orderBy(col("sector"))
     })
   )
 
@@ -632,6 +669,35 @@ object GeoOps extends OpPack {
          |  CAST(CASE WHEN sd2 > 0 AND w > 0 THEN
          |    (nc * sdd * 1000) // (w * sd2) END AS BIGINT)
          |    AS morans_i_milli
-         |FROM num CROSS JOIN den CROSS JOIN tot""".stripMargin)
+         |FROM num CROSS JOIN den CROSS JOIN tot""".stripMargin),
+
+    "geo_direction_rose" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 10000 AS x,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      9, 8) AS BIGINT) % 10000 AS y
+        |  FROM events),
+        |h AS (
+        |  SELECT x - lag(x, 1) OVER w AS dx,
+        |    y - lag(y, 1) OVER w AS dy
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |s AS (
+        |  SELECT CASE
+        |    WHEN abs(dx) > abs(dy) THEN
+        |      CASE WHEN dx > 0 THEN 'E' ELSE 'W' END
+        |    WHEN abs(dy) > abs(dx) THEN
+        |      CASE WHEN dy > 0 THEN 'N' ELSE 'S' END
+        |    ELSE (CASE WHEN dy > 0 THEN 'N' ELSE 'S' END) ||
+        |         (CASE WHEN dx > 0 THEN 'E' ELSE 'W' END) END AS sector
+        |  FROM h WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)),
+        |c AS (SELECT sector, CAST(count(*) AS BIGINT) AS n_hops
+        |      FROM s GROUP BY sector)
+        |SELECT sector, n_hops,
+        |  CAST((CAST(n_hops AS HUGEINT) * 1000) //
+        |    CAST(sum(n_hops) OVER () AS HUGEINT) AS BIGINT)
+        |    AS share_pm
+        |FROM c ORDER BY sector""".stripMargin
   )
 }

@@ -1013,6 +1013,58 @@ object TextOps extends OpPack {
         .select(col("n_bigrams"), col("n_distinct_bigrams"),
           expr("CAST((hs * 1000) div n_bigrams AS BIGINT)")
             .as("cond_entropy_mb"))
+    }),
+
+    // Non-ASCII density (the script detector that needs NO regex or
+    // table: multibyte UTF-8 bytes = octet_length − character length,
+    // both codegen'd builtins in both engines): per-doc permille of
+    // multibyte bytes, rolled up per labeled language — the zh/ja/ko
+    // routing signal and another mislabeled-shard tripwire.
+    // Scan-proportional, ONE projection + ONE ≤|langs| hash agg.
+    "llm_nonascii_density" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          length(col("text")).cast("long").as("n_chars_len"),
+          (octet_length(col("text")) - length(col("text")))
+            .cast("long").as("n_mb_bytes"))
+        .filter(col("n_chars_len") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars_len")).as("n_chars_total"),
+          sum(col("n_mb_bytes")).as("n_multibyte"))
+        .withColumn("density_pm",
+          expr("CAST((n_multibyte * 1000) div n_chars_total " +
+            "AS BIGINT)"))
+        .orderBy(col("lang"))
+    }),
+
+    // Per-document perplexity under the corpus bigram LM, in the
+    // DECLARED floor-log2 quantization (the per-doc sibling of
+    // llm_cond_entropy, conditioned like llm_surprisal is not):
+    // mean bigram surprisal = Σ(LB(c_x) − LB(c_xy))·1000 div
+    // n_bigrams. High = novel/rare phrasing, low = boilerplate. The
+    // corpus LM is ONE bounded bigram-count frame joined back on the
+    // bigram key — the llm_surprisal plan shape with a 2-token key.
+    "llm_doc_perplexity" -> ((s, dir) => {
+      val bi = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS x, toks[i] AS y))")).as("b"))
+        .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
+      val cxy = bi.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val cx = cxy.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+      bi.join(cxy, Seq("x", "y")).join(cx, Seq("x"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("CAST(length(bin(cx)) AS BIGINT) - " +
+            "CAST(length(bin(c)) AS BIGINT)")).as("hs"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("CAST((hs * 1000) div n_bigrams AS BIGINT)")
+            .as("surprisal_mb"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1643,6 +1695,40 @@ object TextOps extends OpPack {
         |  CAST((sum(c * (CAST(length(bin(cx)) AS BIGINT)
         |    - CAST(length(bin(c)) AS BIGINT))) * 1000) // sum(c)
         |    AS BIGINT) AS cond_entropy_mb
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "llm_nonascii_density" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars_len,
+        |    CAST(strlen(text) - length(text) AS BIGINT)
+        |      AS n_mb_bytes
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars_len) AS BIGINT) AS n_chars_total,
+        |  CAST(sum(n_mb_bytes) AS BIGINT) AS n_multibyte,
+        |  CAST((sum(n_mb_bytes) * 1000) // sum(n_chars_len)
+        |    AS BIGINT) AS density_pm
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_doc_perplexity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |f AS (SELECT * FROM d WHERE len(toks) >= 2),
+        |b AS (
+        |  SELECT doc_id, toks[i] AS x, toks[i + 1] AS y
+        |  FROM f, unnest(range(1, len(toks))) t(i)),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |        FROM b GROUP BY x, y),
+        |cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cxy
+        |       GROUP BY x),
+        |j AS (
+        |  SELECT doc_id,
+        |    CAST(length(bin(cx)) AS BIGINT)
+        |      - CAST(length(bin(c)) AS BIGINT) AS sb
+        |  FROM b JOIN cxy USING (x, y) JOIN cx USING (x))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST((sum(sb) * 1000) // count(*) AS BIGINT)
+        |    AS surprisal_mb
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

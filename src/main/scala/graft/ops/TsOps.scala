@@ -746,6 +746,37 @@ object TsOps extends OpPack {
     "ts_pivot_points" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events_piv")
       s.sql(pivotSql("div", "events_piv"))
+    }),
+
+    // Burstiness classification per user — the squared coefficient of
+    // variation of inter-event gaps, DIVISION-FREE: CV² vs the
+    // Poisson benchmark 1 via n·Q vs 2·S² and the regular cut
+    // CV² < 1/2 via 2·n·Q vs 3·S² (Cauchy–Schwarz gives n·Q ≥ S², so
+    // cv2_pm = 1000·(n·Q − S²) div S² is non-negative). Gap squares
+    // ride DECIMAL(38,0)/HUGEINT (µs gaps square past 2^63). ONE lag
+    // window + ONE map-side-combined hash agg on the same user_id
+    // exchange — the ts_rsi shuffle shape. Users with < 2 gaps are
+    // unclassifiable (declared NULL class).
+    "ts_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val dec = DecimalType(38, 0)
+      Tables(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap").cast(dec)).as("s"),
+          sum(col("gap").cast(dec) * col("gap")).as("q"))
+        .select(col("user_id"), col("n_gaps"),
+          expr("CAST(CASE WHEN s > 0 THEN " +
+            "((n_gaps * q - s * s) * 1000) div (s * s) END AS BIGINT)")
+            .as("cv2_pm"),
+          expr("CASE WHEN n_gaps < 2 OR s = 0 THEN NULL " +
+            "WHEN n_gaps * q > 2 * s * s THEN 'bursty' " +
+            "WHEN 2 * n_gaps * q < 3 * s * s THEN 'regular' " +
+            "ELSE 'poisson' END").as("class"))
+        .orderBy(col("user_id"))
     }))
 
   /** Daily-bar CTE shared by the indicator family (tick→bar collapse:
@@ -1648,5 +1679,26 @@ object TsOps extends OpPack {
     "ts_donchian" -> donchianSql("//", "events"),
     "ts_atr" -> atrSql("HUGEINT", "//", "events"),
     "ts_stochastic" -> stochasticSql("HUGEINT", "//", "events"),
-    "ts_pivot_points" -> pivotSql("//", "events"))
+    "ts_pivot_points" -> pivotSql("//", "events"),
+
+    "ts_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  CAST(CASE WHEN s > 0 THEN
+        |    ((n_gaps * q - s * s) * 1000) // (s * s) END AS BIGINT)
+        |    AS cv2_pm,
+        |  CASE WHEN n_gaps < 2 OR s = 0 THEN NULL
+        |    WHEN n_gaps * q > 2 * s * s THEN 'bursty'
+        |    WHEN 2 * n_gaps * q < 3 * s * s THEN 'regular'
+        |    ELSE 'poisson' END AS class
+        |FROM m ORDER BY user_id""".stripMargin)
 }
