@@ -313,6 +313,30 @@ object ScanOps extends OpPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // AGGREGATE pushdown through the graft-manifest connector
+    // (SupportsPushDownAggregates, complete mode): ungrouped
+    // unfiltered MIN/MAX/COUNT answer from the manifest's durable
+    // per-file row counts and zone-map stats — zero data files opened
+    // at 100 TB (ManifestSinkSpec proves the zero-IO claim by
+    // corrupting every data file first). The oracle computes the same
+    // aggregates over the ORIGINAL parquet, so a pass proves the
+    // writer's stats and the scan's decode agree with the data.
+    "sink_manifest_agg_pushdown" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-aggpd"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      s.read.format("graft-manifest").load(scratch)
+        .agg(min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Column pruning through the graft-manifest connector: the paged
     // COLUMNAR file layout + SupportsPushDownRequiredColumns turn a
     // 2-of-6-column read into genuinely skipped bytes (the reader
@@ -1419,6 +1443,13 @@ object ScanOps extends OpPack {
     "sink_manifest" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "sink_manifest_agg_pushdown" ->
+      """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  count(*) AS n_rows
+        |FROM orders""".stripMargin,
 
     "sink_manifest_pruned" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -1615,36 +1615,80 @@ final class ManifestTable(tableSchema: StructType, path: String,
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       private var required: StructType = tableSchema
       private var zoneFilters: Array[sources.Filter] = Array.empty
-      private var countPushed = false
-      // COUNT(*) with no grouping and no filters is answered from the
-      // manifest alone — the row counts are already durable metadata,
-      // so a 100 TB count opens ZERO data files. Anything else
-      // (filters, grouping, other aggregates) declines the pushdown
-      // and takes the normal scan path.
-      private def countOnly(
+      private var aggPushed: Option[Seq[ManifestAggScan.Spec]] = None
+      // COUNT(*) / MIN(col) / MAX(col) with no grouping and no
+      // filters are answered from the MANIFEST alone — row counts and
+      // per-file zone-map min/max are already durable metadata, so a
+      // 100 TB aggregate opens ZERO data files (Iceberg's
+      // metadata-aggregate idea). Strictly conservative:
+      //  - count: exact under positional deletes (liveRows), but a
+      //    live EQUALITY delete makes it an upper bound — decline.
+      //  - min/max: a row-level delete of ANY kind could have masked
+      //    the extreme row, so decline unless every file is
+      //    delete-free; every live file must carry the column's stat
+      //    (a missing stat is indistinguishable from an un-statted
+      //    writer), and the type must be one the zone maps
+      //    canonicalize to physical Long. NULLs are already right:
+      //    stats cover non-null values, min/max ignore NULLs.
+      // Anything else (filters, grouping, CDF/restricted reads, other
+      // aggregates) declines and takes the normal scan path.
+      private def aggSpecs(
           agg: org.apache.spark.sql.connector.expressions.aggregate
-            .Aggregation): Boolean =
-        agg.groupByExpressions().isEmpty && zoneFilters.isEmpty &&
-          // a restricted (change-feed) read counts a SUBSET of the
-          // files — the whole-table metadata count is not its answer
-          restrict.isEmpty &&
-          agg.aggregateExpressions().length == 1 &&
-          agg.aggregateExpressions()(0).isInstanceOf[
-            org.apache.spark.sql.connector.expressions.aggregate
-              .CountStar] &&
-          // a live EQUALITY delete makes the metadata count an upper
-          // bound, not the answer — decline and let the scan count
-          // (positional deletes keep exact counts and don't decline)
-          ManifestSink.readRef(path, asOf, branchOpt, tagOpt)
-            .eqDeletes.isEmpty
+            .Aggregation): Option[Seq[ManifestAggScan.Spec]] = {
+        import org.apache.spark.sql.connector.expressions.aggregate.{
+          CountStar, Max, Min}
+        import org.apache.spark.sql.types._
+        if (agg.groupByExpressions().nonEmpty || zoneFilters.nonEmpty ||
+          restrict.nonEmpty || cdf) return None
+        def colOf(e: org.apache.spark.sql.connector.expressions
+            .Expression): Option[String] = e match {
+          case nr: org.apache.spark.sql.connector.expressions
+              .NamedReference if nr.fieldNames.length == 1 =>
+            Some(nr.fieldNames()(0))
+          case _ => None
+        }
+        def statable(c: String): Boolean =
+          tableSchema.fieldNames.contains(c) &&
+            (tableSchema(c).dataType match {
+              case LongType | IntegerType | ShortType | ByteType |
+                   DateType | TimestampType | TimestampNTZType => true
+              case _ => false
+            })
+        val specs = agg.aggregateExpressions().toSeq.map {
+          case _: CountStar =>
+            Some(ManifestAggScan.Spec("count", null, LongType))
+          case mn: Min => colOf(mn.column()).filter(statable)
+            .map(c => ManifestAggScan.Spec("min", c,
+              tableSchema(c).dataType))
+          case mx: Max => colOf(mx.column()).filter(statable)
+            .map(c => ManifestAggScan.Spec("max", c,
+              tableSchema(c).dataType))
+          case _ => None
+        }
+        if (specs.exists(_.isEmpty)) return None
+        val s = specs.flatten
+        val m = ManifestSink.readRef(path, asOf, branchOpt, tagOpt)
+        if (m.eqDeletes.nonEmpty) return None
+        val minMaxCols = s.collect {
+          case sp if sp.kind != "count" => sp.col
+        }
+        if (minMaxCols.nonEmpty) {
+          val ok = m.files.forall(e =>
+            e.deletes.isEmpty && e.liveRows == e.rows) &&
+            minMaxCols.forall(c =>
+              m.files.forall(e => e.stats.exists(_.col == c)))
+          if (!ok) return None
+        }
+        Some(s)
+      }
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate
-            .Aggregation): Boolean = countOnly(agg)
+            .Aggregation): Boolean = aggSpecs(agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate
             .Aggregation): Boolean = {
-        countPushed = countOnly(agg)
-        countPushed
+        aggPushed = aggSpecs(agg)
+        aggPushed.isDefined
       }
       // Catalyst hands down the projected column set; the paged
       // columnar file layout turns this into TRUE skipped bytes (the
@@ -1678,8 +1722,9 @@ final class ManifestTable(tableSchema: StructType, path: String,
       }
       override def pushedFilters(): Array[sources.Filter] = zoneFilters
       override def build(): Scan =
-        if (countPushed)
-          new ManifestCountScan(path, asOf, branchOpt, tagOpt)
+        if (aggPushed.isDefined)
+          new ManifestAggScan(path, asOf, branchOpt, tagOpt,
+            aggPushed.get)
         else new ManifestScan(tableSchema, required, path, asOf, zoneFilters,
           options.getBoolean("groupByPartition", false), restrict,
           options.getBoolean("ignoreChanges", false), branchOpt, cdf,
@@ -2752,26 +2797,66 @@ final case class ManifestInputPartition(file: String, rows: Long, crc: Long,
 /** Complete COUNT(*) pushdown: one partition, one row, computed from
   * the manifest's durable per-file row counts — no data file is ever
   * opened. */
-final class ManifestCountScan(path: String, asOfVersion: Option[Long],
-    branch: Option[String] = None, tag: Option[String] = None)
+/** Metadata-only aggregate scan: COUNT(*) from durable per-file row
+  * counts, MIN/MAX from the zone-map stats — one emitted row, zero
+  * data files opened (planning already proved the stats complete and
+  * the files delete-free; see the ScanBuilder's aggSpecs). Stat longs
+  * decode back through the same physical-Long canonicalization the
+  * writer used. */
+object ManifestAggScan {
+  final case class Spec(kind: String, col: String,
+      dt: org.apache.spark.sql.types.DataType)
+}
+
+final class ManifestAggScan(path: String, asOfVersion: Option[Long],
+    branch: Option[String], tag: Option[String],
+    specs: Seq[ManifestAggScan.Spec])
     extends Scan {
-  override def readSchema(): StructType =
-    StructType.fromDDL("count_star BIGINT")
+  override def readSchema(): StructType = StructType(specs.map { s =>
+    org.apache.spark.sql.types.StructField(
+      if (s.kind == "count") "count_star" else s"${s.kind}_${s.col}",
+      s.dt, nullable = s.kind != "count")
+  })
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      Array(ManifestCountPartition(
-        ManifestSink.readRef(path, asOfVersion, branch, tag).files
-          .map(_.liveRows).sum))
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.types._
+      val m = ManifestSink.readRef(path, asOfVersion, branch, tag)
+      def decode(dt: DataType, v: Option[Long]): Any = v match {
+        case None => null
+        case Some(l) => dt match {
+          case IntegerType | DateType => l.toInt
+          case ShortType => l.toShort
+          case ByteType => l.toByte
+          case _ => l // Long / Timestamp / TimestampNTZ store the
+                      // physical long verbatim
+        }
+      }
+      val values: Seq[Any] = specs.map {
+        case ManifestAggScan.Spec("count", _, _) =>
+          m.files.map(_.liveRows).sum
+        case ManifestAggScan.Spec("min", c, dt) =>
+          decode(dt,
+            m.files.flatMap(_.stats.find(_.col == c)).map(_.min)
+              .minOption)
+        case ManifestAggScan.Spec("max", c, dt) =>
+          decode(dt,
+            m.files.flatMap(_.stats.find(_.col == c)).map(_.max)
+              .maxOption)
+        case sp => throw new IllegalStateException(
+          s"graft-manifest: unplannable pushed aggregate $sp")
+      }
+      Array(ManifestAggPartition(values))
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(
             partition: InputPartition): PartitionReader[InternalRow] = {
-          val total = partition.asInstanceOf[ManifestCountPartition].total
+          val vs = partition.asInstanceOf[ManifestAggPartition].values
           new PartitionReader[InternalRow] {
             private var emitted = false
             override def next(): Boolean =
               if (emitted) false else { emitted = true; true }
-            override def get(): InternalRow = InternalRow(total)
+            override def get(): InternalRow = InternalRow.fromSeq(vs)
             override def close(): Unit = ()
           }
         }
@@ -2779,7 +2864,8 @@ final class ManifestCountScan(path: String, asOfVersion: Option[Long],
   }
 }
 
-final case class ManifestCountPartition(total: Long) extends InputPartition
+final case class ManifestAggPartition(values: Seq[Any])
+    extends InputPartition
 
 final class ManifestReaderFactory(tableSchemaDdl: String,
     prunedNames: Array[String],

@@ -119,6 +119,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.del")
   }
 
+  test("aggregate pushdown declines when a delete could have masked the extreme row") {
+    import org.apache.spark.sql.Row
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.ap (k BIGINT, v INT)")
+    spark.sql("INSERT INTO g.db.ap VALUES (1, 10), (5, 50), (9, 90)")
+    // clean table: answered from the manifest
+    assert(spark.sql("SELECT min(k), max(k) FROM g.db.ap").head()
+      === Row(1L, 9L))
+    // a positional delete vector masks the CURRENT min row — the
+    // stats still say 1; pushdown must decline and scan
+    spark.sql("DELETE FROM g.db.ap WHERE k <= 1 AND v IS NOT NULL")
+    assert(spark.sql(
+      "SELECT min(k), max(k), count(*) FROM g.db.ap").head()
+      === Row(5L, 9L, 2L))
+    // an equality delete also declines (count becomes an upper bound)
+    spark.sql("DELETE FROM g.db.ap WHERE k = 9")
+    assert(spark.sql(
+      "SELECT min(k), max(k), count(*) FROM g.db.ap").head()
+      === Row(5L, 5L, 1L))
+    spark.sql("DROP TABLE g.db.ap")
+  }
+
   test("SQL TRUNCATE publishes an empty snapshot; the prior state stays time-travelable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.tr (k BIGINT)")

@@ -1428,4 +1428,32 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestSink.dropTag(dir, "rel") === false)
     assert(ManifestSink.dropTag(dir, "never_existed") === false)
   }
+
+  test("aggregate pushdown: MIN/MAX/COUNT answer from the manifest with zero data-file IO") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = scratch("aggpush")
+    Seq((5L, 10, "a"), (1L, 30, "b"), (9L, 20, "c"))
+      .toDF("k", "v", "s").coalesce(1)
+      .write.mode("overwrite").format("graft-manifest").save(dir)
+    Seq((7L, 5, "d")).toDF("k", "v", "s").coalesce(1)
+      .write.mode("append").format("graft-manifest").save(dir)
+    val df = spark.read.format("graft-manifest").load(dir)
+    // corrupt EVERY data file: a metadata-only answer must not notice
+    new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .foreach(f => Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    val agg = df.agg(min($"k"), max($"k"), min($"v"), max($"v"),
+      count(lit(1))).collect()(0)
+    assert(agg === Row(1L, 9L, 5, 30, 4L))
+    // string min is NOT pushable (zone maps skip strings) → the
+    // normal scan path runs and must fail loudly on the corruption —
+    // proving the pushed variant really never opened the files
+    intercept[Exception] { df.agg(min($"s")).collect() }
+    // a filter declines the pushdown (the metadata extreme may be in
+    // a filtered-out row) → data path again
+    intercept[Exception] { df.filter($"v" > 0).agg(min($"k")).collect() }
+    // grouping declines
+    intercept[Exception] { df.groupBy($"s").agg(min($"k")).collect() }
+  }
 }
