@@ -627,6 +627,30 @@ object CdcOps extends OpPack {
           greatest(col("n_events") - 2, lit(0L)).as("n_droppable"),
           (col("last_c") - col("first_c")).as("net_change_c"))
         .orderBy(col("user_id"))
+    }),
+
+    // Hot-key churn census (the partition-sizing input for a CDC
+    // apply loop: how skewed is the change volume across keys?):
+    // per-key op counts bucketed by floor-log2 magnitude
+    // (LB = length(bin(n)), the declared diag_entropy idiom), one
+    // row per bucket with key/op tallies and the op share in
+    // permille. Two map-side-combined hash aggs (key → bucket), the
+    // 1-row total broadcasts as the standard scalar gate; a bucket
+    // whose share dwarfs the rest IS the salting trigger at 100 TB.
+    "cdc_key_churn" -> ((s, dir) => {
+      val perKey = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"))
+      perKey
+        .groupBy(expr("CAST(length(bin(n_ops)) AS INT)").as("log2_bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n_ops")).as("total_ops"),
+          min(col("n_ops")).as("min_ops"),
+          max(col("n_ops")).as("max_ops"))
+        .withColumn("ops_share_pm",
+          expr("CAST((total_ops * 1000) div sum(total_ops) OVER () " +
+            "AS BIGINT)"))
+        .orderBy(col("log2_bucket"))
     })
   )
 
@@ -1003,6 +1027,23 @@ object CdcOps extends OpPack {
         |  CAST(greatest(count(*) - 2, 0) AS BIGINT) AS n_droppable,
         |  max_by(cents, event_id) - min_by(cents, event_id)
         |    AS net_change_c
-        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "cdc_key_churn" ->
+      """WITH k AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT CAST(length(bin(n_ops)) AS INT) AS log2_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n_ops) AS BIGINT) AS total_ops,
+        |    CAST(min(n_ops) AS BIGINT) AS min_ops,
+        |    CAST(max(n_ops) AS BIGINT) AS max_ops
+        |  FROM k GROUP BY log2_bucket)
+        |SELECT log2_bucket, n_keys, total_ops, min_ops, max_ops,
+        |  CAST((CAST(total_ops AS HUGEINT) * 1000) //
+        |    CAST(sum(total_ops) OVER () AS HUGEINT) AS BIGINT)
+        |    AS ops_share_pm
+        |FROM b ORDER BY log2_bucket""".stripMargin
   )
 }

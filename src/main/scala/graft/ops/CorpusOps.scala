@@ -248,6 +248,62 @@ object CorpusOps extends OpPack {
           sum(col("wt")).as("total_weight"),
           sum(col("wt") * col("tok")).as("token_weight"))
         .orderBy(col("rep"), col("lang"))
+    }),
+
+    // Pairwise source-distribution divergence (which corpus slices
+    // actually differ — the mixture-design complement of
+    // llm_source_overlap's surface Jaccard): Jensen-Shannon analog in
+    // the DECLARED floor-log2 milli-bits, all-integer. Per source,
+    // unigram entropy H_f; per pair, the ½-½ mixture rides common
+    // denominator 2·n1·n2 (m_w = p_w·n2 + q_w·n1 — no rational
+    // arithmetic), jsd_mb = H_f(M) − (H_f(P) + H_f(Q)) div 2. Plan:
+    // ONE (source, word) count pass; each count row fans out only to
+    // the pairs containing its source (≤ |S|−1), then a (pair, word)
+    // → pair rollup. Everything after the token pass is
+    // vocab-bounded; the 1000× products ride DECIMAL(38,0)/HUGEINT
+    // (mixture totals pass 2^63·10⁻³ at the 100 TB token scale).
+    "llm_source_jsd" -> ((s, dir) => {
+      val cnt = Tables(s, dir, "documents")
+        .withColumn("w", explode(split(col("text"), " ")))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * length(expr("bin(c)"))).as("sclb"))
+        .withColumn("hp_mb",
+          expr("CAST((1000 * (n * length(bin(n)) - sclb)) div n " +
+            "AS BIGINT)"))
+      val pairs = tot.select(col("source").as("s1"), col("n").as("n1"),
+          col("hp_mb").as("hp1_mb"))
+        .join(tot.select(col("source").as("s2"), col("n").as("n2"),
+          col("hp_mb").as("hp2_mb")), col("s1") < col("s2"))
+      val contrib = pairs
+        .join(cnt.select(col("source").as("s1"), col("w"),
+          col("c").as("p")), Seq("s1"))
+        .select(col("s1"), col("s2"), col("w"), col("p"), lit(0L).as("q"))
+        .unionAll(pairs
+          .join(cnt.select(col("source").as("s2"), col("w"),
+            col("c").as("q")), Seq("s2"))
+          .select(col("s1"), col("s2"), col("w"), lit(0L).as("p"),
+            col("q")))
+      val mixed = contrib.groupBy(col("s1"), col("s2"), col("w"))
+        .agg(sum(col("p")).as("p"), sum(col("q")).as("q"))
+        .join(pairs, Seq("s1", "s2"))
+        .withColumn("m", col("p") * col("n2") + col("q") * col("n1"))
+        .groupBy(col("s1"), col("s2"), col("n1"), col("n2"),
+          col("hp1_mb"), col("hp2_mb"))
+        .agg(sum(col("m") * length(expr("bin(m)"))).as("smlb"))
+      mixed
+        .withColumn("mm", expr("2 * n1 * n2"))
+        .withColumn("hm_mb",
+          expr("CAST((1000 * CAST(mm * length(bin(mm)) - smlb AS " +
+            "DECIMAL(38,0))) div mm AS BIGINT)"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          col("hp1_mb"), col("hp2_mb"), col("hm_mb"),
+          expr("CAST(hm_mb - (hp1_mb + hp2_mb) div 2 AS BIGINT)")
+            .as("jsd_mb"))
+        .orderBy(col("s1"), col("s2"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -419,5 +475,50 @@ object CorpusOps extends OpPack {
         |    AS n_kept,
         |  CAST(sum(wt) AS BIGINT) AS total_weight,
         |  CAST(sum(wt * tok) AS BIGINT) AS token_weight
-        |FROM w GROUP BY rep, lang ORDER BY rep, lang""".stripMargin)
+        |FROM w GROUP BY rep, lang ORDER BY rep, lang""".stripMargin,
+
+    "llm_source_jsd" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE w <> '' GROUP BY source, w),
+        |tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * length(bin(c))) AS BIGINT) AS sclb
+        |  FROM cnt GROUP BY source),
+        |hp AS (
+        |  SELECT source, n,
+        |    CAST((1000 * (n * length(bin(n)) - sclb)) // n AS BIGINT)
+        |      AS hp_mb
+        |  FROM tot),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2,
+        |    a.hp_mb AS hp1_mb, b.hp_mb AS hp2_mb
+        |  FROM hp a JOIN hp b ON a.source < b.source),
+        |contrib AS (
+        |  SELECT p.s1, p.s2, c.w, c.c AS p_c, CAST(0 AS BIGINT) AS q_c
+        |  FROM pairs p JOIN cnt c ON c.source = p.s1
+        |  UNION ALL
+        |  SELECT p.s1, p.s2, c.w, CAST(0 AS BIGINT), c.c
+        |  FROM pairs p JOIN cnt c ON c.source = p.s2),
+        |mixw AS (
+        |  SELECT s1, s2, w, CAST(sum(p_c) AS BIGINT) AS p,
+        |    CAST(sum(q_c) AS BIGINT) AS q
+        |  FROM contrib GROUP BY s1, s2, w),
+        |mx AS (
+        |  SELECT m.s1, m.s2, p.n1, p.n2, p.hp1_mb, p.hp2_mb,
+        |    CAST(sum((m.p * p.n2 + m.q * p.n1) *
+        |      length(bin(m.p * p.n2 + m.q * p.n1))) AS BIGINT) AS smlb
+        |  FROM mixw m JOIN pairs p ON m.s1 = p.s1 AND m.s2 = p.s2
+        |  GROUP BY m.s1, m.s2, p.n1, p.n2, p.hp1_mb, p.hp2_mb),
+        |fin AS (
+        |  SELECT s1, s2, n1, n2, hp1_mb, hp2_mb,
+        |    CAST((1000 * CAST(2 * n1 * n2 * length(bin(2 * n1 * n2))
+        |      - smlb AS HUGEINT)) // (2 * n1 * n2) AS BIGINT) AS hm_mb
+        |  FROM mx)
+        |SELECT s1, s2, n1, n2, hp1_mb, hp2_mb, hm_mb,
+        |  CAST(hm_mb - (hp1_mb + hp2_mb) // 2 AS BIGINT) AS jsd_mb
+        |FROM fin ORDER BY s1, s2""".stripMargin)
 }

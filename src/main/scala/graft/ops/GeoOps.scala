@@ -416,6 +416,72 @@ object GeoOps extends OpPack {
           expr("CAST((n_hops * 1000) div sum(n_hops) OVER () " +
             "AS BIGINT)"))
         .orderBy(col("sector"))
+    }),
+
+    // Trajectory tortuosity (path-efficiency audit — a wandering
+    // courier vs a straight commute): per user, total L1 path length
+    // over consecutive hops vs the L1 displacement first→last
+    // position, ratio in milli-units (straight line = 1000; NULL when
+    // the endpoints coincide, declared). ONE lag window + ONE hash
+    // agg, both on the user_id exchange — endpoints ride min_by/
+    // max_by on the unique event_id order, so no second window pass.
+    "geo_tortuosity" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("y"))
+        .withColumn("hop",
+          abs(col("x") - lag(col("x"), 1).over(w)) +
+            abs(col("y") - lag(col("y"), 1).over(w)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("hop")).as("path_l1"),
+          min_by(col("x"), col("event_id")).as("x0"),
+          min_by(col("y"), col("event_id")).as("y0"),
+          max_by(col("x"), col("event_id")).as("x1"),
+          max_by(col("y"), col("event_id")).as("y1"))
+        .filter(col("n_points") >= 2)
+        .select(col("user_id"), col("n_points"), col("path_l1"),
+          (abs(col("x1") - col("x0")) + abs(col("y1") - col("y0")))
+            .as("disp_l1"))
+        .withColumn("tortuosity_milli",
+          expr("CAST(CASE WHEN disp_l1 > 0 THEN " +
+            "(path_l1 * 1000) div disp_l1 END AS BIGINT)"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Spatio-temporal co-location (who is repeatedly in the same
+    // place at the same time — the contact-graph primitive): distinct
+    // per-user presence in (1250-unit cell × hour) buckets, then a
+    // bucket-keyed self-join emits each co-present pair once per
+    // shared bucket. The blocking IS the scale design: pair fan-out
+    // is Σ_bucket occupancy², bounded by bucket granularity — at
+    // 100 TB you pick cell/epoch size from the density histogram
+    // exactly like geo_distance_join picks its cell, and AQE skew
+    // split handles hot venues. Top-25 pairs by shared-bucket count
+    // ride TakeOrderedAndProject; ties break on (user_a, user_b).
+    "geo_colocation" -> ((s, dir) => {
+      val pres = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, " +
+            "8), 16, 10) AS BIGINT) % 10000 div 1250").as("cx"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, " +
+            "8), 16, 10) AS BIGINT) % 10000 div 1250").as("cy"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .distinct()
+      pres.select(col("user_id").as("user_a"), col("cx"), col("cy"),
+          col("hr"))
+        .join(pres.select(col("user_id").as("user_b"), col("cx"),
+          col("cy"), col("hr")), Seq("cx", "cy", "hr"))
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_cobuckets"))
+        .orderBy(desc("n_cobuckets"), asc("user_a"), asc("user_b"))
+        .limit(25)
     })
   )
 
@@ -698,6 +764,50 @@ object GeoOps extends OpPack {
         |  CAST((CAST(n_hops AS HUGEINT) * 1000) //
         |    CAST(sum(n_hops) OVER () AS HUGEINT) AS BIGINT)
         |    AS share_pm
-        |FROM c ORDER BY sector""".stripMargin
+        |FROM c ORDER BY sector""".stripMargin,
+
+    "geo_tortuosity" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 10000 AS x,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      9, 8) AS BIGINT) % 10000 AS y
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, event_id, x, y,
+        |    abs(x - lag(x, 1) OVER w) + abs(y - lag(y, 1) OVER w)
+        |      AS hop
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(hop) AS BIGINT) AS path_l1,
+        |    arg_min(x, event_id) AS x0, arg_min(y, event_id) AS y0,
+        |    arg_max(x, event_id) AS x1, arg_max(y, event_id) AS y1
+        |  FROM h GROUP BY user_id)
+        |SELECT user_id, n_points, path_l1,
+        |  CAST(abs(x1 - x0) + abs(y1 - y0) AS BIGINT) AS disp_l1,
+        |  CAST(CASE WHEN abs(x1 - x0) + abs(y1 - y0) > 0 THEN
+        |    (path_l1 * 1000) // (abs(x1 - x0) + abs(y1 - y0))
+        |  END AS BIGINT) AS tortuosity_milli
+        |FROM g WHERE n_points >= 2 ORDER BY user_id""".stripMargin,
+
+    "geo_colocation" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 10000 // 1250 AS cx,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      9, 8) AS BIGINT) % 10000 // 1250 AS cy,
+        |    date_trunc('hour', ts) AS hr
+        |  FROM events)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  CAST(count(*) AS BIGINT) AS n_cobuckets
+        |FROM pres a JOIN pres b
+        |  ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr
+        | AND a.user_id < b.user_id
+        |GROUP BY user_a, user_b
+        |ORDER BY n_cobuckets DESC, user_a, user_b
+        |LIMIT 25""".stripMargin
   )
 }

@@ -777,6 +777,19 @@ object TsOps extends OpPack {
             "WHEN 2 * n_gaps * q < 3 * s * s THEN 'regular' " +
             "ELSE 'poisson' END").as("class"))
         .orderBy(col("user_id"))
+    }),
+
+    // Aroon oscillator (25-day): how recently did the trailing window
+    // set its high/low? aroon_up = (25 − days_since_high)·1000 div 25
+    // over FULL windows only. The argmax index is recovered exactly —
+    // max(i) among window rows equal to the window max — via a
+    // 25-wide band self-join on the BOUNDED daily frame (≤ |days|·25
+    // rows regardless of SF; the tick→bar collapse already reduced
+    // the log), so double-valued ties break to the most recent day,
+    // the standard Aroon convention, with no double arithmetic.
+    "ts_aroon" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_aroon")
+      s.sql(aroonSql("div", "events_aroon"))
     }))
 
   /** Daily-bar CTE shared by the indicator family (tick→bar collapse:
@@ -795,6 +808,40 @@ object TsOps extends OpPack {
        |    CAST(count(*) AS BIGINT) AS vol
        |  FROM $table WHERE value IS NOT NULL
        |  GROUP BY CAST(ts AS DATE))""".stripMargin
+
+  /** Aroon up/down (only the integer-div token differs per engine):
+    * day index by row_number over the daily frame, window extrema by
+    * plain windows, then the most-recent argmax/argmin index via a
+    * 25-wide band self-join — exact under value ties, no float math. */
+  private[ops] def aroonSql(divOp: String, table: String): String =
+    s"""WITH ${dailyBars(table)},
+       |ix AS (
+       |  SELECT day, high_c, low_c,
+       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+       |  FROM daily),
+       |w AS (
+       |  SELECT i, day,
+       |    max(high_c) OVER w25 AS hmax,
+       |    min(low_c) OVER w25 AS lmin,
+       |    count(*) OVER w25 AS n25
+       |  FROM ix
+       |  WINDOW w25 AS (ORDER BY i
+       |                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),
+       |a AS (
+       |  SELECT w.i AS i, w.day AS day,
+       |    max(CASE WHEN b.high_c = w.hmax THEN b.i END) AS hi_i,
+       |    max(CASE WHEN b.low_c = w.lmin THEN b.i END) AS lo_i
+       |  FROM w JOIN ix b ON b.i BETWEEN w.i - 24 AND w.i
+       |  WHERE w.n25 = 25
+       |  GROUP BY w.i, w.day)
+       |SELECT day,
+       |  CAST(i - hi_i AS BIGINT) AS days_since_high,
+       |  CAST(i - lo_i AS BIGINT) AS days_since_low,
+       |  CAST(((25 - (i - hi_i)) * 1000) $divOp 25 AS BIGINT)
+       |    AS aroon_up_pm,
+       |  CAST(((25 - (i - lo_i)) * 1000) $divOp 25 AS BIGINT)
+       |    AS aroon_down_pm
+       |FROM a ORDER BY day""".stripMargin
 
   /** On-balance volume as shared SQL (identical text both engines —
     * no division anywhere). */
@@ -1680,6 +1727,7 @@ object TsOps extends OpPack {
     "ts_atr" -> atrSql("HUGEINT", "//", "events"),
     "ts_stochastic" -> stochasticSql("HUGEINT", "//", "events"),
     "ts_pivot_points" -> pivotSql("//", "events"),
+    "ts_aroon" -> aroonSql("//", "events"),
 
     "ts_burstiness" ->
       """WITH g AS (

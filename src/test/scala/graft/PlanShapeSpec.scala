@@ -426,7 +426,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // geo_morans_i crosses the ≤1600-cell density frame with the
       // broadcast 1-row totals, then two 1-row scalar frames with
       // each other (scalar gates on a bounded frame).
-      "geo_morans_i")
+      "geo_morans_i",
+      // ts_aroon band-self-joins the calendar-bounded daily frame
+      // (≤ |days|·25 rows at any SF — the argmax-recovery join).
+      "ts_aroon",
+      // llm_source_jsd theta-joins the |sources|-row per-source
+      // total frame with itself to enumerate unordered pairs
+      // (bounded at |S|² rows, the composite_scd2_pit probe shape).
+      "llm_source_jsd")
     val offenders = SparkEntry.queries.keysIterator
       .filterNot(allowed)
       .filter { name =>
