@@ -1100,6 +1100,81 @@ object DedupOps extends OpPack {
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy(col("wh"))
+    }),
+
+    // LSH band-tuning audit (pick (bands, rows) BEFORE paying for the
+    // index): an 8-minhash md5 signature over the df-capped shingle
+    // sets, sliced into every way 8 splits into bands (8×1, 4×2, 2×4,
+    // 1×8); per config, bucket-census statistics — bucket count,
+    // collision buckets, max bucket, and probe volume Σ m·(m−1)/2
+    // (the bucket-pair compare cost an index at that config pays,
+    // WITH band multiplicity — exactly the shuffle a dedup pass
+    // generates). The audit never materializes a candidate pair: it
+    // reads bucket SIZE histograms only, so it is linear in the
+    // corpus even at configs (like 8 bands × 1 row) whose pair
+    // volume is quadratic — that blow-up shows up as a NUMBER here
+    // instead of as an OOM in production. md5 mins (not xxhash64)
+    // keep the signature cross-engine exact.
+    "llm_lsh_tune" -> ((s, dir) => {
+      val mins = shinglesCapped(s, dir)
+        .withColumn("seed", explode(expr("sequence(0, 7)")))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
+          col("sh")))).as("h"))
+      val hcols = (0 to 7).map(i =>
+        max(when(col("seed") === i, col("h"))).as(s"h$i"))
+      val sig = mins.groupBy(col("doc_id"))
+        .agg(hcols.head, hcols.tail: _*)
+      val arms = Seq(
+        (0 to 7).map(i => s"'8x1', $i, h$i"),
+        (0 to 3).map(i => s"'4x2', $i, concat(h${2 * i}, h${2 * i + 1})"),
+        (0 to 1).map(i => s"'2x4', $i, concat(h${4 * i}, h${4 * i + 1}, " +
+          s"h${4 * i + 2}, h${4 * i + 3})"),
+        Seq("'1x8', 0, concat(h0, h1, h2, h3, h4, h5, h6, h7)")
+      ).flatten
+      sig.select(col("doc_id"),
+          expr(s"stack(${arms.size}, ${arms.mkString(", ")}) " +
+            "AS (config, band, bkey)"))
+        .groupBy(col("config"), col("band"), col("bkey"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("config"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum((col("m") > 1).cast("long")).as("n_collision_buckets"),
+          max(col("m")).as("max_bucket"),
+          sum(expr("m * (m - 1) div 2")).as("probe_pairs"))
+        .orderBy(col("config"))
+    }),
+
+    // Dedup length-bias audit (what does exact dedup do to the
+    // LENGTH distribution? — short boilerplate dominates duplicate
+    // mass, so naive dedup reshapes the corpus): docs bucketed by
+    // n_chars div 100, before-counts vs after-counts (keep = min
+    // doc_id per md5(text), llm_dedup_exact's rule), per-bucket drop
+    // rate and the corpus-share drift in permille. Two hash aggs on
+    // the bucket key + one md5 group — no pair frame anywhere.
+    "llm_dedup_bias" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+        .withColumn("bucket", expr("n_chars div 100"))
+      val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val before = d.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = d.join(keep, Seq("h", "doc_id"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("bucket"), "left_outer")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .withColumn("drop_pm",
+          expr("CAST(((n_before - n_after) * 1000) div n_before " +
+            "AS BIGINT)"))
+        .withColumn("share_before_pm",
+          expr("CAST((n_before * 1000) div sum(n_before) OVER () " +
+            "AS BIGINT)"))
+        .withColumn("share_after_pm",
+          expr("CAST(CASE WHEN sum(n_after) OVER () > 0 THEN " +
+            "(n_after * 1000) div sum(n_after) OVER () END AS BIGINT)"))
+        .withColumn("drift_pm",
+          col("share_after_pm") - col("share_before_pm"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1910,7 +1985,94 @@ object DedupOps extends OpPack {
         |  count(*) AS n_occ, min(doc_id) AS first_doc
         |FROM w GROUP BY wh
         |HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY wh""".stripMargin
+        |ORDER BY wh""".stripMargin,
+
+    "llm_lsh_tune" -> {
+      val arms = (
+        (0 to 7).map(i =>
+          s"SELECT doc_id, '8x1' AS config, $i AS band, h$i AS bkey " +
+            "FROM sig") ++
+        (0 to 3).map(i =>
+          s"SELECT doc_id, '4x2', $i, h${2 * i} || h${2 * i + 1} " +
+            "FROM sig") ++
+        (0 to 1).map(i =>
+          s"SELECT doc_id, '2x4', $i, h${4 * i} || h${4 * i + 1} || " +
+            s"h${4 * i + 2} || h${4 * i + 3} FROM sig") ++
+        Seq("SELECT doc_id, '1x8', 0, " +
+          "h0 || h1 || h2 || h3 || h4 || h5 || h6 || h7 FROM sig")
+      ).mkString("\n  UNION ALL\n  ")
+      val hsel = (0 to 7).map(i =>
+        s"max(CASE WHEN seed = $i THEN h END) AS h$i").mkString(",\n    ")
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), mins AS (
+        |  SELECT doc_id, sd.seed AS seed,
+        |    min(md5(CAST(sd.seed AS VARCHAR) || ':' || sh)) AS h
+        |  FROM trif, (SELECT unnest(range(0, 8)) AS seed) sd
+        |  GROUP BY doc_id, sd.seed
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $hsel
+        |  FROM mins GROUP BY doc_id
+        |), bk AS (
+        |  $arms
+        |), b AS (
+        |  SELECT config, band, bkey, count(*) AS m
+        |  FROM bk GROUP BY config, band, bkey)
+        |SELECT config, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_collision_buckets,
+        |  CAST(max(m) AS BIGINT) AS max_bucket,
+        |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS probe_pairs
+        |FROM b GROUP BY config ORDER BY config""".stripMargin
+    },
+
+    "llm_dedup_bias" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars // 100 AS bucket, md5(text) AS h
+        |  FROM documents),
+        |keep AS (SELECT h, min(doc_id) AS doc_id FROM d GROUP BY h),
+        |bf AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_before
+        |       FROM d GROUP BY bucket),
+        |af AS (
+        |  SELECT d.bucket, CAST(count(*) AS BIGINT) AS n_after
+        |  FROM d JOIN keep ON d.h = keep.h AND d.doc_id = keep.doc_id
+        |  GROUP BY d.bucket),
+        |j AS (
+        |  SELECT bf.bucket, bf.n_before,
+        |    coalesce(af.n_after, 0) AS n_after
+        |  FROM bf LEFT JOIN af ON bf.bucket = af.bucket)
+        |SELECT bucket, n_before, n_after,
+        |  CAST(((n_before - n_after) * 1000) // n_before AS BIGINT)
+        |    AS drop_pm,
+        |  CAST((CAST(n_before AS HUGEINT) * 1000) //
+        |    CAST(sum(n_before) OVER () AS HUGEINT) AS BIGINT)
+        |    AS share_before_pm,
+        |  CAST(CASE WHEN sum(n_after) OVER () > 0 THEN
+        |    (CAST(n_after AS HUGEINT) * 1000) //
+        |      CAST(sum(n_after) OVER () AS HUGEINT) END AS BIGINT)
+        |    AS share_after_pm,
+        |  CAST(CASE WHEN sum(n_after) OVER () > 0 THEN
+        |    (CAST(n_after AS HUGEINT) * 1000) //
+        |      CAST(sum(n_after) OVER () AS HUGEINT) END AS BIGINT)
+        |  - CAST((CAST(n_before AS HUGEINT) * 1000) //
+        |      CAST(sum(n_before) OVER () AS HUGEINT) AS BIGINT)
+        |    AS drift_pm
+        |FROM j ORDER BY bucket""".stripMargin
   )
 
   /** The recursive-closure CTE chain shared by the cluster-labeling

@@ -1234,6 +1234,37 @@ object JoinOps extends OpPack {
         .orderBy(desc("return_pm"), desc("rev_at_risk_c"),
           asc("s_suppkey"))
         .limit(20)
+    }),
+
+    // Band join (|a − b| ≤ w — the numeric-proximity match behind
+    // price matching, sensor alignment, reconciliation): customers ×
+    // suppliers within ±$50 of account balance. The naive form is a
+    // theta join (quadratic BNL); instead both sides bucket to
+    // w-cents cells — the customer keeps its home bucket, the
+    // supplier replicates to the 3 adjacent buckets — so the join is
+    // a plain bucket hash equi-join with the exact |diff| residual:
+    // any qualifying pair shares the customer's home bucket, shuffle
+    // is |C| + 3·|S|, never |C|·|S| (geo_distance_join's argument in
+    // 1-D). The oracle brute-forces the same theta join (DuckDB
+    // IEJoin) — viable at test scale, which is what the bucketed plan
+    // replaces at 100 TB.
+    "join_band" -> ((s, dir) => {
+      val W = 5000L // cents (±$50)
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c_cents"))
+        .withColumn("bk", expr(s"c_cents div $W"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("s_cents"))
+        .withColumn("bk", explode(expr(
+          s"sequence(s_cents div $W - 1, s_cents div $W + 1)")))
+      c.join(sup, Seq("bk"))
+        .filter(abs(col("c_cents") - col("s_cents")) <= W)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("s_suppkey")).as("min_suppkey"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -2116,6 +2147,20 @@ object JoinOps extends OpPack {
         |  rev_c, rev_at_risk_c
         |FROM a JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY return_pm DESC, rev_at_risk_c DESC, s_suppkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "join_band" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cc
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS sc
+        |  FROM supplier)
+        |SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(s_suppkey) AS BIGINT) AS min_suppkey
+        |FROM c JOIN s ON abs(cc - sc) <= 5000
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
   )
 }

@@ -891,6 +891,39 @@ object StatOps extends OpPack {
       Tables(s, dir, "events").createOrReplaceTempView("events_mi")
       s.sql(mutualInfoSql("DECIMAL(38,0)", "div",
         d => s"unix_date($d)", "events_mi"))
+    }),
+
+    // Wald–Wolfowitz runs test (is a user's value sequence random or
+    // clustered around its median?): sign = cents > per-user
+    // percentile_disc median (OBSERVED value ⇒ exact both engines;
+    // at-median rows count as low, declared), runs counted by one
+    // sign-change lag, compared to the expected run count
+    // E = 1 + 2·n1·n0/(n1+n0) by cross-multiplication:
+    // ratio_pm = 1000·runs·(n1+n0) div ((n1+n0) + 2·n1·n0) — under
+    // 1000 ⇒ clustered (trendy/bot-like), over ⇒ oscillating. ONE
+    // median agg joined back co-partitioned + ONE lag window + ONE
+    // hash agg, all on the user_id exchange.
+    "agg_runs_test" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val med = ev.groupBy(col("user_id"))
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP " +
+          "(ORDER BY cents) AS BIGINT)").as("med_c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev.join(med, Seq("user_id"))
+        .withColumn("hi", (col("cents") > col("med_c")).cast("int"))
+        .withColumn("brk",
+          when(lag(col("hi"), 1).over(w).isNull ||
+            lag(col("hi"), 1).over(w) =!= col("hi"), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("hi").cast("long")).as("n_above"),
+          sum(lit(1L) - col("hi")).as("n_low"),
+          sum(col("brk")).as("n_runs"))
+        .withColumn("ratio_pm",
+          expr("CAST((1000 * n_runs * (n_above + n_low)) div " +
+            "((n_above + n_low) + 2 * n_above * n_low) AS BIGINT)"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1572,6 +1605,35 @@ object StatOps extends OpPack {
         |FROM m""".stripMargin,
 
     "agg_mutual_info" -> mutualInfoSql("HUGEINT", "//",
-      d => s"datediff('day', DATE '1970-01-01', $d)", "events")
+      d => s"datediff('day', DATE '1970-01-01', $d)", "events"),
+
+    "agg_runs_test" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_c
+        |  FROM e GROUP BY user_id),
+        |s AS (
+        |  SELECT e.user_id, e.event_id,
+        |    CASE WHEN e.cents > m.med_c THEN 1 ELSE 0 END AS hi
+        |  FROM e JOIN m USING (user_id)),
+        |r AS (
+        |  SELECT user_id, hi,
+        |    CASE WHEN lag(hi, 1) OVER w IS NULL
+        |      OR lag(hi, 1) OVER w <> hi THEN 1 ELSE 0 END AS brk
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |g AS (
+        |  SELECT user_id, CAST(sum(hi) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - hi) AS BIGINT) AS n_low,
+        |    CAST(sum(brk) AS BIGINT) AS n_runs
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, n_above, n_low, n_runs,
+        |  CAST((1000 * n_runs * (n_above + n_low)) //
+        |    ((n_above + n_low) + 2 * n_above * n_low) AS BIGINT)
+        |    AS ratio_pm
+        |FROM g ORDER BY user_id""".stripMargin
   )
 }
