@@ -337,6 +337,37 @@ object ScanOps extends OpPack {
           count(lit(1)).as("n_rows"))
     }),
 
+    // NULL-COUNT file statistics through the graft-manifest connector
+    // (Iceberg's null_value_counts at single-document scale): every
+    // committed file records per-column null counts, so IS NULL scans
+    // skip null-free files, IS NOT NULL scans skip all-null files —
+    // BEFORE planning, on columns of ANY type (zone maps only cover
+    // integrals) — and COUNT(col) answers from the manifest alone on
+    // delete-free chains (zero data files opened; ManifestSinkSpec
+    // proves it by corrupting every data file first). The write below
+    // range-splits on o_orderstatus so the derived nullable column is
+    // all-null in some files and null-free in others; the oracle
+    // recomputes from the original parquet, proving pruning loses
+    // nothing.
+    "sink_manifest_nullcount" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-nullcount"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderstatus") === "F",
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("done_cents"))
+        .repartitionByRange(4, col("o_orderstatus"), col("o_orderkey"))
+        .write.mode("overwrite").format("graft-manifest").save(scratch)
+      val t = s.read.format("graft-manifest").load(scratch)
+      t.filter(col("done_cents").isNotNull)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("done_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Column pruning through the graft-manifest connector: the paged
     // COLUMNAR file layout + SupportsPushDownRequiredColumns turn a
     // 2-of-6-column read into genuinely skipped bytes (the reader
@@ -1450,6 +1481,19 @@ object ScanOps extends OpPack {
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
         |  count(*) AS n_rows
         |FROM orders""".stripMargin,
+
+    "sink_manifest_nullcount" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN
+        |      CAST(round(o_totalprice * 100) AS BIGINT) END
+        |      AS done_cents
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(done_cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key
+        |FROM d WHERE done_cents IS NOT NULL
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "sink_manifest_pruned" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -168,6 +168,16 @@ object ManifestSink {
     * lower_bounds/upper_bounds at single-document scale. */
   final case class ColStat(col: String, min: Long, max: Long)
 
+  /** Per-file NULL count for one column (ANY type — unlike zone maps,
+    * null counts are type-agnostic): Iceberg's null_value_counts at
+    * single-document scale. Two prunes fall out, both safe under
+    * row-level deletes (deletes only remove rows, so "no nulls" and
+    * "all null" both survive masking): `IS NULL` skips files with
+    * n = 0, `IS NOT NULL` skips files whose every row is null — and
+    * COUNT(col) answers from the manifest alone on delete-free
+    * chains. */
+  final case class ColNull(col: String, n: Long)
+
   /** Per-file bloom filter for one column, declared at write time via
     * `.option("bloomFilterColumns", "a,b")` — the file-skip structure
     * for POINT lookups on scattered keys, the case zone maps
@@ -303,7 +313,8 @@ object ManifestSink {
       stats: Seq[ColStat] = Nil, schemaDdl: Option[String] = None,
       part: Option[Long] = None, pspec: Option[String] = None,
       blooms: Seq[ColBloom] = Nil, deletes: Seq[DelFile] = Nil,
-      seq: Option[Long] = None, colIds: Option[Seq[ColId]] = None) {
+      seq: Option[Long] = None, colIds: Option[Seq[ColId]] = None,
+      nulls: Seq[ColNull] = Nil) {
     /** Live rows after merge-on-read POSITIONAL deletes — exact,
       * because delete files on one entry never overlap. (Equality
       * deletes are not counted here: their match count is unknown
@@ -376,6 +387,7 @@ object ManifestSink {
               schemaDdl = ddl,
               stats = e.stats.map(s => s.copy(col = cur(s.col))),
               blooms = e.blooms.map(b => b.copy(col = cur(b.col))),
+              nulls = e.nulls.map(x => x.copy(col = cur(x.col))),
               pspec = e.pspec.map { ps =>
                 val spec = parsePartSpec(ps)
                 val t = cur(spec.col)
@@ -569,13 +581,28 @@ object ManifestSink {
     }
   }
 
+  /** Conservative null-count test: may `f` match any row of a file
+    * with these null counts? Entries without the column's count (old
+    * manifests, evolved schemas) answer true. Safe under row-level
+    * deletes: deletes only remove rows, so a file with zero nulls
+    * still has zero nulls, and an all-null file stays all-null. */
+  def nullsMayMatch(e: Entry, f: sources.Filter): Boolean = f match {
+    case sources.IsNull(c) =>
+      e.nulls.find(_.col == c).forall(_.n > 0)
+    case sources.IsNotNull(c) =>
+      e.nulls.find(_.col == c).forall(_.n < e.rows)
+    case sources.And(l, r) => nullsMayMatch(e, l) && nullsMayMatch(e, r)
+    case _ => true
+  }
+
   /** May this manifest entry's file contain any row matching every
     * pushed filter? Zone maps AND the file's own partition transform
     * both get a veto; either answering "provably empty" skips the
     * file. An unparseable/absent pspec never prunes (conservative). */
   def entryMayMatch(e: Entry, filters: Seq[sources.Filter]): Boolean =
     filters.forall(f => mayMatch(e.stats, f)) &&
-      filters.forall(f => bloomMayMatch(e.blooms, f)) && {
+      filters.forall(f => bloomMayMatch(e.blooms, f)) &&
+      filters.forall(f => nullsMayMatch(e, f)) && {
       (e.pspec, e.part) match {
         case (Some(ps), Some(p)) =>
           try {
@@ -1385,6 +1412,12 @@ object ManifestSink {
           val o = ci.addObject(); o.put("name", c.name); o.put("id", c.id)
         }
       }
+      if (e.nulls.nonEmpty) {
+        val nl = n.putArray("nulls")
+        e.nulls.foreach { c =>
+          val o = nl.addObject(); o.put("col", c.col); o.put("n", c.n)
+        }
+      }
     }
     if (m.colIds.nonEmpty) {
       val ci = root.putArray("colIds")
@@ -1445,6 +1478,11 @@ object ManifestSink {
         Some(n.get("colIds").elements().asScala.map(o =>
           ColId(o.get("name").asText(), o.get("id").asInt())).toSeq)
       else None
+      val nulls = if (n.has("nulls"))
+        n.get("nulls").elements().asScala.map { o =>
+          ColNull(o.get("col").asText(), o.get("n").asLong())
+        }.toSeq
+      else Nil
       Entry(n.get("name").asText(), n.get("rows").asLong(),
         n.get("crc").asLong(), stats,
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
@@ -1452,7 +1490,7 @@ object ManifestSink {
         if (n.has("pspec")) Some(n.get("pspec").asText()) else None,
         blooms, deletes,
         if (n.has("seq")) Some(n.get("seq").asLong()) else None,
-        entryColIds)
+        entryColIds, nulls)
     }.toSeq
     val v = if (root.has("version")) root.get("version").asLong() else 0L
     val eqDeletes = if (root.has("eqDeletes"))
@@ -1663,6 +1701,14 @@ final class ManifestTable(tableSchema: StructType, path: String,
           case mx: Max => colOf(mx.column()).filter(statable)
             .map(c => ManifestAggScan.Spec("max", c,
               tableSchema(c).dataType))
+          // COUNT(col) = Σ (rows − null_count(col)) — any column TYPE
+          // qualifies (null counts are type-agnostic), but only on
+          // delete-free chains with the count durable in every entry.
+          case ct: org.apache.spark.sql.connector.expressions.aggregate
+              .Count if !ct.isDistinct =>
+            colOf(ct.column())
+              .filter(c => tableSchema.fieldNames.contains(c))
+              .map(c => ManifestAggScan.Spec("countcol", c, LongType))
           case _ => None
         }
         if (specs.exists(_.isEmpty)) return None
@@ -1670,13 +1716,23 @@ final class ManifestTable(tableSchema: StructType, path: String,
         val m = ManifestSink.readRef(path, asOf, branchOpt, tagOpt)
         if (m.eqDeletes.nonEmpty) return None
         val minMaxCols = s.collect {
-          case sp if sp.kind != "count" => sp.col
+          case sp if sp.kind == "min" || sp.kind == "max" => sp.col
         }
         if (minMaxCols.nonEmpty) {
           val ok = m.files.forall(e =>
             e.deletes.isEmpty && e.liveRows == e.rows) &&
             minMaxCols.forall(c =>
               m.files.forall(e => e.stats.exists(_.col == c)))
+          if (!ok) return None
+        }
+        val countCols = s.collect {
+          case sp if sp.kind == "countcol" => sp.col
+        }
+        if (countCols.nonEmpty) {
+          val ok = m.files.forall(e =>
+            e.deletes.isEmpty && e.liveRows == e.rows) &&
+            countCols.forall(c =>
+              m.files.forall(e => e.nulls.exists(_.col == c)))
           if (!ok) return None
         }
         Some(s)
@@ -2118,6 +2174,7 @@ final class ManifestFileWriter(schema: StructType, path: String,
   private val statMin = Array.fill(schema.length)(Long.MaxValue)
   private val statMax = Array.fill(schema.length)(Long.MinValue)
   private val statSeen = Array.fill(schema.length)(false)
+  private val nullCnt = new Array[Long](schema.length)
   // per-file bloom accumulators for the declared columns: integral
   // shapes key on the same physical Long the zone maps carry, strings
   // on FNV-1a64 of the UTF-8 bytes (nulls never enter a bloom)
@@ -2157,6 +2214,7 @@ final class ManifestFileWriter(schema: StructType, path: String,
       val b = u.getBytes
       colOuts(i).writeInt(b.length)
       colOuts(i).write(b)
+      if (record.isNullAt(i)) nullCnt(i) += 1
       if (statGet(i) != null && !record.isNullAt(i)) {
         val v = statGet(i)(record)
         if (v < statMin(i)) statMin(i) = v
@@ -2227,8 +2285,10 @@ final class ManifestFileWriter(schema: StructType, path: String,
     val blooms = bloomCols.indices.map(bi =>
       ManifestSink.ColBloom(bloomCols(bi), ManifestSink.BloomK, bloomBits,
         bloomData(bi)))
+    val nulls = schema.fields.indices.map(i =>
+      ManifestSink.ColNull(schema(i).name, nullCnt(i)))
     ManifestSink.Entry(name, rows, fileCrc.getValue, stats, None, part,
-      pspec, blooms)
+      pspec, blooms, nulls = nulls)
   }
 
   def abortDelete(): Unit = { out.close(); file.delete() }
@@ -2815,7 +2875,7 @@ final class ManifestAggScan(path: String, asOfVersion: Option[Long],
   override def readSchema(): StructType = StructType(specs.map { s =>
     org.apache.spark.sql.types.StructField(
       if (s.kind == "count") "count_star" else s"${s.kind}_${s.col}",
-      s.dt, nullable = s.kind != "count")
+      s.dt, nullable = s.kind != "count" && s.kind != "countcol")
   })
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -2842,6 +2902,8 @@ final class ManifestAggScan(path: String, asOfVersion: Option[Long],
           decode(dt,
             m.files.flatMap(_.stats.find(_.col == c)).map(_.max)
               .maxOption)
+        case ManifestAggScan.Spec("countcol", c, _) =>
+          m.files.map(e => e.rows - e.nulls.find(_.col == c).get.n).sum
         case sp => throw new IllegalStateException(
           s"graft-manifest: unplannable pushed aggregate $sp")
       }

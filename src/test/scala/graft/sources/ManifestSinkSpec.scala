@@ -1456,4 +1456,68 @@ class ManifestSinkSpec extends AnyFunSuite {
     // grouping declines
     intercept[Exception] { df.groupBy($"s").agg(min($"k")).collect() }
   }
+
+  test("null-count stats prune IS NULL / IS NOT NULL reads and push COUNT(col)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = scratch("nullcount")
+    // three files: all-null s, mixed s, null-free s (any-type column —
+    // strings get no zone map but DO get a null count)
+    Seq((1L, null: String), (2L, null: String)).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").format("graft-manifest")
+      .save(dir)
+    Seq((3L, "x"), (4L, null: String)).toDF("k", "s").coalesce(1)
+      .write.mode("append").format("graft-manifest").save(dir)
+    Seq((5L, "y"), (6L, "z")).toDF("k", "s").coalesce(1)
+      .write.mode("append").format("graft-manifest").save(dir)
+    val entries = ManifestSink.readManifest(dir).files
+    assert(entries.size === 3)
+    assert(entries.forall(_.nulls.exists(_.col == "s")))
+    assert(entries.map(_.nulls.find(_.col == "s").get.n).sorted
+      === Seq(0L, 1L, 2L))
+    def planned(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b
+      }.head.inputRDD.getNumPartitions
+    val df = spark.read.format("graft-manifest").load(dir)
+    // IS NULL skips the null-free file; IS NOT NULL skips the
+    // all-null file — and neither prune changes the answer
+    val qn = df.filter($"s".isNull)
+    assert(planned(qn) === 2, "IS NULL must skip the null-free file")
+    assert(qn.select($"k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 4L))
+    val qnn = df.filter($"s".isNotNull)
+    assert(planned(qnn) === 2, "IS NOT NULL must skip the all-null file")
+    assert(qnn.select($"k").as[Long].collect().sorted.toSeq ===
+      Seq(3L, 5L, 6L))
+    // COUNT(col) answers from the manifest alone: corrupt every data
+    // file — the pushed answer must not notice…
+    new File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .foreach(f => Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    assert(spark.read.format("graft-manifest").load(dir)
+      .agg(count($"s"), count(lit(1))).collect()(0) === Row(3L, 6L))
+    // …while COUNT(DISTINCT col) needs the values → data path, loud
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir)
+        .agg(countDistinct($"s")).collect()
+    }
+    // a live positional delete declines COUNT(col) (per-file null
+    // counts no longer match the masked rows) → data path, loud
+    val dir2 = scratch("nullcount-del")
+    Seq((1L, "a"), (2L, null: String), (3L, "c")).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").format("graft-manifest")
+      .save(dir2)
+    ManifestSink.delete(spark, dir2, "k = 1")
+    assert(spark.read.format("graft-manifest").load(dir2)
+      .agg(count($"s")).as[Long].collect()(0) === 1L)
+    new File(dir2).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix))
+      .foreach(f => Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(dir2)
+        .agg(count($"s")).collect()
+    }
+  }
 }
