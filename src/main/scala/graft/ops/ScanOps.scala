@@ -1340,6 +1340,30 @@ object ScanOps extends OpPack {
         .orderBy(col("day"))
     }),
 
+    // The `partitions` METADATA table (Iceberg's partitions table at
+    // single-document scale): one row per live partition value with
+    // file/row/delete tallies, driver-computed from the manifest —
+    // the layout census a compaction or retention planner reads on a
+    // 100 TB table with ZERO data files opened. The write aligns
+    // tasks with days, so the oracle's literal n_files = 1 per day
+    // doubles as a layout pin: one day, one task, one file.
+    "sink_manifest_partitions" -> ((s, dir) => {
+      val scratch =
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-partmeta"
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .repartition(expr("CAST(ts AS DATE)"))
+        .write.mode("overwrite").format("graft-manifest")
+        .option("partitionedBy", "days(ts)").save(scratch)
+      s.read.format("graft-manifest").option("metadata", "partitions")
+        .load(scratch)
+        .select(
+          expr("date_add(DATE '1970-01-01', CAST(part AS INT))")
+            .as("day"),
+          col("n_files"), col("n_rows"), col("n_live"))
+        .orderBy(col("day"))
+    }),
+
     // Bucket partitioning on the manifest sink: `bucket(8, key)`
     // hash-scatters rows at write time and equality/IN predicates
     // prune to the literal's bucket at read time — the pruning case
@@ -1865,6 +1889,12 @@ object ScanOps extends OpPack {
         |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY day
         |ORDER BY day""".stripMargin,
+
+    "sink_manifest_partitions" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_live
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "sink_manifest_bucket" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal

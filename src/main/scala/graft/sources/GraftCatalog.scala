@@ -88,7 +88,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // namespace path IS a table, serve its metadata table (driver-
       // computed from the manifests, zero data files opened).
       if ((ident.name() == "files" || ident.name() == "history" ||
-          ident.name() == "refs") &&
+          ident.name() == "refs" || ident.name() == "partitions") &&
           ident.namespace().length >= 1) {
         val parent = tableDir(Identifier.of(
           ident.namespace().dropRight(1), ident.namespace().last))

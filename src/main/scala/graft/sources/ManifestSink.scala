@@ -3348,9 +3348,15 @@ object ManifestMetadataTable {
     case "refs" => StructType.fromDDL(
       "ref_name STRING, ref_type STRING, version BIGINT, " +
         "n_files BIGINT, n_live BIGINT")
+    // the Iceberg `partitions` metadata table: one row per live
+    // partition value — the layout census a 100 TB compaction/
+    // retention planner reads without opening a data file
+    case "partitions" => StructType.fromDDL(
+      "pspec STRING, part BIGINT, n_files BIGINT, n_rows BIGINT, " +
+        "n_live BIGINT, n_delete_files BIGINT")
     case other => throw new IllegalArgumentException(
       s"graft-manifest: unknown metadata table '$other' — " +
-        "expected files, history or refs")
+        "expected files, history, refs or partitions")
   }
 
   def rowsFor(path: String, kind: String,
@@ -3408,6 +3414,18 @@ object ManifestMetadataTable {
           }
         }
       (base ++ named).sortBy(r => (r(1).toString, r(0).toString))
+    case "partitions" =>
+      ManifestSink.readAsOf(path, asOf).files
+        .groupBy(e => (e.pspec, e.part))
+        .toSeq
+        .sortBy { case ((ps, pv), _) =>
+          (ps.getOrElse(""), pv.getOrElse(Long.MinValue)) }
+        .map { case ((ps, pv), es) =>
+          Seq[Any](ps.orNull, pv.map(Long.box).orNull,
+            es.size.toLong, es.map(_.rows).sum,
+            es.map(_.liveRows).sum,
+            es.map(_.deletes.size.toLong).sum)
+        }
     case other => throw new IllegalArgumentException(
       s"graft-manifest: unknown metadata table '$other'")
   }

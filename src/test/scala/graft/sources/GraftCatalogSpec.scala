@@ -517,6 +517,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(refs.toSeq === Seq(("main", "base", 3L), ("b1", "branch", 3L),
       ("t1", "tag", 3L)))
+    // the partitions metadata table: one row per live partition value
+    // (unpartitioned table → a single NULL-spec row with full tallies)
+    val parts = spark.sql(
+      "SELECT pspec, part, n_files, n_rows, n_live FROM g.db.mt.partitions")
+      .collect()
+    assert(parts.length === 1)
+    assert(parts(0).isNullAt(0) && parts(0).isNullAt(1))
+    assert(parts(0).getLong(3) === 3L && parts(0).getLong(4) === 3L)
     // unknown metadata suffix on a real table is still no-such-table
     intercept[Exception] { spark.sql("SELECT * FROM g.db.mt.nope").collect() }
     spark.sql("DROP TABLE g.db.mt")
