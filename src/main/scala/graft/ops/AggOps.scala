@@ -349,6 +349,39 @@ object AggOps extends OpPack {
         .orderBy(col("col_name"))
     }),
 
+    // Storage-footprint profile per column (the byte budget that
+    // drives projection and layout decisions — diag_profile answers
+    // "what values", this answers "what does each column COST to
+    // scan": a 100 TB projection plan starts from exactly this
+    // table). Strings cost their character count (testdata is ASCII
+    // — declared chars≡bytes rule), fixed-width numerics/timestamps
+    // cost 8 bytes per non-null. One scan, six map-side-combined
+    // 1-row aggregate legs unioned into a long-format frame;
+    // avg_milli_bytes rides DECIMAL(38,0) (byte totals at 100 TB
+    // overflow int64 under the ·1000 product).
+    "diag_column_footprint" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      def strLeg(cn: String) =
+        ev.agg(count(lit(1)).as("n_rows"),
+          count(col(cn)).as("n_nonnull"),
+          sum(length(col(cn)).cast("long")).as("total_bytes"))
+          .withColumn("col_name", lit(cn))
+      def fixLeg(cn: String) =
+        ev.agg(count(lit(1)).as("n_rows"),
+          count(col(cn)).as("n_nonnull"),
+          (count(col(cn)) * 8).as("total_bytes"))
+          .withColumn("col_name", lit(cn))
+      Seq(fixLeg("event_id"), fixLeg("ts"), fixLeg("user_id"),
+        strLeg("event_type"), fixLeg("value"), strLeg("props"))
+        .reduce(_ unionByName _)
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("total_bytes"),
+          expr("CAST((CAST(total_bytes AS DECIMAL(38,0)) * 1000) " +
+            "div greatest(n_nonnull, 1) AS BIGINT)")
+            .as("avg_milli_bytes"))
+        .orderBy(col("col_name"))
+    }),
+
     // Distribution-drift monitor (the chi-square cousin of PSI, in
     // pure integers — PSI's ln() has no cross-engine-exact form):
     // order totals bucketed at $5000 (agg_hist's grid), split into
@@ -1415,6 +1448,32 @@ object AggOps extends OpPack {
         |    AS impurity_ppm
         |FROM per JOIN top ON per.source = top.source
         |ORDER BY per.source""".stripMargin,
+
+    "diag_column_footprint" ->
+      """WITH legs AS (
+        |  SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |    count(event_id) AS n_nonnull,
+        |    count(event_id) * 8 AS total_bytes FROM events
+        |  UNION ALL
+        |  SELECT 'ts', count(*), count(ts), count(ts) * 8 FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(user_id),
+        |    count(user_id) * 8 FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', count(*), count(event_type),
+        |    sum(length(event_type)) FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(value), count(value) * 8
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props', count(*), count(props), sum(length(props))
+        |  FROM events)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes,
+        |  CAST((CAST(total_bytes AS HUGEINT) * 1000)
+        |    // greatest(n_nonnull, 1) AS BIGINT) AS avg_milli_bytes
+        |FROM legs ORDER BY col_name""".stripMargin,
 
     "diag_profile" ->
       """WITH t AS (

@@ -79,6 +79,36 @@ object GeoOps extends OpPack {
         .orderBy(col("cx"), col("cy"))
     }),
 
+    // Multi-resolution quadkey roll-up (the Bing-maps tile-pyramid
+    // index: one STRING key whose prefixes ARE the coarser tiles, so
+    // a zoom-out is a substring, never a re-scan of the geometry):
+    // each point maps to its depth-5 quadkey over the 2¹⁴-unit plane
+    // (digit_i = 2·bit_i(x) + bit_i(y), top bit first — pure integer
+    // div/mod, identical both engines), counts per depth-5 tile, and
+    // each tile's share of its depth-3 parent in permille via a
+    // window over the BOUNDED ≤4⁵-tile frame. At 100 TB the scan is
+    // narrow (two div/mod chains + concat), the agg is map-side
+    // combined into ≤1024 groups, and every coarser zoom level is a
+    // prefix aggregate of this one output — the pyramid costs one
+    // scan, not one per level.
+    "geo_quadkey" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val digit = (p: Int) =>
+        s"CAST(2 * ((x div $p) % 2) + ((y div $p) % 2) AS STRING)"
+      val qk5 = (1 to 5).map(i => digit(1 << (14 - i)))
+        .mkString("concat(", ", ", ")")
+      points(s, dir)
+        .withColumn("qk5", expr(qk5))
+        .groupBy(col("qk5"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("qk3", substring(col("qk5"), 1, 3))
+        .withColumn("n_parent",
+          sum(col("n")).over(Window.partitionBy(col("qk3"))))
+        .select(col("qk5"), col("qk3"), col("n"), col("n_parent"),
+          expr("(n * 1000) div n_parent").as("share_pm"))
+        .orderBy(col("qk5"))
+    }),
+
     // Within-distance spatial SELF-join (L2 <= D): customers md5-placed
     // on a 4000×4000 plane, pairs closer than D=60. Cell size == D, so
     // any qualifying pair sits in the same or an adjacent cell: side A
@@ -615,6 +645,29 @@ object GeoOps extends OpPack {
          |  ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
          |GROUP BY box_id
          |ORDER BY box_id""".stripMargin,
+
+    "geo_quadkey" ->
+      s"""WITH $ptsSql,
+         |k AS (
+         |  SELECT
+         |    CAST(2 * ((x // 8192) % 2) + ((y // 8192) % 2) AS VARCHAR)
+         |    || CAST(2 * ((x // 4096) % 2) + ((y // 4096) % 2) AS VARCHAR)
+         |    || CAST(2 * ((x // 2048) % 2) + ((y // 2048) % 2) AS VARCHAR)
+         |    || CAST(2 * ((x // 1024) % 2) + ((y // 1024) % 2) AS VARCHAR)
+         |    || CAST(2 * ((x // 512) % 2) + ((y // 512) % 2) AS VARCHAR)
+         |      AS qk5
+         |  FROM pts),
+         |g AS (
+         |  SELECT qk5, count(*) AS n FROM k GROUP BY qk5),
+         |w AS (
+         |  SELECT qk5, substring(qk5, 1, 3) AS qk3,
+         |    CAST(n AS BIGINT) AS n,
+         |    CAST(sum(n) OVER (PARTITION BY substring(qk5, 1, 3))
+         |      AS BIGINT) AS n_parent
+         |  FROM g)
+         |SELECT qk5, qk3, n, n_parent,
+         |  CAST((n * 1000) // n_parent AS BIGINT) AS share_pm
+         |FROM w ORDER BY qk5""".stripMargin,
 
     "geo_grid_density" ->
       s"""WITH $ptsSql

@@ -134,9 +134,85 @@ object HierOps extends OpPack {
           expr("CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) " +
             "div total_cents AS BIGINT)").as("total_share_ppm"))
         .orderBy(col("path"))
+    }),
+
+    // Lowest common ancestor over the dimension tree (the
+    // "nearest shared rollup level" question a drill-across query
+    // plans with): nodes are the (region/nation/segment) leaves that
+    // actually occur in customer data; each explodes to its ancestor
+    // PATHS (ROOT, region, region/nation, full leaf path — paths,
+    // not bare names, so the ancestor key is globally unique), pairs
+    // join on shared ancestors and keep the DEEPEST one
+    // (max_by(anc, depth) — depth is unique per ancestor within a
+    // pair, so the argmax is deterministic); tree distance falls out
+    // as 6 − 2·lca_depth (leaves sit at depth 3). SCALE: facts pay
+    // ONE distinct-combo hash agg; the ancestor/pair frames are
+    // dimension-bounded (≤125 leaves, ≤500 ancestor rows, ≤7750
+    // pairs) at any fact volume — the closure-explode LCA pattern
+    // never touches the fact table again.
+    "hier_lca" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val leaf = Tables(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_mktsegment"))
+        .distinct()
+        .withColumn("node_id", concat_ws("/", col("r_name"),
+          col("n_name"), col("c_mktsegment")))
+      val anc = leaf.select(col("node_id"), lit(0).as("depth"),
+          lit("ROOT").as("anc"))
+        .unionByName(leaf.select(col("node_id"), lit(1).as("depth"),
+          col("r_name").as("anc")))
+        .unionByName(leaf.select(col("node_id"), lit(2).as("depth"),
+          concat_ws("/", col("r_name"), col("n_name")).as("anc")))
+        .unionByName(leaf.select(col("node_id"), lit(3).as("depth"),
+          col("node_id").as("anc")))
+      val a = anc.select(col("node_id").as("node_a"), col("depth"),
+        col("anc"))
+      val b = anc.select(col("node_id").as("node_b"),
+        col("depth").as("depth_b"), col("anc"))
+      a.join(b, Seq("anc"))
+        .filter(col("node_a") < col("node_b") &&
+          col("depth") === col("depth_b"))
+        .groupBy(col("node_a"), col("node_b"))
+        .agg(max(col("depth")).as("lca_depth"),
+          expr("max_by(anc, depth)").as("lca"))
+        .select(col("node_a"), col("node_b"), col("lca"),
+          col("lca_depth").cast("int").as("lca_depth"),
+          (lit(6) - col("lca_depth") * 2).cast("int").as("dist"))
+        .orderBy(col("node_a"), col("node_b"))
     }))
 
   def oracle: Map[String, String] = Map(
+    "hier_lca" ->
+      """WITH leaf AS (
+        |  SELECT DISTINCT r.r_name, n.n_name, c.c_mktsegment,
+        |    concat_ws('/', r.r_name, n.n_name, c.c_mktsegment)
+        |      AS node_id
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |anc AS (
+        |  SELECT node_id, 0 AS depth, 'ROOT' AS anc FROM leaf
+        |  UNION ALL
+        |  SELECT node_id, 1, r_name FROM leaf
+        |  UNION ALL
+        |  SELECT node_id, 2, concat_ws('/', r_name, n_name) FROM leaf
+        |  UNION ALL
+        |  SELECT node_id, 3, node_id FROM leaf)
+        |SELECT a.node_id AS node_a, b.node_id AS node_b,
+        |  arg_max(a.anc, a.depth) AS lca,
+        |  CAST(max(a.depth) AS INT) AS lca_depth,
+        |  CAST(6 - 2 * max(a.depth) AS INT) AS dist
+        |FROM anc a JOIN anc b
+        |  ON a.anc = b.anc AND a.depth = b.depth
+        |  AND a.node_id < b.node_id
+        |GROUP BY a.node_id, b.node_id
+        |ORDER BY node_a, node_b""".stripMargin,
     "hier_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT 'ROOT' AS parent, r_name AS child FROM region

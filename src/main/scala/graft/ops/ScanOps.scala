@@ -738,6 +738,62 @@ object ScanOps extends OpPack {
       expired.unionAll(cur).unionAll(fresh).orderBy("step")
     }),
 
+    // Orphan-file cleanup (Iceberg's `remove_orphan_files` — the
+    // third maintenance verb beside count-based vacuum and time-based
+    // expire_snapshots): a failed job's files land in the table dir
+    // but are never committed, so NO retention sweep ever touches
+    // them (sweeps walk manifests; these are in no manifest). Build a
+    // 2-file table, plant 3 strays (2 aged = failed commit days ago,
+    // 1 fresh = in-flight write happening NOW), then: dry run finds
+    // the 2 aged (mtime guard spares the fresh one — Iceberg's
+    // default posture, deleting an in-flight write corrupts the
+    // commit that's about to publish it), real run deletes exactly
+    // them, and the table reads back byte-identical (the oracle
+    // recomputes it from the source). O(listing + manifest metadata)
+    // at any table size — never reads a data byte.
+    "sink_manifest_orphans" -> ((s, dir) => {
+      import graft.sources.ManifestSink
+      import java.nio.file.{Files, Paths}
+      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/orphans-sink"
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(sink))
+      Tables(s, dir, "orders").select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("k") % 2 === 0).repartition(2)
+        .write.format("graft-manifest").mode("overwrite").save(sink)
+      val committed = new java.io.File(sink).listFiles()
+        .filter(_.getName.endsWith(ManifestSink.DataSuffix)).head
+      val aged = System.currentTimeMillis() - 2 * 86400000L
+      def stray(name: String, old: Boolean): Unit = {
+        Files.copy(committed.toPath, Paths.get(sink, name)): Unit
+        if (old) assert(new java.io.File(sink, name).setLastModified(aged))
+      }
+      stray("stray-a" + ManifestSink.DataSuffix, old = true)
+      stray("stray-b" + ManifestSink.DelSuffix, old = true)
+      stray("stray-c" + ManifestSink.DataSuffix, old = false) // in-flight
+      def nFiles() = new java.io.File(sink).listFiles()
+        .count(f => f.getName.endsWith(ManifestSink.DataSuffix) ||
+          f.getName.endsWith(ManifestSink.DelSuffix)).toLong
+      val cutoff = System.currentTimeMillis() - 3600000L
+      val dry = ManifestSink.removeOrphans(sink, cutoff, dryRun = true)
+      val row1 = s.range(1).selectExpr("'1_dry' AS step",
+        s"CAST(${dry.length} AS BIGINT) AS a", "CAST(0 AS BIGINT) AS b",
+        s"CAST(${nFiles()} AS BIGINT) AS c")
+      val gone = ManifestSink.removeOrphans(sink, cutoff, dryRun = false)
+      val row2 = s.range(1).selectExpr("'2_removed' AS step",
+        s"CAST(${gone.length} AS BIGINT) AS a",
+        s"CAST(${gone.length} AS BIGINT) AS b",
+        s"CAST(${nFiles()} AS BIGINT) AS c")
+      val row3 = s.read.format("graft-manifest").load(sink)
+        .selectExpr("'3_current' AS step", "count(*) AS a",
+          "CAST(sum(cents) AS BIGINT) AS b", "max(k) AS c")
+      row1.unionAll(row2).unionAll(row3).orderBy("step")
+    }),
+
     // NAMED IMMUTABLE snapshot TAGS (the Iceberg tag beside the WAP
     // branch — "the snapshot we trained release N on", pinned by name
     // instead of a version number someone has to remember): v1 is
@@ -1821,6 +1877,21 @@ object ScanOps extends OpPack {
         |SELECT '3_asof_fresh', count(*), CAST(sum(cents) AS BIGINT),
         |  max(k)
         |FROM base WHERE k % 3 = 1
+        |ORDER BY step""".stripMargin,
+
+    "sink_manifest_orphans" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT '1_dry' AS step, CAST(2 AS BIGINT) AS a,
+        |  CAST(0 AS BIGINT) AS b, CAST(5 AS BIGINT) AS c
+        |UNION ALL
+        |SELECT '2_removed', 2, 2, 3
+        |UNION ALL
+        |SELECT '3_current', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM src
         |ORDER BY step""".stripMargin,
 
     "sink_manifest_refs" ->

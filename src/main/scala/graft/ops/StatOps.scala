@@ -72,6 +72,45 @@ object StatOps extends OpPack {
         .orderBy(col("event_type"), col("wd"))
     }),
 
+    // Cramér's V effect size (the NORMALIZED cousin of agg_chi2_assoc:
+    // chi² says "dependent or not", V says "how strongly", comparable
+    // across tables of different size and shape) between order status
+    // and priority. Same exact integer doctrine as chi2_assoc:
+    // expected = row·col div N (truncated identically both engines),
+    // per-cell term in micro-units, then V²_ppm = Σterms div (N·k)
+    // with k = min(r−1, c−1) — all on DECIMAL(38,0)/HUGEINT so the
+    // squared deviations survive 10¹³-row tables. ONE ≤15-cell hash
+    // agg; margins and the roll-up are windows/aggs on that bounded
+    // cell frame (declared partition-less-window contract). A single-
+    // category side (k = 0) is declared NULL.
+    "agg_cramers_v" -> ((s, dir) => {
+      val cells = Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("n_row",
+          sum(col("n")).over(Window.partitionBy(col("st"))))
+        .withColumn("n_col",
+          sum(col("n")).over(Window.partitionBy(col("pri"))))
+        .withColumn("n_tot", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("e", expr(
+          "(CAST(n_row AS DECIMAL(38,0)) * n_col) div n_tot"))
+        .withColumn("term_micro", expr(
+          "(CAST(n - e AS DECIMAL(38,0)) * (n - e) * 1000000) " +
+            "div greatest(e, 1)"))
+        .agg(max(col("n_tot")).as("n_rows"),
+          countDistinct(col("st")).as("n_r"),
+          countDistinct(col("pri")).as("n_c"),
+          sum(col("term_micro")).as("chi2_micro"))
+        .select(col("n_rows"), col("n_r"), col("n_c"),
+          expr("CAST(chi2_micro AS BIGINT)").as("chi2_micro"),
+          expr("CAST(CAST(chi2_micro AS DECIMAL(38,0)) div " +
+            "(CAST(n_rows AS DECIMAL(38,0)) * " +
+            "nullif(least(n_r - 1, n_c - 1), 0)) AS BIGINT)")
+            .as("v2_ppm"))
+    }),
+
     // Two-feature OLS in EXACT integer arithmetic (agg_regression is
     // the single-feature sibling): per-user features x1 = even-event
     // spend (whole dollars — dollar granularity keeps the Cramer
@@ -985,6 +1024,36 @@ object StatOps extends OpPack {
         |  CAST((CAST(n - expected AS HUGEINT) * (n - expected) * 1000)
         |    // greatest(expected, 1) AS BIGINT) AS chi2_term_milli
         |FROM x ORDER BY event_type, wd""".stripMargin,
+
+    "agg_cramers_v" ->
+      """WITH cell AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT st, pri, CAST(n AS BIGINT) AS n,
+        |    CAST(sum(n) OVER (PARTITION BY st) AS BIGINT) AS n_row,
+        |    CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS n_col,
+        |    CAST(sum(n) OVER () AS BIGINT) AS n_tot
+        |  FROM cell),
+        |x AS (
+        |  SELECT st, pri, n, n_tot,
+        |    CAST((CAST(n_row AS HUGEINT) * n_col) // n_tot AS HUGEINT)
+        |      AS e
+        |  FROM m),
+        |t AS (
+        |  SELECT max(n_tot) AS n_rows,
+        |    count(DISTINCT st) AS n_r,
+        |    count(DISTINCT pri) AS n_c,
+        |    sum((CAST(n - e AS HUGEINT) * (n - e) * 1000000)
+        |      // greatest(e, 1)) AS chi2_micro
+        |  FROM x)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_r AS BIGINT) AS n_r, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(chi2_micro AS BIGINT) AS chi2_micro,
+        |  CAST(CAST(chi2_micro AS HUGEINT) // (CAST(n_rows AS HUGEINT)
+        |    * nullif(least(n_r - 1, n_c - 1), 0)) AS BIGINT) AS v2_ppm
+        |FROM t""".stripMargin,
 
     "agg_corr_pairs" ->
       """WITH per AS (

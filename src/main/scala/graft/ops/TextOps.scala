@@ -285,6 +285,37 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer-fertility budget per language (the per-lang aggregate
+    // a tokenizer team reads BEFORE sizing a vocab: how many subword
+    // tokens each language pays per whitespace word, and how many
+    // chars each subword carries — llm_token_count is the per-doc
+    // sibling, this is the corpus roll-up that drives vocab
+    // allocation). fertility_pm = Σbpe·1000 div Σws;
+    // chars_per_tok_milli = Σchars·1000 div Σbpe. Narrow per-row
+    // regexp counting + ONE ≤|langs|-group map-side-combined hash agg
+    // — tokenizer budgeting at 100 TB costs exactly one scan. Sums
+    // ride DECIMAL(38,0) before the ·1000 products (char totals at
+    // 100 TB overflow int64 under multiplication).
+    "llm_tokenizer_fertility" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          size(expr(s"regexp_extract_all(text, '$bpeIsh', 0)"))
+            .cast("long").as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("n_chars"),
+          expr("CAST((CAST(bpe_tokens AS DECIMAL(38,0)) * 1000) " +
+            "div ws_tokens AS BIGINT)").as("fertility_pm"),
+          expr("CAST((CAST(n_chars AS DECIMAL(38,0)) * 1000) " +
+            "div bpe_tokens AS BIGINT)").as("chars_per_tok_milli"))
+        .orderBy(col("lang"))
+    }),
+
     // Positional rolling-hash fingerprint: fp = Σ pos·(131·len(w) +
     // ascii(w)) mod 1e9+7 — order-sensitive, pure integer, identical
     // across engines.
@@ -1174,6 +1205,26 @@ object TextOps extends OpPack {
          |  CAST(n_chars // len(regexp_extract_all(text, '$bpeIsh')) AS INT)
          |    AS chars_per_tok
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_tokenizer_fertility" ->
+      s"""WITH d AS (
+         |  SELECT lang, n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text, '$bpeIsh')) AS BIGINT)
+         |      AS bpe
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM d GROUP BY lang)
+         |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+         |  CAST((bpe_tokens * 1000) // ws_tokens AS BIGINT)
+         |    AS fertility_pm,
+         |  CAST((n_chars * 1000) // bpe_tokens AS BIGINT)
+         |    AS chars_per_tok_milli
+         |FROM g ORDER BY lang""".stripMargin,
 
     // The scrubbed payload keeps its shape ('{"k": <NUM>}'), so the
     // redaction is verifiable value-by-value, not just by count.

@@ -320,15 +320,46 @@ private[sources] object GraftProcedures {
             ManifestSink.readManifest(dir).version)
         })(resolve)
 
+      case "remove_orphans" => new Proc(
+        "remove_orphans",
+        "Delete data/delete files in the table directory that no " +
+          "manifest (base, archive, branch, tag, or epoch) references " +
+          "— failed-commit leftovers retention sweeps never touch. " +
+          "`older_than` (file mtime) protects in-flight writes; " +
+          "`dry_run` reports without deleting",
+        Seq(
+          ("table", StringType, "catalog-relative namespace.table"),
+          ("older_than", TimestampType,
+            "only files last modified before this instant are touched"),
+          ("dry_run", BooleanType, "list orphans without deleting")),
+        StructType(Seq(
+          StructField("orphans_found", LongType, nullable = false),
+          StructField("files_removed", LongType, nullable = false))),
+        (resolve, in) => {
+          val dir = resolve(in.getUTF8String(0).toString)
+          val dry = in.getBoolean(2)
+          val before = countFiles(dir, ManifestSink.DataSuffix) +
+            countFiles(dir, ManifestSink.DelSuffix)
+          // TimestampType arrives as epoch MICROS
+          val found = ManifestSink.removeOrphans(dir,
+            in.getLong(1) / 1000L, dry).length.toLong
+          val after = countFiles(dir, ManifestSink.DataSuffix) +
+            countFiles(dir, ManifestSink.DelSuffix)
+          result(StructType(Seq(
+            StructField("orphans_found", LongType, nullable = false),
+            StructField("files_removed", LongType, nullable = false))),
+            found, before - after)
+        })(resolve)
+
       case other => throw new UnsupportedOperationException(
         s"graft-manifest: unknown procedure '$other' — " +
           "compact / create_branch / create_tag / drop_branch / " +
-          "drop_tag / expire_snapshots / fast_forward / rollback / " +
-          "vacuum / sweep_deletes / zorder")
+          "drop_tag / expire_snapshots / fast_forward / " +
+          "remove_orphans / rollback / vacuum / sweep_deletes / zorder")
     }
 
   val names: Seq[String] = Seq("compact", "create_branch", "create_tag",
     "drop_branch", "drop_tag",
-    "expire_snapshots", "fast_forward", "rollback", "sweep_deletes",
-    "vacuum", "zorder")
+    "expire_snapshots", "fast_forward", "remove_orphans", "rollback",
+    "sweep_deletes", "vacuum", "zorder")
 }

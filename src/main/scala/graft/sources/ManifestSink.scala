@@ -1270,6 +1270,34 @@ object ManifestSink {
       .foreach(_.delete())
   }
 
+  /** Orphan-file cleanup (Iceberg's `remove_orphan_files` verb — the
+    * third maintenance knob beside [[vacuum]]/[[expireSnapshots]]):
+    * data/delete files sitting in the table directory that NO
+    * manifest — base, archive, branch, tag, or epoch — references.
+    * These are failed-commit leftovers (a job wrote its files, died
+    * before publishing the manifest) or stray uploads; retention
+    * sweeps never touch them because they were never committed. The
+    * `olderThanMillis` mtime guard keeps an IN-FLIGHT write's
+    * not-yet-committed files safe (Iceberg's same default posture);
+    * `dryRun` lists without deleting. Returns the orphan file names
+    * found, sorted. O(listing + manifest metadata) at any table size
+    * — never reads a data byte. */
+  def removeOrphans(dir: String, olderThanMillis: Long,
+      dryRun: Boolean): Seq[String] = {
+    val referenced = listAllManifests(dir).flatMap { f =>
+      val m = readManifestFile(f)
+      m.files.map(_.name) ++ m.files.flatMap(_.deletes.map(_.name))
+    }.toSet
+    val orphans = Option(new File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => (f.getName.endsWith(DataSuffix) ||
+        f.getName.endsWith(DelSuffix)) &&
+        !referenced(f.getName) && f.lastModified() < olderThanMillis)
+      .sortBy(_.getName)
+    if (!dryRun) orphans.foreach(_.delete())
+    orphans.map(_.getName).toSeq
+  }
+
   /** TIME-based retention (Iceberg's `expire_snapshots(older_than)`
     * verb, beside the count-based [[vacuum]]): drop archived snapshot
     * manifests whose commit time — the manifest document's mtime; the

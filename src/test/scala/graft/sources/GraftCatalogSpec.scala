@@ -596,6 +596,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.ex")
   }
 
+  test("CALL remove_orphans deletes only aged unreferenced files; dry_run reports without deleting") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.orf (k BIGINT)")
+    spark.sql("INSERT INTO g.db.orf VALUES (1), (2)")
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/orf"
+    val committed = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(graft.sources.ManifestSink.DataSuffix))
+    // plant strays: one aged (failed commit), one fresh (in-flight)
+    import java.nio.file.{Files, Paths}
+    Files.copy(committed.head.toPath,
+      Paths.get(dir, "stray-old.graftrows")): Unit
+    assert(new java.io.File(dir, "stray-old.graftrows")
+      .setLastModified(System.currentTimeMillis() - 86400000L))
+    Files.copy(committed.head.toPath,
+      Paths.get(dir, "stray-new.graftrows")): Unit
+    val cut = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now().minusSeconds(3600))
+    val dry = spark.sql("CALL g.system.remove_orphans('db.orf', " +
+      s"TIMESTAMP '$cut', true)").head()
+    assert(dry.getLong(0) === 1L, "dry run finds exactly the aged stray")
+    assert(dry.getLong(1) === 0L, "dry run deletes nothing")
+    assert(new java.io.File(dir, "stray-old.graftrows").exists())
+    val real = spark.sql("CALL g.system.remove_orphans('db.orf', " +
+      s"TIMESTAMP '$cut', false)").head()
+    assert(real.getLong(0) === 1L && real.getLong(1) === 1L)
+    assert(!new java.io.File(dir, "stray-old.graftrows").exists(),
+      "aged orphan deleted")
+    assert(new java.io.File(dir, "stray-new.graftrows").exists(),
+      "fresh (in-flight) file survives the mtime guard")
+    // referenced files were never candidates; the table reads intact
+    assert(committed.forall(_.exists()))
+    assert(spark.sql("SELECT sum(k) FROM g.db.orf").head().getLong(0) === 3L)
+    spark.sql("DROP TABLE g.db.orf")
+  }
+
   test("tags: create_tag pins a named snapshot against retention; reads resolve by name") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.tg (k BIGINT)")          // v0
