@@ -302,6 +302,42 @@ object DedupOps extends OpPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Cross-source near-dup leakage matrix (the "which corpus leaks
+    // into which" curation census — e.g. a web crawl re-hosting an
+    // encyclopedia: per SOURCE PAIR, how many near-dup pairs cross
+    // the boundary and how similar they are; llm_source_overlap is
+    // the gram-distribution sibling, this counts actual J≥0.05
+    // document pairs): rides the SAME persisted pairCounts frame and
+    // family threshold as llm_dedup_ngram, labels each pair with its
+    // (least, greatest) source pair, one ≤|sources|²-group hash agg.
+    // Per-pair J in permille (declared truncation), average = Σj_pm
+    // div n on the bounded matrix frame. Marginal cost over the
+    // shared index: two broadcast-joinable doc→source lookups + a
+    // bounded agg — the census is free once the dedup index exists.
+    "llm_dedup_cross_source" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      pairCounts(s, dir)
+        .filter(col("n_inter") * 20 >=
+          (col("n_a") + col("n_b") - col("n_inter")))
+        .withColumn("j_pm",
+          expr("(n_inter * 1000) div (n_a + n_b - n_inter)"))
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"),
+          col("j_pm"))
+        .groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("j_pm")).as("sum_j_pm"))
+        .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+          expr("CAST(CAST(sum_j_pm AS DECIMAL(38,0)) div n_pairs " +
+            "AS BIGINT)").as("avg_j_pm"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    }),
+
     // Edit-distance near-dup: ORDER-SENSITIVE trigram-shingle Jaccard
     // (>= 0.3, exact inverted-index join on the persisted shingle
     // index) gates the expensive levenshtein verification — the
@@ -1417,6 +1453,48 @@ object DedupOps extends OpPack {
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_cross_source" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM t a
+        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |           FROM tri GROUP BY sh),
+        |trif AS (
+        |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
+        |  WHERE df <= $DfCap
+        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |cx AS (
+        |  SELECT doc_a, doc_b,
+        |    (n_inter * 1000) // (sa.n_sh + sb.n_sh - n_inter) AS j_pm
+        |  FROM pair
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter),
+        |lab AS (
+        |  SELECT least(da.source, db.source) AS source_lo,
+        |    greatest(da.source, db.source) AS source_hi, j_pm
+        |  FROM cx
+        |  JOIN documents da ON cx.doc_a = da.doc_id
+        |  JOIN documents db ON cx.doc_b = db.doc_id)
+        |SELECT source_lo, source_hi,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(CAST(sum(j_pm) AS HUGEINT) // count(*) AS BIGINT)
+        |    AS avg_j_pm
+        |FROM lab GROUP BY source_lo, source_hi
+        |ORDER BY source_lo, source_hi""".stripMargin,
 
     "llm_dedup_eval" ->
       """WITH t AS (

@@ -115,6 +115,36 @@ object MmOps extends OpPack {
     // parallelism knob; a per-kind global cumsum would serialize 100 TB
     // through 3 tasks). The running sum is O(1) state per row; the
     // manifest agg rides the same (kind, writer) shuffle key.
+    // Modality-mix budget (the table a multimodal training run reads
+    // to set sampling weights: per (lang, kind), how many assets and
+    // how many BYTES each modality contributes, and each modality's
+    // byte share within its language): the media table joins its doc
+    // metadata on the id equi-key — the canonical assets↔metadata
+    // join; at 100 TB both sides co-partition on the id and the
+    // payload column never shuffles (only its length survives the
+    // projection). One ≤|langs|·|kinds|-group map-side-combined agg;
+    // shares via a window on that bounded frame; byte sums ride
+    // DECIMAL(38,0) before the ·1000 product.
+    "mm_modality_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val media = Multimodal.mediaFromDocuments(docs)
+        .select(col("media_id"), col("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+      media.join(docs.select(col("doc_id"), col("lang")),
+          media("media_id") === col("doc_id"))
+        .groupBy(col("lang"), col("kind"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .withColumn("lang_bytes",
+          sum(col("total_bytes")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("kind"), col("n_assets"),
+          col("total_bytes"),
+          expr("CAST((CAST(total_bytes AS DECIMAL(38,0)) * 1000) " +
+            "div lang_bytes AS BIGINT)").as("share_pm"))
+        .orderBy(col("lang"), col("kind"))
+    }),
+
     "mm_shard_manifest" -> ((s, dir) => {
       val budget = 4000L
       val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
@@ -243,6 +273,25 @@ object MmOps extends OpPack {
         |GROUP BY kind, width, height, declared_frames
         |HAVING count(*) >= 2
         |ORDER BY kind, width, height, declared_frames""".stripMargin,
+
+    "mm_modality_mix" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+        |    n_chars AS n_bytes
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, kind, count(*) AS n_assets,
+        |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |  FROM m GROUP BY lang, kind),
+        |w AS (
+        |  SELECT *, CAST(sum(total_bytes) OVER (PARTITION BY lang)
+        |    AS BIGINT) AS lang_bytes
+        |  FROM g)
+        |SELECT lang, kind, n_assets, total_bytes,
+        |  CAST((CAST(total_bytes AS HUGEINT) * 1000) // lang_bytes
+        |    AS BIGINT) AS share_pm
+        |FROM w ORDER BY lang, kind""".stripMargin,
 
     "mm_shard_manifest" ->
       """WITH m AS (
