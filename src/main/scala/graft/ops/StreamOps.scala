@@ -36,6 +36,26 @@ object StreamOps extends OpPack {
         .orderBy(col("win_start"))
     }),
 
+    // Sliding-window DISTINCT-user count (the "active users per
+    // rolling hour, refreshed every 30 min" dashboard tile — the
+    // sliding sibling of stream_tumbling's plain counts; distinct is
+    // the aggregate that actually needs streaming state, which is
+    // why every stream processor special-cases it): each event lands
+    // in exactly 2 windows via the window() generator, then ONE
+    // two-phase distinct per (window, user). In streaming form the
+    // same plan runs with a watermark bounding state; at 100 TB the
+    // exchange is key-proportional ((window × user) partials combine
+    // map-side), never a global set.
+    "stream_sliding_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("n_users"), col("n_events"))
+        .orderBy(col("win_start"))
+    }),
+
     "stream_session" -> ((s, dir) => {
       // Session windows, 30 min gap, per user. Timestamps are floored
       // to whole seconds first so the gap comparison is integer-exact
@@ -163,6 +183,20 @@ object StreamOps extends OpPack {
         |  SELECT unnest([b, b - 1800]) AS win_start FROM x
         |)
         |SELECT win_start, count(*) AS n
+        |FROM u GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "stream_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id
+        |  FROM events
+        |), x AS (
+        |  SELECT es, user_id, es - (es % 1800) AS b FROM e
+        |), u AS (
+        |  SELECT unnest([b, b - 1800]) AS win_start, user_id FROM x
+        |)
+        |SELECT win_start,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
         |FROM u GROUP BY win_start ORDER BY win_start""".stripMargin,
 
     "stream_session" ->

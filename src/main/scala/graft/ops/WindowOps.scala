@@ -224,6 +224,34 @@ object WindowOps extends OpPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Linearly-WEIGHTED moving average (the WMA between win_rolling's
+    // flat SMA and ts_ewma's geometric decay — newest row weighs k,
+    // oldest 1): a position-dependent weight is NOT a plain window
+    // aggregate, but it decomposes into three plain rolling sums via
+    // w(s) = k − (t − s):  num = (k−t)·Σx + Σ(s·x),
+    // den = (k−t)·n + Σs, with t,s = per-user row numbers — so the
+    // whole indicator is ONE window pass (single user_id exchange,
+    // O(1) state per frame step), never a per-row k-element re-scan.
+    // Partial head windows keep the newest-row-weighs-k anchoring
+    // (declared). Integer-exact; wma_milli = num·1000 div den.
+    "win_weighted_ma" -> ((s, dir) => {
+      val k = 5
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val w = wOrd.rowsBetween(-(k - 1), Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("sx", sum(col("cents")).over(w))
+        .withColumn("sp", sum(col("rn") * col("cents")).over(w))
+        .withColumn("sr", sum(col("rn").cast("long")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          expr(s"CAST((CAST(($k - rn) * sx + sp AS DECIMAL(38,0)) " +
+            s"* 1000) div (($k - rn) * n + sr) AS BIGINT)")
+            .as("wma_milli"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -392,6 +420,27 @@ object WindowOps extends OpPack {
         |    PARTITION BY user_id ORDER BY event_id) AS BIGINT)
         |    AS n_types_seen
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "win_weighted_ma" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, cents, rn,
+        |    sum(cents) OVER w AS sx,
+        |    sum(rn * cents) OVER w AS sp,
+        |    sum(rn) OVER w AS sr,
+        |    count(*) OVER w AS n
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, cents,
+        |  CAST((CAST((5 - rn) * sx + sp AS HUGEINT) * 1000)
+        |    // ((5 - rn) * n + sr) AS BIGINT) AS wma_milli
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     "win_rolling" ->
       """WITH c AS (
