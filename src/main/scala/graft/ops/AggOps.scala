@@ -349,6 +349,30 @@ object AggOps extends OpPack {
         .orderBy(col("col_name"))
     }),
 
+    // Arrival-completeness audit (the "did every day's partition
+    // land" check a data-ops oncall runs before anyone trusts a
+    // dashboard): per-day event counts joined against the FULL
+    // calendar spine between the observed min and max day, so a day
+    // with ZERO rows — invisible to any plain GROUP BY — surfaces as
+    // an explicit gap row. The fact table pays ONE map-side-combined
+    // daily agg; the spine explodes from that aggregate's 1-row
+    // min/max frame (calendar-bounded at any data volume) and the
+    // left join runs on two bounded day-keyed frames.
+    "diag_day_gaps" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)"))
+          .as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          when(col("n").isNull, 1).otherwise(0).cast("int").as("is_gap"))
+        .orderBy(col("day"))
+    }),
+
     // Storage-footprint profile per column (the byte budget that
     // drives projection and layout decisions — diag_profile answers
     // "what values", this answers "what does each column COST to
@@ -1448,6 +1472,21 @@ object AggOps extends OpPack {
         |    AS impurity_ppm
         |FROM per JOIN top ON per.source = top.source
         |ORDER BY per.source""".stripMargin,
+
+    "diag_day_gaps" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM b)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY day""".stripMargin,
 
     "diag_column_footprint" ->
       """WITH legs AS (

@@ -591,6 +591,52 @@ object SampleOps extends OpPack {
     // aggregate over one scan — never a per-fold pass — unpivoted to
     // rows by stack. The 1-row cut frame rides a broadcast cross
     // (the allowlisted scalar-gate pattern).
+    // PURGED k-fold CV with an embargo (the leakage-safe
+    // cross-validation for serially-correlated data — de Prado's
+    // purged CV: rows within the embargo of a validation fold's TIME
+    // boundaries are dropped from training entirely, because
+    // adjacent-in-time rows leak label information a random k-fold
+    // ignores; sample_kfold is the iid sibling, sample_rolling_origin
+    // the strictly-causal one): folds are equal TIME slices from the
+    // broadcast (min, max) span — fold, boundaries, and embargo
+    // membership are pure row-local arithmetic (fold = x·k div span,
+    // boundary lo_f = ceil(f·span/k), head/tail = within E of a
+    // boundary), so the fact scan is ONE pass with no global sort or
+    // rank; the fold census (≤k rows) then derives each fold's
+    // n_purged = tail(f−1) + head(f+1) with lag/lead on that bounded
+    // frame (declared partition-less-window contract). E = 86400 s.
+    "sample_purged_kfold" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val E = 86400L
+      val es = Tables(s, dir, "events")
+        .select(unix_timestamp(col("ts")).as("es"))
+      val b = es.agg(min(col("es")).as("e0"), max(col("es")).as("e1"))
+      val census = es.crossJoin(broadcast(b))
+        .withColumn("span", col("e1") - col("e0") + 1)
+        .withColumn("x", col("es") - col("e0"))
+        .withColumn("fold", expr(s"(x * $k) div span"))
+        .withColumn("lo", expr(s"(fold * span + ${k - 1}) div $k"))
+        .withColumn("hi", expr(s"((fold + 1) * span + ${k - 1}) div $k"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_val"),
+          sum(when(col("x") - col("lo") < E, 1L).otherwise(0L))
+            .as("n_head"),
+          sum(when(col("hi") - col("x") <= E, 1L).otherwise(0L))
+            .as("n_tail"))
+      val w = Window.orderBy(col("fold"))
+      census
+        .withColumn("n_purged",
+          coalesce(lag(col("n_tail"), 1).over(w), lit(0L)) +
+            coalesce(lead(col("n_head"), 1).over(w), lit(0L)))
+        .withColumn("total",
+          sum(col("n_val")).over(Window.partitionBy()))
+        .select(col("fold").cast("int").as("fold"), col("n_val"),
+          col("n_purged"),
+          (col("total") - col("n_val") - col("n_purged")).as("n_train"))
+        .orderBy(col("fold"))
+    }),
+
     "sample_rolling_origin" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
         .select(expr("unix_date(CAST(ts AS DATE))").as("dayn"))
@@ -834,6 +880,39 @@ object SampleOps extends OpPack {
         |    AS spend_cents
         |FROM events GROUP BY fold
         |ORDER BY fold""".stripMargin,
+
+    "sample_purged_kfold" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |b AS (SELECT min(es) AS e0, max(es) AS e1 FROM e),
+        |p AS (
+        |  SELECT es - e0 AS x, e1 - e0 + 1 AS span
+        |  FROM e CROSS JOIN b),
+        |f AS (
+        |  SELECT x, span, (x * 5) // span AS fold FROM p),
+        |g AS (
+        |  SELECT fold, x,
+        |    (fold * span + 4) // 5 AS lo,
+        |    ((fold + 1) * span + 4) // 5 AS hi
+        |  FROM f),
+        |census AS (
+        |  SELECT fold, count(*) AS n_val,
+        |    CAST(sum(CASE WHEN x - lo < 86400 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_head,
+        |    CAST(sum(CASE WHEN hi - x <= 86400 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tail
+        |  FROM g GROUP BY fold),
+        |d AS (
+        |  SELECT fold, n_val,
+        |    coalesce(lag(n_tail, 1) OVER (ORDER BY fold), 0) +
+        |    coalesce(lead(n_head, 1) OVER (ORDER BY fold), 0)
+        |      AS n_purged,
+        |    sum(n_val) OVER () AS total
+        |  FROM census)
+        |SELECT CAST(fold AS INT) AS fold, CAST(n_val AS BIGINT) AS n_val,
+        |  CAST(n_purged AS BIGINT) AS n_purged,
+        |  CAST(total - n_val - n_purged AS BIGINT) AS n_train
+        |FROM d ORDER BY fold""".stripMargin,
 
     "sample_rolling_origin" ->
       """WITH e AS (

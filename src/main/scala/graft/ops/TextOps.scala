@@ -285,6 +285,28 @@ object TextOps extends OpPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Word burstiness (Church & Gale's clumping statistic: a word's
+    // total frequency over its document frequency — function words
+    // spread evenly (b ≈ tf/df ≈ docs it's in), topical words CLUMP
+    // into few docs with many repeats; the dial that separates
+    // stopword-ish vocabulary from content vocabulary without a
+    // stopword list): per word tf (occurrences), df (docs), and
+    // burstiness_milli = tf·1000 div df, top-50 by tf with full
+    // tie-break. ONE token-keyed hash agg (tf a plain count, df the
+    // standard two-phase distinct) + TakeOrderedAndProject — corpus
+    // lexicostatistics at 100 TB is a scan plus one word-keyed
+    // exchange, and the ranked list never materializes globally.
+    "llm_word_burstiness" -> ((s, dir) => {
+      toks(s, dir)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .select(col("w"), col("tf"), col("df"),
+          expr("(tf * 1000) div df").as("burstiness_milli"))
+        .orderBy(col("tf").desc, col("w"))
+        .limit(50)
+    }),
+
     // Tokenizer-fertility budget per language (the per-lang aggregate
     // a tokenizer team reads BEFORE sizing a vocab: how many subword
     // tokens each language pays per whitespace word, and how many
@@ -1205,6 +1227,18 @@ object TextOps extends OpPack {
          |  CAST(n_chars // len(regexp_extract_all(text, '$bpeIsh')) AS INT)
          |    AS chars_per_tok
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_word_burstiness" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT w, count(*) AS tf,
+        |    count(DISTINCT doc_id) AS df
+        |  FROM t WHERE w <> '' GROUP BY w)
+        |SELECT w, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST((tf * 1000) // df AS BIGINT) AS burstiness_milli
+        |FROM g ORDER BY tf DESC, w LIMIT 50""".stripMargin,
 
     "llm_tokenizer_fertility" ->
       s"""WITH d AS (

@@ -398,6 +398,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // sample_rolling_origin crosses the broadcast 1-row fold-cut
       // frame (same scalar-gate shape).
       "sample_rolling_origin",
+      // sample_purged_kfold crosses the broadcast 1-row (min, max)
+      // span frame (same scalar-gate shape).
+      "sample_purged_kfold",
       // composite_trending crosses the broadcast 1-row date bounds
       // (scalar-gate shape).
       "composite_trending",
