@@ -794,6 +794,48 @@ object ScanOps extends OpPack {
       row1.unionAll(row2).unionAll(row3).orderBy("step")
     }),
 
+    // TIMESTAMP time travel (Iceberg/Delta `TIMESTAMP AS OF` beside
+    // the existing VERSION AS OF): every base publish stamps a
+    // committedAt under a MONOTONIC commit clock (max(now, prev+1) —
+    // same-millisecond commits still order), archives preserve the
+    // stamp they were published with, and a read at instant t
+    // resolves to the highest version with committedAt ≤ t. The
+    // query pins the semantics construction-free of wall-clock luck:
+    // it reads each boundary BY THE STAMP READ BACK from the chain
+    // (at(v2) ⇒ exactly v2's state, at(v2)−1 ⇒ v1's), so outputs are
+    // orders-recomputable at any execution speed. O(metadata):
+    // resolution reads kilobyte manifests, never data.
+    "sink_manifest_asof_time" -> ((s, dir) => {
+      import graft.sources.ManifestSink
+      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/asoftime-sink"
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(): Unit
+      }
+      rmRf(new java.io.File(sink))
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def write(m: Int, mode: String): Unit =
+        o.filter(col("k") % 3 === m).repartition(1)
+          .write.format("graft-manifest").mode(mode).save(sink)
+      write(0, "overwrite")                                  // v1
+      write(1, "append")                                     // v2
+      write(2, "append")                                     // v3
+      val t2 = ManifestSink.commitTimeOf(sink, 2L)
+      def agg(ts: Long, step: String) =
+        s.read.format("graft-manifest")
+          .option("asOfTimestamp", ts.toString).load(sink)
+          .selectExpr(s"'$step' AS step", "count(*) AS a",
+            "CAST(sum(cents) AS BIGINT) AS b", "max(k) AS c")
+      agg(t2, "1_at_v2")
+        .unionAll(agg(t2 - 1, "2_before_v2"))
+        .unionAll(s.read.format("graft-manifest").load(sink)
+          .selectExpr("'3_current' AS step", "count(*) AS a",
+            "CAST(sum(cents) AS BIGINT) AS b", "max(k) AS c"))
+        .orderBy("step")
+    }),
+
     // NAMED IMMUTABLE snapshot TAGS (the Iceberg tag beside the WAP
     // branch — "the snapshot we trained release N on", pinned by name
     // instead of a version number someone has to remember): v1 is
@@ -1877,6 +1919,24 @@ object ScanOps extends OpPack {
         |SELECT '3_asof_fresh', count(*), CAST(sum(cents) AS BIGINT),
         |  max(k)
         |FROM base WHERE k % 3 = 1
+        |ORDER BY step""".stripMargin,
+
+    "sink_manifest_asof_time" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT '1_at_v2' AS step, count(*) AS a,
+        |  CAST(sum(cents) AS BIGINT) AS b, max(k) AS c
+        |FROM src WHERE k % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT '2_before_v2', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM src WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT '3_current', count(*), CAST(sum(cents) AS BIGINT),
+        |  max(k)
+        |FROM src
         |ORDER BY step""".stripMargin,
 
     "sink_manifest_orphans" ->

@@ -113,6 +113,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       asOfDefault = Some(v))
   }
 
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands epoch MICROS; resolve to
+    * the snapshot visible at that instant via the manifest commit
+    * clock and read it in its OWN schema. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = ManifestSink.versionAt(dir.toString, timestamp / 1000L)
+    val m = ManifestSink.readAsOf(dir.toString, Some(v))
+    new ManifestTable(StructType.fromDDL(m.schemaDdl), dir.toString,
+      asOfDefault = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -67,8 +67,7 @@ final class ManifestSinkProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = options.asScala.toMap
     val path = ManifestSink.requirePath(opts)
-    val asOf = opts.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("asOfVersion") => v.toLong }
+    val asOf = ManifestSink.asOfFromOptions(path, opts)
     // `metadata` reads the table's own manifests as a DataFrame
     // (Iceberg's files/history metadata tables): inspect a 100 TB
     // table's layout without opening one data file
@@ -117,8 +116,7 @@ final class ManifestSinkProvider extends TableProvider
       case (k, v) if k.equalsIgnoreCase("metadata") => v.toLowerCase
     } match {
       case Some(kind) => new ManifestMetadataTable(path, kind,
-        opts.collectFirst {
-          case (k, v) if k.equalsIgnoreCase("asOfVersion") => v.toLong })
+        ManifestSink.asOfFromOptions(path, opts))
       case None => new ManifestTable(schema, path)
     }
   }
@@ -347,7 +345,8 @@ object ManifestSink {
 
   final case class Manifest(schemaDdl: String, files: Seq[Entry],
       version: Long = 0L, eqDeletes: Seq[EqDelete] = Nil,
-      colIds: Seq[ColId] = Nil, lastColId: Int = -1)
+      colIds: Seq[ColId] = Nil, lastColId: Int = -1,
+      committedAt: Long = 0L)
 
   /** Current name→id mapping, synthesized positionally for tables
     * that never declared one (any consistent assignment is valid
@@ -1404,6 +1403,7 @@ object ManifestSink {
     val root = mapper.createObjectNode()
     root.put("schemaDdl", m.schemaDdl)
     root.put("version", m.version)
+    if (m.committedAt > 0L) root.put("committedAt", m.committedAt): Unit
     val arr = root.putArray("files")
     m.files.foreach { e =>
       val n = arr.addObject()
@@ -1477,8 +1477,22 @@ object ManifestSink {
     }
   }
 
-  def writeManifest(dir: String, m: Manifest): Unit =
-    writeManifestAs(dir, ManifestFile, m)
+  /** Publish `m` as the base, stamping its commit time under a
+    * MONOTONIC clock: committedAt = max(now, prior base's stamp + 1),
+    * so timestamp time travel ([[versionAt]]) never sees two
+    * snapshots share an instant even when commits land within one
+    * millisecond. Archive/branch/tag/epoch copies go through
+    * [[writeManifestAs]] directly and PRESERVE the stamp they carry —
+    * an archived snapshot keeps the commit time it was published
+    * with. */
+  def writeManifest(dir: String, m: Manifest): Unit = {
+    val prev = {
+      val f = new File(dir, ManifestFile)
+      if (f.exists()) readManifestFile(f).committedAt else 0L
+    }
+    writeManifestAs(dir, ManifestFile,
+      m.copy(committedAt = math.max(System.currentTimeMillis(), prev + 1)))
+  }
 
   def readManifestFile(f: File): Manifest = {
     val root = mapper.readTree(f)
@@ -1535,13 +1549,74 @@ object ManifestSink {
       else if (colIds.nonEmpty) colIds.map(_.id).max else -1
     normalize(
       Manifest(root.get("schemaDdl").asText(), files, v, eqDeletes,
-        colIds, lastId))
+        colIds, lastId,
+        if (root.has("committedAt")) root.get("committedAt").asLong()
+        else 0L))
   }
 
   /** Snapshot read: the current table (base + streaming epochs) by
     * default, or exactly one archived/base snapshot for
     * `asOfVersion` (streaming epochs are excluded from time travel —
     * the version chain tracks BATCH commits, declared). */
+  /** TIMESTAMP time travel (Iceberg/Delta `TIMESTAMP AS OF`): the
+    * snapshot visible at wall-clock `millis` = the highest version
+    * among base + archives whose committedAt ≤ millis. committedAt is
+    * stamped by [[writeManifest]]'s monotonic clock; legacy documents
+    * written before the field existed fall back to file mtime. Reads
+    * before the first commit are refused loudly — "empty table" and
+    * "you asked before history starts" are different answers. */
+  def versionAt(dir: String, millis: Long): Long = {
+    val docs = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == ManifestFile ||
+        f.getName.matches("_graft_manifest\\.v\\d+\\.json")).toSeq
+    if (docs.isEmpty) throw new IllegalArgumentException(
+      s"graft-manifest: no manifest under $dir — nothing committed")
+    val visible = docs
+      .map { f =>
+        val m = readManifestFile(f)
+        (m.version,
+          if (m.committedAt > 0L) m.committedAt else f.lastModified())
+      }
+      .filter(_._2 <= millis)
+    if (visible.isEmpty) throw new IllegalArgumentException(
+      s"graft-manifest: no snapshot committed at or before $millis " +
+        s"under $dir — history starts later")
+    visible.map(_._1).max
+  }
+
+  /** The commit time stamped on snapshot `version` (base or archive). */
+  def commitTimeOf(dir: String, version: Long): Long = {
+    val base = readManifest(dir)
+    val m = if (base.version == version) base
+      else readManifestFile(new File(dir, archiveManifestFile(version)))
+    m.committedAt
+  }
+
+  /** `asOfTimestamp` option value → epoch millis: pure digits are
+    * millis; anything else parses as a UTC 'yyyy-MM-dd HH:mm:ss'
+    * (optionally fractional) wall-clock instant. */
+  def parseAsOfTimestamp(v: String): Long =
+    if (v.forall(_.isDigit)) v.toLong
+    else java.time.LocalDateTime
+      .parse(v.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  /** Merge the two time-travel reader options into one version pin:
+    * `asOfVersion` wins alone, `asOfTimestamp` resolves through
+    * [[versionAt]]; both at once is a contradiction — refused. */
+  def asOfFromOptions(dir: String,
+      opts: Map[String, String]): Option[Long] = {
+    val byVersion = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("asOfVersion") => v.toLong }
+    val byTime = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("asOfTimestamp") =>
+        versionAt(dir, parseAsOfTimestamp(v)) }
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "graft-manifest: asOfVersion and asOfTimestamp are mutually " +
+        "exclusive")
+    byVersion.orElse(byTime)
+  }
+
   def readAsOf(dir: String, asOfVersion: Option[Long]): Manifest =
     asOfVersion match {
       case None => readAll(dir)
@@ -1660,8 +1735,9 @@ final class ManifestTable(tableSchema: StructType, path: String,
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters
         with SupportsPushDownAggregates {
-      private val asOf = Option(options.get("asOfVersion")).map(_.toLong)
-        .orElse(asOfDefault) // SQL `VERSION AS OF` via GraftCatalog
+      private val asOf = ManifestSink
+        .asOfFromOptions(path, options.asScala.toMap)
+        .orElse(asOfDefault) // SQL VERSION/TIMESTAMP AS OF via catalog
       // audit read of a WAP branch chain (mutually exclusive with
       // time travel — readRef refuses the combination)
       private val branchOpt = Option(options.get("branch"))

@@ -596,6 +596,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.ex")
   }
 
+  test("TIMESTAMP AS OF resolves through the monotonic commit clock") {
+    import graft.sources.ManifestSink
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.tt (k BIGINT)")          // v0
+    spark.sql("INSERT INTO g.db.tt VALUES (1)")           // v1
+    spark.sql("INSERT INTO g.db.tt VALUES (2)")           // v2
+    spark.sql("INSERT INTO g.db.tt VALUES (3)")           // v3
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/tt"
+    // monotonic clock: stamps strictly increase even for
+    // same-millisecond commits
+    val stamps = (0L to 3L).map(ManifestSink.commitTimeOf(dir, _))
+    assert(stamps == stamps.sorted && stamps.distinct == stamps,
+      s"commit stamps must strictly increase: $stamps")
+    val t2 = stamps(2)
+    def sqlTs(ms: Long) = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    // SQL TIMESTAMP AS OF at v2's instant sees exactly v1+v2
+    assert(spark.sql(
+      s"SELECT sum(k) FROM g.db.tt TIMESTAMP AS OF '${sqlTs(t2)}'")
+      .head().getLong(0) === 3L)
+    // one millisecond earlier sees only v1
+    assert(spark.sql(
+      s"SELECT sum(k) FROM g.db.tt TIMESTAMP AS OF '${sqlTs(t2 - 1)}'")
+      .head().getLong(0) === 1L)
+    // the option form takes raw millis too
+    assert(spark.read.format("graft-manifest")
+      .option("asOfTimestamp", t2.toString).load(dir)
+      .agg(Map("k" -> "sum")).head().getLong(0) === 3L)
+    // before history starts: refused loudly
+    val early = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("asOfTimestamp", (stamps(0) - 10).toString).load(dir)
+        .collect()
+    }
+    assert(early.getMessage.contains("history starts later"))
+    // asOfVersion + asOfTimestamp is a contradiction
+    val both = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("asOfVersion", "1")
+        .option("asOfTimestamp", t2.toString).load(dir).collect()
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+    spark.sql("DROP TABLE g.db.tt")
+  }
+
   test("CALL remove_orphans deletes only aged unreferenced files; dry_run reports without deleting") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.orf (k BIGINT)")
