@@ -3445,8 +3445,8 @@ object ManifestMetadataTable {
         "part BIGINT, pspec STRING, n_delete_files INT, " +
         "n_deleted BIGINT, bloom_cols STRING")
     case "history" => StructType.fromDDL(
-      "version BIGINT, n_files BIGINT, n_rows BIGINT, n_live BIGINT, " +
-        "n_delete_files BIGINT")
+      "version BIGINT, committed_at BIGINT, n_files BIGINT, " +
+        "n_rows BIGINT, n_live BIGINT, n_delete_files BIGINT")
     // the Iceberg `refs` metadata table: every named reference on the
     // table — the base chain, open WAP branches, immutable tags
     case "refs" => StructType.fromDDL(
@@ -3483,7 +3483,9 @@ object ManifestMetadataTable {
             Seq(ManifestSink.readManifest(path))
           else Nil)
       snaps.sortBy(_.version).map { m =>
-        Seq[Any](m.version, m.files.size.toLong, m.files.map(_.rows).sum,
+        Seq[Any](m.version,
+          if (m.committedAt > 0L) Long.box(m.committedAt) else null,
+          m.files.size.toLong, m.files.map(_.rows).sum,
           m.files.map(_.liveRows).sum,
           m.files.map(_.deletes.size.toLong).sum)
       }

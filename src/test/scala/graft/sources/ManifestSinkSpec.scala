@@ -662,13 +662,19 @@ class ManifestSinkSpec extends AnyFunSuite {
       .select("part", "live_rows")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(v1 === Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)))
-    // history: one row per snapshot, live counts tracking the chain
-    val hist = spark.read.format("graft-manifest")
+    // history: one row per snapshot, live counts tracking the chain,
+    // commit stamps strictly increasing (the monotonic commit clock)
+    val histRows = spark.read.format("graft-manifest")
       .option("metadata", "history").load(dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSeq
+      .select("version", "n_files", "n_rows", "n_live", "committed_at")
+      .collect()
+    val hist = histRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq
     assert(hist === Seq((1L, 4L, 100L, 100L), (2L, 4L, 100L, 50L),
       (3L, 5L, 110L, 60L)))
+    val stamps = histRows.map(_.getLong(4)).toSeq
+    assert(stamps == stamps.sorted && stamps.distinct == stamps,
+      s"history commit stamps must strictly increase: $stamps")
     // unknown metadata table fails loudly
     intercept[Exception] {
       spark.read.format("graft-manifest")
