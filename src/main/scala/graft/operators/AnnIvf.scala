@@ -217,6 +217,44 @@ object AnnIvf {
       .select(col("probe_id"), col("rank"), col("nbr_id"))
   }
 
+  /** Hard-negative mining (the contrastive-training sampler: each
+    * probe's most-similar WRONG-label vector — the negatives that
+    * actually move a contrastive loss): identical probed-cell
+    * candidate generation to [[knnJoin]], with the label-mismatch
+    * predicate inside the join and rank 1 by (sim DESC, id ASC) —
+    * rank-only output, the knn_exact cross-engine determinism
+    * doctrine. `labels` = (idCol, labelCol). At nprobe = numCells the
+    * result is exact; at nprobe ≪ numCells it is the cell-bounded
+    * production shape (same declared trade as the ANN family). */
+  def hardNegatives(index: IvfIndex, idCol: String, embCol: String,
+      labels: DataFrame, labelCol: String, nprobe: Int): DataFrame = {
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cell_sim"), asc("cell"))
+    val probeCells = index.assignments
+      .select(col(idCol).as("probe_id"), col(embCol).as("probe_emb"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("cell_sim", cosine(col("probe_emb"), col("centroid")))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("cell"))
+    val wk = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("sim"), asc("neg_id"))
+    probeCells
+      .join(labels.select(col(idCol).as("probe_id"),
+        col(labelCol).as("probe_label")), "probe_id")
+      .join(index.assignments.select(col("cell"),
+        col(idCol).as("neg_id"), col(embCol).as("neg_emb")), "cell")
+      .join(labels.select(col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label")), "neg_id")
+      .filter(col("neg_id") =!= col("probe_id") &&
+        col("neg_label") =!= col("probe_label"))
+      .withColumn("sim", cosine(col("probe_emb"), col("neg_emb")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") === 1)
+      .select(col("probe_id"), col("probe_label"), col("neg_id"),
+        col("neg_label"))
+  }
+
   /** Exact top-k within the `nprobe` cells nearest to the probe
     * vector. `probe` must be a single-row frame with column `embCol`. */
   def query(index: IvfIndex, probe: DataFrame, idCol: String,

@@ -79,6 +79,37 @@ object GeoOps extends OpPack {
         .orderBy(col("cx"), col("cy"))
     }),
 
+    // Spatial visitor-diversity surface (the mixing index urban
+    // analytics reads next to raw density: a cell 1000 events deep
+    // from ONE user is a stuck device, the same depth across 200
+    // users is a venue): Shannon entropy of each cell's USER mix in
+    // the engine's DECLARED floor-log2 milli-bits (LB = bit length;
+    // H_milli = 1000·(N·LB(N) − Σ c·LB(c)) div N — diag_entropy's
+    // exact integer idiom on a spatial key). TWO map-side-combined
+    // hash aggs ((cell, user) → cell), key-proportional exchanges
+    // only; the output frame is ≤1600 cells at any data volume.
+    "geo_cell_diversity" -> ((s, dir) => {
+      val pts = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("x"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 9, " +
+            "8), 16, 10) AS BIGINT) % 10000").as("y"))
+      val per = pts
+        .groupBy(expr(s"x div $Cell").as("cx"),
+          expr(s"y div $Cell").as("cy"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      per.groupBy(col("cx"), col("cy"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_users"),
+          sum(col("c") * length(expr("bin(c)"))).as("sum_clb"))
+        .select(col("cx"), col("cy"), col("n_events"), col("n_users"),
+          expr("CAST((1000 * (n_events * length(bin(n_events)) " +
+            "- sum_clb)) div n_events AS BIGINT)")
+            .as("diversity_millibits"))
+        .orderBy(col("cx"), col("cy"))
+    }),
+
     // Multi-resolution quadkey roll-up (the Bing-maps tile-pyramid
     // index: one STRING key whose prefixes ARE the coarser tiles, so
     // a zoom-out is a substring, never a re-scan of the geometry):
@@ -645,6 +676,28 @@ object GeoOps extends OpPack {
          |  ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
          |GROUP BY box_id
          |ORDER BY box_id""".stripMargin,
+
+    "geo_cell_diversity" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS x,
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)
+        |      AS BIGINT) % 10000 AS y
+        |  FROM events),
+        |per AS (
+        |  SELECT x // 250 AS cx, y // 250 AS cy, user_id,
+        |    count(*) AS c
+        |  FROM p GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT cx, cy, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_users,
+        |    CAST(sum(c * length(bin(c))) AS BIGINT) AS sum_clb
+        |  FROM per GROUP BY cx, cy)
+        |SELECT cx, cy, n_events, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST((1000 * (n_events * length(bin(n_events)) - sum_clb))
+        |    // n_events AS BIGINT) AS diversity_millibits
+        |FROM g ORDER BY cx, cy""".stripMargin,
 
     "geo_quadkey" ->
       s"""WITH $ptsSql,

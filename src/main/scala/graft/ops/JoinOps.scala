@@ -897,6 +897,42 @@ object JoinOps extends OpPack {
         .orderBy(col("cohort_wk"), col("weeks_since"))
     }),
 
+    // Growth accounting (the DAU decomposition every growth team
+    // reports: today's actives = NEW (first day ever) + RETAINED
+    // (also active within the last 7 days) + RESURRECTED (back after
+    // 7+ days away) — composite_retention is the cohort-grid view,
+    // this is the daily flow view): dedupe to (user, day) actives,
+    // ONE min-day agg for birth dates, ONE lag window on the user
+    // exchange for the previous-active-day gap, then a daily roll-up.
+    // All exchanges key-proportional; the classification is
+    // row-local integer day arithmetic.
+    "composite_growth_accounting" -> ((s, dir) => {
+      val active = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_date(CAST(ts AS DATE))").as("dayn"))
+        .distinct()
+      val first = active.groupBy(col("user_id"))
+        .agg(min(col("dayn")).as("first_dayn"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+      active
+        .withColumn("prev_dayn", lag(col("dayn"), 1).over(w))
+        .join(first, "user_id")
+        .groupBy(col("dayn"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("dayn") === col("first_dayn"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("dayn") =!= col("first_dayn") &&
+            col("dayn") - col("prev_dayn") <= 7, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("dayn") =!= col("first_dayn") &&
+            col("dayn") - col("prev_dayn") > 7, 1L).otherwise(0L))
+            .as("n_resurrected"))
+        .select(col("dayn").cast("long").as("dayn"), col("n_active"),
+          col("n_new"), col("n_retained"), col("n_resurrected"),
+          expr("(n_new * 1000) div n_active").as("new_share_pm"))
+        .orderBy(col("dayn"))
+    }),
+
     "composite_retention" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
@@ -1919,6 +1955,37 @@ object JoinOps extends OpPack {
         |  CAST(cum_rev_c // cohort_size AS BIGINT) AS ltv_per_user_c
         |FROM c JOIN sz USING (cohort_wk)
         |ORDER BY cohort_wk, weeks_since""".stripMargin,
+
+    "composite_growth_accounting" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS dayn
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, min(dayn) AS first_dayn
+        |  FROM active GROUP BY user_id),
+        |l AS (
+        |  SELECT active.user_id, dayn, first_dayn,
+        |    lag(dayn, 1) OVER (PARTITION BY active.user_id
+        |      ORDER BY dayn) AS prev_dayn
+        |  FROM active JOIN f ON active.user_id = f.user_id),
+        |g AS (
+        |  SELECT dayn, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN dayn = first_dayn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN dayn <> first_dayn
+        |      AND dayn - prev_dayn <= 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN dayn <> first_dayn
+        |      AND dayn - prev_dayn > 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM l GROUP BY dayn)
+        |SELECT CAST(dayn AS BIGINT) AS dayn,
+        |  CAST(n_active AS BIGINT) AS n_active, n_new, n_retained,
+        |  n_resurrected,
+        |  CAST((n_new * 1000) // n_active AS BIGINT) AS new_share_pm
+        |FROM g ORDER BY dayn""".stripMargin,
 
     "composite_retention" ->
       """WITH e AS (

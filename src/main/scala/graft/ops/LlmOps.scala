@@ -305,6 +305,29 @@ object LlmOps extends OpPack {
     // onto the 1-row-per-probe NN frame (corpus-sized, so NOT
     // broadcast — AQE picks the side); the rollup is one
     // |labels|-bounded hash agg.
+    // Hard-negative mining census (contrastive training's sampler:
+    // each vector's most-similar WRONG-label neighbor, the negatives
+    // that actually move an InfoNCE loss; llm_knn_agreement asks "is
+    // the nearest neighbor the same class", this asks "which WRONG
+    // class sits closest" — the confusion structure of the embedding
+    // space): AnnIvf.hardNegatives at nprobe = all cells ⇒ EXACT
+    // (rank-only output, the knn_exact determinism doctrine), rolled
+    // up to the ≤|labels|²-cell (probe_label, neg_label) matrix. The
+    // corpus² candidate frame is the declared exact-audit cost (same
+    // adjudication as llm_knn_agreement); production mining runs the
+    // identical plumbing at nprobe ≪ numCells, cell-bounded.
+    "llm_hard_negatives" -> ((s, dir) => {
+      val idx = ivfIndex(s, dir, numCells = 16)
+      val lab = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      graft.operators.AnnIvf
+        .hardNegatives(idx, "vec_id", "embedding", lab, "label",
+          nprobe = 16)
+        .groupBy(col("probe_label"), col("neg_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("probe_label"), col("neg_label"))
+    }),
+
     "llm_knn_agreement" -> ((s, dir) => {
       val idx = ivfIndex(s, dir, numCells = 16)
       val nn = graft.operators.AnnIvf.knnJoin(idx, "vec_id", "embedding",
@@ -772,6 +795,24 @@ object LlmOps extends OpPack {
         |  FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id)
         |WHERE rank <= 3
         |ORDER BY probe_id, rank""".stripMargin,
+
+    "llm_hard_negatives" ->
+      """WITH nn AS (
+        |  SELECT probe_id, neg_id FROM (
+        |    SELECT l.vec_id AS probe_id, r.vec_id AS neg_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY list_cosine_similarity(l.embedding,
+        |          r.embedding) DESC, r.vec_id ASC) AS rank
+        |    FROM embeddings l JOIN embeddings r
+        |      ON l.vec_id <> r.vec_id AND l.label <> r.label)
+        |  WHERE rank = 1)
+        |SELECT pl.label AS probe_label, nl.label AS neg_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM nn
+        |JOIN embeddings pl ON nn.probe_id = pl.vec_id
+        |JOIN embeddings nl ON nn.neg_id = nl.vec_id
+        |GROUP BY probe_label, neg_label
+        |ORDER BY probe_label, neg_label""".stripMargin,
 
     "llm_knn_agreement" ->
       """WITH nn AS (

@@ -420,6 +420,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // numCells-row centroid cross as llm_ann_knn_exact (cell
       // assignment for every probe).
       "llm_knn_agreement",
+      // llm_hard_negatives rides the identical corpus × broadcast
+      // centroid cross (AnnIvf.hardNegatives cell assignment).
+      "llm_hard_negatives",
       // agg_cohen_kappa crosses two broadcast 1-row scalar frames
       // (totals × marginal-product sum — scalar-gate shape).
       "agg_cohen_kappa",
