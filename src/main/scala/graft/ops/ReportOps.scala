@@ -45,6 +45,43 @@ object ReportOps extends OpPack {
         .orderBy(col("user_id"))
     }),
 
+    // Underwater-spell duration (win_drawdown's TIME axis: not "how
+    // deep below the running peak" but "how LONG the longest stretch
+    // below it" — the recovery-time risk statistic reported beside
+    // drawdown magnitude): under = cum < peak (strict), spells via
+    // gaps-and-islands (island id = global rn − per-state rn, both
+    // windows on the SAME user_id exchange), then per-user longest
+    // and total underwater counts. One exchange, two chained
+    // WindowExecs, two bounded hash aggs — integer cents end to end.
+    "ts_underwater" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val w = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val marked = e.withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .withColumn("under", col("cum") < col("peak"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("grp", col("rn") - row_number().over(
+          Window.partitionBy(col("user_id"), col("under"))
+            .orderBy(col("ts"), col("event_id"))))
+      val spells = marked.filter(col("under"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      val base = marked.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("under"), 1L).otherwise(0L)).as("n_under"))
+      base.join(spells.groupBy(col("user_id"))
+          .agg(max(col("len")).as("max_spell")), Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("n_under"),
+          coalesce(col("max_spell"), lit(0L)).as("max_spell"))
+        .orderBy(col("user_id"))
+    }),
+
     // Ratio-to-report: each nation's share of total order revenue in
     // ppm. Revenue aggregates to a 25-row frame (customer⋈orders on
     // the custkey shuffle, nation broadcast), so the partition-less
@@ -517,6 +554,45 @@ object ReportOps extends OpPack {
         |  CAST(max(peak) AS BIGINT) AS peak_cents,
         |  CAST(sum(cents) AS BIGINT) AS final_cents
         |FROM c2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_underwater" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |c1 AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM e),
+        |c2 AS (
+        |  SELECT user_id, ts, event_id, cum,
+        |    max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM c1),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN cum < peak THEN 1 ELSE 0 END AS under,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) -
+        |    row_number() OVER (PARTITION BY user_id,
+        |      CASE WHEN cum < peak THEN 1 ELSE 0 END
+        |      ORDER BY ts, event_id) AS grp
+        |  FROM c2),
+        |spell AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM m WHERE under = 1 GROUP BY user_id, grp),
+        |base AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(under) AS BIGINT) AS n_under
+        |  FROM m GROUP BY user_id),
+        |mx AS (
+        |  SELECT user_id, CAST(max(len) AS BIGINT) AS max_spell
+        |  FROM spell GROUP BY user_id)
+        |SELECT base.user_id, n_events, n_under,
+        |  coalesce(max_spell, 0) AS max_spell
+        |FROM base LEFT JOIN mx ON base.user_id = mx.user_id
+        |ORDER BY base.user_id""".stripMargin,
 
     "agg_ratio_report" ->
       """WITH rev AS (

@@ -497,6 +497,47 @@ object SampleOps extends OpPack {
     // source vocabulary, so the rank/cumsum windows are tiny and the
     // 1-row total broadcasts (allowlisted scalar-gate shape). ONE
     // corpus-scale (source, word) agg at any size.
+    // Doc-level quality-budget selection (the greedy curation pass
+    // that fills each source's token budget with its BEST documents
+    // — sample_mixture_budget allocates budget ACROSS sources, this
+    // spends it WITHIN one; together they are the two halves of a
+    // data-mixture build): docs rank by diversity score inside their
+    // source, a per-source prefix token sum admits docs while the
+    // running total fits budget = source_tokens div 3 (scale-free —
+    // selects the top-scoring ~third at every corpus size). ONE
+    // source-keyed window pass (rank + prefix sum + partition total
+    // ride the same exchange), then a ≤|sources|-group census. No
+    // global sort anywhere.
+    "sample_quality_budget" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val d = Tables(s, dir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .withColumn("n_toks", size(col("arr")).cast("long"))
+        .withColumn("score",
+          expr("CAST(size(array_distinct(arr)) * 1000 DIV size(arr) " +
+            "AS BIGINT)"))
+        .withColumn("cum_before", coalesce(
+          sum(col("n_toks")).over(w.rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+        .withColumn("tok_total", sum(col("n_toks")).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("budget", expr("tok_total div 3"))
+        .withColumn("sel",
+          col("cum_before") + col("n_toks") <= col("budget"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+          max(col("tok_total")).as("tok_total"),
+          max(col("budget")).as("budget"),
+          sum(when(col("sel"), col("n_toks")).otherwise(0L))
+            .as("tok_selected"))
+        .select(col("source"), col("n_docs"), col("n_selected"),
+          col("tok_total"), col("tok_selected"),
+          expr("(tok_selected * 1000) div budget").as("util_pm"))
+        .orderBy(col("source"))
+    }),
+
     "sample_mixture_budget" -> ((s, dir) => {
       val tok = Tables(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -880,6 +921,38 @@ object SampleOps extends OpPack {
         |    AS spend_cents
         |FROM events GROUP BY fold
         |ORDER BY fold""".stripMargin,
+
+    "sample_quality_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+        |      // len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_toks) OVER (PARTITION BY source) AS tok_total
+        |  FROM d),
+        |x AS (
+        |  SELECT source, n_toks, tok_total, tok_total // 3 AS budget,
+        |    CASE WHEN cum_before + n_toks <= tok_total // 3
+        |      THEN 1 ELSE 0 END AS sel
+        |  FROM r),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(sel) AS BIGINT) AS n_selected,
+        |    CAST(max(tok_total) AS BIGINT) AS tok_total,
+        |    CAST(max(budget) AS BIGINT) AS budget,
+        |    CAST(sum(CASE WHEN sel = 1 THEN n_toks ELSE 0 END)
+        |      AS BIGINT) AS tok_selected
+        |  FROM x GROUP BY source)
+        |SELECT source, n_docs, n_selected, tok_total, tok_selected,
+        |  CAST((tok_selected * 1000) // budget AS BIGINT) AS util_pm
+        |FROM g ORDER BY source""".stripMargin,
 
     "sample_purged_kfold" ->
       """WITH e AS (
