@@ -155,14 +155,19 @@ object HierOps extends OpPack {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       val r = Tables(s, dir, "region")
         .select(col("r_regionkey"), col("r_name"))
+      // distinct FIRST (the fact table collapses to ≤125 key combos
+      // in one map-side-combined pass), dims join onto that bounded
+      // frame — the ancestor-union legs below then recompute a
+      // ≤125-row plan, never the fact scan
       val leaf = Tables(s, dir, "customer")
         .select(col("c_nationkey"), col("c_mktsegment"))
+        .distinct()
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .select(col("r_name"), col("n_name"), col("c_mktsegment"))
-        .distinct()
         .withColumn("node_id", concat_ws("/", col("r_name"),
           col("n_name"), col("c_mktsegment")))
+        .localCheckpoint(false)
       val anc = leaf.select(col("node_id"), lit(0).as("depth"),
           lit("ROOT").as("anc"))
         .unionByName(leaf.select(col("node_id"), lit(1).as("depth"),
