@@ -468,6 +468,43 @@ object LlmOps extends OpPack {
     // float mean is neither. Shape at 100 TB: one (label, dim-index)
     // hash agg, map-side combined to |labels|·dim partials, then a
     // |labels|-row repack — never a driver-side vector loop.
+    // EXACT covariance matrix of the embedding space (the input PCA
+    // eigensolves — llm_pca_power's power iteration is declared
+    // rows-only because eigenvectors have no cross-engine-exact form,
+    // but its INPUT does: this oracles it bit-for-bit): floats to
+    // integer micro-units first (exact: 24-bit significands widen and
+    // scale losslessly — the llm_centroid doctrine), then every (i≤j)
+    // dim pair's product is generated INSIDE the row by a nested
+    // sequence transform — a narrow generate, NO self-join, no
+    // shuffle before the single ≤dim²/2-cell map-side-combined hash
+    // agg. cov·n² = n·Σxy − Σx·Σy on DECIMAL(38,0) (p ≈ 10¹⁰ per
+    // row; its sum overflows int64 at ~10⁸ rows, so the cast sits
+    // INSIDE the sum). At 100 TB: one scan × dim²/2 generated rows,
+    // partial-aggregated to 2080 cells before any exchange.
+    "llm_vec_cov" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .withColumn("u", expr(
+          "transform(embedding, x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(u) - 1), i -> " +
+            "transform(sequence(i, size(u) - 1), j -> " +
+            "struct(i AS i, j AS j, u[i] AS xi, u[j] AS xj))))"))
+          .as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"),
+          col("c.xi").as("xi"), col("c.xj").as("xj"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(xi AS DECIMAL(38,0)) * xj")).as("sxy"),
+          sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+        .select(col("i"), col("j"), col("n"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * sxy - " +
+            "CAST(sx AS DECIMAL(38,0)) * sy) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("cov_microsq"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     "llm_centroid" -> ((s, dir) => {
       Tables(s, dir, "embeddings")
         .select(col("label"),
@@ -879,6 +916,28 @@ object LlmOps extends OpPack {
         |  FROM d)
         |SELECT label, CAST(rk AS INT) AS rk, vec_id, dist2_u
         |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
+
+    "llm_vec_cov" ->
+      """WITH u AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xu
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, a.xu AS xi, b.xu AS xj
+        |  FROM u a JOIN u b
+        |    ON a.vec_id = b.vec_id AND a.i <= b.i),
+        |g AS (
+        |  SELECT i, j, count(*) AS n,
+        |    sum(CAST(xi AS HUGEINT) * xj) AS sxy,
+        |    CAST(sum(xi) AS HUGEINT) AS sx,
+        |    CAST(sum(xj) AS HUGEINT) AS sy
+        |  FROM p GROUP BY i, j)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST((CAST(n AS HUGEINT) * sxy - sx * sy)
+        |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS cov_microsq
+        |FROM g ORDER BY i, j""".stripMargin,
 
     "llm_centroid" ->
       """WITH e AS (

@@ -56,6 +56,12 @@ def main(sf_dir, out_dir):
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+    # spill OUTSIDE the repo (DuckDB's default temp dir is <cwd>/.tmp —
+    # a corpus-squared oracle at sf1 once dumped 60+ GB there and a
+    # concurrent `git add -A` tried to pack it), and cap it so an
+    # out-of-core oracle fails loudly instead of filling the disk
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
