@@ -36,6 +36,37 @@ object StreamOps extends OpPack {
         .orderBy(col("win_start"))
     }),
 
+    // Watermark-tuning late-data profile (the table you read BEFORE
+    // picking `withWatermark`'s delay: for candidate delays, how many
+    // events would arrive LATER than the stream's high-water mark
+    // minus that delay and be dropped): lateness = per-key running
+    // max event time in ARRIVAL order (event_id — the log order)
+    // minus the event's own time; one conditional pass rolls all
+    // three candidate delays up at once, unpivoted by stack. ONE
+    // user_id window exchange + a 1-row census — the profile costs
+    // one scan at any log size, and the delay column is the knob's
+    // menu.
+    "stream_late_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("late_s",
+          max(col("es")).over(w) - col("es"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_s") > 60, 1L).otherwise(0L)).as("l60"),
+          sum(when(col("late_s") > 300, 1L).otherwise(0L)).as("l300"),
+          sum(when(col("late_s") > 900, 1L).otherwise(0L)).as("l900"))
+        .selectExpr("stack(3, 60, l60, 300, l300, 900, l900) AS " +
+          "(delay_s, n_late)", "n_events")
+        .selectExpr("CAST(delay_s AS INT) AS delay_s",
+          "CAST(n_late AS BIGINT) AS n_late",
+          "CAST(n_events AS BIGINT) AS n_events",
+          "CAST((n_late * 1000) div n_events AS BIGINT) AS late_pm")
+        .orderBy(col("delay_s"))
+    }),
+
     // Sliding-window DISTINCT-user count (the "active users per
     // rolling hour, refreshed every 30 min" dashboard tile — the
     // sliding sibling of stream_tumbling's plain counts; distinct is
@@ -184,6 +215,34 @@ object StreamOps extends OpPack {
         |)
         |SELECT win_start, count(*) AS n
         |FROM u GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "stream_late_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |m AS (
+        |  SELECT es, max(es) OVER (PARTITION BY user_id
+        |    ORDER BY event_id ROWS UNBOUNDED PRECEDING) - es
+        |      AS late_s
+        |  FROM e),
+        |g AS (
+        |  SELECT count(*) AS n_events,
+        |    CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS l60,
+        |    CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS l300,
+        |    CAST(sum(CASE WHEN late_s > 900 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS l900
+        |  FROM m),
+        |u AS (
+        |  SELECT 60 AS delay_s, l60 AS n_late, n_events FROM g
+        |  UNION ALL SELECT 300, l300, n_events FROM g
+        |  UNION ALL SELECT 900, l900, n_events FROM g)
+        |SELECT CAST(delay_s AS INT) AS delay_s, n_late,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((n_late * 1000) // n_events AS BIGINT) AS late_pm
+        |FROM u ORDER BY delay_s""".stripMargin,
 
     "stream_sliding_distinct" ->
       """WITH e AS (

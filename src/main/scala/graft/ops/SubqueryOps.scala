@@ -95,6 +95,28 @@ object SubqueryOps extends OpPack {
     // against it, cross-checking the rewrite's semantics including
     // the vacuous-truth case (nations with no customers keep their
     // suppliers — the LEFT JOIN's NULL branch).
+    // RELATIONAL DIVISION (Codd's ÷ — "customers who ordered under
+    // EVERY priority class", the universal-quantifier query FOR ALL
+    // that EXISTS-based subqueries can't say directly): the classic
+    // double-NOT-EXISTS collapses, under Catalyst, to the count
+    // formulation planned here explicitly — per-customer DISTINCT
+    // divisor coverage == |divisor| (the divisor cardinality itself a
+    // scalar subquery, broadcast as a 1-row gate). Two-phase distinct
+    // count on the custkey exchange; the divisor set is dimension-
+    // bounded. The textbook operator the reference's consumers would
+    // push to a warehouse.
+    "sub_division" -> ((s, dir) => {
+      reg(s, dir, "orders", "customer")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          count(DISTINCT o.o_orderpriority) AS n_priorities
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        HAVING count(DISTINCT o.o_orderpriority) =
+          (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        ORDER BY c.c_custkey""")
+    }),
+
     "sub_all" -> ((s, dir) => {
       reg(s, dir, "supplier", "customer")
       s.sql("""
@@ -164,6 +186,16 @@ object SubqueryOps extends OpPack {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 550000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "sub_division" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(count(DISTINCT o.o_orderpriority) AS BIGINT)
+        |    AS n_priorities
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |HAVING count(DISTINCT o.o_orderpriority) =
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "sub_all" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
