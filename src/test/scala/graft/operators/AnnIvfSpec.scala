@@ -34,6 +34,40 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(refined.centroids.count() <= 8)
   }
 
+  test("hardNegatives at nprobe=all matches brute force; labels always differ") {
+    val e = Tables(spark, sf, "embeddings").limit(120).cache()
+    val idx = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 4)
+    val lab = e.select(col("vec_id"), col("label"))
+    val got = AnnIvf.hardNegatives(idx, "vec_id", "embedding",
+      lab, "label", nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // labels always differ
+    AnnIvf.hardNegatives(idx, "vec_id", "embedding", lab, "label",
+      nprobe = 4).collect()
+      .foreach(r => assert(r.getInt(1) != r.getInt(3),
+        s"probe ${r.getLong(0)} got a same-label negative"))
+    // brute force on the driver: argmax cosine among wrong-label
+    val vecs = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((pid, pv, plab) <- vecs) {
+      val wrong = vecs.filter { case (id, _, l) => id != pid && l != plab }
+      if (wrong.nonEmpty) {
+        val best = wrong.map { case (id, v, _) => (id, cos(pv, v)) }
+          .sortBy { case (id, s) => (-s, id) }.head._1
+        assert(got.get(pid).contains(best),
+          s"probe $pid: expected hard negative $best, got ${got.get(pid)}")
+      }
+    }
+  }
+
   test("knnJoin: k rows per probe, exact within that probe's cells") {
     val e = Tables(spark, sf, "embeddings")
     val built = AnnIvf.buildIndex(e, "vec_id", "embedding", numCells = 8)
