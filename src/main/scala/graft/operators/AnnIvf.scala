@@ -190,24 +190,33 @@ object AnnIvf {
     * path). Output: (probe_id, rank, nbr_id), exact within the probed
     * cells.
     */
-  def knnJoin(index: IvfIndex, idCol: String, embCol: String,
-      k: Int, nprobe: Int): DataFrame = {
+  /** Every corpus vector as a probe with its top-`nprobe` nearest
+    * cells — the shared candidate-generation front half of
+    * [[knnJoin]] and [[hardNegatives]] (ONE definition so the
+    * cell-probing semantics — tie-break, WindowGroupLimit shape —
+    * cannot silently diverge between the two). */
+  private def probedCells(index: IvfIndex, idCol: String,
+      embCol: String, nprobe: Int): DataFrame = {
     // top-nprobe cells per probe (WindowGroupLimit keeps ≤nprobe rows
     // per probe before the shuffle)
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cell_sim"), asc("cell"))
-    val probeCells = index.assignments
+    index.assignments
       .select(col(idCol).as("probe_id"), col(embCol).as("probe_emb"))
       .crossJoin(broadcast(index.centroids))
       .withColumn("cell_sim", cosine(col("probe_emb"), col("centroid")))
       .withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nprobe)
       .select(col("probe_id"), col("probe_emb"), col("cell"))
+  }
+
+  def knnJoin(index: IvfIndex, idCol: String, embCol: String,
+      k: Int, nprobe: Int): DataFrame = {
     // each neighbor lives in exactly one cell (assignments partition
     // the corpus), so every (probe, nbr) candidate pair is unique
     val wk = Window.partitionBy(col("probe_id"))
       .orderBy(desc("sim"), asc("nbr_id"))
-    probeCells
+    probedCells(index, idCol, embCol, nprobe)
       .join(index.assignments.select(col("cell"),
         col(idCol).as("nbr_id"), col(embCol).as("nbr_emb")), "cell")
       .filter(col("nbr_id") =!= col("probe_id"))
@@ -228,18 +237,9 @@ object AnnIvf {
     * production shape (same declared trade as the ANN family). */
   def hardNegatives(index: IvfIndex, idCol: String, embCol: String,
       labels: DataFrame, labelCol: String, nprobe: Int): DataFrame = {
-    val wc = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("cell_sim"), asc("cell"))
-    val probeCells = index.assignments
-      .select(col(idCol).as("probe_id"), col(embCol).as("probe_emb"))
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("cell_sim", cosine(col("probe_emb"), col("centroid")))
-      .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nprobe)
-      .select(col("probe_id"), col("probe_emb"), col("cell"))
     val wk = Window.partitionBy(col("probe_id"))
       .orderBy(desc("sim"), asc("neg_id"))
-    probeCells
+    probedCells(index, idCol, embCol, nprobe)
       .join(labels.select(col(idCol).as("probe_id"),
         col(labelCol).as("probe_label")), "probe_id")
       .join(index.assignments.select(col("cell"),

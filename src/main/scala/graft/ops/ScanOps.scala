@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object ScanOps extends OpPack {
 
+  /** Recursive scratch-dir delete shared by every sink op that needs
+    * a fresh directory (version chains survive /tmp across SF runs —
+    * the zorder gotcha — so each run starts clean). */
+  private def rmRf(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+    f.delete(): Unit
+  }
+
   def queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
       // Count-shaped full-scan: the aggregate is computed per input
@@ -214,10 +222,6 @@ object ScanOps extends OpPack {
     "scan_binaryfile" -> ((s, dir) => {
       val scratch =
         new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-scratch/binfiles")
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(scratch); scratch.mkdirs()
       Tables(s, dir, "documents")
         .filter(col("doc_id") % 100 === 0)
@@ -702,10 +706,6 @@ object ScanOps extends OpPack {
       val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/expire-sink"
       // fresh dir each run: versions and the swept-file count are
       // construction-determined only from an empty chain
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -755,10 +755,6 @@ object ScanOps extends OpPack {
       import graft.sources.ManifestSink
       import java.nio.file.{Files, Paths}
       val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/orphans-sink"
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(new java.io.File(sink))
       Tables(s, dir, "orders").select(
           col("o_orderkey").as("k"),
@@ -808,10 +804,6 @@ object ScanOps extends OpPack {
     "sink_manifest_asof_time" -> ((s, dir) => {
       import graft.sources.ManifestSink
       val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/asoftime-sink"
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -853,10 +845,6 @@ object ScanOps extends OpPack {
     "sink_manifest_tag" -> ((s, dir) => {
       import graft.sources.ManifestSink
       val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/tag-sink"
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -900,10 +888,6 @@ object ScanOps extends OpPack {
     "sink_manifest_refs" -> ((s, dir) => {
       import graft.sources.ManifestSink
       val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/refs-sink"
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -942,10 +926,6 @@ object ScanOps extends OpPack {
       val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/wap-sink"
       // fresh dir each run: a surviving branch file from a prior run
       // would make createBranch refuse (branches are not idempotent)
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -989,10 +969,6 @@ object ScanOps extends OpPack {
       val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/zorder-sink"
       // fresh dir each run: the snapshot version in the output is
       // construction-determined only from an empty chain
-      def rmRf(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-        f.delete(): Unit
-      }
       rmRf(new java.io.File(sink))
       val src = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),

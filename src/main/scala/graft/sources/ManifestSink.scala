@@ -1488,7 +1488,7 @@ object ManifestSink {
   def writeManifest(dir: String, m: Manifest): Unit = {
     val prev = {
       val f = new File(dir, ManifestFile)
-      if (f.exists()) readManifestFile(f).committedAt else 0L
+      if (f.exists()) readStamp(f)._2 else 0L
     }
     writeManifestAs(dir, ManifestFile,
       m.copy(committedAt = math.max(System.currentTimeMillis(), prev + 1)))
@@ -1558,26 +1558,40 @@ object ManifestSink {
     * default, or exactly one archived/base snapshot for
     * `asOfVersion` (streaming epochs are excluded from time travel —
     * the version chain tracks BATCH commits, declared). */
+  /** Just (version, committedAt) from a manifest document — the two
+    * top-level fields timestamp resolution needs. Skips Entry/stats/
+    * bloom construction and normalize(), so walking an archive chain
+    * stays proportional to document COUNT, not entry count. */
+  private def readStamp(f: File): (Long, Long) = {
+    val root = mapper.readTree(f)
+    (if (root.has("version")) root.get("version").asLong() else 0L,
+      if (root.has("committedAt")) root.get("committedAt").asLong()
+      else 0L)
+  }
+
   /** TIMESTAMP time travel (Iceberg/Delta `TIMESTAMP AS OF`): the
     * snapshot visible at wall-clock `millis` = the highest version
     * among base + archives whose committedAt ≤ millis. committedAt is
-    * stamped by [[writeManifest]]'s monotonic clock; legacy documents
-    * written before the field existed fall back to file mtime. Reads
-    * before the first commit are refused loudly — "empty table" and
-    * "you asked before history starts" are different answers. */
+    * stamped by [[writeManifest]]'s monotonic clock. Documents
+    * written before the clock existed carry no stamp and are NOT
+    * reachable by timestamp (an archive file's mtime is when it was
+    * ARCHIVED — the NEXT commit's instant — so treating it as a
+    * commit time would systematically misresolve; `VERSION AS OF`
+    * still reads them). A chain with no stamped document at all, and
+    * reads before the first stamped commit, are refused loudly —
+    * "empty table", "pre-clock table" and "you asked before history
+    * starts" are three different answers. */
   def versionAt(dir: String, millis: Long): Long = {
     val docs = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName == ManifestFile ||
         f.getName.matches("_graft_manifest\\.v\\d+\\.json")).toSeq
     if (docs.isEmpty) throw new IllegalArgumentException(
       s"graft-manifest: no manifest under $dir — nothing committed")
-    val visible = docs
-      .map { f =>
-        val m = readManifestFile(f)
-        (m.version,
-          if (m.committedAt > 0L) m.committedAt else f.lastModified())
-      }
-      .filter(_._2 <= millis)
+    val stamped = docs.map(readStamp).filter(_._2 > 0L)
+    if (stamped.isEmpty) throw new IllegalArgumentException(
+      s"graft-manifest: no snapshot under $dir carries a commit " +
+        "stamp (table predates the commit clock) — use asOfVersion")
+    val visible = stamped.filter(_._2 <= millis)
     if (visible.isEmpty) throw new IllegalArgumentException(
       s"graft-manifest: no snapshot committed at or before $millis " +
         s"under $dir — history starts later")
@@ -1603,18 +1617,20 @@ object ManifestSink {
 
   /** Merge the two time-travel reader options into one version pin:
     * `asOfVersion` wins alone, `asOfTimestamp` resolves through
-    * [[versionAt]]; both at once is a contradiction — refused. */
+    * [[versionAt]]; both at once is a contradiction — refused BEFORE
+    * any resolution work (the user gets the exclusivity error, not
+    * whatever versionAt would have said about the timestamp). */
   def asOfFromOptions(dir: String,
       opts: Map[String, String]): Option[Long] = {
     val byVersion = opts.collectFirst {
       case (k, v) if k.equalsIgnoreCase("asOfVersion") => v.toLong }
-    val byTime = opts.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("asOfTimestamp") =>
-        versionAt(dir, parseAsOfTimestamp(v)) }
-    require(byVersion.isEmpty || byTime.isEmpty,
+    val tsOpt = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("asOfTimestamp") => v }
+    require(byVersion.isEmpty || tsOpt.isEmpty,
       "graft-manifest: asOfVersion and asOfTimestamp are mutually " +
         "exclusive")
-    byVersion.orElse(byTime)
+    byVersion.orElse(
+      tsOpt.map(v => versionAt(dir, parseAsOfTimestamp(v))))
   }
 
   def readAsOf(dir: String, asOfVersion: Option[Long]): Manifest =
