@@ -349,6 +349,37 @@ object AggOps extends OpPack {
         .orderBy(col("col_name"))
     }),
 
+    // Cross-dataset entity-overlap audit (the "are these the same
+    // people" question every identity join starts with: how much of
+    // the event stream's user population also appears as order
+    // customers, and vice versa — run BEFORE anyone trusts a
+    // stream⋈warehouse join): distinct key sets from both sides, the
+    // intersection via one equi-join of the two DISTINCT frames
+    // (shuffles carry unique keys only — never raw fact rows),
+    // Jaccard and both containments in permille. Output is one row;
+    // each fact table is scanned once into a map-side-combined
+    // distinct.
+    "diag_entity_overlap" -> ((s, dir) => {
+      val a = Tables(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("in_a", lit(1))
+      val b = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("user_id")).distinct()
+        .withColumn("in_b", lit(1))
+      a.join(b, Seq("user_id"), "full")
+        .agg(count(col("in_a")).as("n_events_users"),
+          count(col("in_b")).as("n_order_custs"),
+          sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_events_users"), col("n_order_custs"),
+          col("n_both"), col("n_union"),
+          expr("(n_both * 1000) div n_union").as("jaccard_pm"),
+          expr("(n_both * 1000) div n_events_users")
+            .as("events_covered_pm"),
+          expr("(n_both * 1000) div n_order_custs")
+            .as("orders_covered_pm"))
+    }),
+
     // Arrival-completeness audit (the "did every day's partition
     // land" check a data-ops oncall runs before anyone trusts a
     // dashboard): per-day event counts joined against the FULL
@@ -1472,6 +1503,29 @@ object AggOps extends OpPack {
         |    AS impurity_ppm
         |FROM per JOIN top ON per.source = top.source
         |ORDER BY per.source""".stripMargin,
+
+    "diag_entity_overlap" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+        |j AS (
+        |  SELECT a.user_id AS ua, b.user_id AS ub
+        |  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id),
+        |g AS (
+        |  SELECT count(ua) AS n_events_users,
+        |    count(ub) AS n_order_custs,
+        |    CAST(sum(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    count(*) AS n_union
+        |  FROM j)
+        |SELECT CAST(n_events_users AS BIGINT) AS n_events_users,
+        |  CAST(n_order_custs AS BIGINT) AS n_order_custs, n_both,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CAST((n_both * 1000) // n_union AS BIGINT) AS jaccard_pm,
+        |  CAST((n_both * 1000) // n_events_users AS BIGINT)
+        |    AS events_covered_pm,
+        |  CAST((n_both * 1000) // n_order_custs AS BIGINT)
+        |    AS orders_covered_pm
+        |FROM g""".stripMargin,
 
     "diag_day_gaps" ->
       """WITH daily AS (

@@ -23,6 +23,36 @@ import org.apache.spark.sql.types.DecimalType
 object TsOps extends OpPack {
 
   def queries: Map[String, Q] = Map(
+    // Forecast-baseline error audit (the MASE denominator question
+    // asked BEFORE fitting any model: does last-week beat yesterday
+    // as a predictor — i.e. is there weekly structure worth
+    // modeling?): daily revenue totals, naive error |x_t − x_{t−1}|
+    // vs seasonal-naive |x_t − x_{t−7}|, mean absolute error of each
+    // in exact cents and their ratio in permille (ratio < 1000 ⇒
+    // weekly seasonality is real — ts_forecast_seasonal is the model
+    // this audit justifies). Facts pay ONE map-side daily agg; both
+    // lags and the roll-up run on the calendar-bounded daily frame
+    // (declared partition-less-window contract).
+    "ts_mase_base" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(expr("unix_date(CAST(ts AS DATE))").as("dayn"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val w = Window.orderBy(col("dayn"))
+      daily
+        .withColumn("e1", abs(col("cents") - lag(col("cents"), 1).over(w)))
+        .withColumn("e7", abs(col("cents") - lag(col("cents"), 7).over(w)))
+        .agg(count(lit(1)).as("n_days"),
+          count(col("e1")).as("n1"), sum(col("e1")).as("s1"),
+          count(col("e7")).as("n7"), sum(col("e7")).as("s7"))
+        .select(col("n_days"),
+          expr("s1 div n1").as("mae_naive_cents"),
+          expr("s7 div n7").as("mae_snaive_cents"),
+          expr("CAST((CAST(s7 AS DECIMAL(38,0)) * n1 * 1000) div " +
+            "(CAST(s1 AS DECIMAL(38,0)) * n7) AS BIGINT)")
+            .as("snaive_vs_naive_pm"))
+    }),
+
     // OHLC bar resampling (the classic tick→bar downsample): per
     // (user, day), first/last value by the unique event_id order
     // (ts is monotone in event_id per TESTDATA, so "first by
@@ -1293,6 +1323,31 @@ object TsOps extends OpPack {
     expr(s"CAST(CASE WHEN s0 > 0 THEN ($c * 1000) div s0 END AS BIGINT)")
 
   def oracle: Map[String, String] = Map(
+    "ts_mase_base" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS dayn,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT cents,
+        |    abs(cents - lag(cents, 1) OVER (ORDER BY dayn)) AS e1,
+        |    abs(cents - lag(cents, 7) OVER (ORDER BY dayn)) AS e7
+        |  FROM daily),
+        |g AS (
+        |  SELECT count(*) AS n_days,
+        |    count(e1) AS n1, CAST(sum(e1) AS BIGINT) AS s1,
+        |    count(e7) AS n7, CAST(sum(e7) AS BIGINT) AS s7
+        |  FROM l)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(s1 // n1 AS BIGINT) AS mae_naive_cents,
+        |  CAST(s7 // n7 AS BIGINT) AS mae_snaive_cents,
+        |  CAST((CAST(s7 AS HUGEINT) * n1 * 1000)
+        |    // (CAST(s1 AS HUGEINT) * n7) AS BIGINT)
+        |    AS snaive_vs_naive_pm
+        |FROM g""".stripMargin,
+
     "ts_vwap" ->
       """WITH b AS (
         |  SELECT CAST(ts AS DATE) AS day,
