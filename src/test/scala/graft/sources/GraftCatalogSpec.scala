@@ -644,6 +644,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.tt")
   }
 
+  test("versionAt: pre-clock (stamp-free) snapshots are not timestamp-reachable") {
+    import graft.sources.ManifestSink
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.pc (k BIGINT)")          // v0
+    spark.sql("INSERT INTO g.db.pc VALUES (1)")           // v1
+    spark.sql("INSERT INTO g.db.pc VALUES (2)")           // v2
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/pc"
+    // simulate legacy archives written before the commit clock:
+    // strip v0's and v1's committedAt fields in place
+    def strip(name: String): Unit = {
+      val f = new java.io.File(dir, name)
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      java.nio.file.Files.write(f.toPath,
+        txt.replaceAll("\"committedAt\"\\s*:\\s*\\d+,", "")
+          .getBytes): Unit
+    }
+    strip("_graft_manifest.v0.json")
+    strip("_graft_manifest.v1.json")
+    val t2 = ManifestSink.commitTimeOf(dir, 2L)
+    // at/after the stamped base: resolves to it
+    assert(ManifestSink.versionAt(dir, t2) === 2L)
+    // before the stamped base: the unstamped v1 archive must NOT be
+    // resolved via its (archival-time) mtime — refused instead
+    val e = intercept[IllegalArgumentException] {
+      ManifestSink.versionAt(dir, t2 - 1)
+    }
+    assert(e.getMessage.contains("history starts later"))
+    // a fully stamp-free chain is refused with the pre-clock message
+    strip("_graft_manifest.json")
+    val pre = intercept[IllegalArgumentException] {
+      ManifestSink.versionAt(dir, System.currentTimeMillis())
+    }
+    assert(pre.getMessage.contains("predates the commit clock"))
+    spark.sql("DROP TABLE g.db.pc")
+  }
+
   test("CALL remove_orphans deletes only aged unreferenced files; dry_run reports without deleting") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.orf (k BIGINT)")
