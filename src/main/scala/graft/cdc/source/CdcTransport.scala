@@ -44,7 +44,8 @@ final class SocketTransport(
     database: String, table: String, version: Option[Int],
     gtid: Option[String], connectTimeoutMs: Int = 5000,
     readTimeoutMs: Int = 5000,
-    schemaWaitMaxMs: Long = 0L) extends CdcTransport {
+    schemaWaitMaxMs: Long = 0L,
+    writeTimeoutMs: Int = 5000) extends CdcTransport {
 
   private val socket = new Socket()
   private val queue = new ConcurrentLinkedQueue[String]()
@@ -58,8 +59,34 @@ final class SocketTransport(
     val out = socket.getOutputStream
     val in = new BufferedReader(new InputStreamReader(socket.getInputStream,
       UTF_8))
+    // Handshake writes carry a WRITE deadline (reference R23 sets one,
+    // client.go:371-381 — implemented correctly here; the reference's
+    // own WithWriteTimeout assigns the READ timeout, its R4 copy-paste
+    // bug, deliberately not replicated). Java blocking sockets have no
+    // native write timeout, so a watchdog closes the socket if a write
+    // is still blocked after `writeTimeoutMs` — a hung broker with a
+    // full TCP buffer fails the handshake loudly instead of wedging
+    // the reader task forever.
     def send(msg: String): Unit = {
-      out.write(msg.getBytes(UTF_8)); out.flush()
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = new java.util.TimerTask {
+        override def run(): Unit = {
+          timedOut.set(true)
+          try socket.close() catch { case _: Throwable => }
+        }
+      }
+      SocketTransport.writeWatchdog.schedule(watchdog, writeTimeoutMs.toLong)
+      try {
+        out.write(msg.getBytes(UTF_8)); out.flush()
+      } catch {
+        case e: java.io.IOException if timedOut.get() =>
+          throw new java.io.IOException(
+            s"write to $host:$port timed out after ${writeTimeoutMs}ms " +
+              s"(server not reading — stream $database.$table)", e)
+      } finally watchdog.cancel(): Unit
+      if (timedOut.get()) throw new java.io.IOException(
+        s"write to $host:$port timed out after ${writeTimeoutMs}ms " +
+          s"(server not reading — stream $database.$table)")
     }
     def expectOk(phase: String): Unit = {
       val reply = in.readLine()
@@ -146,6 +173,13 @@ final class SocketTransport(
     socket.close() // breaks the blocked read, like conn.Close()
     if (pump != null) pump.join(2000)
   }
+}
+
+object SocketTransport {
+  /** Shared daemon timer backing the per-write deadline watchdogs —
+    * one idle thread process-wide, not one per transport. */
+  private val writeWatchdog =
+    new java.util.Timer("maxscale-cdc-write-watchdog", true)
 }
 
 /** File replay transport: NDJSON event dump (DDL first, then DML),

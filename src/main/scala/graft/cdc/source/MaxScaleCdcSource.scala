@@ -27,7 +27,9 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Options: `host`, `port`, `user`, `password`, `uuid`, `database`,
   * `table`, optional `version`, `gtid` (resume offset, server-side
-  * skip), `connectTimeoutMs`, `readTimeoutMs`, `schemaWaitMaxMs`
+  * skip), `connectTimeoutMs`, `readTimeoutMs`, `writeTimeoutMs`
+  * (handshake write deadline — a non-reading broker with a full TCP
+  * buffer fails loudly instead of wedging), `schemaWaitMaxMs`
   * (bound the ERR-wait-for-schema loop; 0 = wait forever like the
   * reference), `maxLinesPerBatch` (admission control: cap lines per
   * micro-batch for bounded batch memory behind a backlog) — or
@@ -78,7 +80,8 @@ object MaxScaleCdcSource {
         gtid = opts.get("gtid"),
         connectTimeoutMs = opts.getOrElse("connecttimeoutms", "5000").toInt,
         readTimeoutMs = opts.getOrElse("readtimeoutms", "5000").toInt,
-        schemaWaitMaxMs = opts.getOrElse("schemawaitmaxms", "0").toLong)
+        schemaWaitMaxMs = opts.getOrElse("schemawaitmaxms", "0").toLong,
+        writeTimeoutMs = opts.getOrElse("writetimeoutms", "5000").toInt)
     }
   }
 }

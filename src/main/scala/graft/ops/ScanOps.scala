@@ -212,19 +212,21 @@ object ScanOps extends OpPack {
     // the multimodal on-ramp (image/audio shards land as FILES long
     // before they are columns; this is the scan that turns a bucket
     // of blobs into (path, length, content) rows, partitioned by
-    // file). Fixture: every 100th document's text written as a .bin
-    // blob (bounded driver loop — test scaffolding, not the
-    // operator); the distributed scan reads bytes back, and byte
-    // length + md5(content) must equal the oracle's octet_length +
-    // md5 over the source strings — proving the bytes survived the
-    // file round-trip untouched. At 100 TB this scan is
-    // files-parallel and never buffers more than one blob per task.
+    // file). Fixture: every 100th document's text (BOUNDED at
+    // doc_id < 50000 — ≤500 blobs at ANY corpus size, so the driver
+    // loop that writes the scaffolding never scales with the data;
+    // the oracle applies the identical cap); the distributed scan
+    // reads bytes back, and byte length + md5(content) must equal
+    // the oracle's octet_length + md5 over the source strings —
+    // proving the bytes survived the file round-trip untouched. At
+    // 100 TB this scan is files-parallel and never buffers more than
+    // one blob per task.
     "scan_binaryfile" -> ((s, dir) => {
       val scratch =
         new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-scratch/binfiles")
       rmRf(scratch); scratch.mkdirs()
       Tables(s, dir, "documents")
-        .filter(col("doc_id") % 100 === 0)
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") < 50000)
         .select(col("doc_id"), col("text")).collect()
         .foreach { r =>
           // NULL text lands as an empty blob (coalesce in the oracle)
@@ -482,6 +484,53 @@ object ScanOps extends OpPack {
           sum(col("cents")).as("sum_cents"))
         .orderBy(col("change_version"), col("change_type"),
           col("o_orderstatus"))
+    }),
+
+    // STREAMING change data feed run to completion as a batch
+    // equivalent (the registered-query face of the operator pinned in
+    // ManifestSinkSpec "streaming change feed"): the CDF stream tails
+    // a manifest table's snapshot chain — initial snapshot as inserts,
+    // then per-version insert/delete rows for append, delete-vector
+    // and equality-delete commits — into a second manifest table
+    // under ONE checkpoint across two restarts, so a replayed or
+    // skipped change breaks the hash. Offsets are snapshot VERSIONS
+    // and each batch plans only the files the covered versions
+    // changed — at 100 TB the feed costs CHANGED data, not table
+    // size. The commits are modulo-defined, so the oracle derives
+    // the identical feed from the parquet with pure predicates.
+    "stream_manifest_cdf" -> ((s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft-scratch/mcdf"
+      Seq("src", "out", "ckpt")
+        .foreach(t => rmRf(new java.io.File(s"$base-$t")))
+      val sup = Tables(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_nationkey"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents"))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-manifest")
+          .option("readChangeFeed", "true").load(s"$base-src")
+          .writeStream.format("graft-manifest")
+          .option("checkpointLocation", s"$base-ckpt").start(s"$base-out")
+        try q.processAllAvailable() finally q.stop()
+      }
+      sup.filter(col("s_suppkey") % 2 === 0).write.mode("overwrite")
+        .format("graft-manifest").save(s"$base-src")  // v1: initial
+      runOnce()              // snapshot arrives as inserts @v1
+      sup.filter(col("s_suppkey") % 2 === 1).write.mode("append")
+        .format("graft-manifest").save(s"$base-src")  // v2: append
+      graft.sources.ManifestSink.delete(s, s"$base-src",
+        "s_suppkey % 4 = 0")                          // v3: vectors
+      runOnce()              // restart: v2+v3 exactly once
+      graft.sources.ManifestSink.deleteEq(s"$base-src", "s_suppkey",
+        Seq(1L, 3L))                                  // v4: eq-delete
+      runOnce()              // restart: the eq-delete exactly once
+      s.read.format("graft-manifest").load(s"$base-out")
+        .groupBy(col("_change_version").as("change_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("change_version"), col("change_type"))
     }),
 
     // Streaming SOURCE over the manifest table (the Delta-source
@@ -1749,6 +1798,33 @@ object ScanOps extends OpPack {
         |FROM feed GROUP BY change_version, change_type, st
         |ORDER BY change_version, change_type, o_orderstatus""".stripMargin,
 
+    // the streamed feed: v1 = initial evens, v2 = appended odds,
+    // v3 = delete-vector hits (k%4=0, all even so present), v4 =
+    // eq-delete {1,3} (odd, not hit by v3, so both still live)
+    "stream_manifest_cdf" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey AS k,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        |  FROM supplier),
+        |feed AS (
+        |  SELECT CAST(1 AS BIGINT) AS change_version,
+        |         'insert' AS change_type, k, cents
+        |  FROM sup WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'insert', k, cents
+        |  FROM sup WHERE k % 2 = 1
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'delete', k, cents
+        |  FROM sup WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), 'delete', k, cents
+        |  FROM sup WHERE k IN (1, 3))
+        |SELECT change_version, change_type, count(*) AS n,
+        |  min(k) AS min_key, max(k) AS max_key,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM feed GROUP BY change_version, change_type
+        |ORDER BY change_version, change_type""".stripMargin,
+
     // every supplier row flows exactly once across the restart, so
     // the sunk table aggregates identically to the parquet
     "sink_manifest_stream_tail" ->
@@ -2061,7 +2137,7 @@ object ScanOps extends OpPack {
         |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
         |    AS length,
         |  md5(coalesce(text, '')) AS content_md5
-        |FROM documents WHERE doc_id % 100 = 0
+        |FROM documents WHERE doc_id % 100 = 0 AND doc_id < 50000
         |ORDER BY doc_id""".stripMargin,
 
     "scan_xml_roundtrip" ->

@@ -338,17 +338,21 @@ private[sources] object GraftProcedures {
         (resolve, in) => {
           val dir = resolve(in.getUTF8String(0).toString)
           val dry = in.getBoolean(2)
-          val before = countFiles(dir, ManifestSink.DataSuffix) +
-            countFiles(dir, ManifestSink.DelSuffix)
-          // TimestampType arrives as epoch MICROS
-          val found = ManifestSink.removeOrphans(dir,
-            in.getLong(1) / 1000L, dry).length.toLong
-          val after = countFiles(dir, ManifestSink.DataSuffix) +
-            countFiles(dir, ManifestSink.DelSuffix)
+          // TimestampType arrives as epoch MICROS. Both counters come
+          // from removeOrphans itself — `found` from a dry pass,
+          // `removed` from the real pass's ACTUAL delete results (a
+          // file whose delete fails is found-but-not-removed), so the
+          // two can never silently disagree with what happened on disk.
+          val cutoff = in.getLong(1) / 1000L
+          val found = ManifestSink.removeOrphans(dir, cutoff,
+            dryRun = true).length.toLong
+          val removed = if (dry) 0L
+            else ManifestSink.removeOrphans(dir, cutoff,
+              dryRun = false).length.toLong
           result(StructType(Seq(
             StructField("orphans_found", LongType, nullable = false),
             StructField("files_removed", LongType, nullable = false))),
-            found, before - after)
+            found, removed)
         })(resolve)
 
       case other => throw new UnsupportedOperationException(

@@ -1279,8 +1279,11 @@ object ManifestSink {
     * `olderThanMillis` mtime guard keeps an IN-FLIGHT write's
     * not-yet-committed files safe (Iceberg's same default posture);
     * `dryRun` lists without deleting. Returns the orphan file names
-    * found, sorted. O(listing + manifest metadata) at any table size
-    * — never reads a data byte. */
+    * FOUND under dryRun, and the names ACTUALLY DELETED otherwise —
+    * a file whose delete fails (permissions, concurrent handle) is
+    * excluded so the caller's removed-count never overstates what
+    * happened on disk. Sorted. O(listing + manifest metadata) at any
+    * table size — never reads a data byte. */
   def removeOrphans(dir: String, olderThanMillis: Long,
       dryRun: Boolean): Seq[String] = {
     val referenced = listAllManifests(dir).flatMap { f =>
@@ -1293,8 +1296,8 @@ object ManifestSink {
         f.getName.endsWith(DelSuffix)) &&
         !referenced(f.getName) && f.lastModified() < olderThanMillis)
       .sortBy(_.getName)
-    if (!dryRun) orphans.foreach(_.delete())
-    orphans.map(_.getName).toSeq
+    (if (dryRun) orphans.toSeq else orphans.toSeq.filter(_.delete()))
+      .map(_.getName)
   }
 
   /** TIME-based retention (Iceberg's `expire_snapshots(older_than)`
@@ -1484,15 +1487,43 @@ object ManifestSink {
     * millisecond. Archive/branch/tag/epoch copies go through
     * [[writeManifestAs]] directly and PRESERVE the stamp they carry —
     * an archived snapshot keeps the commit time it was published
-    * with. */
-  def writeManifest(dir: String, m: Manifest): Unit = {
-    val prev = {
-      val f = new File(dir, ManifestFile)
-      if (f.exists()) readStamp(f)._2 else 0L
+    * with.
+    *
+    * The stamp read + publish is SERIALIZED per table directory —
+    * a JVM-wide monitor for same-process writers plus an OS file
+    * lock (`.graft_commit.lock`) for cross-process ones — so two
+    * concurrent committers can never both read the same prior stamp
+    * and mint duplicate committedAt values; [[versionAt]]'s
+    * no-two-snapshots-share-an-instant guarantee holds under
+    * concurrency, not just single-writer luck. Returns the minted
+    * committedAt. */
+  def writeManifest(dir: String, m: Manifest): Long = {
+    val monitor = commitMonitors.computeIfAbsent(
+      new File(dir).getAbsolutePath, _ => new Object)
+    monitor.synchronized {
+      val lockFile = new File(dir, ".graft_commit.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          val prev = {
+            val f = new File(dir, ManifestFile)
+            if (f.exists()) readStamp(f)._2 else 0L
+          }
+          val stamp = math.max(System.currentTimeMillis(), prev + 1)
+          writeManifestAs(dir, ManifestFile, m.copy(committedAt = stamp))
+          stamp
+        } finally lock.release()
+      } finally ch.close()
     }
-    writeManifestAs(dir, ManifestFile,
-      m.copy(committedAt = math.max(System.currentTimeMillis(), prev + 1)))
   }
+
+  /** Per-table-directory commit monitors (same-JVM serialization; the
+    * file lock in [[writeManifest]] covers cross-process). */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def readManifestFile(f: File): Manifest = {
     val root = mapper.readTree(f)
@@ -1559,15 +1590,51 @@ object ManifestSink {
     * `asOfVersion` (streaming epochs are excluded from time travel —
     * the version chain tracks BATCH commits, declared). */
   /** Just (version, committedAt) from a manifest document — the two
-    * top-level fields timestamp resolution needs. Skips Entry/stats/
-    * bloom construction and normalize(), so walking an archive chain
-    * stays proportional to document COUNT, not entry count. */
+    * top-level fields timestamp resolution needs. A STREAMING parse
+    * that stops as soon as both fields are seen ([[writeManifestAs]]
+    * emits schemaDdl, version, committedAt BEFORE the files array, so
+    * a stamped document costs a few tokens, not a full-document
+    * parse; pre-clock documents skip the files subtree token-wise
+    * without building a tree). Immutable archive documents are
+    * additionally cached by (path, mtime, length), so a long archive
+    * chain pays the parse once across resolutions — the live base
+    * manifest is never cached (it is the one document that mutates). */
   private def readStamp(f: File): (Long, Long) = {
-    val root = mapper.readTree(f)
-    (if (root.has("version")) root.get("version").asLong() else 0L,
-      if (root.has("committedAt")) root.get("committedAt").asLong()
-      else 0L)
+    val cacheable = f.getName != ManifestFile
+    val key = if (cacheable)
+      (f.getAbsolutePath, f.lastModified(), f.length()) else null
+    if (cacheable) {
+      val hit = stampCache.get(key)
+      if (hit != null) return hit
+    }
+    val p = mapper.getFactory.createParser(f)
+    var v = 0L; var c = 0L; var seenV = false; var seenC = false
+    try {
+      if (p.nextToken() ==
+          com.fasterxml.jackson.core.JsonToken.START_OBJECT) {
+        var t = p.nextToken()
+        while (t != null &&
+            t != com.fasterxml.jackson.core.JsonToken.END_OBJECT &&
+            !(seenV && seenC)) {
+          val name = p.currentName()
+          p.nextToken()
+          name match {
+            case "version" => v = p.getLongValue; seenV = true
+            case "committedAt" => c = p.getLongValue; seenC = true
+            case _ => p.skipChildren(): Unit
+          }
+          t = p.nextToken()
+        }
+      }
+    } finally p.close()
+    if (cacheable) stampCache.put(key, (v, c)): Unit
+    (v, c)
   }
+
+  /** (path, mtime, length) → (version, committedAt) for immutable
+    * archive/branch/tag documents — see [[readStamp]]. */
+  private val stampCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), (Long, Long)]()
 
   /** TIMESTAMP time travel (Iceberg/Delta `TIMESTAMP AS OF`): the
     * snapshot visible at wall-clock `millis` = the highest version
@@ -1598,22 +1665,39 @@ object ManifestSink {
     visible.map(_._1).max
   }
 
-  /** The commit time stamped on snapshot `version` (base or archive). */
-  def commitTimeOf(dir: String, version: Long): Long = {
-    val base = readManifest(dir)
-    val m = if (base.version == version) base
-      else readManifestFile(new File(dir, archiveManifestFile(version)))
-    m.committedAt
-  }
+  /** The commit time stamped on snapshot `version` (base or archive).
+    * Routed through [[readAsOf]] so a vacuumed or never-committed
+    * version fails with the standard "vacuumed or never committed"
+    * message, not a raw FileNotFoundException. */
+  def commitTimeOf(dir: String, version: Long): Long =
+    readAsOf(dir, Some(version)).committedAt
 
   /** `asOfTimestamp` option value → epoch millis: pure digits are
-    * millis; anything else parses as a UTC 'yyyy-MM-dd HH:mm:ss'
-    * (optionally fractional) wall-clock instant. */
+    * millis; anything else parses as a 'yyyy-MM-dd[ HH:mm:ss[.SSS]]'
+    * wall-clock instant in the SESSION TIME ZONE
+    * (`spark.sql.session.timeZone`) — the same zone Spark's SQL
+    * `TIMESTAMP AS OF` literal resolves through, so the two surfaces
+    * of the feature pick the same snapshot in non-UTC sessions.
+    * Date-only form means midnight of that day. Unparseable values
+    * fail with the graft-manifest message, not a raw
+    * DateTimeParseException. */
   def parseAsOfTimestamp(v: String): Long =
     if (v.forall(_.isDigit)) v.toLong
-    else java.time.LocalDateTime
-      .parse(v.trim.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    else try {
+      val zone = java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val t = v.trim
+      val ldt =
+        if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      ldt.atZone(zone).toInstant.toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"graft-manifest: cannot parse asOfTimestamp '$v' — use " +
+            "epoch millis, 'yyyy-MM-dd', or 'yyyy-MM-dd HH:mm:ss[.SSS]' " +
+            "(resolved in the session time zone)", e)
+    }
 
   /** Merge the two time-travel reader options into one version pin:
     * `asOfVersion` wins alone, `asOfTimestamp` resolves through

@@ -462,6 +462,54 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(all.contains("register failed") || all.contains("ERR"))
   }
 
+  test("socket: write deadline fails a handshake stalled on a non-reading server (client.go:371-381)") {
+    // The server accepts, OKs auth, then never reads again. The client's
+    // REGISTER payload (a deliberately huge UUID) overflows the loopback
+    // TCP buffers, so the write BLOCKS — without a write deadline the
+    // query would wedge forever; with one it must fail within
+    // ~writeTimeoutMs. (The reference sets a write deadline at R23;
+    // its WithWriteTimeout R4 assigns the read timeout — that bug is
+    // deliberately not replicated, so this pin is against correct
+    // semantics, not the reference's.)
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream,
+        UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      def readN(n: Int): Unit = {
+        val b = new Array[Char](n); var r = 0
+        while (r < n) { val k = in.read(b, r, n - r); if (k > 0) r += k }
+      }
+      readN(graft.cdc.Protocol.formatAuthCommand("u", "p").length)
+      out.println("OK")
+      Thread.sleep(60000) // stall: never read the REGISTER
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    val hugeUuid = "u" * (32 << 20) // 32 MiB — beyond any socket buffer
+    val started = System.currentTimeMillis()
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "u").option("password", "p")
+      .option("uuid", hugeUuid)
+      .option("writeTimeoutMs", "1000")
+      .option("database", "test").option("table", "tests")
+      .load().writeStream.format("memory").queryName("cdc_writestall")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    server.close()
+    val elapsed = System.currentTimeMillis() - started
+    val all = e.getMessage + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(all.contains("timed out"), s"expected a write-timeout: $all")
+    assert(elapsed < 30000,
+      s"stalled write must fail near writeTimeoutMs, took ${elapsed}ms")
+  }
+
   test("socket: mid-stream DDL version bump feeds the schema registry") {
     val ddlV2 = ddl
       .replace(""""version": 1""", """"version": 2""")

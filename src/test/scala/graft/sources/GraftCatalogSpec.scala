@@ -719,6 +719,118 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g.db.orf")
   }
 
+  test("removeOrphans reports only what was actually deleted; a failed delete is found-but-not-removed") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.orf2 (k BIGINT)")
+    spark.sql("INSERT INTO g.db.orf2 VALUES (1)")
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/orf2"
+    val committed = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ManifestSink.DataSuffix)).head
+    val aged = System.currentTimeMillis() - 86400000L
+    // a deletable stray, and an UNDELETABLE one: a non-empty DIRECTORY
+    // whose name matches the data suffix — File.delete() fails on it
+    java.nio.file.Files.copy(committed.toPath,
+      java.nio.file.Paths.get(dir,
+        "stray" + ManifestSink.DataSuffix)): Unit
+    assert(new java.io.File(dir, "stray" + ManifestSink.DataSuffix)
+      .setLastModified(aged))
+    val undeletable = new java.io.File(dir,
+      "stuck" + ManifestSink.DataSuffix)
+    assert(undeletable.mkdir())
+    assert(new java.io.File(undeletable, "child").createNewFile())
+    assert(undeletable.setLastModified(aged))
+    val cutoff = System.currentTimeMillis() - 3600000L
+    val found = ManifestSink.removeOrphans(dir, cutoff, dryRun = true)
+    assert(found.size === 2, s"dry run finds both strays: $found")
+    val removed = ManifestSink.removeOrphans(dir, cutoff, dryRun = false)
+    assert(removed === Seq("stray" + ManifestSink.DataSuffix),
+      "only the successful delete is reported removed")
+    assert(undeletable.exists(), "the failed delete is still on disk")
+    // the procedure's counters derive from the same actuals
+    val cut = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(cutoff))
+    val res = spark.sql("CALL g.system.remove_orphans('db.orf2', " +
+      s"TIMESTAMP '$cut', false)").head()
+    assert(res.getLong(0) === 1L && res.getLong(1) === 0L,
+      "the stuck orphan is found but reported NOT removed")
+    assert(new java.io.File(undeletable, "child").delete())
+    assert(undeletable.delete())
+    spark.sql("DROP TABLE g.db.orf2")
+  }
+
+  test("commitTimeOf on a vacuumed/never-committed version fails with the standard message") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.cto (k BIGINT)")        // v0
+    spark.sql("INSERT INTO g.db.cto VALUES (1)")         // v1
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/cto"
+    graft.sources.ManifestSink.vacuum(dir, 0)            // drops v0 archive
+    val e = intercept[IllegalArgumentException] {
+      ManifestSink.commitTimeOf(dir, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed or never committed"),
+      s"friendly error expected, got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestSink.commitTimeOf(dir, 99L)
+    }
+    assert(e2.getMessage.contains("vacuumed or never committed"))
+    spark.sql("DROP TABLE g.db.cto")
+  }
+
+  test("parseAsOfTimestamp: session time zone, date-only form, graft-prefixed parse errors") {
+    // millis pass through
+    assert(ManifestSink.parseAsOfTimestamp("1700000000123") ===
+      1700000000123L)
+    // wall-clock strings resolve in the SESSION zone (same as the SQL
+    // TIMESTAMP AS OF literal) — pin by flipping the session zone and
+    // observing the resolved instant shift by the offset
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = ManifestSink.parseAsOfTimestamp("2026-08-16 12:00:00")
+      assert(utc === java.time.Instant.parse("2026-08-16T12:00:00Z")
+        .toEpochMilli)
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = ManifestSink.parseAsOfTimestamp("2026-08-16 12:00:00")
+      assert(ny - utc === 4L * 3600 * 1000,
+        "EDT noon is 4h after UTC noon")
+      // date-only means midnight of that day in the session zone
+      assert(ManifestSink.parseAsOfTimestamp("2026-08-16") ===
+        java.time.LocalDate.parse("2026-08-16")
+          .atStartOfDay(java.time.ZoneId.of("America/New_York"))
+          .toInstant.toEpochMilli)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    val bad = intercept[IllegalArgumentException] {
+      ManifestSink.parseAsOfTimestamp("not-a-time")
+    }
+    assert(bad.getMessage.startsWith("graft-manifest:"),
+      s"wrapped error expected, got: ${bad.getMessage}")
+  }
+
+  test("concurrent commits to one table mint strictly distinct committedAt stamps") {
+    val wh = spark.conf.get("spark.sql.catalog.g.warehouse")
+    val dir = s"$wh/db/cc-race"
+    assert(new java.io.File(dir).mkdirs())
+    val stamps = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]())
+    val version = new java.util.concurrent.atomic.AtomicLong(0L)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        (1 to 25).foreach { _ =>
+          val s = ManifestSink.writeManifest(dir, ManifestSink.Manifest(
+            "k BIGINT", Nil, version.incrementAndGet()))
+          assert(stamps.add(s), s"duplicate committedAt $s minted")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(stamps.size === 200,
+      "8 writers x 25 commits => 200 unique stamps")
+  }
+
   test("tags: create_tag pins a named snapshot against retention; reads resolve by name") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.tg (k BIGINT)")          // v0

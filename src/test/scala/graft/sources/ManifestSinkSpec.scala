@@ -1526,4 +1526,111 @@ class ManifestSinkSpec extends AnyFunSuite {
         .agg(count($"s")).collect()
     }
   }
+
+  test("retention fuzz: 20 seeded interleaved commits/tags/branches/deletes/compactions/sweeps keep every referenced surface readable") {
+    // The sweep rules (vacuum / expire_snapshots / remove_orphans vs
+    // branches / tags / the current base) are each pinned above in
+    // isolation; this interleaves them under a FIXED seed and, after
+    // EVERY step, re-reads every surviving surface against a model —
+    // the property that matters at 100 TB, where maintenance jobs and
+    // writers overlap constantly: retention never deletes a file any
+    // still-referenced snapshot can see.
+    val dir = scratch("fuzz")
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    var nextK = 0L
+    def frame(n: Int) = {
+      val rows = (0 until n).map { _ =>
+        val k = nextK; nextK += 1; (k, k * 2)
+      }
+      rows.toDF("k", "v").repartition(1)
+    }
+    val tags = scala.collection.mutable.Map[String, Set[Long]]()
+    val branches = scala.collection.mutable.Map[String, Set[Long]]()
+    var live = Set.empty[Long]
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    def read() = spark.read.format("graft-manifest").load(dir)
+    frame(5).write.mode("overwrite").format("graft-manifest").save(dir)
+    live = (0L until 5L).toSet
+    var tagN = 0
+    var brN = 0
+    for (step <- 1 to 20) {
+      rnd.nextInt(10) match {
+        case 0 | 1 => // append 1-4 fresh rows
+          val n = 1 + rnd.nextInt(4)
+          val lo = nextK
+          frame(n).write.mode("append").format("graft-manifest").save(dir)
+          live ++= (lo until lo + n)
+        case 2 => // overwrite with a fresh frame
+          val n = 2 + rnd.nextInt(4)
+          val lo = nextK
+          frame(n).write.mode("overwrite").format("graft-manifest")
+            .save(dir)
+          live = (lo until lo + n).toSet
+        case 3 => // predicate delete (delete vectors)
+          val m = 2 + rnd.nextInt(3)
+          ManifestSink.delete(spark, dir, s"k % $m = 0")
+          live = live.filterNot(_ % m == 0)
+        case 4 => // equality delete on up to 2 live keys
+          if (live.nonEmpty) {
+            val victims = live.toSeq.sorted.take(1 + rnd.nextInt(2))
+            ManifestSink.deleteEq(dir, "k", victims)
+            live --= victims
+          }
+        case 5 => // tag the current state
+          tagN += 1
+          ManifestSink.createTag(dir, s"t$tagN")
+          tags(s"t$tagN") = live
+        case 6 => // branch the current state (WAP pin)
+          brN += 1
+          ManifestSink.createBranch(dir, s"b$brN")
+          branches(s"b$brN") = live
+        case 7 => // drop a random tag or branch
+          if (rnd.nextBoolean() && tags.nonEmpty) {
+            val t = tags.keys.toSeq.sorted(Ordering.String)(
+              rnd.nextInt(tags.size))
+            ManifestSink.dropTag(dir, t); tags -= t
+          } else if (branches.nonEmpty) {
+            val b = branches.keys.toSeq.sorted(Ordering.String)(
+              rnd.nextInt(branches.size))
+            ManifestSink.dropBranch(dir, b); branches -= b
+          }
+        case 8 => // a retention sweep
+          rnd.nextInt(3) match {
+            case 0 => ManifestSink.vacuum(dir, rnd.nextInt(3))
+            case 1 =>
+              Thread.sleep(2)
+              assert(ManifestSink.expireSnapshots(dir,
+                System.currentTimeMillis()) >= 0L)
+            case 2 =>
+              // plant a stray, then sweep orphans with a future
+              // cutoff: the stray dies, referenced files survive
+              Files.write(new File(dir,
+                s"stray-$step${ManifestSink.DataSuffix}").toPath,
+                Array.fill[Byte](32)(9))
+              Thread.sleep(2)
+              val gone = ManifestSink.removeOrphans(dir,
+                System.currentTimeMillis(), dryRun = false)
+              assert(gone.contains(s"stray-$step${ManifestSink.DataSuffix}"))
+          }
+        case 9 => // compaction rewrite (addresses move, rows don't)
+          ManifestSink.compact(spark, dir, 1)
+      }
+      // invariants after EVERY step: the current table and every
+      // surviving tag/branch read their exact pinned key sets
+      assert(keysOf(read()) === live, s"current state broken at step $step")
+      tags.foreach { case (t, keys) =>
+        val got = keysOf(spark.read.format("graft-manifest")
+          .option("tag", t).load(dir))
+        assert(got === keys, s"tag $t broken at step $step")
+      }
+      branches.foreach { case (b, keys) =>
+        val got = keysOf(spark.read.format("graft-manifest")
+          .option("branch", b).load(dir))
+        assert(got === keys, s"branch $b broken at step $step")
+      }
+    }
+    assert(tagN + brN > 2, "seed must actually exercise refs")
+  }
 }

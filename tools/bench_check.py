@@ -40,6 +40,15 @@ ABS_FLOOR = 1.0  # seconds; below this, ratios are pure noise
 
 CLASSPATH = "target/scala-2.13/classes:/opt/spark/jars/*"
 
+# Whole-sitting drift canaries (VERDICT r9 task 1): three fixed,
+# >1s, pure-compute queries whose code has been stable since round 8.
+# Their steady-state-vs-reference ratio measures MACHINE drift (this
+# box runs whole sittings 25-40% slower at times, on untouched code);
+# the geometric mean is the sitting's drift factor. Recorded beside
+# every BENCH_rN (tools/drift_rN.json) so cross-round totals can be
+# normalized before anyone calls a number a regression.
+DRIFT_CANARIES = ["llm_bpe_apply", "llm_cc_bigstar", "llm_vec_cov"]
+
 
 def load(path):
     with open(path) as f:
@@ -58,6 +67,32 @@ def steady_state(names, sf_dir):
     return {n: statistics.median(ts) for n, ts in runs.items() if ts}
 
 
+def drift_marker(sf_dir, ref, out_path=None):
+    """Steady-state the drift canaries, return the sitting's drift
+    factor (geometric mean of steady/ref), optionally recording it."""
+    medians = steady_state(DRIFT_CANARIES, sf_dir)
+    ratios = {}
+    for c in DRIFT_CANARIES:
+        if c in medians and ref.get(c):
+            ratios[c] = medians[c] / ref[c]
+    if not ratios:
+        print("DRIFT      unresolved: no canary produced a timing")
+        return 1.0
+    import math
+    factor = math.exp(sum(math.log(r) for r in ratios.values())
+                      / len(ratios))
+    detail = ", ".join(f"{c} {r:.2f}x" for c, r in sorted(ratios.items()))
+    print(f"DRIFT      sitting factor {factor:.2f}x ({detail})")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"factor": round(factor, 4),
+                       "canaries": {c: {"steady": round(medians[c], 3),
+                                        "ref": ref[c]}
+                                    for c in ratios}}, f, indent=2)
+        print(f"DRIFT      recorded to {out_path}")
+    return factor
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     adjudicate = "--no-adjudicate" not in args
@@ -67,9 +102,23 @@ def main():
         i = args.index("--sf-dir")
         sf_dir = args[i + 1]
         del args[i:i + 2]
+    drift_out = None
+    want_drift = "--drift" in args
+    if want_drift:
+        i = args.index("--drift")
+        if i + 1 < len(args) and args[i + 1].endswith(".json") \
+                and not args[i + 1].startswith("--"):
+            drift_out = args[i + 1]
+            del args[i:i + 2]
+        else:
+            del args[i]
     cur_path = args[0] if len(args) > 0 else "target/bench.json"
     ref_path = args[1] if len(args) > 1 else "tools/bench_ref.json"
     cur, ref = load(cur_path), load(ref_path)
+
+    drift = 1.0
+    if want_drift:
+        drift = drift_marker(sf_dir, ref, drift_out)
 
     candidates = []
     for name, t in sorted(cur.items()):
@@ -89,17 +138,23 @@ def main():
         medians = steady_state([c[0] for c in candidates], sf_dir)
         for name, t, r in candidates:
             m = medians.get(name)
+            # divide out whole-sitting machine drift (1.0 when --drift
+            # was not requested) so a uniformly-slow box doesn't turn
+            # every honest query into a "regression"
+            mn = m / drift if m is not None else None
             if m is None:
                 print(f"UNRESOLVED {name}: TimeOne produced no timing — "
                       f"treat as regression ({t:.2f}s vs ref {r:.2f}s)")
                 regressions.append((name, t, r))
-            elif m > THRESHOLD * r and m > ABS_FLOOR:
-                print(f"REGRESSION {name}: steady {m:.2f}s vs ref "
-                      f"{r:.2f}s ({m / r:.1f}x; suite run {t:.2f}s)")
-                regressions.append((name, m, r))
+            elif mn > THRESHOLD * r and mn > ABS_FLOOR:
+                print(f"REGRESSION {name}: steady {m:.2f}s "
+                      f"(drift-normalized {mn:.2f}s) vs ref "
+                      f"{r:.2f}s ({mn / r:.1f}x; suite run {t:.2f}s)")
+                regressions.append((name, mn, r))
             else:
                 print(f"NOISE      {name}: suite run {t:.2f}s but steady "
-                      f"{m:.2f}s vs ref {r:.2f}s — session spike")
+                      f"{m:.2f}s (normalized {mn:.2f}s) vs ref {r:.2f}s "
+                      f"— session spike / sitting drift")
     elif candidates:
         for name, t, r in sorted(candidates, key=lambda x: -x[1] / x[2]):
             print(f"CANDIDATE  {name}: {t:.2f}s vs ref {r:.2f}s "
