@@ -723,6 +723,38 @@ object LlmOps extends OpPack {
     // rounds run over 64x64 / 64-row frames.
     "llm_pca_exact" -> ((s, dir) => pcaExact(s, covCells(s, dir))),
 
+    // Per-vector projection onto that exact top component — the
+    // score column PCA exists to produce (spectral outlier pruning,
+    // 1-D embedding drift monitors, stratified sampling by principal
+    // score). The loadings are a bounded CONSTANT (the llm_pca_exact
+    // eigensolve), so they constant-fold into a 64-element literal
+    // (the llm_vec_project matrix doctrine) and the projection is a
+    // pure narrow integer map — score_u = (sum_i xu_i * loading_i)
+    // intdiv 10^6, exact in both engines (|terms| <= 64 * 10^12,
+    // long-safe). At 100 TB: scan-speed, NO shuffle, NO broadcast;
+    // the oracle re-derives the identical loadings in SQL and joins.
+    "llm_pca_project" -> ((s, dir) => {
+      import s.implicits._
+      val load = pcaExact(s, covCells(s, dir))
+        .select(col("pos"), col("loading_u")).collect()
+        .sortBy(_.getInt(0)).map(_.getLong(1))
+      if (load.isEmpty)
+        Seq.empty[(Long, Long)].toDF("vec_id", "score_u")
+      else {
+        val arr = load.map(l => s"${l}L")
+          .mkString("array(", ", ", ")")
+        Tables(s, dir, "embeddings")
+          .withColumn("xu", expr(
+            "transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .withColumn("score_u", expr(
+            s"aggregate(zip_with(xu, $arr, (v, l) -> v * l), " +
+              "0L, (acc, x) -> acc + x) div 1000000"))
+          .select(col("vec_id"), col("score_u"))
+          .orderBy(col("vec_id"))
+      }
+    }),
+
     "llm_centroid" -> ((s, dir) => {
       Tables(s, dir, "embeddings")
         .select(col("label"),
@@ -1160,6 +1192,23 @@ object LlmOps extends OpPack {
     // the same generated fixed-point power iteration, DuckDB dialect
     // (HUGEINT + `//`), re-deriving the covariance cells from parquet
     "llm_pca_exact" -> pcaExactSql(),
+
+    // re-derive the identical loadings in SQL, join on dim index,
+    // integer intdiv — truncation matches Spark's `div` exactly
+    "llm_pca_project" ->
+      s"""WITH pca AS (
+         |${pcaExactSql()}
+         |),
+         |u AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS xu
+         |  FROM embeddings)
+         |SELECT u.vec_id,
+         |  CAST(sum(CAST(u.xu AS HUGEINT) * pca.loading_u) // 1000000
+         |    AS BIGINT) AS score_u
+         |FROM u JOIN pca ON u.i = pca.pos
+         |GROUP BY u.vec_id ORDER BY u.vec_id""".stripMargin,
 
     "llm_centroid" ->
       """WITH e AS (
