@@ -45,7 +45,9 @@ final class SocketTransport(
     gtid: Option[String], connectTimeoutMs: Int = 5000,
     readTimeoutMs: Int = 5000,
     schemaWaitMaxMs: Long = 0L,
-    writeTimeoutMs: Int = 5000) extends CdcTransport {
+    writeTimeoutMs: Int = 5000,
+    maxLineBytes: Int = SocketTransport.DefaultMaxLineBytes)
+  extends CdcTransport {
 
   private val socket = new Socket()
   private val queue = new ConcurrentLinkedQueue[String]()
@@ -57,8 +59,16 @@ final class SocketTransport(
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     socket.setSoTimeout(readTimeoutMs)
     val out = socket.getOutputStream
-    val in = new BufferedReader(new InputStreamReader(socket.getInputStream,
-      UTF_8))
+    // Line scan is BOUNDED at `maxLineBytes` (default 1 MiB), the
+    // reference's scanner cap (client.go:17 maxScanTokenSize, applied
+    // at client.go:257): a corrupt / binary-garbage / malicious stream
+    // that never emits a newline fails the scan loudly within the cap
+    // instead of accumulating one unbounded String and OOMing the
+    // reader task.
+    val in = new BoundedLineReader(
+      new BufferedReader(new InputStreamReader(socket.getInputStream,
+        UTF_8)),
+      maxLineBytes, s"$host:$port (stream $database.$table)")
     // Handshake writes carry a WRITE deadline (reference R23 sets one,
     // client.go:371-381 — implemented correctly here; the reference's
     // own WithWriteTimeout assigns the READ timeout, its R4 copy-paste
@@ -68,25 +78,40 @@ final class SocketTransport(
     // full TCP buffer fails the handshake loudly instead of wedging
     // the reader task forever.
     def send(msg: String): Unit = {
-      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // Exactly ONE of {write-success, watchdog} wins `settled` (CAS):
+      // a watchdog that loses the race skips closing the socket (so a
+      // write that completed concurrently with the deadline proceeds
+      // on an OPEN socket), and a write whose watchdog won reports the
+      // timeout message even if its own IO call had already returned.
+      // (TimerTask.cancel() cannot stop an already-running task —
+      // cancel alone left a close/complete race.)
+      val settled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val watchdog = new java.util.TimerTask {
-        override def run(): Unit = {
-          timedOut.set(true)
-          try socket.close() catch { case _: Throwable => }
-        }
+        override def run(): Unit =
+          if (settled.compareAndSet(false, true)) {
+            try socket.close() catch { case _: Throwable => }
+          }
+      }
+      def timeoutErr(cause: Throwable): java.io.IOException = {
+        val e = new java.io.IOException(
+          s"write to $host:$port timed out after ${writeTimeoutMs}ms " +
+            s"(server not reading — stream $database.$table)")
+        if (cause != null) e.initCause(cause)
+        e
       }
       SocketTransport.writeWatchdog.schedule(watchdog, writeTimeoutMs.toLong)
       try {
         out.write(msg.getBytes(UTF_8)); out.flush()
       } catch {
-        case e: java.io.IOException if timedOut.get() =>
-          throw new java.io.IOException(
-            s"write to $host:$port timed out after ${writeTimeoutMs}ms " +
-              s"(server not reading — stream $database.$table)", e)
-      } finally watchdog.cancel(): Unit
-      if (timedOut.get()) throw new java.io.IOException(
-        s"write to $host:$port timed out after ${writeTimeoutMs}ms " +
-          s"(server not reading — stream $database.$table)")
+        case e: java.io.IOException =>
+          watchdog.cancel()
+          // the CAS tells us who acted first: if the watchdog did, the
+          // IO failure IS the timeout (it closed the socket under us)
+          if (!settled.compareAndSet(false, true)) throw timeoutErr(e)
+          else throw e
+      }
+      watchdog.cancel()
+      if (!settled.compareAndSet(false, true)) throw timeoutErr(null)
     }
     def expectOk(phase: String): Unit = {
       val reply = in.readLine()
@@ -176,10 +201,59 @@ final class SocketTransport(
 }
 
 object SocketTransport {
+  /** The reference's scanner cap: 1 MiB (`maxScanTokenSize`,
+    * client.go:17, applied to the event scanner at client.go:257). */
+  val DefaultMaxLineBytes: Int = 1 << 20
+
   /** Shared daemon timer backing the per-write deadline watchdogs —
     * one idle thread process-wide, not one per transport. */
   private val writeWatchdog =
     new java.util.Timer("maxscale-cdc-write-watchdog", true)
+}
+
+/** `readLine()` with the reference scanner's token cap
+  * (client.go:17/257): accumulating more than `maxChars` characters
+  * without a line terminator fails the scan loudly instead of growing
+  * an unbounded String. Terminator handling matches
+  * `BufferedReader.readLine` (`\n`, `\r`, `\r\n`; EOF flushes a final
+  * unterminated line). A `SocketTimeoutException` mid-line propagates
+  * with the partial line RETAINED, so the bounded schema-wait poll
+  * loop (which retries on timeout) never drops buffered bytes.
+  */
+private[source] final class BoundedLineReader(
+    in: java.io.Reader, maxChars: Int, what: String) {
+  private val sb = new java.lang.StringBuilder
+  private var skipLf = false
+
+  def readLine(): String = {
+    while (true) {
+      val c = in.read() // SocketTimeoutException propagates; sb keeps
+      if (c == -1) { // the partial line for the retry
+        if (sb.length == 0) return null
+        return flush()
+      } else if (skipLf && c == '\n') {
+        skipLf = false // the LF of a CRLF already terminated the line
+      } else {
+        skipLf = false
+        if (c == '\n') return flush()
+        else if (c == '\r') { skipLf = true; return flush() }
+        else {
+          if (sb.length >= maxChars) throw new java.io.IOException(
+            s"line exceeds maxLineBytes=$maxChars on $what — " +
+              "corrupt or non-CDC stream (reference caps its scanner " +
+              "at 1 MiB, client.go:17)")
+          sb.append(c.toChar)
+        }
+      }
+    }
+    null // unreachable
+  }
+
+  private def flush(): String = {
+    val r = sb.toString
+    sb.setLength(0)
+    r
+  }
 }
 
 /** File replay transport: NDJSON event dump (DDL first, then DML),

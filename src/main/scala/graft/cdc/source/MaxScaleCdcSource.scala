@@ -32,8 +32,11 @@ import scala.collection.mutable.ArrayBuffer
   * buffer fails loudly instead of wedging), `schemaWaitMaxMs`
   * (bound the ERR-wait-for-schema loop; 0 = wait forever like the
   * reference), `maxLinesPerBatch` (admission control: cap lines per
-  * micro-batch for bounded batch memory behind a backlog) — or
-  * `replayFile` for the NDJSON file replay used in tests.
+  * micro-batch for bounded batch memory behind a backlog),
+  * `maxLineBytes` (bounded line scan, default 1 MiB — the reference's
+  * scanner cap, client.go:17/257; a newline-less garbage stream fails
+  * loudly instead of OOMing the reader) — or `replayFile` for the
+  * NDJSON file replay used in tests.
   *
   * Output schema = the DML envelope (SURVEY.md §1.2) + `raw`
   * (verbatim event JSON, payload projectable with `from_json(raw,
@@ -81,7 +84,9 @@ object MaxScaleCdcSource {
         connectTimeoutMs = opts.getOrElse("connecttimeoutms", "5000").toInt,
         readTimeoutMs = opts.getOrElse("readtimeoutms", "5000").toInt,
         schemaWaitMaxMs = opts.getOrElse("schemawaitmaxms", "0").toLong,
-        writeTimeoutMs = opts.getOrElse("writetimeoutms", "5000").toInt)
+        writeTimeoutMs = opts.getOrElse("writetimeoutms", "5000").toInt,
+        maxLineBytes = opts.getOrElse("maxlinebytes",
+          SocketTransport.DefaultMaxLineBytes.toString).toInt)
     }
   }
 }

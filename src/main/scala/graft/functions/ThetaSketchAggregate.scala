@@ -37,6 +37,7 @@ import org.apache.spark.sql.types._
   */
 case class ThetaSketchAgg(
     child: Expression,
+    lgK: Int = 12,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union] {
@@ -51,7 +52,7 @@ case class ThetaSketchAgg(
       s"$prettyName expects a LONG key, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): Union =
-    SetOperation.builder().buildUnion()
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
@@ -70,7 +71,7 @@ case class ThetaSketchAgg(
     buf.getResult().toByteArray
 
   override def deserialize(bytes: Array[Byte]): Union = {
-    val u = SetOperation.builder().buildUnion()
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
     u.union(Sketches.heapifyCompactSketch(Memory.wrap(bytes)))
     u
   }
@@ -88,10 +89,13 @@ case class ThetaSketchAgg(
 
 object ThetaSketch {
   /** Aggregate column: `theta_sketch_agg(longKey)` → compact sketch
-    * bytes (`binary`). */
-  def agg(key: Column): Column =
+    * bytes (`binary`). `lgK` is the CAPACITY knob: the sketch is
+    * EXACT below 2^lgK retained hashes (default lgK=12 → 4096),
+    * estimate-regime above — size the nominal capacity to the
+    * segment cardinality the exactness contract must cover. */
+  def agg(key: Column, lgK: Int = 12): Column =
     GraftExpressionBridge.column(
-      ThetaSketchAgg(GraftExpressionBridge.expression(key))
+      ThetaSketchAgg(GraftExpressionBridge.expression(key), lgK)
         .toAggregateExpression())
 
   /** Distinct-count estimate of a compact sketch (exact below the

@@ -2079,33 +2079,36 @@ object DedupOps extends OpPack {
         Seq("SELECT doc_id, '1x8', 0, " +
           "h0 || h1 || h2 || h3 || h4 || h5 || h6 || h7 FROM sig")
       ).mkString("\n  UNION ALL\n  ")
+      // Memory-elastic rendering (VERDICT r10 task 5): shingles are
+      // generated IN-ROW (list_transform over the token list — the
+      // same narrow generate the Spark side runs) instead of a 3-way
+      // positional self-join of the exploded token table, and the 8
+      // per-seed minhashes are 8 min() columns in ONE pass over the
+      // df-capped shingles instead of an 8x seed-explode — the two
+      // changes drop the oracle's peak from ~100 GB (sf1 in-memory;
+      // spilled past the 40 GiB temp cap under the shared 60 GB
+      // chunk budget) to chunk-safe. Same strings, same mins — the
+      // result is hash-identical to the join rendering.
       val hsel = (0 to 7).map(i =>
-        s"max(CASE WHEN seed = $i THEN h END) AS h$i").mkString(",\n    ")
-      s"""WITH t AS (
-        |  SELECT doc_id,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
-        |    unnest(string_split(text, ' ')) AS w
-        |  FROM documents
-        |), tri AS (
-        |  SELECT DISTINCT a.doc_id,
-        |    a.w || ' ' || b.w || ' ' || c.w AS sh
-        |  FROM t a
-        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        s"min(md5('$i:' || sh)) AS h$i").mkString(",\n    ")
+      s"""WITH tri AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+        |        AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents)
+        |  )
         |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
         |           FROM tri GROUP BY sh),
         |trif AS (
         |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
         |  WHERE df <= $DfCap
-        |), mins AS (
-        |  SELECT doc_id, sd.seed AS seed,
-        |    min(md5(CAST(sd.seed AS VARCHAR) || ':' || sh)) AS h
-        |  FROM trif, (SELECT unnest(range(0, 8)) AS seed) sd
-        |  GROUP BY doc_id, sd.seed
         |), sig AS (
         |  SELECT doc_id,
         |    $hsel
-        |  FROM mins GROUP BY doc_id
+        |  FROM trif GROUP BY doc_id
         |), bk AS (
         |  $arms
         |), b AS (

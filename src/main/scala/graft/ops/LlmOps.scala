@@ -86,14 +86,38 @@ object LlmOps extends OpPack {
       })
 
   /** The exact integer covariance cell frame shared by `llm_vec_cov`
-    * (which hash-oracles it) and `llm_pca_exact` (which eigensolves
-    * it): floats to integer micro-units first (exact: 24-bit
-    * significands widen and scale losslessly), every (i<=j) dim
-    * pair's product generated INSIDE the row — a narrow generate, NO
-    * self-join — then one <=dim^2/2-cell map-side-combined hash agg;
-    * cov*n^2 = n*Sxy − Sx*Sy on DECIMAL(38,0). */
+    * (which hash-oracles it) and the PCA pair (`llm_pca_exact`
+    * eigensolves it; `llm_pca_project` projects onto the result):
+    * floats to integer micro-units first (exact: 24-bit significands
+    * widen and scale losslessly), every (i<=j) dim pair's product
+    * generated INSIDE the row — a narrow generate, NO self-join —
+    * then one <=dim^2/2-cell map-side-combined hash agg;
+    * cov*n^2 = n*Sxy − Sx*Sy on DECIMAL(38,0).
+    *
+    * Memoized per (session, corpus) like [[tokensCapped]]: the trio
+    * shares ONE persisted <=2,080-cell frame, so the corpus is
+    * scanned ONCE per run, not once per family member (at 100 TB,
+    * the difference between one pass and three). */
+  private val covCellsCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
   private def covCells(s: SparkSession, dir: String): DataFrame =
-    covCellsOf(Tables(s, dir, "embeddings"))
+    covCellsCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir),
+      covCellsOf(Tables(s, dir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Memoized eigensolve: `llm_pca_exact` and `llm_pca_project` share
+    * the ONE driver-side O(d^3) BigInt solve (and through [[covCells]]
+    * the one corpus scan) instead of each re-deriving it. The result
+    * is a 64-row LocalRelation — safe to reuse across queries within
+    * a session. */
+  private val pcaExactCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  private def pcaExactCached(s: SparkSession, dir: String): DataFrame =
+    pcaExactCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), pcaExact(s, covCells(s, dir)))
 
   private[graft] def covCellsOf(embeddings: DataFrame): DataFrame =
     embeddings
@@ -721,7 +745,7 @@ object LlmOps extends OpPack {
     // touched ONCE (the persisted <=2,080-cell covariance — the same
     // frame llm_vec_cov hash-oracles); the squarings and all 12
     // rounds run over 64x64 / 64-row frames.
-    "llm_pca_exact" -> ((s, dir) => pcaExact(s, covCells(s, dir))),
+    "llm_pca_exact" -> ((s, dir) => pcaExactCached(s, dir)),
 
     // Per-vector projection onto that exact top component — the
     // score column PCA exists to produce (spectral outlier pruning,
@@ -735,7 +759,7 @@ object LlmOps extends OpPack {
     // the oracle re-derives the identical loadings in SQL and joins.
     "llm_pca_project" -> ((s, dir) => {
       import s.implicits._
-      val load = pcaExact(s, covCells(s, dir))
+      val load = pcaExactCached(s, dir)
         .select(col("pos"), col("loading_u")).collect()
         .sortBy(_.getInt(0)).map(_.getLong(1))
       if (load.isEmpty)

@@ -829,9 +829,10 @@ object ScanOps extends OpPack {
         s"CAST(${dry.length} AS BIGINT) AS a", "CAST(0 AS BIGINT) AS b",
         s"CAST(${nFiles()} AS BIGINT) AS c")
       val gone = ManifestSink.removeOrphans(sink, cutoff, dryRun = false)
+        .count(_._2)
       val row2 = s.range(1).selectExpr("'2_removed' AS step",
-        s"CAST(${gone.length} AS BIGINT) AS a",
-        s"CAST(${gone.length} AS BIGINT) AS b",
+        s"CAST($gone AS BIGINT) AS a",
+        s"CAST($gone AS BIGINT) AS b",
         s"CAST(${nFiles()} AS BIGINT) AS c")
       val row3 = s.read.format("graft-manifest").load(sink)
         .selectExpr("'3_current' AS step", "count(*) AS a",

@@ -52,6 +52,34 @@ object SketchOps extends OpPack {
       GraftExpressionBridge.expression(value.cast("long"))))
   }
 
+  /** Shared body of `agg_sketch_theta` / `agg_sketch_theta_cap`:
+    * one theta sketch per day (capacity 2^lgK), then day-over-day
+    * retention by sketch INTERSECTION on the driver over the ~30
+    * collected sketches — the fact table is scanned ONCE regardless
+    * of how many segment pairs are probed. */
+  private def thetaRetention(s: org.apache.spark.sql.SparkSession,
+      dir: String, lgK: Int): org.apache.spark.sql.DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.ThetaSketch.agg(col("user_id"), lgK).as("sk"))
+      .orderBy(col("day"))
+      .collect()
+    val rows = daily.indices.map { i =>
+      val day = daily(i).getAs[java.sql.Date]("day")
+      val sk = daily(i).getAs[Array[Byte]]("sk")
+      val retained =
+        if (i + 1 < daily.length &&
+            daily(i + 1).getAs[java.sql.Date]("day").toLocalDate ==
+              day.toLocalDate.plusDays(1))
+          graft.functions.ThetaSketch.intersect(sk,
+            daily(i + 1).getAs[Array[Byte]]("sk"))
+        else 0L
+      (day, graft.functions.ThetaSketch.estimate(sk), retained)
+    }
+    s.createDataFrame(rows).toDF("day", "n_active", "n_retained")
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, Q] = Map(
     // Bloom semi-join pre-filter, the classic use: summarize the keys
     // on one side of a join (customers that placed orders) in a few
@@ -88,27 +116,20 @@ object SketchOps extends OpPack {
     // distinct users) theta is EXACT, so this query carries a real
     // DuckDB oracle; above capacity the declared semantics degrade to
     // an estimate (the 100 TB trade this sketch exists for).
-    "agg_sketch_theta" -> ((s, dir) => {
-      val daily = Tables(s, dir, "events")
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(graft.functions.ThetaSketch.agg(col("user_id")).as("sk"))
-        .orderBy(col("day"))
-        .collect()
-      val rows = daily.indices.map { i =>
-        val day = daily(i).getAs[java.sql.Date]("day")
-        val sk = daily(i).getAs[Array[Byte]]("sk")
-        val retained =
-          if (i + 1 < daily.length &&
-              daily(i + 1).getAs[java.sql.Date]("day").toLocalDate ==
-                day.toLocalDate.plusDays(1))
-            graft.functions.ThetaSketch.intersect(sk,
-              daily(i + 1).getAs[Array[Byte]]("sk"))
-          else 0L
-        (day, graft.functions.ThetaSketch.estimate(sk), retained)
-      }
-      s.createDataFrame(rows).toDF("day", "n_active", "n_retained")
-        .orderBy(col("day"))
-    }),
+    "agg_sketch_theta" -> ((s, dir) => thetaRetention(s, dir, lgK = 12)),
+
+    // The CAPACITY CONTRACT made a query (VERDICT r10 task 7): the
+    // same daily-active/retention program with the sketch's nominal
+    // capacity sized to the segment (lgK=15 → 32,768 retained
+    // hashes), so exactness holds through sf1's ~13,400 distinct
+    // actives/day where the default 4,096-hash sketch has degraded —
+    // by declared theta semantics — to a ±2% estimate. The pair
+    // documents the production knob: size lgK to the largest segment
+    // the exactness contract must cover; pay 8x the (still KB-scale)
+    // sketch bytes for it. Oracle = the same exact SQL — this variant
+    // hash-matches it at EVERY test scale including sf1.
+    "agg_sketch_theta_cap" -> ((s, dir) =>
+      thetaRetention(s, dir, lgK = 15)),
 
     // The sketch composed into an EXACT operator — the production use
     // of agg_sketch_bloom's machinery: summarize the filtered build
@@ -467,6 +488,24 @@ object SketchOps extends OpPack {
   // rows-only checks (rule ③); properties pinned in SketchSpec.
   // join_bloom_prefilter is EXACT (the join verifies the sketch), so
   // its oracle is the plain join.
+  /** The exact daily-active/retention SQL both theta variants verify
+    * against (both are in the exact regime at their declared
+    * capacities). */
+  private val thetaRetentionSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), act AS (
+      |  SELECT day, count(*) AS n_active FROM du GROUP BY day
+      |), ret AS (
+      |  SELECT a.day, count(*) AS n_retained
+      |  FROM du a JOIN du b
+      |    ON b.day = a.day + INTERVAL 1 DAY AND a.user_id = b.user_id
+      |  GROUP BY a.day)
+      |SELECT act.day, n_active,
+      |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained
+      |FROM act LEFT JOIN ret ON act.day = ret.day
+      |ORDER BY act.day""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "agg_sketch_hll_det" ->
       """WITH e AS (
@@ -627,20 +666,11 @@ object SketchOps extends OpPack {
 
     // exact below sketch capacity (≤1500 distinct users vs 4096
     // retained hashes at both test scales) — see ThetaSketchAgg doc
-    "agg_sketch_theta" ->
-      """WITH du AS (
-        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
-        |), act AS (
-        |  SELECT day, count(*) AS n_active FROM du GROUP BY day
-        |), ret AS (
-        |  SELECT a.day, count(*) AS n_retained
-        |  FROM du a JOIN du b
-        |    ON b.day = a.day + INTERVAL 1 DAY AND a.user_id = b.user_id
-        |  GROUP BY a.day)
-        |SELECT act.day, n_active,
-        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained
-        |FROM act LEFT JOIN ret ON act.day = ret.day
-        |ORDER BY act.day""".stripMargin,
+    "agg_sketch_theta" -> thetaRetentionSql,
+
+    // same exact program; the lgK=15 variant's capacity covers sf1's
+    // ~13,400 actives/day, so THIS oracle stays a hash match there too
+    "agg_sketch_theta_cap" -> thetaRetentionSql,
 
     "join_bloom_prefilter" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,

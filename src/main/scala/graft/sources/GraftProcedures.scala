@@ -339,16 +339,16 @@ private[sources] object GraftProcedures {
           val dir = resolve(in.getUTF8String(0).toString)
           val dry = in.getBoolean(2)
           // TimestampType arrives as epoch MICROS. Both counters come
-          // from removeOrphans itself — `found` from a dry pass,
-          // `removed` from the real pass's ACTUAL delete results (a
-          // file whose delete fails is found-but-not-removed), so the
-          // two can never silently disagree with what happened on disk.
+          // from ONE removeOrphans pass — `found` from the listing,
+          // `removed` from the same pass's ACTUAL delete results (a
+          // file whose delete fails is found-but-not-removed) — so
+          // non-dry calls pay the manifest listing once and the two
+          // counters always describe the same directory snapshot.
           val cutoff = in.getLong(1) / 1000L
-          val found = ManifestSink.removeOrphans(dir, cutoff,
-            dryRun = true).length.toLong
-          val removed = if (dry) 0L
-            else ManifestSink.removeOrphans(dir, cutoff,
-              dryRun = false).length.toLong
+          val pairs = ManifestSink.removeOrphans(dir, cutoff,
+            dryRun = dry)
+          val found = pairs.length.toLong
+          val removed = pairs.count(_._2).toLong
           result(StructType(Seq(
             StructField("orphans_found", LongType, nullable = false),
             StructField("files_removed", LongType, nullable = false))),

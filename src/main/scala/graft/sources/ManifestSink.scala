@@ -1278,26 +1278,30 @@ object ManifestSink {
     * sweeps never touch them because they were never committed. The
     * `olderThanMillis` mtime guard keeps an IN-FLIGHT write's
     * not-yet-committed files safe (Iceberg's same default posture);
-    * `dryRun` lists without deleting. Returns the orphan file names
-    * FOUND under dryRun, and the names ACTUALLY DELETED otherwise —
-    * a file whose delete fails (permissions, concurrent handle) is
-    * excluded so the caller's removed-count never overstates what
-    * happened on disk. Sorted. O(listing + manifest metadata) at any
-    * table size — never reads a data byte. */
+    * `dryRun` lists without deleting. Returns ONE (name, deleted)
+    * pair per orphan FOUND, from a SINGLE listing pass — so a
+    * caller's found/removed counters always derive from the same
+    * snapshot of the directory (a dry pass followed by a real pass
+    * could straddle a concurrent commit and disagree). Under dryRun
+    * every `deleted` is false; otherwise `deleted` is the ACTUAL
+    * delete result — a file whose delete fails (permissions,
+    * concurrent handle) stays found-but-not-removed, so the caller's
+    * removed-count never overstates what happened on disk. Sorted by
+    * name. O(listing + manifest metadata) at any table size — never
+    * reads a data byte. */
   def removeOrphans(dir: String, olderThanMillis: Long,
-      dryRun: Boolean): Seq[String] = {
+      dryRun: Boolean): Seq[(String, Boolean)] = {
     val referenced = listAllManifests(dir).flatMap { f =>
       val m = readManifestFile(f)
       m.files.map(_.name) ++ m.files.flatMap(_.deletes.map(_.name))
     }.toSet
-    val orphans = Option(new File(dir).listFiles())
+    Option(new File(dir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => (f.getName.endsWith(DataSuffix) ||
         f.getName.endsWith(DelSuffix)) &&
         !referenced(f.getName) && f.lastModified() < olderThanMillis)
-      .sortBy(_.getName)
-    (if (dryRun) orphans.toSeq else orphans.toSeq.filter(_.delete()))
-      .map(_.getName)
+      .sortBy(_.getName).toSeq
+      .map(f => (f.getName, !dryRun && f.delete()))
   }
 
   /** TIME-based retention (Iceberg's `expire_snapshots(older_than)`
@@ -1498,8 +1502,14 @@ object ManifestSink {
     * concurrency, not just single-writer luck. Returns the minted
     * committedAt. */
   def writeManifest(dir: String, m: Manifest): Long = {
+    // Monitor identity must match the OS lock's identity: canonical
+    // path (resolves '.', '..' and symlinks), not absolute path — two
+    // same-JVM writers addressing one table dir via different
+    // spellings must take the SAME monitor, or the second one hits
+    // OverlappingFileLockException on the shared lock file instead of
+    // serializing behind the first.
     val monitor = commitMonitors.computeIfAbsent(
-      new File(dir).getAbsolutePath, _ => new Object)
+      new File(dir).getCanonicalPath, _ => new Object)
     monitor.synchronized {
       val lockFile = new File(dir, ".graft_commit.lock")
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
@@ -1595,12 +1605,18 @@ object ManifestSink {
     * emits schemaDdl, version, committedAt BEFORE the files array, so
     * a stamped document costs a few tokens, not a full-document
     * parse; pre-clock documents skip the files subtree token-wise
-    * without building a tree). Immutable archive documents are
-    * additionally cached by (path, mtime, length), so a long archive
-    * chain pays the parse once across resolutions — the live base
-    * manifest is never cached (it is the one document that mutates). */
+    * without building a tree). Immutable VERSIONED documents
+    * (`…​.v<N>.json` — archives and branch versions, written once and
+    * never rewritten) are additionally cached by (path, mtime,
+    * length), so a long archive chain pays the parse once across
+    * resolutions. MUTABLE documents are never cached: the live base
+    * manifest, branch HEADS (`…​.branch-<name>.json`, rewritten in
+    * place on every branch commit — two rewrites within the
+    * filesystem's mtime resolution that produce equal-length JSON
+    * would serve a stale stamp), tag docs and epoch manifests (which
+    * fold to empty tombstones). */
   private def readStamp(f: File): (Long, Long) = {
-    val cacheable = f.getName != ManifestFile
+    val cacheable = f.getName.matches(".*\\.v\\d+\\.json")
     val key = if (cacheable)
       (f.getAbsolutePath, f.lastModified(), f.length()) else null
     if (cacheable) {

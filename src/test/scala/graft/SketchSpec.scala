@@ -289,9 +289,27 @@ class SketchSpec extends AnyFunSuite {
     assert(items.toMap === (0L to 9L).map(_ -> 100L).toMap)
   }
 
+  test("theta capacity contract: lgK sizes the exact regime (agg_sketch_theta_cap)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 20000).select(col("id"))
+    // lgK=15 → 32,768 nominal: EXACT at 20k distinct — the regime
+    // sf1's ~13,400 actives/day sits in for agg_sketch_theta_cap
+    val cap = df.agg(graft.functions.ThetaSketch.agg(col("id"), 15).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(graft.functions.ThetaSketch.estimate(cap) === 20000L,
+      "lgK=15 must be exact at 20k distinct")
+    // default lgK=12 → 4,096 nominal: declared estimate semantics
+    // above capacity — bounded, not exact
+    val dflt = df.agg(graft.functions.ThetaSketch.agg(col("id")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val est = graft.functions.ThetaSketch.estimate(dflt)
+    assert(math.abs(est - 20000L) <= 1000L,
+      s"default capacity estimate out of theta bounds: $est")
+  }
+
   test("sketch outputs are deterministic across runs") {
     for (q <- Seq("agg_sketch_bloom", "agg_sketch_cms", "agg_sketch_hll",
-        "agg_sketch_theta", "agg_sketch_freq")) {
+        "agg_sketch_theta", "agg_sketch_theta_cap", "agg_sketch_freq")) {
       val a = SparkEntry.queries(q)(spark, dir).collect().toSeq
       val b = SparkEntry.queries(q)(spark, dir).collect().toSeq
       assert(a === b, s"$q not deterministic")

@@ -1,27 +1,34 @@
 package graft.cdc.source
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.LocalSpark
 
-/** LIVE-protocol integration suite (opt-in): drives the maxscale-cdc
-  * DSv2 source against a REAL MaxScale avrorouter + MariaDB, through
-  * the full TCP handshake (auth, REGISTER TYPE=JSON, REQUEST-DATA)
-  * and a binlog-derived event stream — the graft counterpart of the
-  * reference's integration-tagged CI surface (client_test.go run by
-  * its docker-compose harness).
+/** LIVE-protocol integration suite: drives the maxscale-cdc DSv2
+  * source through the full TCP lifecycle — dial, auth, REGISTER
+  * TYPE=JSON, REQUEST-DATA, event pump, stop — against a REAL socket,
+  * the graft counterpart of the reference's integration-tagged CI
+  * surface (client_test.go run by its docker-compose harness).
   *
-  * Gated on MAXSCALE_HOST: without the environment (the build
-  * sandbox has no docker daemon — see STATE.md) every test is
-  * CANCELED, not failed. Run via:
-  *   docker compose -f docker-compose.integration.yml up \
-  *     --abort-on-container-exit test-runner
-  * which seeds MariaDB with docker/sql/init_integration_db.sql
-  * (3 inserts + 1 update + 1 delete on test.tests) and exports
-  * MAXSCALE_HOST/PORT/USER/PASSWORD/DATABASE/TABLE.
+  * Endpoint selection:
+  *   - MAXSCALE_HOST set → a real MaxScale avrorouter + MariaDB (run
+  *     via `docker compose -f docker-compose.integration.yml up
+  *     --abort-on-container-exit test-runner`, which seeds MariaDB
+  *     with docker/sql/init_integration_db.sql — 3 inserts + 1 update
+  *     + 1 delete on test.tests — and exports MAXSCALE_*).
+  *   - otherwise → an in-process [[MaxScaleReplayServer]], a real TCP
+  *     endpoint replaying the golden transcript that same seed
+  *     produces. The build sandbox has no docker daemon (STATE.md), so
+  *     without this fallback the socket path would only ever execute
+  *     under mocks; with it, dial → handshake → pump → stop runs
+  *     against a live socket in every `sbt test`.
+  *
+  * The assertions are identical in both modes: the seeded history is
+  * the same 6-DML-row shape either way.
   */
-class CdcLiveIntegrationSpec extends AnyFunSuite {
+class CdcLiveIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = LocalSpark.spark
 
   private def env(k: String, dflt: String = null): String =
@@ -29,16 +36,31 @@ class CdcLiveIntegrationSpec extends AnyFunSuite {
 
   private def live(): Boolean = sys.env.contains("MAXSCALE_HOST")
 
+  private val replay = new MaxScaleReplayServer(
+    "graftuser", "graftpwd", "test", "tests")
+
+  override def afterAll(): Unit = replay.close()
+
+  private def host: String =
+    if (live()) env("MAXSCALE_HOST") else replay.host
+  private def port: String =
+    if (live()) env("MAXSCALE_PORT", "4001") else replay.port.toString
+  private def user: String = env("MAXSCALE_USER", "graftuser")
+  private def password: String = env("MAXSCALE_PASSWORD", "graftpwd")
+  private def database: String = env("MAXSCALE_DATABASE", "test")
+  private def table: String = env("MAXSCALE_TABLE", "tests")
+
+  /** GTID of a DML row — the reference's domain-server-sequence
+    * rendering (event.go:216-218); DDL rows carry a null envelope. */
+  private val gtidCol =
+    expr("concat(domain, '-', server_id, '-', sequence)").as("gtid")
+
   test("live: full handshake + binlog-derived events stream end-to-end") {
-    assume(live(), "MAXSCALE_HOST not set — live harness absent")
     val q = spark.readStream.format("maxscale-cdc")
-      .option("host", env("MAXSCALE_HOST"))
-      .option("port", env("MAXSCALE_PORT", "4001"))
-      .option("user", env("MAXSCALE_USER", "graftuser"))
-      .option("password", env("MAXSCALE_PASSWORD", "graftpwd"))
+      .option("host", host).option("port", port)
+      .option("user", user).option("password", password)
       .option("uuid", java.util.UUID.randomUUID().toString)
-      .option("database", env("MAXSCALE_DATABASE", "test"))
-      .option("table", env("MAXSCALE_TABLE", "tests"))
+      .option("database", database).option("table", table)
       // avrorouter converts the binlog asynchronously on first
       // connect; bound the ERR-wait instead of hanging forever
       .option("schemaWaitMaxMs", "60000")
@@ -52,11 +74,17 @@ class CdcLiveIntegrationSpec extends AnyFunSuite {
       var n = 0L
       while (n < 6 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
-        n = spark.table("cdc_live").count()
+        n = spark.table("cdc_live")
+          .filter(col("event_type") =!= "ddl").count()
         if (n < 6) Thread.sleep(500)
       }
-      val rows = spark.table("cdc_live")
-        .select("event_type", "gtid", "table_name", "table_schema")
+      val all = spark.table("cdc_live")
+      // schema-first: the DDL row arrived before any DML
+      assert(all.filter(col("event_type") === "ddl").count() >= 1,
+        "the schema row must stream before the data")
+      val rows = all.filter(col("event_type") =!= "ddl")
+        .select(col("event_type"), gtidCol,
+          col("table_name"), col("table_schema"))
         .collect()
       assert(rows.length >= 6, s"expected the seeded history, got $n")
       val types = rows.map(_.getString(0)).toSet
@@ -66,20 +94,17 @@ class CdcLiveIntegrationSpec extends AnyFunSuite {
       assert(types.contains("delete"), s"no delete in $types")
       // GTID is the reference's domain-server-sequence rendering
       assert(rows.forall(_.getString(1).matches("\\d+-\\d+-\\d+")))
-      assert(rows.forall(r => r.getString(2) == "tests" &&
-        r.getString(3) == "test"))
+      assert(rows.forall(r => r.getString(2) == table &&
+        r.getString(3) == database))
     } finally q.stop()
   }
 
   test("live: bad credentials fail the handshake loudly") {
-    assume(live(), "MAXSCALE_HOST not set — live harness absent")
     val q = spark.readStream.format("maxscale-cdc")
-      .option("host", env("MAXSCALE_HOST"))
-      .option("port", env("MAXSCALE_PORT", "4001"))
+      .option("host", host).option("port", port)
       .option("user", "wronguser").option("password", "wrongpwd")
       .option("uuid", java.util.UUID.randomUUID().toString)
-      .option("database", env("MAXSCALE_DATABASE", "test"))
-      .option("table", env("MAXSCALE_TABLE", "tests"))
+      .option("database", database).option("table", table)
       .load()
       .writeStream.format("memory").queryName("cdc_live_bad")
       .outputMode("append").start()
@@ -93,40 +118,36 @@ class CdcLiveIntegrationSpec extends AnyFunSuite {
   }
 
   test("live: GTID resume skips already-delivered events server-side") {
-    assume(live(), "MAXSCALE_HOST not set — live harness absent")
     // first pass: capture the stream and keep the LAST gtid seen
     val q1 = spark.readStream.format("maxscale-cdc")
-      .option("host", env("MAXSCALE_HOST"))
-      .option("port", env("MAXSCALE_PORT", "4001"))
-      .option("user", env("MAXSCALE_USER", "graftuser"))
-      .option("password", env("MAXSCALE_PASSWORD", "graftpwd"))
+      .option("host", host).option("port", port)
+      .option("user", user).option("password", password)
       .option("uuid", java.util.UUID.randomUUID().toString)
-      .option("database", env("MAXSCALE_DATABASE", "test"))
-      .option("table", env("MAXSCALE_TABLE", "tests"))
+      .option("database", database).option("table", table)
       .option("schemaWaitMaxMs", "60000")
       .load()
       .writeStream.format("memory").queryName("cdc_live_r1")
       .outputMode("append").start()
     val gtid = try {
       val deadline = System.currentTimeMillis() + 120000L
-      while (spark.table("cdc_live_r1").count() < 6 &&
+      while (spark.table("cdc_live_r1")
+          .filter(col("event_type") =!= "ddl").count() < 6 &&
           System.currentTimeMillis() < deadline) {
         q1.processAllAvailable(); Thread.sleep(500)
       }
-      spark.table("cdc_live_r1").orderBy(desc("sequence")).limit(1)
-        .select("gtid").head().getString(0)
+      spark.table("cdc_live_r1")
+        .filter(col("event_type") =!= "ddl")
+        .orderBy(desc("sequence"), desc("event_number")).limit(1)
+        .select(gtidCol).head().getString(0)
     } finally q1.stop()
     // second pass from that gtid: server-side seek — the resumed
     // stream must re-deliver AT MOST from the named position
     // (inclusive), never the whole history
     val q2 = spark.readStream.format("maxscale-cdc")
-      .option("host", env("MAXSCALE_HOST"))
-      .option("port", env("MAXSCALE_PORT", "4001"))
-      .option("user", env("MAXSCALE_USER", "graftuser"))
-      .option("password", env("MAXSCALE_PASSWORD", "graftpwd"))
+      .option("host", host).option("port", port)
+      .option("user", user).option("password", password)
       .option("uuid", java.util.UUID.randomUUID().toString)
-      .option("database", env("MAXSCALE_DATABASE", "test"))
-      .option("table", env("MAXSCALE_TABLE", "tests"))
+      .option("database", database).option("table", table)
       .option("gtid", gtid)
       .option("schemaWaitMaxMs", "60000")
       .load()
@@ -134,14 +155,24 @@ class CdcLiveIntegrationSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       val deadline = System.currentTimeMillis() + 60000L
-      while (spark.table("cdc_live_r2").count() < 1 &&
+      while (spark.table("cdc_live_r2")
+          .filter(col("event_type") =!= "ddl").count() < 1 &&
           System.currentTimeMillis() < deadline) {
         q2.processAllAvailable(); Thread.sleep(500)
       }
-      val replayed = spark.table("cdc_live_r2").count()
-      val full = spark.table("cdc_live_r1").count()
+      val replayed = spark.table("cdc_live_r2")
+        .filter(col("event_type") =!= "ddl").count()
+      val full = spark.table("cdc_live_r1")
+        .filter(col("event_type") =!= "ddl").count()
       assert(replayed >= 1 && replayed < full,
         s"resume must not replay the full history ($replayed of $full)")
+      // the resumed stream re-delivered the NAMED position, inclusive
+      val firstResumed = spark.table("cdc_live_r2")
+        .filter(col("event_type") =!= "ddl")
+        .orderBy(asc("sequence"), asc("event_number")).limit(1)
+        .select(gtidCol).head().getString(0)
+      assert(firstResumed == gtid,
+        s"resume is inclusive of the named gtid ($firstResumed != $gtid)")
     } finally q2.stop()
   }
 }

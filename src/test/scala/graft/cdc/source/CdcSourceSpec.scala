@@ -510,6 +510,62 @@ class CdcSourceSpec extends AnyFunSuite {
       s"stalled write must fail near writeTimeoutMs, took ${elapsed}ms")
   }
 
+  test("socket: a newline-less line past maxLineBytes fails the scan loudly (client.go:17/257)") {
+    // The reference bounds its scanner at 1 MiB (maxScanTokenSize,
+    // client.go:17, applied at client.go:257) — a line past the cap
+    // errors the scan. Pin the same contract: a server that streams
+    // garbage with NO newline must fail the query within the cap
+    // (bounded memory), not accumulate an unbounded String. The test
+    // shrinks the cap to 64 KiB via the option to stay fast.
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream,
+        UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      def readN(n: Int): Unit = {
+        val b = new Array[Char](n); var r = 0
+        while (r < n) { val k = in.read(b, r, n - r); if (k > 0) r += k }
+      }
+      readN(graft.cdc.Protocol.formatAuthCommand("u", "p").length)
+      out.println("OK")
+      readN(graft.cdc.Protocol.formatRegisterCommand("uuid-cap").length)
+      out.println("OK")
+      readN(graft.cdc.Protocol
+        .formatRequestDataCommand("test", "tests").length)
+      // 256 KiB of garbage, never a newline — 4x past the 64 KiB cap
+      val raw = s.getOutputStream
+      val chunk = Array.fill[Byte](8192)('x'.toByte)
+      var sent = 0
+      try {
+        while (sent < (256 << 10)) { raw.write(chunk); sent += chunk.length }
+        raw.flush()
+        Thread.sleep(5000)
+      } catch { case _: java.io.IOException => () } // client hung up
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    val q = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("user", "u").option("password", "p").option("uuid", "uuid-cap")
+      .option("database", "test").option("table", "tests")
+      .option("maxLineBytes", (64 << 10).toString)
+      .load().writeStream.format("memory").queryName("cdc_linecap")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+    }
+    q.stop()
+    server.close()
+    val all = e.getMessage + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(all.contains("exceeds maxLineBytes"),
+      s"expected the bounded-scan failure, got: $all")
+  }
+
   test("socket: mid-stream DDL version bump feeds the schema registry") {
     val ddlV2 = ddl
       .replace(""""version": 1""", """"version": 2""")

@@ -1,0 +1,142 @@
+package graft.cdc.source
+
+import java.io.{InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.cdc.Protocol
+
+/** In-process MaxScale CDC replay server: a REAL TCP endpoint speaking
+  * the avrorouter wire protocol — auth blob verified against the
+  * configured credentials (OK / `ERR access denied`), `REGISTER
+  * UUID=…, TYPE=JSON` → OK, `REQUEST-DATA db.table [gtid]` → DDL
+  * schema line then the DML stream with SERVER-SIDE GTID seek
+  * (reference client.go:122-126 semantics: resume is positional and
+  * inclusive), socket held open afterward like a live binlog tail.
+  *
+  * Purpose: the live-protocol suite (CdcLiveIntegrationSpec) needs a
+  * real socket to pin dial → handshake → pump → stop, but this build
+  * sandbox has no docker daemon for the MariaDB+MaxScale compose
+  * harness. This server replays the golden transcript the compose
+  * harness's seeded binlog produces (docker/sql/init_integration_db
+  * .sql: 3 inserts + update pair + delete on test.tests), so the full
+  * socket path executes in `sbt test` against a live TCP endpoint;
+  * with MAXSCALE_HOST set the suite dials the real MaxScale and this
+  * class is not used.
+  *
+  * Accepts SEQUENTIAL connections (the GTID-resume test dials twice).
+  * Commands carry no terminator on this protocol, so reads
+  * idle-accumulate: take what arrived once the line has gone quiet
+  * for `idleMs` — commands are single client writes, so one quiet
+  * window bounds each read.
+  */
+final class MaxScaleReplayServer(
+    user: String, password: String, database: String, table: String)
+  extends AutoCloseable {
+
+  import MaxScaleReplayServer._
+
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+  def host: String = "127.0.0.1"
+
+  private val acceptor = new Thread(() => {
+    try {
+      while (!server.isClosed) {
+        val s = server.accept()
+        val h = new Thread(() => handle(s), "replay-server-conn")
+        h.setDaemon(true)
+        h.start()
+      }
+    } catch { case _: java.io.IOException => () } // server closed
+  }, "replay-server-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = server.close()
+
+  private def readQuiet(in: InputStreamReader, s: Socket,
+      idleMs: Int, overallMs: Int): String = {
+    val sb = new StringBuilder
+    val deadline = System.currentTimeMillis() + overallMs
+    s.setSoTimeout(idleMs)
+    var done = false
+    while (!done && System.currentTimeMillis() < deadline) {
+      try {
+        val c = in.read()
+        if (c == -1) done = true else sb.append(c.toChar): Unit
+      } catch {
+        case _: SocketTimeoutException => if (sb.nonEmpty) done = true
+      }
+    }
+    sb.toString
+  }
+
+  private def handle(s: Socket): Unit = {
+    try {
+      val in = new InputStreamReader(s.getInputStream, UTF_8)
+      val out = new PrintWriter(s.getOutputStream, true)
+      // auth: hex(user:sha1(password)) — verify against configured
+      // credentials exactly like MaxScale's cdc user table would
+      val expected = Protocol.formatAuthCommand(user, password)
+      val blob = readQuiet(in, s, 300, 10000)
+      if (blob != expected) {
+        out.println("ERR access denied")
+        Thread.sleep(300); s.close(); return
+      }
+      out.println("OK")
+      val reg = readQuiet(in, s, 300, 10000)
+      if (!reg.startsWith("REGISTER UUID=")) {
+        out.println("ERR invalid registration message")
+        Thread.sleep(300); s.close(); return
+      }
+      out.println("OK")
+      val req = readQuiet(in, s, 300, 10000)
+      val parts = req.split(" ")
+      if (parts.length < 2 || parts(0) != "REQUEST-DATA" ||
+          !parts(1).startsWith(s"$database.$table")) {
+        out.println(s"ERR NO-SUCH-TABLE $database.$table")
+        Thread.sleep(300); s.close(); return
+      }
+      val gtid = if (parts.length >= 3) Some(parts(2)) else None
+      // server-side positional seek, inclusive (client.go:122-126):
+      // schema always streams first, DML from the named gtid onward
+      out.println(GoldenDdl)
+      val dml = gtid match {
+        case Some(g) =>
+          val idx = GoldenDml.indexWhere(
+            l => Protocol.decodeDmlEvent(l).gtid == g)
+          if (idx >= 0) GoldenDml.drop(idx) else GoldenDml
+        case None => GoldenDml
+      }
+      dml.foreach { l => out.println(l); Thread.sleep(5) }
+      // live binlog tail: hold the socket open until the client stops
+      s.setSoTimeout(0)
+      while (in.read() != -1) () // client never writes again; EOF ends
+      s.close()
+    } catch { case _: Throwable => try s.close() catch { case _: Throwable => () } }
+  }
+}
+
+object MaxScaleReplayServer {
+  /** The v1 schema line the avrorouter emits for the seeded
+    * test.tests table (id INT PK, label VARCHAR(32), amount BIGINT —
+    * docker/sql/init_integration_db.sql). */
+  val GoldenDdl: String =
+    """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record", "name": "ChangeRecord", "table": "tests", "database": "test", "version": 1, "gtid": "0-3000-1", "fields": [{"name": "domain", "type": "int"}, {"name": "server_id", "type": "int"}, {"name": "sequence", "type": "int"}, {"name": "event_number", "type": "int"}, {"name": "timestamp", "type": "int"}, {"name": "event_type", "type": {"type": "enum", "name": "EVENT_TYPES", "symbols": ["insert", "update_before", "update_after", "delete"]}}, {"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}, {"name": "label", "type": ["null", "string"], "real_type": "varchar", "length": 32}, {"name": "amount", "type": ["null", "long"], "real_type": "bigint", "length": -1}]}"""
+
+  private def row(seq: Int, num: Int, et: String, id: Int,
+      label: String, amount: Long): String =
+    s"""{"domain": 0, "server_id": 3000, "sequence": $seq, "event_number": $num, "timestamp": 17000000$seq, "event_type": "$et", "table_name": "tests", "table_schema": "test", "id": $id, "label": "$label", "amount": $amount}"""
+
+  /** The seeded history: 3 inserts + the update pair + the delete —
+    * every event_type the envelope decoder handles, exactly what the
+    * compose harness's binlog converts to. */
+  val GoldenDml: Seq[String] = Seq(
+    row(2, 1, "insert", 1, "alpha", 100L),
+    row(3, 1, "insert", 2, "beta", 200L),
+    row(4, 1, "insert", 3, "gamma", 300L),
+    row(5, 1, "update_before", 2, "beta", 200L),
+    row(5, 2, "update_after", 2, "beta", 250L),
+    row(6, 1, "delete", 3, "gamma", 300L))
+}

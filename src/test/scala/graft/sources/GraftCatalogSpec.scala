@@ -743,9 +743,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     val cutoff = System.currentTimeMillis() - 3600000L
     val found = ManifestSink.removeOrphans(dir, cutoff, dryRun = true)
     assert(found.size === 2, s"dry run finds both strays: $found")
+    assert(found.forall(!_._2), "dry run deletes nothing")
     val removed = ManifestSink.removeOrphans(dir, cutoff, dryRun = false)
-    assert(removed === Seq("stray" + ManifestSink.DataSuffix),
+    assert(removed.filter(_._2).map(_._1) ===
+      Seq("stray" + ManifestSink.DataSuffix),
       "only the successful delete is reported removed")
+    assert(removed.map(_._1).contains("stuck" + ManifestSink.DataSuffix),
+      "the failed delete is still FOUND in the same single pass")
     assert(undeletable.exists(), "the failed delete is still on disk")
     // the procedure's counters derive from the same actuals
     val cut = java.time.format.DateTimeFormatter

@@ -1612,7 +1612,8 @@ class ManifestSinkSpec extends AnyFunSuite {
               Thread.sleep(2)
               val gone = ManifestSink.removeOrphans(dir,
                 System.currentTimeMillis(), dryRun = false)
-              assert(gone.contains(s"stray-$step${ManifestSink.DataSuffix}"))
+              assert(gone.contains(
+                (s"stray-$step${ManifestSink.DataSuffix}", true)))
           }
         case 9 => // compaction rewrite (addresses move, rows don't)
           ManifestSink.compact(spark, dir, 1)

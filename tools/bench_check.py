@@ -40,14 +40,47 @@ ABS_FLOOR = 1.0  # seconds; below this, ratios are pure noise
 
 CLASSPATH = "target/scala-2.13/classes:/opt/spark/jars/*"
 
-# Whole-sitting drift canaries (VERDICT r9 task 1): three fixed,
-# >1s, pure-compute queries whose code has been stable since round 8.
-# Their steady-state-vs-reference ratio measures MACHINE drift (this
-# box runs whole sittings 25-40% slower at times, on untouched code);
-# the geometric mean is the sitting's drift factor. Recorded beside
-# every BENCH_rN (tools/drift_rN.json) so cross-round totals can be
-# normalized before anyone calls a number a regression.
-DRIFT_CANARIES = ["llm_bpe_apply", "llm_cc_bigstar", "llm_vec_cov"]
+# Whole-sitting drift canaries (VERDICT r9 task 1): fixed, >1s,
+# pure-compute queries on STANDALONE code paths — none rides a
+# session-memoized shared build and none shares helpers with
+# actively-developed operators (ADVICE r10: llm_vec_cov was retired
+# when covCells became the memoized PCA-family build; llm_cc_bigstar
+# when the dedup/graph family gate landed). Their
+# steady-state-vs-reference ratio measures MACHINE drift (this box
+# runs whole sittings 25-40% slower at times, on untouched code); the
+# geometric mean is the sitting's drift factor. Recorded beside every
+# BENCH_rN (tools/drift_rN.json) so cross-round totals can be
+# normalized before anyone calls a number a regression. Canary-set
+# changes reset cross-round drift comparability — note them in
+# STATE.md beside the bench_ref rebuild they accompany.
+DRIFT_CANARIES = ["llm_bpe_apply", "diag_fk_coverage",
+                  "join_spatial_grid", "composite_q11"]
+
+# Shared-build families (VERDICT r10 task 2): these queries ride ONE
+# session-memoized persisted frame (DedupOps pair-frame + CC build;
+# LlmOps ANN/PQ corpus structures; LlmOps covCells for the PCA trio).
+# The one-time build lands on whichever member a full-suite run
+# happens to execute FIRST, so per-member suite times shuffle whenever
+# the registry grows — a member can read >2x while the family total is
+# flat. Adjudication therefore compares the FAMILY total
+# (drift-divided) first: a member candidate whose family total is
+# within FAMILY_THRESHOLD of the family reference is build-attribution
+# noise, not a regression. A family total past the gate still sends
+# every member candidate to TimeOne as usual.
+FAMILIES = {
+    "dedup_graph": ["llm_dedup_", "llm_graph_", "llm_cc_",
+                    "llm_communities", "llm_pagerank"],
+    "ann": ["llm_ann_", "llm_pq_", "llm_ivf_"],
+    "pca": ["llm_vec_cov", "llm_pca_"],
+}
+FAMILY_THRESHOLD = 1.5
+
+
+def family_of(name):
+    for fam, prefixes in FAMILIES.items():
+        if any(name.startswith(p) for p in prefixes):
+            return fam
+    return None
 
 
 def load(path):
@@ -120,6 +153,14 @@ def main():
     if want_drift:
         drift = drift_marker(sf_dir, ref, drift_out)
 
+    # family totals over members present in BOTH runs (comparable sums)
+    fam_cur, fam_ref = {}, {}
+    for name, t in cur.items():
+        fam = family_of(name)
+        if fam and name in ref:
+            fam_cur[fam] = fam_cur.get(fam, 0.0) + t
+            fam_ref[fam] = fam_ref.get(fam, 0.0) + ref[name]
+
     candidates = []
     for name, t in sorted(cur.items()):
         r = ref.get(name)
@@ -127,6 +168,20 @@ def main():
             print(f"NEW        {name}: {t:.2f}s (no reference)")
             continue
         if t > THRESHOLD * r and t > ABS_FLOOR:
+            fam = family_of(name)
+            if fam and fam_ref.get(fam):
+                fr = (fam_cur[fam] / drift) / fam_ref[fam]
+                if fr <= FAMILY_THRESHOLD:
+                    print(f"FAMILY-OK  {name}: {t:.2f}s vs ref {r:.2f}s "
+                          f"({t / r:.1f}x) but family '{fam}' total "
+                          f"{fam_cur[fam]:.1f}s vs {fam_ref[fam]:.1f}s "
+                          f"({fr:.2f}x drift-divided) — shared-build "
+                          f"attribution shuffle, not a regression")
+                    continue
+                print(f"FAMILY-HOT {name}: family '{fam}' total "
+                      f"{fam_cur[fam]:.1f}s vs {fam_ref[fam]:.1f}s "
+                      f"({fr:.2f}x) exceeds {FAMILY_THRESHOLD}x — "
+                      f"adjudicating the member")
             candidates.append((name, t, r))
     for name in sorted(set(ref) - set(cur)):
         print(f"GONE       {name}: in reference but not in current bench")

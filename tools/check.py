@@ -72,6 +72,26 @@ def main(sf_dir, out_dir):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # scan_provenance's registered oracle hard-codes the DRIVER's
+    # single-file layout (file_name = 'documents.parquet', row_index =
+    # doc_id) — correct at the driver gate, wrong for ScaleUp output,
+    # which is a Spark DIRECTORY of part files. When documents is a
+    # directory, verify the SAME per-file provenance semantics with
+    # DuckDB's filename + file_row_number (VERDICT r10 task 6): both
+    # engines then report per-part row counts, per-file row indexes,
+    # and the row_index==doc_id alignment count from first principles.
+    doc_path = f"{sf_dir}/documents.parquet"
+    if "scan_provenance" in oracles and os.path.isdir(doc_path):
+        oracles["scan_provenance"] = f"""
+          SELECT parse_filename(filename) AS file_name,
+            count(*) AS n_rows,
+            CAST(sum(CASE WHEN file_row_number = doc_id
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+            CAST(min(file_row_number) AS BIGINT) AS min_idx,
+            CAST(max(file_row_number) AS BIGINT) AS max_idx
+          FROM read_parquet('{doc_path}/*.parquet',
+                            filename=true, file_row_number=true)
+          GROUP BY 1 ORDER BY 1"""
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = n_noracle = 0
