@@ -1152,14 +1152,15 @@ object DedupOps extends OpPack {
     // instead of as an OOM in production. md5 mins (not xxhash64)
     // keep the signature cross-engine exact.
     "llm_lsh_tune" -> ((s, dir) => {
-      val mins = shinglesCapped(s, dir)
-        .withColumn("seed", explode(expr("sequence(0, 7)")))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
-          col("sh")))).as("h"))
+      // 8 per-seed minhashes as 8 min() columns in ONE pass over the
+      // df-capped shingles — no 8x seed-explode, no second shuffle:
+      // the shingle frame is aggregated once, map-side combined, at
+      // 1x its row count (the same rewrite the oracle carries; at
+      // 100 TB this is the difference between shuffling the corpus
+      // shingle set once and eight times).
       val hcols = (0 to 7).map(i =>
-        max(when(col("seed") === i, col("h"))).as(s"h$i"))
-      val sig = mins.groupBy(col("doc_id"))
+        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      val sig = shinglesCapped(s, dir).groupBy(col("doc_id"))
         .agg(hcols.head, hcols.tail: _*)
       val arms = Seq(
         (0 to 7).map(i => s"'8x1', $i, h$i"),
