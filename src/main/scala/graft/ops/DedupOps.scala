@@ -2160,18 +2160,22 @@ object DedupOps extends OpPack {
   /** The recursive-closure CTE chain shared by the cluster-labeling
     * oracles: 3-gram shingles → J≥0.05 candidate pairs → symmetric
     * edges → transitive reachability. */
+  // `tri` generates shingles IN-ROW (list_transform over the token
+  // list — the same narrow generate the Spark side runs) rather than
+  // 3-way positional self-joining an exploded token table: the whole
+  // closure family's oracles inherit the lower peak (the llm_lsh_tune
+  // rewrite, VERDICT r10 task 5, applied at the shared base). The
+  // name `t` stays RESERVED for appended CTEs (see the gotcha list).
   private val closureCtes =
-      s"""WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
-        |    unnest(string_split(text, ' ')) AS w
-        |  FROM documents
-        |), tri AS (
-        |  SELECT DISTINCT a.doc_id,
-        |    a.w || ' ' || b.w || ' ' || c.w AS sh
-        |  FROM t a
-        |  JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      s"""WITH RECURSIVE tri AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+        |        AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents)
+        |  )
         |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
         |           FROM tri GROUP BY sh),
         |trif AS (
