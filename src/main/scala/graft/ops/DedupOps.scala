@@ -1686,7 +1686,7 @@ object DedupOps extends OpPack {
     // llm_graph_bfs_recursive: SAME declared semantics, so the SAME
     // oracle text — DuckDB evaluates its own recursion over the edge
     // closure (the llm_cc_bigstar same-oracle precedent).
-    "llm_graph_bfs_recursive" -> (closureCtes + ",\n" +
+    "llm_graph_bfs_recursive" -> (pairCtesRecursive + ",\n" +
       """seeds AS (
         |  SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
         |rwalk(id, dist) AS (
@@ -1697,7 +1697,7 @@ object DedupOps extends OpPack {
         |SELECT id AS doc_id, CAST(min(dist) AS INT) AS dist
         |FROM rwalk GROUP BY id ORDER BY doc_id""".stripMargin),
 
-    "llm_graph_bfs" -> (closureCtes + ",\n" +
+    "llm_graph_bfs" -> (pairCtes + ",\n" +
       """seeds AS (
         |  SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
         |n1 AS (
@@ -1816,7 +1816,7 @@ object DedupOps extends OpPack {
 
     // 3 unrolled LPA rounds — the same deterministic
     // (count desc, label asc) vote, written independently.
-    "llm_communities" -> (closureCtes + ",\n" +
+    "llm_communities" -> (pairCtes + ",\n" +
       """l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
         |v1 AS (SELECT e.u AS id, l.lbl, count(*) AS n
         |       FROM edge e JOIN l0 l ON l.id = e.v GROUP BY 1, 2),
@@ -1845,7 +1845,7 @@ object DedupOps extends OpPack {
         |FROM documents d LEFT JOIN b3 ON d.doc_id = b3.id
         |ORDER BY doc_id""".stripMargin),
 
-    "llm_graph_kcore" -> (closureCtes + ",\n" +
+    "llm_graph_kcore" -> (pairCtes + ",\n" +
       """s1 AS (SELECT u FROM edge GROUP BY u HAVING count(*) >= 2),
         |e1 AS (SELECT e.u, e.v FROM edge e
         |       JOIN s1 a ON e.u = a.u JOIN s1 b ON e.v = b.u),
@@ -1862,7 +1862,7 @@ object DedupOps extends OpPack {
         |FROM documents d LEFT JOIN dg ON d.doc_id = dg.u
         |ORDER BY doc_id""".stripMargin),
 
-    "llm_graph_degree" -> (closureCtes + ",\n" +
+    "llm_graph_degree" -> (pairCtes + ",\n" +
       """dg AS (SELECT id, count(*) AS degree FROM (
         |          SELECT doc_a AS id FROM cand
         |          UNION ALL SELECT doc_b FROM cand)
@@ -1872,7 +1872,7 @@ object DedupOps extends OpPack {
         |FROM documents d LEFT JOIN dg ON d.doc_id = dg.id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    "llm_graph_assort" -> (closureCtes + ",\n" +
+    "llm_graph_assort" -> (pairCtes + ",\n" +
       """adeg AS (
         |  SELECT id, count(*) AS d FROM (
         |    SELECT doc_a AS id FROM cand
@@ -1893,7 +1893,7 @@ object DedupOps extends OpPack {
         |    AS assort_slope_milli
         |FROM am""".stripMargin),
 
-    "llm_graph_2hop" -> (closureCtes + ",\n" +
+    "llm_graph_2hop" -> (pairCtes + ",\n" +
       """hop2 AS (
         |  SELECT DISTINCT e1.u, e2.v AS w2
         |  FROM edge e1 JOIN edge e2 ON e1.v = e2.u
@@ -1907,7 +1907,7 @@ object DedupOps extends OpPack {
         |FROM documents LEFT JOIN n2 ON doc_id = n2.u
         |ORDER BY doc_id""".stripMargin),
 
-    "llm_graph_jaccard" -> (closureCtes + ",\n" +
+    "llm_graph_jaccard" -> (pairCtes + ",\n" +
       """wedge AS (
         |  SELECT e1.v AS a, e2.v AS b
         |  FROM edge e1 JOIN edge e2 ON e1.u = e2.u AND e1.v < e2.v),
@@ -1959,7 +1959,7 @@ object DedupOps extends OpPack {
         |    AS template_prefix
         |FROM lp ORDER BY cluster_id""".stripMargin),
 
-    "llm_graph_clustcoef" -> (closureCtes + ",\n" +
+    "llm_graph_clustcoef" -> (pairCtes + ",\n" +
       """ce AS (SELECT doc_a AS a, doc_b AS b FROM cand),
         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
         |         SELECT doc_a AS id FROM cand
@@ -1982,7 +1982,7 @@ object DedupOps extends OpPack {
         |LEFT JOIN tpn ON d.doc_id = tpn.id
         |ORDER BY d.doc_id""".stripMargin),
 
-    "llm_triangles" -> (closureCtes + ",\n" +
+    "llm_triangles" -> (pairCtes + ",\n" +
       """ce AS (SELECT doc_a AS a, doc_b AS b FROM cand),
         |tcount AS (SELECT count(*) AS n_triangles
         |        FROM ce ab
@@ -2166,8 +2166,8 @@ object DedupOps extends OpPack {
   // closure family's oracles inherit the lower peak (the llm_lsh_tune
   // rewrite, VERDICT r10 task 5, applied at the shared base). The
   // name `t` stays RESERVED for appended CTEs (see the gotcha list).
-  private val closureCtes =
-      s"""WITH RECURSIVE tri AS (
+  private val pairCtesBody =
+      s"""tri AS (
         |  SELECT DISTINCT doc_id, sh FROM (
         |    SELECT doc_id,
         |      unnest(list_transform(range(1, len(ws) - 1),
@@ -2194,7 +2194,22 @@ object DedupOps extends OpPack {
         |edge AS (
         |  SELECT doc_a AS u, doc_b AS v FROM cand
         |  UNION
-        |  SELECT doc_b, doc_a FROM cand),
+        |  SELECT doc_b, doc_a FROM cand)""".stripMargin
+
+  /** The shingle→pair→edge base WITHOUT the transitive closure: for
+    * the graph oracles that never reference `reach`. Carrying an
+    * (enormous) recursive CTE a query does not use leaves pruning at
+    * the oracle engine's mercy — keeping it out is what lets the
+    * bfs/kcore oracles fit their budget at sf0.3. */
+  private val pairCtes = "WITH " + pairCtesBody
+
+  /** [[pairCtes]] under `WITH RECURSIVE` — for oracles that append
+    * their OWN recursive CTE (llm_graph_bfs_recursive's rwalk)
+    * without wanting the transitive closure. */
+  private val pairCtesRecursive = "WITH RECURSIVE " + pairCtesBody
+
+  private val closureCtes =
+    "WITH RECURSIVE " + pairCtesBody + s""",
         |reach(u, v) AS (
         |  SELECT u, u FROM edge
         |  UNION
@@ -2228,7 +2243,7 @@ object DedupOps extends OpPack {
              |    GROUP BY e.v) s ON n.doc_id = s.doc_id)""".stripMargin
         s"p$i" -> (ctes :+ cte)
     }
-    closureCtes + ",\n" + iters._2.mkString(",\n") + "\n" +
+    pairCtes + ",\n" + iters._2.mkString(",\n") + "\n" +
       s"SELECT doc_id, pr FROM ${iters._1} ORDER BY doc_id"
   }
 
