@@ -525,6 +525,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 shapes: single-pass lsh signatures, memoized covariance") {
+    // llm_lsh_tune: the 8 per-seed minhashes are 8 min() columns in
+    // ONE aggregation over the shingle frame — the only Generate in
+    // the plan is the bounded 15-arm stack ABOVE the signature agg,
+    // never a seed-explode below it (which would shuffle the corpus
+    // shingle set 8x).
+    val lsh = plan("llm_lsh_tune")
+    val gens = lsh.linesIterator.filter(_.contains("Generate")).toList
+    // legitimate generates: the 15-arm stack above the signature agg
+    // and the in-row shingle explode in the (uncached) shingle build —
+    // NEVER a seed-sequence explode (sequence(0, 7)) below the agg
+    assert(gens.exists(_.contains("stack")),
+      s"llm_lsh_tune banding must be the bounded stack:\n$lsh")
+    assert(gens.forall(g => !g.contains("sequence(0, 7")),
+      s"llm_lsh_tune must not explode seeds below the signature agg:\n" +
+        gens.mkString("\n"))
+    // the signature aggregate itself carries all 8 mins (partial →
+    // map-side combined before its one exchange)
+    assert(lsh.contains("partial_min"),
+      "signature mins must map-side combine")
+    // The PCA family rides ONE persisted covariance frame: after the
+    // first member runs, subsequent members read the InMemory cache
+    // instead of rescanning the corpus.
+    SparkEntry.queries("llm_vec_cov")(spark, sf).collect()
+    // the memoized eigensolve is a driver-bounded LocalRelation fed
+    // from the persisted covariance — re-invoking the query must not
+    // plan a fresh corpus scan
+    val second = plan("llm_pca_exact")
+    assert(!second.contains("Scan parquet"),
+      s"llm_pca_exact must reuse the cached covariance:\n$second")
+  }
+
   test("every declared query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // approx + ANN + sketches are approximate by design ⇒ rows-only

@@ -510,6 +510,41 @@ class CdcSourceSpec extends AnyFunSuite {
       s"stalled write must fail near writeTimeoutMs, took ${elapsed}ms")
   }
 
+  test("BoundedLineReader: terminators, EOF flush, cap boundary, timeout retention") {
+    def reader(s: String, cap: Int = 1024) =
+      new BoundedLineReader(new java.io.StringReader(s), cap, "test")
+    // \n, \r, \r\n each terminate exactly one line; EOF flushes a
+    // final unterminated line; EOF with nothing pending returns null
+    // (BufferedReader.readLine semantics)
+    val r1 = reader("a\nb\rc\r\nd")
+    assert(Seq(r1.readLine(), r1.readLine(), r1.readLine(),
+      r1.readLine(), r1.readLine()) === Seq("a", "b", "c", "d", null))
+    // a line of exactly cap chars passes; cap+1 throws the bounded
+    // message (the reference's scanner-error contract)
+    assert(reader("x" * 10 + "\n", cap = 10).readLine() === "x" * 10)
+    val over = intercept[java.io.IOException] {
+      reader("x" * 11, cap = 10).readLine()
+    }
+    assert(over.getMessage.contains("exceeds maxLineBytes"))
+    // a SocketTimeoutException mid-line propagates but RETAINS the
+    // partial buffer — the schema-wait retry loop must not drop bytes
+    val chunks = Iterator[() => Int](
+      () => 'h'.toInt, () => 'i'.toInt,
+      () => throw new java.net.SocketTimeoutException("poll"),
+      () => '!'.toInt, () => '\n'.toInt, () => -1)
+    val flaky = new java.io.Reader {
+      override def read(): Int = chunks.next()()
+      override def read(b: Array[Char], off: Int, len: Int): Int = {
+        val c = read(); if (c == -1) -1 else { b(off) = c.toChar; 1 }
+      }
+      override def close(): Unit = ()
+    }
+    val r2 = new BoundedLineReader(flaky, 1024, "test")
+    intercept[java.net.SocketTimeoutException] { r2.readLine() }
+    assert(r2.readLine() === "hi!",
+      "the partial line must survive the timeout")
+  }
+
   test("socket: a newline-less line past maxLineBytes fails the scan loudly (client.go:17/257)") {
     // The reference bounds its scanner at 1 MiB (maxScanTokenSize,
     // client.go:17, applied at client.go:257) — a line past the cap
