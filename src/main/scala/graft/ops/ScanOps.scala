@@ -93,6 +93,28 @@ object ScanOps extends OpPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Avro container sink + source roundtrip through the repo's OWN
+    // `graft-avro` DSv2 (no spark-avro connector ships here — the
+    // source is built on avro-core directly; AvroSource.scala). One
+    // container per write task, one InputPartition per container on
+    // read, column pruning = the Avro resolving decoder skipping
+    // unprojected fields byte-wise. Oracle reads the original
+    // parquet, so a pass proves write→read fidelity across long/
+    // string/double/timestamp — dates and micros carry the same
+    // physical values Spark uses internally, so the trip is
+    // bit-exact. (Arrays, nulls, narrow ints, truncate semantics and
+    // the per-file parallelism contract are pinned in
+    // AvroSourceSpec.)
+    "scan_avro_roundtrip" -> ((s, dir) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/avro-orders"
+      Tables(s, dir, "orders").write.format("graft-avro")
+        .mode("overwrite").save(scratch)
+      s.read.format("graft-avro").load(scratch)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Bucketed table sink: orders hashed into 8 buckets on o_custkey
     // (sorted within buckets). The group-by on the bucket key then
     // plans with NO Exchange — the bucketed scan already satisfies the
@@ -2103,6 +2125,11 @@ object ScanOps extends OpPack {
     "scan_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scan_avro_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "sink_bucketed" ->
       s"""SELECT o_custkey, count(*) AS n,
