@@ -1698,13 +1698,13 @@ object DedupOps extends OpPack {
         |FROM rwalk GROUP BY id ORDER BY doc_id""".stripMargin),
 
     "llm_graph_bfs" -> (pairCtes + ",\n" +
-      """seeds AS (
+      """seeds AS MATERIALIZED (
         |  SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
-        |n1 AS (
+        |n1 AS MATERIALIZED (
         |  SELECT DISTINCT e.v AS id FROM edge e
         |  JOIN seeds s ON e.u = s.id
         |  WHERE e.v NOT IN (SELECT id FROM seeds)),
-        |n2 AS (
+        |n2 AS MATERIALIZED (
         |  SELECT DISTINCT e.v AS id FROM edge e
         |  JOIN n1 ON e.u = n1.id
         |  WHERE e.v NOT IN (SELECT id FROM seeds)
@@ -1847,13 +1847,13 @@ object DedupOps extends OpPack {
 
     "llm_graph_kcore" -> (pairCtes + ",\n" +
       """s1 AS (SELECT u FROM edge GROUP BY u HAVING count(*) >= 2),
-        |e1 AS (SELECT e.u, e.v FROM edge e
+        |e1 AS MATERIALIZED (SELECT e.u, e.v FROM edge e
         |       JOIN s1 a ON e.u = a.u JOIN s1 b ON e.v = b.u),
         |s2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
-        |e2 AS (SELECT e.u, e.v FROM e1 e
+        |e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e
         |       JOIN s2 a ON e.u = a.u JOIN s2 b ON e.v = b.u),
         |s3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
-        |e3 AS (SELECT e.u, e.v FROM e2 e
+        |e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e
         |       JOIN s3 a ON e.u = a.u JOIN s3 b ON e.v = b.u),
         |dg AS (SELECT u, count(*) AS core_degree FROM e3 GROUP BY u)
         |SELECT d.doc_id,
@@ -2166,8 +2166,18 @@ object DedupOps extends OpPack {
   // closure family's oracles inherit the lower peak (the llm_lsh_tune
   // rewrite, VERDICT r10 task 5, applied at the shared base). The
   // name `t` stays RESERVED for appended CTEs (see the gotcha list).
+  //
+  // Every base CTE is AS MATERIALIZED (round 12): oracles in this
+  // family chain further CTEs on top of `edge` (BFS frontiers, k-core
+  // peels), and the oracle engine's default CTE inlining re-evaluates
+  // each referenced CTE per reference — a depth-k chain re-derives
+  // the shingle pair frame O(2^k) times, which is what actually blew
+  // the 40 GiB temp budget on the bfs/kcore oracles (measured round
+  // 12: kcore >62 GiB spilled inlined vs 7 s materialized on the SAME
+  // corpus). MATERIALIZED is an evaluation hint, not a semantic
+  // change: each CTE is computed once and reused.
   private val pairCtesBody =
-      s"""tri AS (
+      s"""tri AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, sh FROM (
         |    SELECT doc_id,
         |      unnest(list_transform(range(1, len(ws) - 1),
@@ -2176,22 +2186,23 @@ object DedupOps extends OpPack {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
         |          FROM documents)
         |  )
-        |), dfc AS (SELECT sh, count(DISTINCT doc_id) AS df
+        |), dfc AS MATERIALIZED (SELECT sh, count(DISTINCT doc_id) AS df
         |           FROM tri GROUP BY sh),
-        |trif AS (
+        |trif AS MATERIALIZED (
         |  SELECT tri.doc_id, tri.sh FROM tri JOIN dfc USING (sh)
         |  WHERE df <= $DfCap
-        |), sz AS (SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
-        |pair AS (
+        |), sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_sh FROM trif GROUP BY doc_id),
+        |pair AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         |  FROM trif a JOIN trif b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY doc_a, doc_b),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT doc_a, doc_b FROM pair
         |  JOIN sz sa ON doc_a = sa.doc_id
         |  JOIN sz sb ON doc_b = sb.doc_id
         |  WHERE n_inter * 20 >= sa.n_sh + sb.n_sh - n_inter),
-        |edge AS (
+        |edge AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM cand
         |  UNION
         |  SELECT doc_b, doc_a FROM cand)""".stripMargin

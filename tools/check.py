@@ -61,7 +61,10 @@ def main(sf_dir, out_dir):
     # concurrent `git add -A` tried to pack it), and cap it so an
     # out-of-core oracle fails loudly instead of filling the disk
     con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
-    con.execute("SET max_temp_directory_size='40GiB'")
+    # default 40GiB; GRAFT_DUCKDB_TEMP raises it for a supervised
+    # adjudication run (watch df) — never in unattended sweeps
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("GRAFT_DUCKDB_TEMP", "40GiB"))
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
