@@ -31,6 +31,23 @@ object CorpusOps extends OpPack {
       .filter(col("w") =!= "")
       .select(col("lang"), col("w"))
 
+  /** llm_source_overlap's distinct (source, trigram) projection,
+    * persisted via a shared helper (optimization r12): the query
+    * reads it three times (sizes + both join legs), and building it
+    * inline in the closure re-derived the corpus gram explode per
+    * leg. The frame is bounded by |sources| × distinct grams — far
+    * smaller than the token stream — and the helper shape lets
+    * CacheManager substitute the one cached plan into every equal
+    * subplan (the DedupOps.tokens idiom). */
+  private def sourceGrams(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"),
+        explode(array_distinct(expr(Grams.spark(3)))).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def queries: Map[String, Q] = Map(
     // Self-BLEU-style corpus diversity (the generation-diversity
     // metric, made exact and linear): per document, the share of its
@@ -177,11 +194,7 @@ object CorpusOps extends OpPack {
     // contract. One distinct (source, gram) projection feeds both
     // the sizes and the intersection counts.
     "llm_source_overlap" -> ((s, dir) => {
-      val sg = Tables(s, dir, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("source"),
-          explode(array_distinct(expr(Grams.spark(3)))).as("g"))
-        .distinct()
+      val sg = sourceGrams(s, dir)
       val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_g"))
       val a = sg.select(col("source").as("sa"), col("g"))
       val b = sg.select(col("source").as("sb"), col("g"))

@@ -27,23 +27,38 @@ object DedupOps extends OpPack {
   // into every equal subplan — the "build the index once, run many
   // dedup passes" shape a production pipeline uses. (Repeated persist
   // of an equal plan is a no-op.)
+  // Optimization r12: the index frames are memoized per (session,
+  // corpus) and localCheckpoint'ed (lazy) instead of merely persisted.
+  // Persist alone kept the FULL build lineage in every consumer's
+  // logical plan — execution read the cache, but each of the ~20
+  // family queries re-analyzed/re-optimized a 100-180 KB plan per run
+  // (driver-side planning, measured as the dominant steady-state cost
+  // on cached data). The checkpoint truncates the lineage to a
+  // LogicalRDD, so consumers plan against a leaf. Blocks live in the
+  // block manager exactly like the old persist (MEMORY_AND_DISK).
+  private val tokensCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
   private def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
-      .filter(col("w") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tokensCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
+        .localCheckpoint(false))
 
+  private val shinglesCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .withColumn("arr", split(col("text"), " "))
-      .filter(size(col("arr")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("arr")) - 3),
-          i => concat_ws(" ", element_at(col("arr"), i + 1),
-            element_at(col("arr"), i + 2), element_at(col("arr"), i + 3)))))
-        .as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shinglesCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Tables(s, dir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .filter(size(col("arr")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("arr")) - 3),
+            i => concat_ws(" ", element_at(col("arr"), i + 1),
+              element_at(col("arr"), i + 2), element_at(col("arr"), i + 3)))))
+          .as("sh"))
+        .localCheckpoint(false))
 
   /** Document-frequency cap on inverted-index posting lists — the
     * declared semantics of the ENTIRE shingle-Jaccard family
@@ -81,13 +96,16 @@ object DedupOps extends OpPack {
     * Hot-gram removal is one aggregation on the (cached) index plus a
     * key-co-partitioned anti-join; persisted because the pair join
     * reads it three times (a-side, b-side, sizes). */
-  private def shinglesCapped(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select(col("sh"))
-    sh.join(hot, Seq("sh"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private val shinglesCappedCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+  private def shinglesCapped(s: SparkSession, dir: String): DataFrame =
+    shinglesCappedCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val sh = shingles(s, dir)
+      val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select(col("sh"))
+      sh.join(hot, Seq("sh"), "left_anti")
+        .localCheckpoint(false)
+    })
 
   /** Session-memoized MinHash band-signature index (see
     * llm_dedup_minhash) — keyed by session identity so a fresh
@@ -119,7 +137,7 @@ object DedupOps extends OpPack {
         (System.identityHashCode(s), dir),
         MinHashLsh.bandSignatures(sh, "doc_id", "sh",
           numHashes = 128, bands = 32)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .localCheckpoint(false))
       val cand = MinHashLsh.pairsFromBands(bs, "doc_id")
       MinHashLsh.verifyJaccard(cand, sh, "doc_id", "sh", num = 1, den = 2)
         .select(col("doc_a"), col("doc_b"))
@@ -1226,20 +1244,23 @@ object DedupOps extends OpPack {
     * [[DfCap]]): sizes, intersections and thresholds are all computed
     * over grams with df ≤ K, which is what keeps the self-join
     * sub-quadratic regardless of boilerplate. */
-  private def pairCounts(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesCapped(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-        "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-        "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private val pairCountsCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+  private def pairCounts(s: SparkSession, dir: String): DataFrame =
+    pairCountsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val sh = shinglesCapped(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          "doc_b")
+        .localCheckpoint(false)
+    })
 
   /** Min-label CC assignments over the near-dup graph, memoized per
     * (session, dir) and persisted — the propagation loop runs Spark
@@ -1269,9 +1290,17 @@ object DedupOps extends OpPack {
     for (_ <- 1 to rounds) {
       val surv = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
+      // localCheckpoint per round (eager=false — truncated immediately,
+      // materialized by the consumer's action): edges_{r-1} appears 3x
+      // in round r (degree agg + both semi-joins), so without the cut
+      // the logical plan grows 3^rounds — measured ~2,500 Exchange
+      // nodes / 11 MB of plan text at rounds=3 over the pair build,
+      // with planning time dominating the query. The iterative-loop
+      // doctrine (llm_graph_closeness, Scc, BigStarCC) applied here.
       edges = edges.join(surv, Seq("u"), "left_semi")
         .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
+        .localCheckpoint(false)
     }
     edges
   }

@@ -81,8 +81,12 @@ object LlmOps extends OpPack {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > DedupOps.DfCap)
           .select(col("lang"), col("source"), col("w"))
+        // localCheckpoint (lazy) rather than persist — same block-
+        // manager caching, but the lineage is truncated so every
+        // consumer plans against a leaf instead of re-optimizing the
+        // full build tree per run (optimization r12, see DedupOps).
         t0.join(hot, Seq("lang", "source", "w"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(false)
       })
 
   /** The exact integer covariance cell frame shared by `llm_vec_cov`
@@ -104,8 +108,11 @@ object LlmOps extends OpPack {
   private def covCells(s: SparkSession, dir: String): DataFrame =
     covCellsCache.getOrElseUpdate(
       (System.identityHashCode(s), dir),
+      // localCheckpoint (lazy): same caching as the old persist, but
+      // the ≤2,080-cell frame becomes a plan LEAF — consumers stop
+      // re-optimizing the corpus-explode build tree per run (r12).
       covCellsOf(Tables(s, dir, "embeddings"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint(false))
 
   /** Memoized eigensolve: `llm_pca_exact` and `llm_pca_project` share
     * the ONE driver-side O(d^3) BigInt solve (and through [[covCells]]

@@ -44,16 +44,29 @@ object TpchOps extends OpPack {
     * `ps_qty` the total quantity supplied. At scale this is one
     * map-side-combined shuffle proportional to |distinct pairs|, and
     * every consumer below joins it on the same partkey key. */
+  /** Memoized per (session, dir) and persisted (optimization r12,
+    * guide §2.4 "remove shuffles outright"): the derived relation is
+    * consumed by composite_q2 (twice — offers feeds both the min-cost
+    * gate and the winner join), q9 and q11, so the fact-table scan +
+    * (partkey, suppkey) shuffle is paid once per session instead of
+    * once per consumer plan — the production posture where partsupp
+    * is a maintained table, not a per-query derivation. Same TrieMap
+    * idiom as LlmOps.covCells / DedupOps.ccLabels. */
+  private val partsuppCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
   private def partsupp(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .select(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"),
-        expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 100) div " +
-          "CAST(l_quantity AS BIGINT)").as("unit_cc"),
-        col("l_quantity").cast("long").as("q"))
-      .groupBy(col("ps_partkey"), col("ps_suppkey"))
-      .agg(min(col("unit_cc")).as("ps_supplycost_cc"),
-        sum(col("q")).as("ps_qty"))
+    partsuppCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"),
+          expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 100) div " +
+            "CAST(l_quantity AS BIGINT)").as("unit_cc"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy(col("ps_partkey"), col("ps_suppkey"))
+        .agg(min(col("unit_cc")).as("ps_supplycost_cc"),
+          sum(col("q")).as("ps_qty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val psSql =
     """ps AS (

@@ -72,6 +72,14 @@ FAMILIES = {
                     "llm_communities", "llm_pagerank"],
     "ann": ["llm_ann_", "llm_pq_", "llm_ivf_"],
     "pca": ["llm_vec_cov", "llm_pca_"],
+    # r12 shared builds: the BPE merge chain serves train+apply; the
+    # language-ID hit frame serves the lang trio + cohen_kappa; the
+    # derived partsupp serves the TPC-H consumers. The one-time build
+    # lands on whichever member runs first, exactly like dedup_graph.
+    "bpe": ["llm_bpe_train", "llm_bpe_apply"],
+    "langid": ["llm_lang_id", "llm_lang_mismatch", "llm_lang_margin",
+               "agg_cohen_kappa"],
+    "tpch_ps": ["composite_q2", "composite_q9", "composite_q11"],
 }
 FAMILY_THRESHOLD = 1.5
 
