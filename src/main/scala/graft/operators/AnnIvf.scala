@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Lineage.LineageOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -91,7 +92,7 @@ object AnnIvf {
         transform(col(embCol), x => x.cast("double")).as("__emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centers = v.orderBy(col("__id")).limit(1)
-      .select(col("__emb").as("centroid")).localCheckpoint()
+      .select(col("__emb").as("centroid")).lineageCut(true)
     val l = (oversample.toLong * numCells).toDouble
     (1 to rounds).foreach { r =>
       val costs = v.crossJoin(broadcast(centers))
@@ -106,7 +107,7 @@ object AnnIvf {
         .cast("double") / 1.000000007e9
       val sampled = costs.filter(u < lit(l) * col("cost") / lit(phi))
         .select(col("__emb").as("centroid"))
-      centers = centers.union(sampled).localCheckpoint()
+      centers = centers.union(sampled).lineageCut(true)
     }
     // Weight each sampled center by the population it attracts (one
     // distributed argmax pass), then reduce to numCells on the driver:

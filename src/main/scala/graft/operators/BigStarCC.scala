@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Lineage.LineageOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -63,7 +64,7 @@ object BigStarCC {
       .filter(col(U) =!= col(V))
       .select(least(col(U), col(V)).as(U), greatest(col(U), col(V)).as(V))
       .distinct()
-      .localCheckpoint(eager = false)
+      .lineageCut(false)
     var sig = digest(edges)
     var rounds = 0
     var done = sig._1 == 0L
@@ -93,7 +94,7 @@ object BigStarCC {
         .union(mS.select(col(U), col("__m").as(V)))
         .select(least(col(U), col(V)).as(U), greatest(col(U), col(V)).as(V))
         .distinct()
-        .localCheckpoint(eager = false)
+        .lineageCut(false)
       // Converged when the canonical edge set digest is unchanged; the
       // digest job also materializes the lazy checkpoint.
       val nextSig = digest(next)

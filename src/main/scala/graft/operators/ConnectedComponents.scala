@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Lineage.LineageOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -35,7 +36,7 @@ object ConnectedComponents {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .lineageCut(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -52,7 +53,7 @@ object ConnectedComponents {
         .union(viaNeighbor)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"), min(col("own")).as("own"))
-        .localCheckpoint(eager = false)
+        .lineageCut(false)
       changed = next.filter(col("component") < col("own")).count()
       labels = next.select(col("id"), col("component"))
       rounds += 1

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Lineage.LineageOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -37,12 +38,12 @@ object Scc {
       else 64 - java.lang.Long.numberOfLeadingZeros(nodeCount - 1)
     val effectiveRounds = math.max(rounds, needed)
     var reach = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(false)
+      .lineageCut(false)
     for (_ <- 1 to effectiveRounds) {
       val hop = reach.select(col("src"), col("dst").as("mid"))
         .join(reach.select(col("src").as("mid"), col("dst")), "mid")
         .select(col("src"), col("dst"))
-      reach = reach.union(hop).distinct().localCheckpoint(false)
+      reach = reach.union(hop).distinct().lineageCut(false)
     }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()

@@ -39,14 +39,22 @@ object CorpusOps extends OpPack {
     * smaller than the token stream — and the helper shape lets
     * CacheManager substitute the one cached plan into every equal
     * subplan (the DedupOps.tokens idiom). */
+  private val sourceGramsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
+
   private def sourceGrams(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Tables(s, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("source"),
-        explode(array_distinct(expr(Grams.spark(3)))).as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized per (session, corpus) — optimization r13 (ADVICE r12):
+    // the un-memoized form built and persisted a NEW DataFrame per
+    // invocation, leaning on CacheManager plan equality for the no-op
+    // and re-planning the build tree per call
+    sourceGramsCache.getOrElseUpdate((SessionKey(s), dir),
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"),
+          explode(array_distinct(expr(Grams.spark(3)))).as("g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def queries: Map[String, Q] = Map(
     // Self-BLEU-style corpus diversity (the generation-diversity

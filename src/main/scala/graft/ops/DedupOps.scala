@@ -1,4 +1,5 @@
 package graft.ops
+import graft.Lineage.LineageOps
 
 import graft.Tables
 import graft.operators.{MinHashLsh, SimHash}
@@ -37,19 +38,19 @@ object DedupOps extends OpPack {
   // LogicalRDD, so consumers plan against a leaf. Blocks live in the
   // block manager exactly like the old persist (MEMORY_AND_DISK).
   private val tokensCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
   private def tokens(s: SparkSession, dir: String): DataFrame =
-    tokensCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    tokensCache.getOrElseUpdate((SessionKey(s), dir),
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("w"))
         .filter(col("w") =!= "")
-        .localCheckpoint(false))
+        .lineageCut(false))
 
   private val shinglesCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    shinglesCache.getOrElseUpdate((SessionKey(s), dir),
       Tables(s, dir, "documents")
         .withColumn("arr", split(col("text"), " "))
         .filter(size(col("arr")) >= 3)
@@ -58,7 +59,7 @@ object DedupOps extends OpPack {
             i => concat_ws(" ", element_at(col("arr"), i + 1),
               element_at(col("arr"), i + 2), element_at(col("arr"), i + 3)))))
           .as("sh"))
-        .localCheckpoint(false))
+        .lineageCut(false))
 
   /** Document-frequency cap on inverted-index posting lists — the
     * declared semantics of the ENTIRE shingle-Jaccard family
@@ -97,21 +98,21 @@ object DedupOps extends OpPack {
     * key-co-partitioned anti-join; persisted because the pair join
     * reads it three times (a-side, b-side, sizes). */
   private val shinglesCappedCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
   private def shinglesCapped(s: SparkSession, dir: String): DataFrame =
-    shinglesCappedCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    shinglesCappedCache.getOrElseUpdate((SessionKey(s), dir), {
       val sh = shingles(s, dir)
       val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select(col("sh"))
       sh.join(hot, Seq("sh"), "left_anti")
-        .localCheckpoint(false)
+        .lineageCut(false)
     })
 
   /** Session-memoized MinHash band-signature index (see
     * llm_dedup_minhash) — keyed by session identity so a fresh
     * session never sees frames from a stopped one. */
   private val bandSigCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
 
   def queries: Map[String, Q] = Map(
     // MinHash(128) + 32-band LSH over df-capped 3-gram shingles,
@@ -134,10 +135,10 @@ object DedupOps extends OpPack {
       // passes from — repeated queries ride the tiny persisted index
       // and pay only the band join + exact verify.
       val bs = bandSigCache.getOrElseUpdate(
-        (System.identityHashCode(s), dir),
+        (SessionKey(s), dir),
         MinHashLsh.bandSignatures(sh, "doc_id", "sh",
           numHashes = 128, bands = 32)
-          .localCheckpoint(false))
+          .lineageCut(false))
       val cand = MinHashLsh.pairsFromBands(bs, "doc_id")
       MinHashLsh.verifyJaccard(cand, sh, "doc_id", "sh", num = 1, den = 2)
         .select(col("doc_a"), col("doc_b"))
@@ -478,7 +479,7 @@ object DedupOps extends OpPack {
       // once per later anti-join — 6 recomputes across 3 rounds (the
       // AnnIvf k-means|| pattern; measured 8.1 s → checkpointed ~1 s
       // at sf0.1).
-      var levels = List(seeds.localCheckpoint(true))
+      var levels = List(seeds.lineageCut(true))
       for (_ <- 1 to 3) {
         val prev = levels.head
         val anti = levels.reduce(_ union _)
@@ -486,7 +487,7 @@ object DedupOps extends OpPack {
           .join(prev.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
           .select(col("v").as("id")).distinct()
           .join(anti, Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .lineageCut(true)
         levels = next :: levels
       }
       levels.reverse.zipWithIndex
@@ -740,7 +741,7 @@ object DedupOps extends OpPack {
         .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
         .filter(col("n") * 1000 > col("tot"))
         .select(col("src"), col("dst"))
-      var dist = kept.withColumn("d", lit(1L)).localCheckpoint(false)
+      var dist = kept.withColumn("d", lit(1L)).lineageCut(false)
       for (_ <- 1 to 6) {
         val hop = dist.select(col("src"), col("dst").as("mid"),
             col("d").as("d1"))
@@ -748,7 +749,7 @@ object DedupOps extends OpPack {
             col("d").as("d2")), "mid")
           .select(col("src"), col("dst"), (col("d1") + col("d2")).as("d"))
         dist = dist.union(hop).groupBy(col("src"), col("dst"))
-          .agg(min(col("d")).as("d")).localCheckpoint(false)
+          .agg(min(col("d")).as("d")).lineageCut(false)
       }
       val reach = dist.filter(col("src") =!= col("dst"))
         .groupBy(col("src").as("node"))
@@ -1245,9 +1246,9 @@ object DedupOps extends OpPack {
     * over grams with df ≤ K, which is what keeps the self-join
     * sub-quadratic regardless of boilerplate. */
   private val pairCountsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
   private def pairCounts(s: SparkSession, dir: String): DataFrame =
-    pairCountsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    pairCountsCache.getOrElseUpdate((SessionKey(s), dir), {
       val sh = shinglesCapped(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
@@ -1259,7 +1260,7 @@ object DedupOps extends OpPack {
           "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
           "doc_b")
-        .localCheckpoint(false)
+        .lineageCut(false)
     })
 
   /** Min-label CC assignments over the near-dup graph, memoized per
@@ -1270,9 +1271,9 @@ object DedupOps extends OpPack {
     * own BigStarCC run — being a second, independent algorithm is the
     * point of that query. */
   private val ccCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
   private def ccLabels(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    ccCache.getOrElseUpdate((SessionKey(s), dir),
       graft.operators.ConnectedComponents
         .run(nearDupPairs(s, dir), "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
@@ -1300,7 +1301,7 @@ object DedupOps extends OpPack {
       edges = edges.join(surv, Seq("u"), "left_semi")
         .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(false)
+        .lineageCut(false)
     }
     edges
   }

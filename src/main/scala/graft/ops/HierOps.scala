@@ -1,4 +1,5 @@
 package graft.ops
+import graft.Lineage.LineageOps
 
 import graft.Tables
 import org.apache.spark.sql.functions._
@@ -167,7 +168,7 @@ object HierOps extends OpPack {
         .select(col("r_name"), col("n_name"), col("c_mktsegment"))
         .withColumn("node_id", concat_ws("/", col("r_name"),
           col("n_name"), col("c_mktsegment")))
-        .localCheckpoint(false)
+        .lineageCut(false)
       val anc = leaf.select(col("node_id"), lit(0).as("depth"),
           lit("ROOT").as("anc"))
         .unionByName(leaf.select(col("node_id"), lit(1).as("depth"),

@@ -27,12 +27,19 @@ object JoinOps extends OpPack {
     * helper + persist (optimization r12): equal subplans across the
     * four consumers resolve to ONE cached relation (the
     * DedupOps.tokens idiom) instead of four scan+distinct chains. */
+  private val basketItemsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
+
   private def basketItems(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Tables(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized per (session, corpus) — optimization r13 (ADVICE r12):
+    // one plan object per session instead of a fresh build tree per
+    // invocation resolved by CacheManager plan equality
+    basketItemsCache.getOrElseUpdate((SessionKey(s), dir),
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def queries: Map[String, Q] = Map(
     "join_inner" -> ((s, dir) => {

@@ -1,4 +1,5 @@
 package graft.ops
+import graft.Lineage.LineageOps
 
 import graft.Tables
 import graft.Tables.moneyAvg
@@ -30,11 +31,11 @@ object LlmOps extends OpPack {
     * persisted index. Keyed by session identity so a fresh session
     * never sees frames from a stopped one. */
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), graft.operators.AnnIvf.IvfIndex]
+    .empty[(String, String, Int), graft.operators.AnnIvf.IvfIndex]
 
   private def ivfIndex(s: SparkSession, dir: String,
       numCells: Int): graft.operators.AnnIvf.IvfIndex =
-    ivfCache.getOrElseUpdate((System.identityHashCode(s), dir, numCells), {
+    ivfCache.getOrElseUpdate((SessionKey(s), dir, numCells), {
       val e = Tables(s, dir, "embeddings")
       val built = graft.operators.AnnIvf.buildIndex(e, "vec_id", "embedding",
         numCells)
@@ -68,14 +69,14 @@ object LlmOps extends OpPack {
     * the ONE cached plan (CacheManager dedupes the equal subplan)
     * instead of re-registering a per-invocation persist. */
   private val tokensCappedCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
 
   private def tokensCapped(s: SparkSession, dir: String): DataFrame =
     // Memoized per (session, corpus) so repeated invocations return
     // the SAME persisted frame (stable cache entries across runs)
     // instead of registering a fresh persist each call.
     tokensCappedCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir), {
+      (SessionKey(s), dir), {
         val t0 = tokens(s, dir)
         val hot = t0.groupBy(col("lang"), col("source"), col("w"))
           .agg(count(lit(1)).as("df"))
@@ -86,7 +87,7 @@ object LlmOps extends OpPack {
         // consumer plans against a leaf instead of re-optimizing the
         // full build tree per run (optimization r12, see DedupOps).
         t0.join(hot, Seq("lang", "source", "w"), "left_anti")
-          .localCheckpoint(false)
+          .lineageCut(false)
       })
 
   /** The exact integer covariance cell frame shared by `llm_vec_cov`
@@ -103,16 +104,16 @@ object LlmOps extends OpPack {
     * scanned ONCE per run, not once per family member (at 100 TB,
     * the difference between one pass and three). */
   private val covCellsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
 
   private def covCells(s: SparkSession, dir: String): DataFrame =
     covCellsCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir),
+      (SessionKey(s), dir),
       // localCheckpoint (lazy): same caching as the old persist, but
       // the ≤2,080-cell frame becomes a plan LEAF — consumers stop
       // re-optimizing the corpus-explode build tree per run (r12).
       covCellsOf(Tables(s, dir, "embeddings"))
-        .localCheckpoint(false))
+        .lineageCut(false))
 
   /** Memoized eigensolve: `llm_pca_exact` and `llm_pca_project` share
     * the ONE driver-side O(d^3) BigInt solve (and through [[covCells]]
@@ -120,11 +121,11 @@ object LlmOps extends OpPack {
     * is a 64-row LocalRelation — safe to reuse across queries within
     * a session. */
   private val pcaExactCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
 
   private def pcaExactCached(s: SparkSession, dir: String): DataFrame =
     pcaExactCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir), pcaExact(s, covCells(s, dir)))
+      (SessionKey(s), dir), pcaExact(s, covCells(s, dir)))
 
   private[graft] def covCellsOf(embeddings: DataFrame): DataFrame =
     embeddings

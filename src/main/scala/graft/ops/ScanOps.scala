@@ -1,4 +1,5 @@
 package graft.ops
+import graft.Lineage.LineageOps
 
 import graft.Tables
 import graft.Tables.moneySum
@@ -1026,10 +1027,10 @@ object ScanOps extends OpPack {
       // published base (and a retired branch); localCheckpoint pins
       // the 1-row frames eagerly
       val main = agg(s.read.format("graft-manifest").load(sink),
-        "1_main_during_audit").localCheckpoint()
+        "1_main_during_audit").lineageCut(true)
       val staged = agg(s.read.format("graft-manifest")
         .option("branch", "audit").load(sink), "2_branch_staged")
-        .localCheckpoint()
+        .lineageCut(true)
       val v = ManifestSink.fastForward(sink, "audit")
       val pub = agg(s.read.format("graft-manifest").load(sink),
         s"3_published_v$v")

@@ -1,4 +1,5 @@
 package graft.ops
+import graft.Lineage.LineageOps
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -36,10 +37,10 @@ object TextOps extends OpPack {
     * one row per (doc, candidate language with profile hits), ≤
     * |docs|·|langs|. Same TrieMap idiom as LlmOps.covCells. */
   private val langHitsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
 
   private[ops] def langHits(s: SparkSession, dir: String): DataFrame =
-    langHitsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    langHitsCache.getOrElseUpdate((SessionKey(s), dir), {
       val t = toks(s, dir)
       val wp = Window.partitionBy(col("lang"))
         .orderBy(desc("freq"), asc("w"))
@@ -123,6 +124,12 @@ object TextOps extends OpPack {
     * the byte-level merges (kept regex-only so both engines agree). */
   private val bpeIsh = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** The single BPE merge-round count shared by the generated SQL
+    * (bpeTrainSql/bpeApplySql — the oracle text) and the Spark driver
+    * loop (bpeChain): one constant, so the two engines can never
+    * silently diverge on round count (ADVICE r12). */
+  private[graft] val BpeRounds = 5
+
   /** 5-round BPE merge training as ONE generated SQL text that runs
     * in both engines (the changepointSql doctrine at tokenizer
     * scale). Words render as individually-bracketed char tokens
@@ -138,7 +145,7 @@ object TextOps extends OpPack {
     * words), and each round's 1-row best-pair frame broadcasts
     * (allowlisted scalar-gate shape). */
   private[graft] def bpeTrainSql(spark: Boolean, table: String): String = {
-    val rounds = 5
+    val rounds = BpeRounds
     val tokcol =
       if (spark) "explode(split(text, ' '))"
       else "unnest(string_split(text, ' '))"
@@ -220,7 +227,7 @@ object TextOps extends OpPack {
        |    SELECT $tokLang FROM $table) tl
        |  WHERE word <> '' GROUP BY lang, word),
        |sv AS (
-       |  SELECT word, ${splitToks("seg")} AS arr FROM seg5)
+       |  SELECT word, ${splitToks("seg")} AS arr FROM seg$BpeRounds)
        |SELECT lang, ${big("sum(freql)")} AS n_words,
        |  ${big("sum(freql * length(word))")} AS n_chars,
        |  ${big(s"sum(freql * $szArr)")} AS n_tokens,
@@ -254,11 +261,11 @@ object TextOps extends OpPack {
     * limit(0) branch; replace() is the same left-to-right
     * non-overlapping literal replace in both engines. */
   private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (DataFrame, DataFrame)]
+    .empty[(String, String), (DataFrame, DataFrame)]
 
   private def bpeChain(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
-    bpeCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    bpeCache.getOrElseUpdate((SessionKey(s), dir), {
       val words = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
@@ -268,11 +275,11 @@ object TextOps extends OpPack {
       var seg = words.withColumn("seg", expr(
         "concat_ws('', transform(filter(split(word, ''), c -> c <> ''), " +
           "c -> concat('(', c, ')')))"))
-        .localCheckpoint(true) // vocabulary-bounded
+        .lineageCut(true) // vocabulary-bounded
       val merges =
         scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       var live = true
-      for (r <- 1 to 5 if live) {
+      for (r <- 1 to BpeRounds if live) {
         val best = seg
           .withColumn("arr",
             expr("split(substring(seg, 2, length(seg) - 2), '\\\\)\\\\(')"))
@@ -297,7 +304,7 @@ object TextOps extends OpPack {
           seg = seg.withColumn("seg",
             org.apache.spark.sql.functions.replace(col("seg"),
               lit(s"($a)($b)"), lit(s"($a$b)")))
-            .localCheckpoint(true)
+            .lineageCut(true)
         }
       }
       import s.implicits._

@@ -53,10 +53,10 @@ object TpchOps extends OpPack {
     * is a maintained table, not a per-query derivation. Same TrieMap
     * idiom as LlmOps.covCells / DedupOps.ccLabels. */
   private val partsuppCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(String, String), DataFrame]
 
   private def partsupp(s: SparkSession, dir: String): DataFrame =
-    partsuppCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    partsuppCache.getOrElseUpdate((SessionKey(s), dir),
       Tables(s, dir, "lineitem")
         .select(col("l_partkey").as("ps_partkey"),
           col("l_suppkey").as("ps_suppkey"),

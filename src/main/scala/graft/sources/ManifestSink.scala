@@ -1,4 +1,5 @@
 package graft.sources
+import graft.Lineage.LineageOps
 
 import java.io.{BufferedInputStream, BufferedOutputStream,
   ByteArrayOutputStream, DataInputStream, DataOutputStream, File,
@@ -772,7 +773,7 @@ object ManifestSink {
     val matched = spark.read.format("graft-manifest")
       .option("withRowMeta", "true").load(dir)
       .filter(condition)
-      .localCheckpoint() // freeze: addresses + payload from ONE scan
+      .lineageCut(true) // freeze: addresses + payload from ONE scan
     val n = commitDeletes(spark, dir,
       matched.select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2")))
     if (n > 0) {
@@ -2368,6 +2369,79 @@ final class ManifestFileWriter(schema: StructType, path: String,
       UnsafeProjection.create(
         Seq[Expression](BoundReference(i, f.dataType, f.nullable)))
     }
+  // Per-column field encoders (optimization r13, guide §1.2 "per-task
+  // work"): the generic path paid, per row and column, an
+  // UnsafeProjection call + a getBytes COPY + a DataOutputStream
+  // writeInt that pushed the length one byte at a time through the
+  // CRC stream. Fixed-width columns now hand-encode the identical
+  // 16-byte single-field UnsafeRow (8B null bitset + 8B value slot,
+  // native byte order — byte-for-byte what UnsafeRowWriter emits)
+  // plus the 4-byte big-endian length prefix into ONE reusable 20-byte
+  // buffer written (and CRC'd) in a single call; var-length columns
+  // keep the projection but stream the row's bytes directly
+  // (UnsafeRow.writeToStream) instead of copying them out first. The
+  // on-disk format is UNCHANGED. Each encoder returns the bytes it
+  // appended so the page-size check is a running counter, not a
+  // per-row sum over column buffers.
+  private val writeToStreamBuf = new Array[Byte](4096)
+  private val colWrite: Array[InternalRow => Int] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.Platform
+    val OFF = Platform.BYTE_ARRAY_OFFSET
+    def fixed(i: Int)(put: (Array[Byte], InternalRow) => Unit)
+        : InternalRow => Int = {
+      val buf = new Array[Byte](20)
+      buf(3) = 16 // big-endian int length prefix = 16
+      (r: InternalRow) => {
+        if (r.isNullAt(i)) {
+          Platform.putLong(buf, OFF + 4L, 1L)  // null bit 0 set
+          Platform.putLong(buf, OFF + 12L, 0L) // zeroed value slot
+        } else {
+          Platform.putLong(buf, OFF + 4L, 0L)
+          Platform.putLong(buf, OFF + 12L, 0L)
+          put(buf, r)
+        }
+        colOuts(i).write(buf, 0, 20)
+        20
+      }
+    }
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          fixed(i)((b, r) => Platform.putLong(b, OFF + 12L, r.getLong(i)))
+        case IntegerType | DateType =>
+          fixed(i)((b, r) => Platform.putInt(b, OFF + 12L, r.getInt(i)))
+        case ShortType =>
+          fixed(i)((b, r) => Platform.putShort(b, OFF + 12L, r.getShort(i)))
+        case ByteType =>
+          fixed(i)((b, r) => Platform.putByte(b, OFF + 12L, r.getByte(i)))
+        case BooleanType =>
+          fixed(i)((b, r) =>
+            Platform.putBoolean(b, OFF + 12L, r.getBoolean(i)))
+        case DoubleType =>
+          // NaN-normalized exactly like UnsafeRowWriter.write(double)
+          fixed(i)((b, r) => {
+            var v = r.getDouble(i)
+            if (java.lang.Double.isNaN(v)) v = Double.NaN
+            Platform.putDouble(b, OFF + 12L, v)
+          })
+        case FloatType =>
+          fixed(i)((b, r) => {
+            var v = r.getFloat(i)
+            if (java.lang.Float.isNaN(v)) v = Float.NaN
+            Platform.putFloat(b, OFF + 12L, v)
+          })
+        case _ =>
+          (r: InternalRow) => {
+            val u = fieldProj(i)(r)
+            val n = u.getSizeInBytes
+            colOuts(i).writeInt(n)
+            u.writeToStream(colOuts(i), writeToStreamBuf)
+            n + 4
+          }
+      }
+    }
+  }
   private val colBufs = Array.fill(schema.length)(new ByteArrayOutputStream())
   private val colCrcs = Array.fill(schema.length)(new CRC32())
   private val colOuts = colBufs.zip(colCrcs).map { case (b, c) =>
@@ -2425,17 +2499,15 @@ final class ManifestFileWriter(schema: StructType, path: String,
   private val pageMax = Array.fill(schema.length)(Long.MinValue)
   private val pageSeen = Array.fill(schema.length)(false)
   private var pageRows = 0
+  private var pageBytes = 0L
   private var rows = 0L
 
   def write(record: InternalRow): Unit = {
     var i = 0
-    while (i < fieldProj.length) {
-      val u = fieldProj(i)(record)
-      val b = u.getBytes
-      colOuts(i).writeInt(b.length)
-      colOuts(i).write(b)
+    while (i < colWrite.length) {
+      pageBytes += colWrite(i)(record)
       if (record.isNullAt(i)) nullCnt(i) += 1
-      if (statGet(i) != null && !record.isNullAt(i)) {
+      else if (statGet(i) != null) {
         val v = statGet(i)(record)
         if (v < statMin(i)) statMin(i) = v
         if (v > statMax(i)) statMax(i) = v
@@ -2456,7 +2528,7 @@ final class ManifestFileWriter(schema: StructType, path: String,
     pageRows += 1
     rows += 1
     if (pageRows == ManifestSink.PageRows ||
-        colBufs.iterator.map(_.size.toLong).sum >= ManifestSink.PageBytes)
+        pageBytes >= ManifestSink.PageBytes)
       flushPage()
   }
 
@@ -2493,6 +2565,7 @@ final class ManifestFileWriter(schema: StructType, path: String,
       i += 1
     }
     pageRows = 0
+    pageBytes = 0L
   }
 
   def finish(): ManifestSink.Entry = {
@@ -2541,13 +2614,11 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * nothing. Falls back silently to per-file planning when the
     * layout doesn't qualify; grouping alone is semantically neutral
     * either way. */
-  private lazy val entries: Seq[ManifestSink.Entry] = {
-    val m = ManifestSink.readRef(path, asOfVersion, branch, tag)
-    m.files.filter(e => restrictFiles.forall(_(e.name)) &&
-      ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
-  }
   private lazy val manifest =
     ManifestSink.readRef(path, asOfVersion, branch, tag)
+  private lazy val entries: Seq[ManifestSink.Entry] =
+    manifest.files.filter(e => restrictFiles.forall(_(e.name)) &&
+      ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
   private lazy val identityCol: Option[String] =
     if (!groupByPartition || entries.isEmpty) None
     else {
@@ -2570,9 +2641,6 @@ final class ManifestScan(fullSchema: StructType, prunedSchema: StructType,
     * column-pruning fraction — what lets Catalyst choose a broadcast
     * join against a small manifest table without scanning it. */
   override def estimateStatistics(): Statistics = {
-    val entries = ManifestSink.readRef(path, asOfVersion, branch, tag).files
-      .filter(e => restrictFiles.forall(_(e.name)) &&
-        ManifestSink.entryMayMatch(e, zoneFilters.toSeq))
     val rows = entries.map(_.liveRows).sum
     val bytes = entries.map(e =>
       new File(s"$path/${e.name}").length()).sum
@@ -3247,7 +3315,48 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
     m
   }
   private val oneCol = neededFileIdx.map(_ => new UnsafeRow(1))
-  private val row = new GenericInternalRow(neededFileIdx.length)
+  // Typed mutable output row + per-column setters (optimization r13,
+  // guide §1.2 "per-task work"): the generic path ran, per row and
+  // column, UnsafeRow.get(0, dataType) — a DataType dispatch — and
+  // boxed every primitive into a GenericInternalRow slot. The
+  // SpecificInternalRow holds primitives in typed slots and each
+  // column's decode is resolved to one monomorphic setter up front.
+  private val row = new org.apache.spark.sql.catalyst.expressions
+    .SpecificInternalRow(outTypes.toSeq)
+  private val colSet: Array[UnsafeRow => Unit] = {
+    import org.apache.spark.sql.types._
+    outTypes.zipWithIndex.map { case (dt, j) =>
+      dt match {
+        case LongType | TimestampType | TimestampNTZType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.setLong(j, u.getLong(0))
+        case IntegerType | DateType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.setInt(j, u.getInt(0))
+        case DoubleType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.setDouble(j, u.getDouble(0))
+        case FloatType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.setFloat(j, u.getFloat(0))
+        case ShortType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.setShort(j, u.getShort(0))
+        case ByteType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.setByte(j, u.getByte(0))
+        case BooleanType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.setBoolean(j, u.getBoolean(0))
+        case StringType =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.update(j, u.getUTF8String(0))
+        case other =>
+          (u: UnsafeRow) => if (u.isNullAt(0)) row.setNullAt(j)
+            else row.update(j, u.get(0, other))
+      }
+    }
+  }
   private var blocks: Array[Array[Byte]] = _
   private var offs: Array[Int] = _
   private var pageRows = 0
@@ -3521,7 +3630,7 @@ final class ManifestPartitionReader(p: ManifestInputPartition,
             oneCol(j).pointTo(b,
               org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off + 4,
               len)
-            row.update(j, oneCol(j).get(0, outTypes(j)))
+            colSet(j)(oneCol(j))
             offs(j) = off + 4 + len
         }
         j += 1

@@ -40,6 +40,20 @@ ABS_FLOOR = 1.0  # seconds; below this, ratios are pure noise
 
 CLASSPATH = "target/scala-2.13/classes:/opt/spark/jars/*"
 
+# Spark 4.x on JDK 17 needs the module opens spark-submit would inject
+# (matches build.sbt's jdk17AddOpens) — without them TimeOne dies on
+# the first query that decodes a Date/Timestamp row on the driver
+# (sun.util.calendar access), which silently turned those candidates
+# into UNRESOLVED "regressions".
+ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]]
+
 # Whole-sitting drift canaries (VERDICT r9 task 1): fixed, >1s,
 # pure-compute queries on STANDALONE code paths — none rides a
 # session-memoized shared build and none shares helpers with
@@ -53,8 +67,15 @@ CLASSPATH = "target/scala-2.13/classes:/opt/spark/jars/*"
 # normalized before anyone calls a number a regression. Canary-set
 # changes reset cross-round drift comparability — note them in
 # STATE.md beside the bench_ref rebuild they accompany.
-DRIFT_CANARIES = ["llm_bpe_apply", "diag_fk_coverage",
-                  "join_spatial_grid", "composite_q11"]
+# r13 canary refresh (VERDICT r12 item 1b): llm_bpe_apply and
+# composite_q11 were retired — both moved ONTO session-memoized shared
+# builds in r12 (the BPE merge chain; the persisted partsupp),
+# violating the standalone doctrine above. Replacements: join_theta
+# (banded non-equi join, ref 1.42s) and composite_q18 (3-table
+# group-having join, ref 1.41s) — both >1s, pure compute, riding no
+# shared build and no helper touched in r12/r13.
+DRIFT_CANARIES = ["diag_fk_coverage", "join_spatial_grid",
+                  "join_theta", "composite_q18"]
 
 # Shared-build families (VERDICT r10 task 2): these queries ride ONE
 # session-memoized persisted frame (DedupOps pair-frame + CC build;
@@ -98,8 +119,8 @@ def load(path):
 
 def steady_state(names, sf_dir):
     """3-run TimeOne medians for `names`, one fresh session."""
-    cmd = ["java", "-Xmx16g", "-cp", CLASSPATH, "graft.TimeOne",
-           f"-dir={sf_dir}"] + list(names)
+    cmd = ["java", "-Xmx16g"] + ADD_OPENS + ["-cp", CLASSPATH,
+           "graft.TimeOne", f"-dir={sf_dir}"] + list(names)
     out = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=1800).stdout
     runs = {}
