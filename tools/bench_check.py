@@ -71,11 +71,11 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
 # composite_q11 were retired — both moved ONTO session-memoized shared
 # builds in r12 (the BPE merge chain; the persisted partsupp),
 # violating the standalone doctrine above. Replacements: join_theta
-# (banded non-equi join, ref 1.42s) and composite_q18 (3-table
-# group-having join, ref 1.41s) — both >1s, pure compute, riding no
-# shared build and no helper touched in r12/r13.
+# (banded non-equi join, r13 ref median 1.40s) and agg_hist_eqdepth
+# (percentile-gate histogram, r13 ref median 1.27s) — both >1s, pure
+# compute, riding no shared build and no helper touched in r12/r13.
 DRIFT_CANARIES = ["diag_fk_coverage", "join_spatial_grid",
-                  "join_theta", "composite_q18"]
+                  "join_theta", "agg_hist_eqdepth"]
 
 # Shared-build families (VERDICT r10 task 2): these queries ride ONE
 # session-memoized persisted frame (DedupOps pair-frame + CC build;
