@@ -11,7 +11,8 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader,
   GenericDatumWriter, GenericRecord}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
+  SpecializedGetters}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
@@ -196,6 +197,31 @@ final class GraftAvroPartitionReader(file: String, pruned: StructType)
     GraftAvro.projectWriterSchema(reader.getSchema, pruned, file))
   private var current: GenericRecord = _
 
+  // Per-column decode, resolved ONCE (optimization r13, guide §1.2
+  // "per-task work"): the generic path did, per row and column, an
+  // Avro field-name hash lookup plus a DataType dispatch inside
+  // toCatalyst, and allocated a fresh row. The expected schema is
+  // built in PRUNED field order (projectWriterSchema), so access is
+  // positional; the common scalar types collapse to identity (the
+  // decoder already yields the right boxed value); the output row is
+  // reused (valid until next(), the DSv2 contract — the manifest
+  // reader's shape).
+  private val conv: Array[Any => Any] = pruned.fields.map { f =>
+    f.dataType match {
+      case LongType | TimestampType | TimestampNTZType | IntegerType |
+           DateType | DoubleType | FloatType | BooleanType =>
+        (v: Any) => v
+      case ShortType => (v: Any) => java.lang.Short
+        .valueOf(v.asInstanceOf[java.lang.Integer].shortValue)
+      case ByteType => (v: Any) => java.lang.Byte
+        .valueOf(v.asInstanceOf[java.lang.Integer].byteValue)
+      case StringType => (v: Any) => UTF8String.fromString(v.toString)
+      case other => (v: Any) => GraftAvro.toCatalyst(v, other, file)
+    }
+  }
+  private val vals = new Array[Any](pruned.length)
+  private val row = new GenericInternalRow(vals)
+
   override def next(): Boolean = {
     if (!reader.hasNext) return false
     current = reader.next()
@@ -203,14 +229,13 @@ final class GraftAvroPartitionReader(file: String, pruned: StructType)
   }
 
   override def get(): InternalRow = {
-    val vals = new Array[Any](pruned.length)
     var i = 0
-    while (i < pruned.length) {
-      vals(i) = GraftAvro.toCatalyst(
-        current.get(pruned(i).name), pruned(i).dataType, file)
+    while (i < vals.length) {
+      val v = current.get(i)
+      vals(i) = if (v == null) null else conv(i)(v)
       i += 1
     }
-    InternalRow.fromSeq(vals.toIndexedSeq)
+    row
   }
 
   override def close(): Unit = reader.close()
@@ -279,13 +304,20 @@ final class GraftAvroDataWriter(schema: StructType, path: String,
     w.create(avroSchema, inProgress)
   }
 
+  // Per-column encode, resolved ONCE (optimization r13): the generic
+  // path did TWO Avro field-name hash lookups per row and column
+  // (getField + put-by-name). Field positions in avroSchema follow
+  // `schema` order by construction (toAvroSchema), so access is
+  // positional with the field schemas hoisted.
+  private val fieldSchemas: Array[org.apache.avro.Schema] =
+    schema.fields.map(f => avroSchema.getField(f.name).schema())
+
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < schema.length) {
-      rec.put(schema(i).name,
-        GraftAvro.fromCatalyst(row, i, schema(i).dataType,
-          avroSchema.getField(schema(i).name).schema()))
+      rec.put(i,
+        GraftAvro.fromCatalyst(row, i, schema(i).dataType, fieldSchemas(i)))
       i += 1
     }
     out.append(rec)
