@@ -91,7 +91,12 @@ DRIFT_CANARIES = ["diag_fk_coverage", "join_spatial_grid",
 FAMILIES = {
     "dedup_graph": ["llm_dedup_", "llm_graph_", "llm_cc_",
                     "llm_communities", "llm_pagerank"],
-    "ann": ["llm_ann_", "llm_pq_", "llm_ivf_"],
+    # llm_knn_agreement / llm_hard_negatives ride the SAME session-
+    # memoized IVF index as the llm_ann_* members (LlmOps.ivfIndex) —
+    # added r13 after the index build landed on llm_knn_agreement in a
+    # full-suite run and read as a 2.6x phantom.
+    "ann": ["llm_ann_", "llm_pq_", "llm_ivf_", "llm_knn_agreement",
+            "llm_hard_negatives"],
     "pca": ["llm_vec_cov", "llm_pca_"],
     # r12 shared builds: the BPE merge chain serves train+apply; the
     # language-ID hit frame serves the lang trio + cohen_kappa; the
